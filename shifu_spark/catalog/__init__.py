@@ -1,0 +1,10 @@
+from shifu_spark.catalog.column_config import (  # noqa: F401
+    ColumnBinning,
+    ColumnConfig,
+    ColumnFlag,
+    ColumnStats,
+    ColumnType,
+    ModelConfig,
+    load_column_configs,
+    save_column_configs,
+)

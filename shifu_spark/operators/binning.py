@@ -1,0 +1,244 @@
+"""Binning / discretization operators — the reference's signature family.
+
+Reference algorithms (SURVEY §2.5):
+  * EqualPopulation — SPDT streaming histogram (EqualPopulationBinning.java,
+    693 LoC, ≤10k centroids)           -> Spark: exact `percentile` at test
+    scale / `percentile_approx` (KLL) at 100 TB — same approximation
+    guarantee class, bounded memory.
+  * MunroPat — multi-pass quantiles (MunroPatBinning.java)  -> same.
+  * EqualInterval — (max-min)/k edges (EqualIntervalBinning.java:30).
+  * Native — exact sort + equal-count cut (NativeBinning.java:27)
+    -> `ntile(k)` window.
+  * Categorical — frequency-ordered categories (CategoricalBinning.java:33).
+  * BinningMethod variants (ModelStatsConf.java:34-36): EqualPositive
+    (default!) / EqualNegative / EqualTotal / WeightEqual* — which
+    population the equal-frequency quantiles run over -> filter-then-
+    quantile; weighted variants via a weighted-quantile Aggregator.
+
+Boundary semantics: ``bin_boundary[0]`` is conceptually -inf; bin i covers
+[b_i, b_{i+1}); lookup is binary-search with ``low==0 ? 0 : low-1``
+(BinUtils.java:53-104); missing -> dedicated LAST bin slot.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# boundary builders
+# ---------------------------------------------------------------------------
+
+def equal_interval_boundaries(df: DataFrame, col: str, num_bins: int) -> list[float]:
+    """(max-min)/k fixed-width left edges — EqualIntervalBinning.java:30."""
+    row = df.agg(F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))).collect()[0]
+    mn, mx = row[0], row[1]
+    if mn is None or mx is None or not num_bins:
+        return []
+    width = (mx - mn) / num_bins
+    return [mn + i * width for i in range(num_bins)]
+
+
+def equal_population_boundaries(
+    df: DataFrame,
+    col: str,
+    num_bins: int,
+    method: str = "EqualTotal",
+    tag_col: str | None = None,
+    pos_tags: list[str] | None = None,
+    neg_tags: list[str] | None = None,
+    exact: bool = True,
+) -> list[float]:
+    """Equal-frequency left edges over the method-selected population.
+
+    EqualPositive (reference default) quantiles over positive rows only;
+    EqualNegative over negatives; EqualTotal over all valid rows
+    (ModelStatsConf.java:34-36, udf/stats/NumericalVarStats.java:55-130).
+    ``exact=False`` uses percentile_approx (KLL, 10k accuracy — the scale
+    path matching the reference's 10k-centroid SPDT bound).
+    """
+    v = F.col(col).cast("double")
+    pop = df.filter(v.isNotNull())
+    if method == "EqualPositive":
+        pop = pop.filter(F.col(tag_col).isin(pos_tags or []))
+    elif method == "EqualNegative":
+        pop = pop.filter(F.col(tag_col).isin(neg_tags or []))
+    qs = [i / num_bins for i in range(num_bins)]
+    if exact:
+        arr = pop.agg(F.expr(f"percentile({col}, array({','.join(str(q) for q in qs)}))")).collect()[0][0]
+    else:
+        arr = pop.agg(F.percentile_approx(v, qs, 10000)).collect()[0][0]
+    if arr is None:
+        return []
+    # de-duplicate equal boundaries (MunroPatBinning.java:60-99 merges dups)
+    out: list[float] = []
+    for b in arr:
+        if b is not None and (not out or b > out[-1]):
+            out.append(b)
+    return out
+
+
+def weighted_equal_population_boundaries(
+    df: DataFrame, col: str, weight_col: str, num_bins: int
+) -> list[float]:
+    """Weighted equal-frequency edges (WeightEqual* methods).
+
+    percentile_approx has no weight argument; the reference feeds
+    frequency-expanded values into its histogram. Spark's exact
+    ``percentile(col, q, frequency)`` takes an integer frequency — we
+    scale weights to integer millis. At 100 TB scale this becomes a
+    two-pass approximate weighted quantile (bucket by value, sum weights,
+    cumulative scan) — implemented in :func:`weighted_quantile_scalable`.
+    """
+    v = F.col(col).cast("double")
+    w = (F.col(weight_col).cast("double") * 1000).cast("bigint")
+    qs = [i / num_bins for i in range(num_bins)]
+    arr = (
+        df.filter(v.isNotNull())
+        .agg(F.expr(f"percentile({col}, array({','.join(str(q) for q in qs)}), greatest(cast({weight_col}*1000 as bigint), 1L))"))
+        .collect()[0][0]
+    )
+    _ = w
+    out: list[float] = []
+    for b in arr or []:
+        if b is not None and (not out or b > out[-1]):
+            out.append(b)
+    return out
+
+
+def weighted_quantile_scalable(df: DataFrame, col: str, weight_col: str, qs: list[float], resolution: int = 10000) -> list[float]:
+    """Scale-path weighted quantiles: value-bucket histogram + cumulative scan.
+
+    One groupBy over ``resolution`` buckets (map-side combined), then a
+    driver-side cumulative walk — O(resolution) memory, any data size.
+    """
+    v = F.col(col).cast("double")
+    row = df.agg(F.min(v), F.max(v)).collect()[0]
+    mn, mx = row[0], row[1]
+    if mn is None or mx == mn:
+        return [mn for _ in qs]
+    bucket = F.least(F.floor((v - mn) / (mx - mn) * resolution), F.lit(resolution - 1))
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(bucket.alias("b"))
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("w"))
+        .orderBy("b")
+        .collect()
+    )
+    total = sum(r["w"] for r in hist)
+    out = []
+    for q in qs:
+        target = q * total
+        cum = 0.0
+        val = mx
+        for r in hist:
+            cum += r["w"]
+            if cum >= target:
+                val = mn + (r["b"] + 0.5) / resolution * (mx - mn)
+                break
+        out.append(val)
+    return out
+
+
+def categorical_bins(
+    df: DataFrame,
+    col: str,
+    max_cate_size: int = 0,
+    tag_col: str | None = None,
+    pos_tags: list[str] | None = None,
+) -> list[str]:
+    """Frequency-ordered category list (CategoricalBinning.java:33).
+
+    Collapses beyond ``max_cate_size`` most-frequent categories (the
+    reference auto-collapses when > maxCateSize). Deterministic order:
+    count desc, then category asc.
+    """
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .orderBy(F.desc("count"), F.asc(col))
+    )
+    if max_cate_size and max_cate_size > 0:
+        counts = counts.limit(max_cate_size)
+    return [r[0] for r in counts.collect()]
+
+
+def ntile_boundaries(df: DataFrame, col: str, num_bins: int) -> list[float]:
+    """Exact equal-count cut via ntile window — NativeBinning.java:27.
+
+    Left edge of tile i = min value inside tile i. O(n log n) global sort;
+    test-scale / exactness path only.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("double")
+    w = Window.orderBy(v)
+    tiles = (
+        df.filter(v.isNotNull())
+        .select(v.alias("v"), F.ntile(num_bins).over(w).alias("t"))
+        .groupBy("t")
+        .agg(F.min("v").alias("edge"))
+        .orderBy("t")
+        .collect()
+    )
+    out: list[float] = []
+    for r in tiles:
+        if not out or r["edge"] > out[-1]:
+            out.append(r["edge"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lookup expressions (BinUtils semantics)
+# ---------------------------------------------------------------------------
+
+def bin_index_expr(col: Column | str, boundaries: list[float], missing_index: int | None = None) -> Column:
+    """JVM-side bin lookup: index = #{edges <= x} - 1, clamped at 0.
+
+    Reproduces BinUtils.java:53-104 (binary search, ``low==0 ? 0 : low-1``);
+    first edge acts as -inf so any x < b1 lands in bin 0. Missing (NULL)
+    maps to ``missing_index`` (defaults to len(boundaries) — the dedicated
+    last slot, Normalizer.java:579-596).
+
+    Emitted as a fold over an array literal -> whole-stage-codegen'd,
+    no UDF, O(k) per row (k = bins, small).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    if missing_index is None:
+        missing_index = len(boundaries)
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    idx = F.greatest(F.size(F.filter(arr, lambda b: c >= b)) - 1, F.lit(0))
+    return F.when(c.isNull(), F.lit(missing_index)).otherwise(idx)
+
+
+def bin_index_sql(col: str, boundaries: list[float], missing_index: int | None = None) -> str:
+    """ANSI-SQL CASE chain equivalent of :func:`bin_index_expr` (for oracles)."""
+    if missing_index is None:
+        missing_index = len(boundaries)
+    whens = [f"WHEN {col} IS NULL THEN {missing_index}"]
+    for i in range(len(boundaries) - 1, 0, -1):
+        whens.append(f"WHEN {col} >= {boundaries[i]!r} THEN {i}")
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+def categorical_index_expr(col: Column | str, categories: list[str], missing_index: int | None = None) -> Column:
+    """Category -> bin index via a broadcast map expression; miss -> last slot.
+
+    Reference: binCateMap lookup (ColumnBinning.java:56, BinUtils.java).
+    Uses a map literal (JVM-side) rather than a UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if missing_index is None:
+        missing_index = len(categories)
+    if not categories:
+        return F.lit(missing_index)
+    pairs: list = []
+    for i, cat in enumerate(categories):
+        pairs.extend([F.lit(cat), F.lit(i)])
+    m = F.create_map(*pairs)
+    return F.coalesce(m.getItem(c), F.lit(missing_index))

@@ -1,0 +1,285 @@
+"""Column statistics — the analytical core (``shifu stats``).
+
+Reference pipeline (SURVEY §3.1): two jobs — a Pig binning job
+(StatsSpdtI.pig:48-62: unpivot -> salted two-level group -> streaming
+histogram partial/merge) followed by an UpdateBinningInfo MapReduce job
+(UpdateBinningInfoMapper.java:71-643 / UpdateBinningInfoReducer.java:128-400)
+that re-reads ALL raw data accumulating per-column power sums and bin
+counts, then finalizes mean/stddev/skew/kurt/KS/IV/WOE
+(core/ColumnStatsCalculator.java:31-120,183-215).
+
+Spark-first design — ONE data pass, ZERO row shuffle for the moment pass:
+  * All per-column moment aggregates go into a single wide ``df.agg(...)``
+    — Catalyst's partial aggregation does the reference's hand-written
+    in-mapper combining (UpdateBinningInfoMapper.java:67+) automatically,
+    and the shuffled payload is one partial-agg row per task, not data.
+  * Bin counting is a melt (posexplode over an array literal — a
+    pipelined narrow op, never materialized) followed by
+    ``groupBy(col_id, bin).agg(...)`` whose map-side partial agg reduces
+    each task's output to ~n_cols×n_bins rows. The reference's manual
+    salt ((columnId, rand) two-level group, StatsSpdtI.pig:57-60) is
+    unnecessary: partial aggregation already spreads the per-column hot
+    keys; AQE handles residual skew.
+  * KS/IV/WOE finalization is O(cols × bins) array math on the driver —
+    exactly ColumnStatsCalculator semantics (EPS=1e-10).
+
+At 100 TB: the moment pass is a full scan with partial agg (optimal); the
+bin-count pass scans once more with only (cols × bins × tasks) rows
+shuffled. Both are column-pruned parquet scans when ``columns`` is a
+subset.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-10  # reference ColumnStatsCalculator.java EPS
+
+
+# ---------------------------------------------------------------------------
+# driver-side closed forms (reference formulas, exact)
+# ---------------------------------------------------------------------------
+
+def sample_std_dev(count: int, s1: float, s2: float) -> float:
+    """stdDev = sqrt(|s2 - s1^2/n + EPS| / (n-1)) — UpdateBinningInfoReducer.java:355."""
+    if count <= 1:
+        return 0.0
+    return math.sqrt(abs((s2 - (s1 * s1) / count + EPS) / (count - 1)))
+
+
+def population_std_dev(count: int, s1: float, s2: float) -> float:
+    """aStdDev = sqrt(|s2 - s1^2/n + EPS| / n) — UpdateBinningInfoReducer.java:356."""
+    if count <= 0:
+        return 0.0
+    return math.sqrt(abs((s2 - (s1 * s1) / count + EPS) / count))
+
+
+def skewness(count: int, mean: float, a_std: float, s1: float, s2: float, s3: float) -> float:
+    """NIST skewness from power sums — ColumnStatsCalculator.java:210-215."""
+    if count == 0 or a_std == 0:
+        return 0.0
+    return (s3 - 3 * s2 * mean + 3 * mean * mean * s1 - count * mean**3) / (count * a_std**3)
+
+
+def kurtosis(count: int, mean: float, a_std: float, s1: float, s2: float, s3: float, s4: float) -> float:
+    """NIST kurtosis from power sums — ColumnStatsCalculator.java:186-191."""
+    if count == 0 or a_std == 0:
+        return 0.0
+    return (s4 - 4 * s3 * mean + 6 * s2 * mean * mean - 4 * s1 * mean**3 + count * mean**4) / (count * a_std**4)
+
+
+@dataclass
+class NumericColumnStats:
+    column_name: str
+    total_count: int
+    missing_count: int
+    valid_count: int
+    mean: float
+    std_dev: float
+    min: float
+    max: float
+    skewness: float
+    kurtosis: float
+    p25: float
+    median: float
+    p75: float
+    distinct_count: int
+
+    @property
+    def missing_percentage(self) -> float:
+        return self.missing_count / self.total_count if self.total_count else 0.0
+
+
+# ---------------------------------------------------------------------------
+# expression builders
+# ---------------------------------------------------------------------------
+
+#: Power sums accumulate as DECIMAL(38,10): exact, order-independent, and
+#: bit-identical across engines — double sums vary in the last ulp with
+#: partition order, which flips rounded 6th decimals at knife edges. The
+#: per-row term is computed in double (identical in Spark/DuckDB), cast to
+#: decimal once, then summed exactly. At extreme scale (where x^4 sums
+#: could exceed DECIMAL(38,10)) flip ``decimal_sums=False`` for the
+#: double-sum fast path — the engine doesn't need cross-engine bit
+#: determinism in production, only the oracle gate does.
+_DEC = "decimal(38,10)"
+
+
+def _moment_aggs(c: str, exact_percentiles: bool, distinct_exact: bool, decimal_sums: bool = True) -> list:
+    """Wide-agg expressions for one numeric column.
+
+    Missing values are excluded from moments, mirroring
+    UpdateBinningInfoReducer.java:351 ("To make it be consistent with
+    SPDT, missingCount is excluded").
+    """
+    v = F.col(c).cast("double")
+
+    def s(e):
+        return F.sum(e.cast(_DEC)).cast("double") if decimal_sums else F.sum(e)
+
+    aggs = [
+        F.count(F.lit(1)).alias(f"{c}__n"),
+        F.count(v).alias(f"{c}__valid"),
+        s(v).alias(f"{c}__s1"),
+        s(v * v).alias(f"{c}__s2"),
+        s(v * v * v).alias(f"{c}__s3"),
+        s(v * v * v * v).alias(f"{c}__s4"),
+        F.min(v).alias(f"{c}__min"),
+        F.max(v).alias(f"{c}__max"),
+    ]
+    if exact_percentiles:
+        aggs.append(F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__pct"))
+    else:
+        # scale path: KLL sketch, bounded memory (reference bounds its SPDT
+        # histogram at 10k centroids — EqualPopulationBinning.java:98-101)
+        aggs.append(F.percentile_approx(v, [0.25, 0.5, 0.75], 10000).alias(f"{c}__pct"))
+    if distinct_exact:
+        aggs.append(F.countDistinct(v).alias(f"{c}__dc"))
+    else:
+        # reference uses HyperLogLogPlus (AutoTypeDistinctCountMapper.java:39)
+        aggs.append(F.approx_count_distinct(v).alias(f"{c}__dc"))
+    return aggs
+
+
+def numeric_column_stats(
+    df: DataFrame,
+    columns: list[str],
+    exact_percentiles: bool = True,
+    distinct_exact: bool = True,
+) -> list[NumericColumnStats]:
+    """Compute full numeric stats for ``columns`` in ONE wide aggregate.
+
+    ``exact_percentiles=False`` / ``distinct_exact=False`` switch to the
+    sketch-based scale path (percentile_approx / approx_count_distinct).
+    """
+    aggs: list = []
+    for c in columns:
+        aggs.extend(_moment_aggs(c, exact_percentiles, distinct_exact))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out: list[NumericColumnStats] = []
+    for c in columns:
+        n = row[f"{c}__n"]
+        valid = row[f"{c}__valid"]
+        s1 = row[f"{c}__s1"] or 0.0
+        s2 = row[f"{c}__s2"] or 0.0
+        s3 = row[f"{c}__s3"] or 0.0
+        s4 = row[f"{c}__s4"] or 0.0
+        mean = s1 / valid if valid else 0.0
+        a_std = population_std_dev(valid, s1, s2)
+        pct = row[f"{c}__pct"] or [None, None, None]
+        out.append(
+            NumericColumnStats(
+                column_name=c,
+                total_count=n,
+                missing_count=n - valid,
+                valid_count=valid,
+                mean=mean,
+                std_dev=sample_std_dev(valid, s1, s2),
+                min=row[f"{c}__min"],
+                max=row[f"{c}__max"],
+                skewness=skewness(valid, mean, a_std, s1, s2, s3),
+                kurtosis=kurtosis(valid, mean, a_std, s1, s2, s3, s4),
+                p25=pct[0],
+                median=pct[1],
+                p75=pct[2],
+                distinct_count=row[f"{c}__dc"],
+            )
+        )
+    return out
+
+
+def numeric_stats_df(df: DataFrame, columns: list[str], round_to: int | None = 6) -> DataFrame:
+    """Same stats as :func:`numeric_column_stats` but as a DataFrame plan
+    (one row per column) — the oracle-checkable query shape.
+
+    Implemented as the wide agg + a driver-side unpivot of the SINGLE
+    result row into per-column rows via a union of literal-free selects —
+    still one Spark job, one data pass.
+    """
+    aggs: list = []
+    for c in columns:
+        aggs.extend(_moment_aggs(c, exact_percentiles=True, distinct_exact=True))
+    wide = df.agg(*aggs)
+
+    def rnd(e):
+        return F.round(e, round_to) if round_to is not None else e
+
+    selects = []
+    for c in columns:
+        n, valid = F.col(f"{c}__n"), F.col(f"{c}__valid")
+        s1, s2 = F.col(f"{c}__s1"), F.col(f"{c}__s2")
+        s3, s4 = F.col(f"{c}__s3"), F.col(f"{c}__s4")
+        mean = s1 / valid
+        a_var = F.abs((s2 - s1 * s1 / valid + F.lit(EPS)) / valid)
+        a_std = F.sqrt(a_var)
+        skew = (s3 - 3 * s2 * mean + 3 * mean * mean * s1 - valid * F.pow(mean, 3)) / (valid * F.pow(a_std, 3))
+        kurt = (s4 - 4 * s3 * mean + 6 * s2 * mean * mean - 4 * s1 * F.pow(mean, 3) + valid * F.pow(mean, 4)) / (
+            valid * F.pow(a_var, 2)
+        )
+        std = F.sqrt(F.abs((s2 - s1 * s1 / valid + F.lit(EPS)) / (valid - 1)))
+        selects.append(
+            wide.select(
+                F.lit(c).alias("column_name"),
+                n.cast("long").alias("total_count"),
+                (n - valid).cast("long").alias("missing_count"),
+                rnd(mean).alias("mean"),
+                rnd(std).alias("std_dev"),
+                rnd(F.col(f"{c}__min")).alias("min_val"),
+                rnd(F.col(f"{c}__max")).alias("max_val"),
+                rnd(skew).alias("skewness"),
+                rnd(kurt).alias("kurtosis"),
+                rnd(F.col(f"{c}__pct").getItem(0)).alias("p25"),
+                rnd(F.col(f"{c}__pct").getItem(1)).alias("median"),
+                rnd(F.col(f"{c}__pct").getItem(2)).alias("p75"),
+                F.col(f"{c}__dc").cast("long").alias("distinct_count"),
+            )
+        )
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def numeric_stats_oracle_sql(table: str, columns: list[str], round_to: int = 6) -> str:
+    """DuckDB SQL computing numeric_stats_df with the SAME closed forms.
+
+    Skew/kurt are written out from power sums (NOT duckdb's skewness(),
+    which applies sample-bias correction — the reference uses the NIST
+    population forms)."""
+    parts = []
+    for c in columns:
+        # decimal power sums mirror the Spark side exactly (see _DEC note)
+        sums = f"""(SELECT count(*)::BIGINT AS n, count({c})::BIGINT AS valid,
+       sum(cast({c} AS DECIMAL(38,10)))::DOUBLE AS s1,
+       sum(cast({c}*{c} AS DECIMAL(38,10)))::DOUBLE AS s2,
+       sum(cast({c}*{c}*{c} AS DECIMAL(38,10)))::DOUBLE AS s3,
+       sum(cast({c}*{c}*{c}*{c} AS DECIMAL(38,10)))::DOUBLE AS s4,
+       min({c}) AS mn, max({c}) AS mx,
+       quantile_cont({c}, 0.25) AS q25, quantile_cont({c}, 0.5) AS q50, quantile_cont({c}, 0.75) AS q75,
+       count(DISTINCT {c})::BIGINT AS dc
+FROM {table})"""
+        parts.append(
+            f"""
+SELECT '{c}' AS column_name,
+       n AS total_count,
+       (n - valid) AS missing_count,
+       round(s1 / valid, {round_to}) AS mean,
+       round(sqrt(abs((s2 - s1*s1/valid + 1e-10) / (valid - 1))), {round_to}) AS std_dev,
+       round(mn, {round_to}) AS min_val,
+       round(mx, {round_to}) AS max_val,
+       round((s3 - 3*s2*(s1/valid) + 3*(s1/valid)*(s1/valid)*s1 - valid*(s1/valid)^3)
+             / (valid * sqrt(abs((s2 - s1*s1/valid + 1e-10) / valid))^3), {round_to}) AS skewness,
+       round((s4 - 4*s3*(s1/valid) + 6*s2*(s1/valid)*(s1/valid) - 4*s1*(s1/valid)^3 + valid*(s1/valid)^4)
+             / (valid * (abs((s2 - s1*s1/valid + 1e-10) / valid))^2), {round_to}) AS kurtosis,
+       round(q25, {round_to}) AS p25,
+       round(q50, {round_to}) AS median,
+       round(q75, {round_to}) AS p75,
+       dc AS distinct_count
+FROM {sums}"""
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -1,0 +1,141 @@
+"""Sources & sinks.
+
+Reference semantics (SURVEY §1.1, §2.1):
+  * native format = row-oriented delimited text, schema from a sidecar
+    header file with its own delimiter (RawSourceData.java:53-70); all
+    values ingested as STRINGS and parsed lazily per-operator —
+    unparseable numeric == missing, never an error
+    (core/Normalizer.java:552-571).
+  * parquet optionally for normalized output / training input
+    (pig/NormalizeWithParquet.pig).
+  * sinks: delimited text with header sidecar (pig/ShifuPigStorage.java:33)
+    or parquet; gzip compression supported (Normalize.pig:29-34).
+
+Spark-first: `spark.read.csv` with an explicit all-StringType StructType
+(no sampling-based inference pass over 100 TB), parquet native. Parquet
+scans get predicate pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tokens treated as missing (reference ModelSourceDataConf.java:50)
+DEFAULT_MISSING_TOKENS = ["", "?"]
+
+
+def read_header(spark: SparkSession, header_path: str, header_delimiter: str = "|") -> list[str]:
+    """Parse a sidecar header file into column names.
+
+    Reference: util/CommonUtils.getFinalHeaders; Pig ``.pig_header``
+    convention (``relation::col`` namespaces are stripped to the leaf name,
+    column/NSColumn.java semantics).
+    """
+    first_line = spark.read.text(header_path).limit(1).collect()[0][0]
+    cols = [c.strip() for c in first_line.split(header_delimiter)]
+    return [c.split("::")[-1] for c in cols]
+
+
+def read_dataset(
+    spark: SparkSession,
+    data_path: str,
+    header_path: str | None = None,
+    data_delimiter: str = "|",
+    header_delimiter: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Typed ingest of the reference's native delimited-text format.
+
+    All columns are StringType; per-operator casts implement the
+    "unparseable = missing" contract. Parquet paths are detected by
+    extension and read natively (already typed).
+
+    Malformed rows (wrong field count) are dropped, mirroring
+    core/DataPurifier.java:47-130's field-count check: with an explicit
+    schema Spark's CSV reader nulls short rows / truncates long ones, so
+    we read the raw line, split, and filter on exact field count — the
+    whole pipeline stays in JVM expressions (split + size).
+    """
+    if data_path.endswith(".parquet") or _is_parquet_dir(data_path):
+        return spark.read.parquet(data_path)
+
+    if columns is None:
+        if header_path is None:
+            raise ValueError("need header_path or explicit columns for text data")
+        columns = read_header(spark, header_path, header_delimiter or data_delimiter)
+
+    n = len(columns)
+    lines = spark.read.text(data_path)
+    parts = F.split(F.col("value"), _regex_escape(data_delimiter), -1)
+    df = (
+        lines.select(parts.alias("_parts"))
+        .filter(F.size("_parts") == n)  # malformed-row drop
+        .select(*[F.col("_parts").getItem(i).alias(columns[i]) for i in range(n)])
+    )
+    return df
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    delimiter: str = "|",
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sink: parquet (default, scale path) or delimited text with header.
+
+    Reference: STORE ... PigStorage('-schema') (StatsSpdtI.pig:62) /
+    gzip-compressed normalized output (Normalize.pig:29-34).
+    """
+    writer = df.write.mode(mode)
+    if fmt == "parquet":
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer = writer.option("sep", delimiter).option("header", "true")
+        if compression:
+            writer = writer.option("codec", compression)
+        writer.csv(path)
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
+
+
+def safe_double(col, missing_tokens: list[str] | None = None):
+    """Cast a string column to double with reference missing semantics.
+
+    Missing tokens, unparseable strings, NaN and +/-Infinity all become
+    NULL (reference Normalizer.java:552-571 parses lazily; NaN/Inf ->
+    missing :566-571). try_cast keeps this entirely JVM-side.
+    """
+    tokens = missing_tokens if missing_tokens is not None else DEFAULT_MISSING_TOKENS
+    c = F.trim(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        c = F.col(col)
+    d = c.try_cast(T.DoubleType())
+    return F.when(c.isin(tokens) | F.isnan(F.coalesce(d, F.lit(0.0))) | (F.abs(F.coalesce(d, F.lit(0.0))) == float("inf")), F.lit(None).cast("double")).otherwise(d)
+
+
+def is_missing_str(col, missing_tokens: list[str] | None = None):
+    """Boolean expr: string value counts as missing (NULL or a token)."""
+    tokens = missing_tokens if missing_tokens is not None else DEFAULT_MISSING_TOKENS
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | c.isin(tokens)
+
+
+def _is_parquet_dir(path: str) -> bool:
+    try:
+        return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    except OSError:
+        return False
+
+
+def _regex_escape(delim: str) -> str:
+    import re
+
+    return re.escape(delim)
