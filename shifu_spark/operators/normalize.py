@@ -1,0 +1,176 @@
+"""Normalization transforms (``shifu norm``) as Catalyst column expressions.
+
+Reference: core/Normalizer.java (787 LoC dispatch at :233-270) applied
+per-row by udf/NormalizeUDF.java. Every NormType in
+ModelNormalizeConf.java:33-57 is a pure function of (value, per-column
+catalog constants) — so the Spark build emits ONE ``select()`` of
+when/otherwise expressions from the broadcast catalog: no UDF, no
+shuffle, fully whole-stage-codegen'd, streaming-compatible.
+
+Semantics reproduced:
+  * ZSCALE  (Normalizer.java:426-470, computeZScore:769-787):
+    z = (clip(x, mean ± cutoff·std) - mean) / std;  std <= 1e-5 -> 0;
+    missing -> mean (z = 0). Categorical x := binPosRate[bin(x)] first.
+  * WOE (:619-657): value -> bin -> binCountWoe[bin] (weighted variant
+    binWeightedWoe); missing -> last bin's woe.
+  * WOE_ZSCORE (:664-672): woe then z-score with woe-population mean/std
+    from bin counts (calculateWoeMeanAndStdDev:728-756).
+  * HYBRID (:687-700): numeric -> zscore, categorical -> woe.
+  * ONEHOT (:379-424): bin one-hot + missing slot.
+  * DISCRETE_ZSCORE (:468-500): snap to bin lower boundary then zscore.
+  * ASIS_PR / ASIS_WOE (:353-377), *_INDEX variants (:287-350).
+  * Tag recode: posTag->1, negTag->0 (NormalizeUDF.java:322-372);
+    rows with tag outside pos∪neg dropped (:262-278).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shifu_spark.catalog import ColumnConfig
+
+MIN_STD = 1e-5  # Normalizer.java: std <= 1e-5 -> zscore 0
+
+
+def zscore_expr(col: Column | str, mean: float, std: float, cutoff: float = 6.0) -> Column:
+    """(clip(x, mean±cutoff·std) - mean) / std with missing -> mean.
+
+    Exactly Normalizer.computeZScore:769-787 + missing handling :602-605.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    if std is None or abs(std) <= MIN_STD:
+        return F.lit(0.0)
+    lo, hi = mean - cutoff * std, mean + cutoff * std
+    clipped = F.least(F.greatest(F.coalesce(c, F.lit(mean)), F.lit(lo)), F.lit(hi))
+    return (clipped - mean) / std
+
+
+def zscore_inline_expr(col: Column | str, mean: Column, std: Column, cutoff: float = 6.0) -> Column:
+    """zscore with mean/std as COLUMNS (from a broadcast 1-row agg) —
+    keeps the whole plan declarative for oracle-deterministic queries."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    lo, hi = mean - cutoff * std, mean + cutoff * std
+    clipped = F.least(F.greatest(F.coalesce(c, mean), lo), hi)
+    return F.when(F.abs(std) <= MIN_STD, F.lit(0.0)).otherwise((clipped - mean) / std)
+
+
+def woe_expr(col: Column | str, boundaries: list[float], bin_woes: list[float], missing_woe: float | None = None) -> Column:
+    """value -> bin -> woe, missing -> LAST bin's woe (Normalizer.java:619-657).
+
+    ``bin_woes`` must have len(boundaries) entries; ``missing_woe``
+    defaults to the last provided woe (the dedicated missing slot).
+    """
+    from shifu_spark.operators.binning import bin_index_expr
+
+    if missing_woe is None:
+        missing_woe = bin_woes[-1]
+    all_woes = list(bin_woes) + [missing_woe]
+    idx = bin_index_expr(col, boundaries, missing_index=len(bin_woes))
+    arr = F.array(*[F.lit(float(w)) for w in all_woes])
+    return F.element_at(arr, idx + 1)
+
+
+def categorical_posrate_expr(col: Column | str, categories: list[str], pos_rates: list[float], missing_value: float) -> Column:
+    """category -> binPosRate (the categorical pre-step of ZSCALE;
+    CategoryMissingNormType.POSRATE default, Normalizer.java:579-596)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not categories:
+        return F.lit(missing_value)
+    pairs: list = []
+    for cat, pr in zip(categories, pos_rates):
+        pairs.extend([F.lit(cat), F.lit(float(pr))])
+    m = F.create_map(*pairs)
+    return F.coalesce(m.getItem(c), F.lit(missing_value))
+
+
+def onehot_exprs(col: Column | str, boundaries: list[float], prefix: str) -> list[Column]:
+    """Bin one-hot over numeric bins + missing slot (Normalizer.java:379-424)."""
+    from shifu_spark.operators.binning import bin_index_expr
+
+    idx = bin_index_expr(col, boundaries)
+    n = len(boundaries)
+    return [
+        F.when(idx == i, F.lit(1.0)).otherwise(F.lit(0.0)).alias(f"{prefix}_bin{i}")
+        for i in range(n + 1)  # +1 = missing slot
+    ]
+
+
+def discrete_zscore_expr(col: Column | str, boundaries: list[float], mean: float, std: float, cutoff: float = 6.0) -> Column:
+    """Snap to bin lower boundary (bin0 -> min) then zscore
+    (Normalizer.java:468-500); missing -> mean (z=0)."""
+    from shifu_spark.operators.binning import bin_index_expr
+
+    idx = bin_index_expr(col, boundaries, missing_index=len(boundaries))
+    arr = F.array(*[F.lit(float(b)) for b in boundaries] + [F.lit(float(mean))])
+    snapped = F.element_at(arr, idx + 1)
+    return zscore_expr(snapped, mean, std, cutoff)
+
+
+def tag_expr(tag_col: str, pos_tags: list[str], neg_tags: list[str]) -> Column:
+    """posTag -> 1.0, negTag -> 0.0 (NormalizeUDF.java:322-372)."""
+    c = F.col(tag_col)
+    return F.when(c.isin(pos_tags), F.lit(1.0)).when(c.isin(neg_tags), F.lit(0.0))
+
+
+def filter_valid_tags(df: DataFrame, tag_col: str, pos_tags: list[str], neg_tags: list[str]) -> DataFrame:
+    """Drop rows whose tag is outside pos∪neg (NormalizeUDF.java:262-278)."""
+    return df.filter(F.col(tag_col).isin(list(pos_tags) + list(neg_tags)))
+
+
+def normalize_df(
+    df: DataFrame,
+    configs: list[ColumnConfig],
+    norm_type: str = "ZSCALE",
+    cutoff: float = 6.0,
+    tag_col: str | None = None,
+    pos_tags: list[str] | None = None,
+    neg_tags: list[str] | None = None,
+    weight_expr: Column | None = None,
+) -> DataFrame:
+    """Full `shifu norm` step: one select of generated expressions.
+
+    Column constants come from the driver-side catalog (broadcast via
+    literal embedding — columns << rows, the plan stays pure Catalyst).
+    """
+    cols: list[Column] = []
+    if tag_col:
+        df = filter_valid_tags(df, tag_col, pos_tags or [], neg_tags or [])
+        cols.append(tag_expr(tag_col, pos_tags or [], neg_tags or []).alias("tag"))
+    for cc in configs:
+        if not cc.is_candidate or not cc.final_select:
+            continue
+        name = cc.column_name
+        st, b = cc.column_stats, cc.column_binning
+        if norm_type in ("ZSCALE", "ZSCORE"):
+            if cc.is_categorical:
+                pr = categorical_posrate_expr(name, b.bin_category, b.bin_pos_rate[: len(b.bin_category)],
+                                              b.bin_pos_rate[-1] if b.bin_pos_rate else 0.0)
+                e = zscore_expr(pr, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+            else:
+                e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+        elif norm_type in ("WOE", "WEIGHT_WOE"):
+            woes = b.bin_weighted_woe if norm_type == "WEIGHT_WOE" else b.bin_count_woe
+            e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1] if woes else 0.0)
+        elif norm_type in ("WOE_ZSCORE", "WOE_ZSCALE"):
+            woes = b.bin_count_woe
+            wm, ws = cc.woe_mean_std()
+            e = zscore_expr(woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1] if woes else 0.0), wm, ws, cutoff)
+        elif norm_type == "HYBRID":
+            if cc.is_categorical:
+                woes = b.bin_count_woe
+                e = woe_expr(name, b.bin_boundary, woes, woes[-1] if woes else 0.0)
+            else:
+                e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+        elif norm_type == "DISCRETE_ZSCORE":
+            e = discrete_zscore_expr(name, b.bin_boundary, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+        elif norm_type == "ASIS_PR":
+            e = F.col(name).cast("double")
+        else:
+            raise ValueError(f"unsupported norm_type {norm_type}")
+        cols.append(e.alias(name))
+    if weight_expr is not None:
+        cols.append(weight_expr.alias("weight"))
+    return df.select(*cols)

@@ -1,0 +1,73 @@
+"""Row filtering, segment expansion, sampling — the `purify` family.
+
+Reference:
+  * JEXL row filter: core/DataPurifier.java:47-130, udf/PurifyDataUDF.java
+    — applied at the head of every pipeline script (Normalize.pig:40).
+  * Segment expansion: N filter expressions -> logically replicate the
+    dataset per matching segment with a segment id
+    (udf/AddColumnNumAndFilterUDF.java:75-99).
+  * Bernoulli sampling with keep-all-positives option:
+    core/DataSampler.java:112-160 (sampleRate + sampleNegOnly).
+  * Bagging subsample: udf/BaggingSubsampleUDF.java.
+  * Invalid-tag filter: NormalizeUDF.java:262-278.
+
+All seeded (the reference uses unseeded Math.random(); SURVEY §7 requires
+seeded equivalents for testability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shifu_spark.functions.jexl import jexl_filter
+
+
+def purify(df: DataFrame, filter_expression: str | None) -> DataFrame:
+    """Apply the dataset-level JEXL filter; None -> passthrough.
+
+    Declarative => Catalyst pushes the predicate into the parquet scan
+    (the reference always filtered post-scan)."""
+    if not filter_expression:
+        return df
+    return df.filter(jexl_filter(filter_expression))
+
+
+def expand_segments(df: DataFrame, segment_expressions: list[str]) -> DataFrame:
+    """Union of filtered copies with a ``segment_id`` column (0 = raw data,
+    i = segment expression i), matching AddColumnNumAndFilterUDF:75-99's
+    virtual-dataset semantics."""
+    out = df.withColumn("segment_id", F.lit(0))
+    for i, expr in enumerate(segment_expressions, start=1):
+        out = out.unionByName(df.filter(jexl_filter(expr)).withColumn("segment_id", F.lit(i)))
+    return out
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    sample_rate: float,
+    sample_negative_only: bool = False,
+    tag_col: str | None = None,
+    pos_tags: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """DataSampler.java:112-160: Bernoulli at ``sample_rate``; with
+    ``sample_negative_only`` positives are always kept and only negatives
+    are down-sampled — `sampleBy` keyed on the tag."""
+    if sample_rate >= 1.0:
+        return df
+    if sample_negative_only and tag_col:
+        is_pos = F.col(tag_col).isin(pos_tags or [])
+        frac_col = F.when(is_pos, F.lit(1.0)).otherwise(F.lit(sample_rate))
+        return df.filter(F.rand(seed) < frac_col)
+    return df.sample(fraction=sample_rate, seed=seed)
+
+
+def bagging_subsample(df: DataFrame, bag_index: int, fraction: float, with_replacement: bool, seed: int = 42) -> DataFrame:
+    """Per-bag resample (BaggingSubsampleUDF): seed offset by bag index."""
+    return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed + bag_index)
+
+
+def drop_invalid_tags(df: DataFrame, tag_col: str, pos_tags: list[str], neg_tags: list[str]) -> DataFrame:
+    """NormalizeUDF.java:262-278 — rows with tag outside pos∪neg dropped."""
+    return df.filter(F.col(tag_col).isin(list(pos_tags) + list(neg_tags)))

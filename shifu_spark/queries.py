@@ -30,6 +30,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column as a usable timestamp.
+
+    Spark 4 rejects nanos parquet timestamps; we read them as long
+    (legacy conf, settable at runtime) and convert ns -> µs with exact
+    integer division (double division would lose precision at 1e18)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters / aggregations (SURVEY §2.1, §2.2, §2.4)
 # ---------------------------------------------------------------------------
@@ -177,3 +190,440 @@ GROUP BY 1, 2"""
 
 
 ORACLES["ksiv_equal_interval"] = _ksiv_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Normalize (SURVEY §2.8 — `shifu norm` as pure column expressions)
+# ---------------------------------------------------------------------------
+
+_ZS_COLS = ["l_quantity", "l_extendedprice"]
+
+
+@query("zscore_normalize", None)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSCALE transform (Normalizer.java:426-470): clip at mean±6σ, scale.
+
+    mean/std come from DECIMAL power sums in a broadcast 1-row agg, so the
+    whole plan is one scan + one select — and bit-deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _ZS_COLS:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"{c}__n"),
+            F.sum(v.cast("decimal(38,10)")).cast("double").alias(f"{c}__s1"),
+            F.sum((v * v).cast("decimal(38,10)")).cast("double").alias(f"{c}__s2"),
+        ]
+    mm = li.agg(*aggs)
+    out_cols = [F.col("l_orderkey"), F.col("l_linenumber")]
+    for c in _ZS_COLS:
+        n, s1, s2 = F.col(f"{c}__n"), F.col(f"{c}__s1"), F.col(f"{c}__s2")
+        mean = s1 / n
+        std = F.sqrt(F.abs((s2 - s1 * s1 / n + F.lit(1e-10)) / (n - 1)))
+        x = F.col(c).cast("double")
+        clipped = F.least(F.greatest(x, mean - 6 * std), mean + 6 * std)
+        out_cols.append(F.round((clipped - mean) / std, 6).alias(f"z_{c}"))
+    return li.crossJoin(F.broadcast(mm)).select(*out_cols)
+
+
+def _zscore_oracle() -> str:
+    sel = ["l_orderkey", "l_linenumber"]
+    stats = []
+    for c in _ZS_COLS:
+        stats.append(
+            f"count({c})::DOUBLE AS {c}__n, sum(cast({c} AS DECIMAL(38,10)))::DOUBLE AS {c}__s1, "
+            f"sum(cast({c}*{c} AS DECIMAL(38,10)))::DOUBLE AS {c}__s2"
+        )
+        mean = f"({c}__s1 / {c}__n)"
+        std = f"sqrt(abs(({c}__s2 - {c}__s1*{c}__s1/{c}__n + 1e-10) / ({c}__n - 1)))"
+        sel.append(
+            f"round((least(greatest({c}, {mean} - 6*{std}), {mean} + 6*{std}) - {mean}) / {std}, 6) AS z_{c}"
+        )
+    return (
+        "SELECT " + ",\n       ".join(sel) + "\nFROM lineitem CROSS JOIN (SELECT "
+        + ", ".join(stats) + " FROM lineitem)"
+    )
+
+
+ORACLES["zscore_normalize"] = _zscore_oracle()
+
+
+@query("woe_normalize", None)
+def woe_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE transform (Normalizer.java:619-657): value -> bin -> bin woe.
+
+    Equal-interval bins inline; per-bin WOE from the count table (the
+    ColumnStatsCalculator long[] formula with EPS=1e-10); woe mapped back
+    by a broadcast join on bin id. Integer bin counts -> deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    k = 10
+    c = "l_quantity"
+    mm = li.agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+    binned = li.crossJoin(F.broadcast(mm)).withColumn(
+        "bin", F.least(F.floor((F.col(c) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
+    )
+    is_pos = F.col("l_returnflag") == "R"
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    woes = counts.withColumn("sum_p", F.sum("pos").over(wall)).withColumn(
+        "sum_n", F.sum("neg").over(wall)
+    ).select(
+        "bin",
+        F.log(
+            (F.col("neg") / F.col("sum_n") + F.lit(1e-10)) / (F.col("pos") / F.col("sum_p") + F.lit(1e-10))
+        ).alias("woe"),
+    )
+    return (
+        binned.join(F.broadcast(woes), "bin")
+        .select("l_orderkey", "l_linenumber", F.round(F.col("woe"), 6).alias("woe_l_quantity"))
+    )
+
+
+ORACLES["woe_normalize"] = """
+WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+binned AS (
+  SELECT l_orderkey, l_linenumber,
+         least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) AS bin,
+         l_returnflag
+  FROM lineitem CROSS JOIN mm
+),
+counts AS (
+  SELECT bin,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::DOUBLE AS neg
+  FROM binned GROUP BY bin
+),
+woes AS (
+  SELECT bin, ln((neg / sum(neg) OVER () + 1e-10) / (pos / sum(pos) OVER () + 1e-10)) AS woe
+  FROM counts
+)
+SELECT b.l_orderkey, b.l_linenumber, round(w.woe, 6) AS woe_l_quantity
+FROM binned b JOIN woes w USING (bin)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PSI (SURVEY §2.4 — PSI.pig / PSICalculatorUDF semantics) on events
+# ---------------------------------------------------------------------------
+
+@query("psi_events_by_day", None)
+def psi_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of `value` per day vs the overall distribution.
+
+    Equal-interval 10 bins inline; expected = whole-table bin fractions;
+    term skipped when expected==0 or actual==0 (PSICalculatorUDF.java:88-99).
+    """
+    ev = _events(spark, sf_dir)
+    k = 10
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("unit"),
+        F.least(F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)).alias("bin"),
+    )
+    actual = binned.groupBy("unit", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    expected = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ecnt"))
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    expected = expected.withColumn("expected_frac", F.col("ecnt") / F.sum("ecnt").over(wall)).select("bin", "expected_frac")
+    w_unit = Window.partitionBy("unit")
+    a = actual.withColumn("actual_frac", F.col("cnt") / F.sum("cnt").over(w_unit))
+    j = a.join(F.broadcast(expected), "bin")
+    term = F.when(
+        (F.col("expected_frac") > 0) & (F.col("actual_frac") > 0),
+        (F.col("actual_frac") - F.col("expected_frac")) * F.log(F.col("actual_frac") / F.col("expected_frac")),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("term", term)
+        .groupBy("unit")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .orderBy("unit")
+    )
+
+
+ORACLES["psi_events_by_day"] = """
+WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+binned AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS unit,
+         least(floor((value - mn) / ((mx - mn) / 10)), 9) AS bin
+  FROM events CROSS JOIN mm
+),
+actual AS (SELECT unit, bin, count(*)::DOUBLE AS cnt FROM binned GROUP BY unit, bin),
+expected AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM binned) AS expected_frac FROM binned GROUP BY bin),
+j AS (
+  SELECT a.unit, a.bin, a.cnt / sum(a.cnt) OVER (PARTITION BY a.unit) AS actual_frac, e.expected_frac
+  FROM actual a JOIN expected e USING (bin)
+)
+SELECT unit,
+       round(sum(CASE WHEN expected_frac > 0 AND actual_frac > 0
+                      THEN (actual_frac - expected_frac) * ln(actual_frac / expected_frac)
+                      ELSE 0 END), 6) AS psi
+FROM j GROUP BY unit ORDER BY unit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (SURVEY §2.4 — CorrelationMapper/Reducer semantics)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("correlation_matrix", None)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-complete Pearson from exact decimal co-moments — one wide agg."""
+    from shifu_spark.operators.correlation import correlation_df
+
+    return correlation_df(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _corr_oracle() -> str:
+    from shifu_spark.operators.correlation import correlation_oracle_sql
+
+    return correlation_oracle_sql("lineitem", _CORR_COLS)
+
+
+ORACLES["correlation_matrix"] = _corr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Eval metrics (SURVEY §2.6 — ConfusionMatrix / AreaUnderCurve)
+# ---------------------------------------------------------------------------
+
+@query("confusion_matrix_points", None)
+def confusion_matrix_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative confusion matrix over score-desc order, one row per
+    distinct score (ConfusionMatrix.java:276-520 as a window plan)."""
+    from shifu_spark.operators.eval_metrics import confusion_points_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
+    return pts.select(
+        "score", "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("fpr", 6).alias("fpr"),
+    )
+
+
+ORACLES["confusion_matrix_points"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT score,
+         sum(pos) OVER (ORDER BY score DESC) AS tp,
+         sum(neg) OVER (ORDER BY score DESC) AS fp,
+         sum(pos) OVER () AS tot_p,
+         sum(neg) OVER () AS tot_n
+  FROM pts
+)
+SELECT score, tp::BIGINT AS tp, fp::BIGINT AS fp,
+       (tot_p - tp)::BIGINT AS fn, (tot_n - fp)::BIGINT AS tn,
+       round(tp::DOUBLE / (tp + fp), 6) AS precision,
+       round(tp::DOUBLE / tot_p, 6) AS recall,
+       round(fp::DOUBLE / tot_n, 6) AS fpr
+FROM cum
+"""
+
+
+@query("roc_auc", None)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (Mann-Whitney rank form == full-resolution trapezoid,
+    AreaUnderCurve.java:56-133)."""
+    from shifu_spark.operators.eval_metrics import roc_auc_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    return roc_auc_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
+
+
+ORACLES["roc_auc"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score, count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS npos
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT n, npos,
+         sum(n) OVER (ORDER BY score) - (n - 1) / 2.0 AS avg_rank,
+         sum(npos) OVER () AS tot_p,
+         sum(n) OVER () AS tot
+  FROM pts
+)
+SELECT round((sum(avg_rank * npos) - any_value(tot_p) * (any_value(tot_p) + 1) / 2.0)
+             / (any_value(tot_p) * (any_value(tot) - any_value(tot_p))), 6) AS auc
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 — combo/PigDataJoin) + broadcast join chain
+# ---------------------------------------------------------------------------
+
+@query("combo_score_join", None)
+def combo_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combo-model score assembly: 3 derived score tables inner-joined by
+    uid, ensemble mean/max/min/median (PigDataJoin.java:45-133 +
+    ScoreObject.java:35-74 aggregation)."""
+    from shifu_spark.operators.join import combo_join
+
+    o = _t(spark, sf_dir, "orders")
+    t1 = o.filter(F.col("o_orderkey") % 97 != 0).select(F.col("o_orderkey").alias("uid"), F.col("o_totalprice").alias("score"))
+    t2 = o.filter(F.col("o_orderkey") % 89 != 0).select(F.col("o_orderkey").alias("uid"), (F.col("o_totalprice") * 0.9 + 5.0).alias("score"))
+    t3 = o.select(F.col("o_orderkey").alias("uid"), F.sqrt(F.col("o_totalprice")).alias("score"))
+    j = combo_join([t1, t2, t3], "uid", ["m0", "m1", "m2"])
+    s0, s1, s2 = F.col("m0_score"), F.col("m1_score"), F.col("m2_score")
+    mx = F.greatest(s0, s1, s2)
+    mn = F.least(s0, s1, s2)
+    return j.select(
+        "uid",
+        F.round((s0 + s1 + s2) / 3.0, 6).alias("mean_score"),
+        F.round(mx, 6).alias("max_score"),
+        F.round(mn, 6).alias("min_score"),
+        F.round(s0 + s1 + s2 - mx - mn, 6).alias("median_score"),
+    )
+
+
+ORACLES["combo_score_join"] = """
+WITH t1 AS (SELECT o_orderkey AS uid, o_totalprice AS score FROM orders WHERE o_orderkey % 97 <> 0),
+t2 AS (SELECT o_orderkey AS uid, o_totalprice * 0.9 + 5.0 AS score FROM orders WHERE o_orderkey % 89 <> 0),
+t3 AS (SELECT o_orderkey AS uid, sqrt(o_totalprice) AS score FROM orders)
+SELECT uid,
+       round((t1.score + t2.score + t3.score) / 3.0, 6) AS mean_score,
+       round(greatest(t1.score, t2.score, t3.score), 6) AS max_score,
+       round(least(t1.score, t2.score, t3.score), 6) AS min_score,
+       round(t1.score + t2.score + t3.score - greatest(t1.score, t2.score, t3.score) - least(t1.score, t2.score, t3.score), 6) AS median_score
+FROM t1 JOIN t2 USING (uid) JOIN t3 USING (uid)
+"""
+
+
+@query("nation_revenue", None)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain: lineitem⋈orders⋈customer⋈nation, revenue per
+    nation. Dims are broadcast (no shuffle of the fact table beyond the
+    final small agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLES["nation_revenue"] = """
+SELECT n_name,
+       round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 4) AS revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Purify / unpivot / top-k (SURVEY §2.2, §2.6)
+# ---------------------------------------------------------------------------
+
+@query("purify_filter", None)
+def purify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JEXL row filter translated to a pushed-down Catalyst predicate
+    (DataPurifier.java:47-130 semantics via functions/jexl.py)."""
+    from shifu_spark.operators.purify import purify
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        purify(li, "l_quantity > 30 && l_returnflag == 'R' || l_discount >= 0.09")
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double"), 4).alias("sum_qty"))
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLES["purify_filter"] = """
+SELECT l_linestatus, count(*)::BIGINT AS n,
+       round(sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_qty
+FROM lineitem
+WHERE l_quantity > 30 AND l_returnflag = 'R' OR l_discount >= 0.09
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+@query("unpivot_column_totals", None)
+def unpivot_column_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→column unpivot (AddColumnNumUDF semantics): melt 4 numeric
+    columns into (column_name, value) then aggregate per column."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    structs = [F.struct(F.lit(c).alias("column_name"), F.col(c).cast("double").alias("value")) for c in cols]
+    melted = li.select(F.explode(F.array(*structs)).alias("cv")).select("cv.column_name", "cv.value")
+    return (
+        melted.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4).alias("total"),
+        )
+        .orderBy("column_name")
+    )
+
+
+ORACLES["unpivot_column_totals"] = """
+WITH melted AS (
+  SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT column_name, count(*)::BIGINT AS n,
+       round(sum(cast(value AS DECIMAL(38,10)))::DOUBLE, 4) AS total
+FROM melted GROUP BY column_name ORDER BY column_name
+"""
+
+
+@query("topk_orders_per_priority", None)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per priority — the top-N pattern of
+    VarSelectReducer.java:114-226 as a row_number window (deterministic
+    tie-break on o_orderkey)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+ORACLES["topk_orders_per_priority"] = """
+SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3 ORDER BY o_orderpriority, rk
+"""
