@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash. All engine-portable where
+oracle-checked: the hash family is md5-hex (present in both Spark and
+DuckDB) and "minimum" is lexicographic over hex strings — a valid
+min-hash since md5 is uniform over the hex alphabet.
+
+Scale design (100 TB):
+  * exact dedup — hash-groupBy, one shuffle on the 32-char digest;
+  * shingle self-join (the naive quadratic candidate generator) is the
+    TEST-scale verifier only; at scale MinHash+LSH bounds candidates:
+    K hashes, b bands × r rows, join on (band_id, band_key) — shuffle
+    volume is docs × b rows, hot buckets mitigated by the band key being
+    a hash (uniform) + AQE skew handling;
+  * verification joins only LSH candidates (tiny vs all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Tokenization = single-space split (portable to the oracle SQL);
+    docs shorter than n tokens contribute their full text as one shingle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    _ = toks
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = False) -> DataFrame:
+    """Exact dedup by content digest: (doc_id, digest, is_canonical).
+
+    Canonical = smallest doc_id in the digest group. ``normalized``
+    lower-cases and collapses whitespace first.
+    """
+    t = F.col(text_col)
+    if normalized:
+        t = F.regexp_replace(F.lower(t), r"\s+", " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), F.md5(t).alias("digest"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest")
+    return d.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+
+
+def shingleset_dedup_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Dedup on the SET of shingles (robust to reordering-free edits):
+    fingerprint = md5 of the sorted distinct shingle list."""
+    sh = shingles_df(docs, n)
+    agg = sh.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_set("shingle")), "\x01")).alias("digest")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest")
+    return agg.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+
+
+def ngram_jaccard_pairs_df(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
+
+    (doc_a, doc_b, jaccard): jaccard = |∩| / (|A| + |B| − |∩|), exact
+    integer arithmetic. Quadratic in the worst case — the correctness
+    verifier; use :func:`minhash_lsh_pairs_df` at scale.
+    """
+    sh = shingles_df(docs, n)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures_df(docs: DataFrame, n: int = 3, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, k, minhash): K salted-md5 min-hashes over the shingle set.
+
+    hash_k(s) = md5(k || '|' || s); the minimum is lexicographic over hex
+    (uniform ⇒ valid MinHash). Engine-portable by construction.
+    """
+    sh = shingles_df(docs, n)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    hashed = sh.select("doc_id", "shingle", ks).withColumn(
+        "h", F.md5(F.concat_ws("|", F.col("k"), F.col("shingle")))
+    )
+    return hashed.groupBy("doc_id", "k").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs_df(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
+
+    Signature of K hashes split into ``bands`` bands of K/bands rows;
+    docs sharing any band key become candidates (P[match] = 1−(1−j^r)^b);
+    candidates are then verified with the exact Jaccard so output ⊆
+    :func:`ngram_jaccard_pairs_df` output (LSH may only lose pairs,
+    never invent them).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures_df(docs, n, num_hashes)
+    band = sig.withColumn("band", (F.col("k") / r).cast("int"))
+    band_keys = band.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "minhash"))), lambda s: s["minhash"]), "|")
+        ).alias("band_key")
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-verify candidates only
+    sh = shingles_df(docs, n)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_df(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash: bit j = sign of Σ_tokens (±1 by token-hash bit j).
+
+    Token hash = first 8 hex chars of md5 → 32-bit int (F.conv stays
+    JVM-side). Returns (doc_id, simhash) — pair search via hamming
+    distance over bit chunks (see :func:`simhash_candidate_pairs_df`).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    withbits = counted.withColumn("h", h)
+    # per-bit weighted vote, then majority sign
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    votes = withbits.groupBy("doc_id").agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int = 4, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole LSH: split the hash into ``chunks`` chunks; any pair at
+    distance ≤ chunks−1 shares at least one exact chunk — join per chunk
+    (shuffle = docs × chunks rows), then verify the true distance via
+    bit_count(xor).
+    """
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunked = sim.select(
+        "doc_id",
+        "simhash",
+        *[(F.shiftright("simhash", i * w).bitwiseAND(F.lit(mask))).alias(f"c{i}") for i in range(chunks)],
+    )
+    pairs = None
+    for i in range(chunks):
+        a = chunked.alias("a")
+        b = chunked.alias("b")
+        p = a.join(
+            b, (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    assert pairs is not None
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

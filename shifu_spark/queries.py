@@ -627,3 +627,273 @@ FROM (
 )
 WHERE rk <= 3 ORDER BY o_orderpriority, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM-data pipeline: dedup (BASELINE.json north star, first-class surface)
+# ---------------------------------------------------------------------------
+
+@query("exact_dedup", None)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 digest; canonical = min doc_id per group."""
+    from shifu_spark.operators.dedup import exact_dedup_df
+
+    return exact_dedup_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["exact_dedup"] = """
+SELECT doc_id, md5(text) AS digest,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("shingleset_dedup", None)
+def shingleset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on the sorted distinct 3-gram shingle set digest — catches
+    duplicates exact-text dedup misses."""
+    from shifu_spark.operators.dedup import shingleset_dedup_df
+
+    return shingleset_dedup_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["shingleset_dedup"] = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+digests AS (
+  SELECT doc_id, md5(string_agg(s, chr(1) ORDER BY s)) AS digest
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, digest,
+       doc_id = min(doc_id) OVER (PARTITION BY digest) AS is_canonical
+FROM digests ORDER BY doc_id
+"""
+
+
+@query("ngram_jaccard_pairs", None)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard ≥ 0.5 near-dup pairs (exact verifier)."""
+    from shifu_spark.operators.dedup import ngram_jaccard_pairs_df
+
+    return ngram_jaccard_pairs_df(_t(spark, sf_dir, "documents"), n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+ORACLES["ngram_jaccard_pairs"] = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+cnt AS (SELECT doc_id, count(*) ns FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (ca.ns + cb.ns - inter), 6) AS jaccard
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE inter::DOUBLE / (ca.ns + cb.ns - inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("minhash_lsh_pairs", None)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 salted md5 hashes) + LSH(4 bands × 2) candidates,
+    exact-Jaccard verified at ≥ 0.5 — the scale path for near-dup."""
+    from shifu_spark.operators.dedup import minhash_lsh_pairs_df
+
+    return minhash_lsh_pairs_df(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLES["minhash_lsh_pairs"] = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+minh AS (
+  SELECT doc_id, k, min(md5(k::VARCHAR || '|' || s)) AS minhash
+  FROM sh CROSS JOIN generate_series(0, 7) g(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, (k // 2)::INT AS band,
+         md5(string_agg(minhash, '|' ORDER BY k)) AS band_key
+  FROM minh GROUP BY doc_id, (k // 2)::INT
+),
+cands AS (
+  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, count(*) ns FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (ca.ns + cb.ns - inter), 6) AS jaccard
+FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE inter::DOUBLE / (ca.ns + cb.ns - inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("simhash_neardup_pairs", None)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) hamming ≤ 3 pairs via 4-chunk pigeonhole LSH.
+
+    Non-SQL-expressible in portable DuckDB (no base-16 conv) — covered by
+    rows-only driver check + exact pytest golden (tests/test_dedup.py).
+    """
+    from shifu_spark.operators.dedup import simhash_candidate_pairs_df, simhash_df
+
+    sim = simhash_df(_t(spark, sf_dir, "documents"))
+    return simhash_candidate_pairs_df(sim, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+@query("text_stats", None)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts, vocabulary diversity, quality score, lang-id."""
+    from shifu_spark.operators.text import text_stats_df
+
+    return text_stats_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["text_stats"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS c_en,
+         len(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','y','que','en','los','una'], x))) AS c_es,
+         len(list_filter(string_split(lower(text), ' '), x -> list_contains(['le','la','et','les','des','un','une','est'], x))) AS c_fr,
+         len(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], x))) AS c_de
+  FROM documents
+)
+SELECT doc_id, n_chars::INT AS n_chars, n_tokens::INT AS n_tokens,
+       n_distinct_tokens::INT AS n_distinct_tokens,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - n_punct::DOUBLE / n_chars) * 0.3
+             + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3, 6) AS quality,
+       CASE WHEN greatest(c_fr, c_es, c_en, c_de) <= 0 THEN 'und'
+            WHEN c_fr >= c_es AND c_fr >= c_en AND c_fr >= c_de THEN 'fr'
+            WHEN c_es >= c_en AND c_es >= c_de THEN 'es'
+            WHEN c_en >= c_de THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM t ORDER BY doc_id
+"""
+
+
+@query("doc_fingerprint", None)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digest + 5-token-prefix blocking digest per doc."""
+    from shifu_spark.operators.text import fingerprint_df
+
+    return fingerprint_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS digest,
+       md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS prefix_digest
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("token_count_by_source", None)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — whitespace + BPE-ish pieces."""
+    from shifu_spark.operators.text import bpe_piece_count_expr, token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", token_count_expr("text").alias("nt"), bpe_piece_count_expr("text").alias("np"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["token_count_by_source"] = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')))::BIGINT AS n_pieces
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data pipeline: embedding similarity search
+# ---------------------------------------------------------------------------
+
+@query("embedding_topk", None)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+
+    Dot product = sequential double fold (bit-identical to the oracle's
+    list_dot_product); ties broken by neighbor_id.
+    """
+    from shifu_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+ORACLES["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@query("embedding_neardup_pairs", None)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup) at cosine ≥ 0.3."""
+    from shifu_spark.operators.similarity import embedding_neardup_pairs as _pairs
+
+    return _pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3).orderBy("id_a", "id_b")
+
+
+ORACLES["embedding_neardup_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+ORDER BY id_a, id_b
+"""

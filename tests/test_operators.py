@@ -1,0 +1,239 @@
+"""Unit tests for operator semantics — reference-golden values where the
+math is closed-form (ColumnStatsCalculator, Normalizer, BinUtils)."""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestKsIvMath:
+    def test_column_metrics_reference_formula(self):
+        from shifu_spark.operators.ksiv import column_metrics_from_counts
+
+        neg = [10, 20, 30]
+        pos = [5, 10, 45]
+        m = column_metrics_from_counts(neg, pos)
+        # hand-computed with EPS=1e-10 per ColumnStatsCalculator.java:84-120
+        sum_n, sum_p = 60.0, 60.0
+        cum = 0.0
+        iv = 0.0
+        ks = 0.0
+        cum_p = cum_n = 0.0
+        for n, p in zip(neg, pos):
+            pn, nn = p / sum_p, n / sum_n
+            woe = math.log((nn + 1e-10) / (pn + 1e-10))
+            iv += (nn - pn) * woe
+            cum_p += pn
+            cum_n += nn
+            ks = max(ks, abs(cum_p - cum_n))
+        _ = cum
+        assert m.ks == pytest.approx(ks * 100)
+        assert m.iv == pytest.approx(iv)
+        assert m.woe == pytest.approx(math.log((60 + 1e-10) / (60 + 1e-10)))
+
+    def test_zero_side_returns_none(self):
+        from shifu_spark.operators.ksiv import column_metrics_from_counts
+
+        assert column_metrics_from_counts([0, 0], [1, 2]) is None
+
+
+class TestMoments:
+    def test_skew_kurt_closed_forms(self):
+        import numpy as np
+
+        from shifu_spark.operators.stats import kurtosis, population_std_dev, skewness
+
+        rng = np.random.default_rng(7)
+        x = rng.lognormal(0, 1, 5000)
+        n = len(x)
+        s1, s2, s3, s4 = x.sum(), (x**2).sum(), (x**3).sum(), (x**4).sum()
+        mean = s1 / n
+        astd = population_std_dev(n, s1, s2)
+        # population (NIST) forms
+        want_skew = ((x - mean) ** 3).mean() / astd**3
+        want_kurt = ((x - mean) ** 4).mean() / astd**4
+        assert skewness(n, mean, astd, s1, s2, s3) == pytest.approx(want_skew, rel=1e-6)
+        assert kurtosis(n, mean, astd, s1, s2, s3, s4) == pytest.approx(want_kurt, rel=1e-6)
+
+
+class TestBinLookup:
+    def test_bin_index_semantics(self, spark):
+        """BinUtils.java:53-104: index = #{edges <= x} - 1 clamped at 0;
+        NULL -> missing slot (len(boundaries))."""
+        from shifu_spark.operators.binning import bin_index_expr
+
+        boundaries = [float("-inf"), 10.0, 20.0, 30.0]
+        df = spark.createDataFrame(
+            [(-5.0,), (10.0,), (15.0,), (30.0,), (99.0,), (None,)], ["x"]
+        )
+        got = [r[0] for r in df.select(bin_index_expr("x", boundaries)).collect()]
+        assert got == [0, 1, 1, 3, 3, 4]
+
+    def test_categorical_index(self, spark):
+        from shifu_spark.operators.binning import categorical_index_expr
+
+        df = spark.createDataFrame([("a",), ("b",), ("zz",), (None,)], ["c"])
+        got = [r[0] for r in df.select(categorical_index_expr("c", ["a", "b", "c"])).collect()]
+        assert got == [0, 1, 3, 3]  # miss & NULL -> missing slot 3
+
+
+class TestNormalize:
+    def test_zscore_clip_and_missing(self, spark):
+        from shifu_spark.operators.normalize import zscore_expr
+
+        df = spark.createDataFrame([(0.0,), (100.0,), (None,)], ["x"])
+        # mean=10 std=2 cutoff=2 -> clip to [6,14]
+        got = [r[0] for r in df.select(zscore_expr("x", 10.0, 2.0, 2.0)).collect()]
+        assert got[0] == pytest.approx(-2.0)  # clipped at 6
+        assert got[1] == pytest.approx(2.0)  # clipped at 14
+        assert got[2] == pytest.approx(0.0)  # missing -> mean -> 0
+
+    def test_zscore_zero_std(self, spark):
+        from shifu_spark.operators.normalize import zscore_expr
+
+        df = spark.createDataFrame([(5.0,)], ["x"])
+        assert df.select(zscore_expr("x", 5.0, 0.0)).collect()[0][0] == 0.0
+
+    def test_woe_missing_last_bin(self, spark):
+        from shifu_spark.operators.normalize import woe_expr
+
+        df = spark.createDataFrame([(5.0,), (15.0,), (None,)], ["x"])
+        e = woe_expr("x", [float("-inf"), 10.0], [0.1, 0.2], missing_woe=-0.5)
+        got = [r[0] for r in df.select(e).collect()]
+        assert got == pytest.approx([0.1, 0.2, -0.5])
+
+    def test_tag_recode(self, spark):
+        from shifu_spark.operators.normalize import filter_valid_tags, tag_expr
+
+        df = spark.createDataFrame([("M",), ("B",), ("?",)], ["t"])
+        valid = filter_valid_tags(df, "t", ["M"], ["B"])
+        got = [r[0] for r in valid.select(tag_expr("t", ["M"], ["B"])).collect()]
+        assert got == [1.0, 0.0]
+
+
+class TestJexl:
+    def test_translate_basics(self):
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        assert jexl_to_sql("a > 1 && b == 'x'") == "a > 1  AND  b = 'x'"
+        assert "OR" in jexl_to_sql("a || b")
+        assert jexl_to_sql("x != 3") == "x <> 3"
+
+    def test_ternary(self):
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        s = jexl_to_sql("a > 1 ? 2 : 3")
+        assert s.startswith("CASE WHEN") and "THEN" in s and "ELSE" in s
+
+    def test_namespace_collapse(self):
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        assert jexl_to_sql("ns::col > 5") == "col > 5"
+
+    def test_forbidden_raises(self):
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        for bad in ["x.size() > 1", "new Foo()", "a =~ b"]:
+            with pytest.raises(ValueError):
+                jexl_to_sql(bad)
+
+    def test_weight_clamp(self, spark):
+        from shifu_spark.functions.jexl import jexl_weight
+
+        df = spark.createDataFrame([(2.0,), (-1.0,), (None,)], ["w"])
+        got = [r[0] for r in df.select(jexl_weight("w * 1")).collect()]
+        assert got == [2.0, 1.0, 1.0]
+
+
+class TestDedup:
+    def test_simhash_deterministic_and_selfconsistent(self, spark):
+        """simhash(doc) must equal a pure-python md5 reimplementation."""
+        import hashlib
+
+        from shifu_spark.operators.dedup import simhash_df
+
+        rows = [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "x y z")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["simhash"] for r in simhash_df(df).collect()}
+        assert got[0] == got[1]  # identical text -> identical hash
+        assert got[0] != got[2]
+
+        def py_simhash(text, bits=32):
+            votes = [0] * bits
+            toks = {}
+            for t in text.split(" "):
+                toks[t] = toks.get(t, 0) + 1
+            for t, w in toks.items():
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                for j in range(bits):
+                    votes[j] += w if (h >> j) & 1 else -w
+            return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+        assert got[0] == py_simhash("alpha beta gamma")
+
+    def test_simhash_pairs_hamming(self, spark):
+        from shifu_spark.operators.dedup import simhash_candidate_pairs_df, simhash_df
+
+        rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "q r s t")]
+        sim = simhash_df(spark.createDataFrame(rows, ["doc_id", "text"]))
+        pairs = simhash_candidate_pairs_df(sim, max_hamming=0).collect()
+        assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+    def test_minhash_is_subset_of_exact(self, spark):
+        """LSH may lose pairs but never invent them."""
+        from shifu_spark.operators.dedup import minhash_lsh_pairs_df, ngram_jaccard_pairs_df
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs_df(docs, 3, 0.5).collect()}
+        lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs_df(docs, 3, 8, 4, 0.5).collect()}
+        assert lsh <= exact
+        assert len(lsh) >= int(0.8 * len(exact))  # high recall on near-exact dups
+
+
+class TestText:
+    def test_lang_id_markers(self, spark):
+        from shifu_spark.operators.text import lang_id_expr
+
+        df = spark.createDataFrame(
+            [("the cat and the dog is here",), ("el gato y la casa en que",), ("zzz qqq",)],
+            ["text"],
+        )
+        got = [r[0] for r in df.select(lang_id_expr("text")).collect()]
+        assert got == ["en", "es", "und"]
+
+    def test_quality_monotone_in_length(self, spark):
+        from shifu_spark.operators.text import quality_score_expr
+
+        df = spark.createDataFrame([("a b c",), (" ".join(f"w{i}" for i in range(200)),)], ["text"])
+        q = [r[0] for r in df.select(quality_score_expr("text")).collect()]
+        assert q[1] > q[0] - 0.3  # length term saturates; diversity max in both
+
+
+class TestSimilarity:
+    def test_cosine_self_is_one(self, spark):
+        from shifu_spark.operators.similarity import cosine_expr
+
+        df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+        got = df.select(cosine_expr(F.col("v"), F.col("v"))).collect()[0][0]
+        assert got == pytest.approx(1.0)
+
+    def test_lsh_topk_subset_of_brute(self, spark):
+        from shifu_spark.operators.similarity import brute_force_topk, lsh_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = F.col("vec_id") < 3
+        brute = brute_force_topk(emb, q, k=3).collect()
+        hyper = [[(1.0 if (i * 7 + j) % 3 == 0 else -0.5) for j in range(64)] for i in range(2)]
+        approx = lsh_topk(emb, q, hyper, k=3).collect()
+        assert len(brute) == 9
+        # every LSH neighbor's cosine is <= the brute-force best for that query
+        best = {}
+        for r in brute:
+            best.setdefault(r["query_id"], r["cosine"])
+        for r in approx:
+            assert r["cosine"] <= best[r["query_id"]] + 1e-9
