@@ -69,5 +69,5 @@ def jexl_weight(expr: str | None) -> Column:
     NormalizeUDF weight handling)."""
     if not expr or not expr.strip():
         return F.lit(1.0)
-    w = F.expr(jexl_to_sql(expr)).cast("double")
+    w = F.expr(jexl_to_sql(expr)).try_cast("double")
     return F.when(w.isNull() | (w < 0), F.lit(1.0)).otherwise(w)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 def equal_interval_boundaries(df: DataFrame, col: str, num_bins: int) -> list[float]:
     """(max-min)/k fixed-width left edges — EqualIntervalBinning.java:30."""
-    row = df.agg(F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))).collect()[0]
+    row = df.agg(F.min(F.col(col).try_cast("double")), F.max(F.col(col).try_cast("double"))).collect()[0]
     mn, mx = row[0], row[1]
     if mn is None or mx is None or not num_bins:
         return []
@@ -60,7 +60,7 @@ def equal_population_boundaries(
     ``exact=False`` uses percentile_approx (KLL, 10k accuracy — the scale
     path matching the reference's 10k-centroid SPDT bound).
     """
-    v = F.col(col).cast("double")
+    v = F.col(col).try_cast("double")
     pop = df.filter(v.isNotNull())
     if method == "EqualPositive":
         pop = pop.filter(F.col(tag_col).isin(pos_tags or []))
@@ -93,7 +93,7 @@ def weighted_equal_population_boundaries(
     two-pass approximate weighted quantile (bucket by value, sum weights,
     cumulative scan) — implemented in :func:`weighted_quantile_scalable`.
     """
-    v = F.col(col).cast("double")
+    v = F.col(col).try_cast("double")
     w = (F.col(weight_col).cast("double") * 1000).cast("bigint")
     qs = [i / num_bins for i in range(num_bins)]
     arr = (
@@ -115,7 +115,7 @@ def weighted_quantile_scalable(df: DataFrame, col: str, weight_col: str, qs: lis
     One groupBy over ``resolution`` buckets (map-side combined), then a
     driver-side cumulative walk — O(resolution) memory, any data size.
     """
-    v = F.col(col).cast("double")
+    v = F.col(col).try_cast("double")
     row = df.agg(F.min(v), F.max(v)).collect()[0]
     mn, mx = row[0], row[1]
     if mn is None or mx == mn:
@@ -175,7 +175,7 @@ def ntile_boundaries(df: DataFrame, col: str, num_bins: int) -> list[float]:
     """
     from pyspark.sql import Window
 
-    v = F.col(col).cast("double")
+    v = F.col(col).try_cast("double")
     w = Window.orderBy(v)
     tiles = (
         df.filter(v.isNotNull())
@@ -208,7 +208,7 @@ def bin_index_expr(col: Column | str, boundaries: list[float], missing_index: in
     no UDF, O(k) per row (k = bins, small).
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = c.cast("double")
+    c = c.try_cast("double")
     if missing_index is None:
         missing_index = len(boundaries)
     arr = F.array(*[F.lit(float(b)) for b in boundaries])

@@ -30,7 +30,7 @@ def correlation_df(df: DataFrame, columns: list[str], round_to: int | None = 6) 
     aggs = []
     pairs = list(combinations(columns, 2))
     for x, y in pairs:
-        cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
+        cx, cy = F.col(x).try_cast("double"), F.col(y).try_cast("double")
         both = cx.isNotNull() & cy.isNotNull()
         mx = F.when(both, cx)
         my = F.when(both, cy)

@@ -75,9 +75,11 @@ def confusion_points_df(
             (F.col("tot_n") - F.col("fp")).cast("long").alias("tn"),
             "wtp",
             "wfp",
-            (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
-            (F.col("tp") / F.col("tot_p")).alias("recall"),
-            (F.col("fp") / F.col("tot_n")).alias("fpr"),
+            # try_divide: degenerate corpora (no positives / no negatives)
+            # yield NULL metrics instead of an ANSI divide-by-zero
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+            F.try_divide(F.col("tp"), F.col("tot_p")).alias("recall"),
+            F.try_divide(F.col("fp"), F.col("tot_n")).alias("fpr"),
         )
     )
 
@@ -106,7 +108,9 @@ def roc_auc_df(df: DataFrame, score_col: str, label_expr: Column, round_to: int 
         F.first("tot_p").alias("np"),
         (F.first("tot") - F.first("tot_p")).alias("nn"),
     )
-    auc = (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0) / (F.col("np") * F.col("nn"))
+    auc = F.try_divide(
+        F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0, F.col("np") * F.col("nn")
+    )
     if round_to is not None:
         auc = F.round(auc, round_to)
     return agg.select(auc.alias("auc"))

@@ -81,7 +81,7 @@ def bin_counts_df(
     from shifu_spark.operators.binning import bin_index_expr
 
     is_pos = F.col(tag_col).isin(pos_tags)
-    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    w = F.col(weight_col).try_cast("double") if weight_col else F.lit(1.0)
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),

@@ -39,7 +39,7 @@ def zscore_expr(col: Column | str, mean: float, std: float, cutoff: float = 6.0)
     Exactly Normalizer.computeZScore:769-787 + missing handling :602-605.
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = c.cast("double")
+    c = c.try_cast("double")
     if std is None or abs(std) <= MIN_STD:
         return F.lit(0.0)
     lo, hi = mean - cutoff * std, mean + cutoff * std
@@ -51,7 +51,7 @@ def zscore_inline_expr(col: Column | str, mean: Column, std: Column, cutoff: flo
     """zscore with mean/std as COLUMNS (from a broadcast 1-row agg) —
     keeps the whole plan declarative for oracle-deterministic queries."""
     c = F.col(col) if isinstance(col, str) else col
-    c = c.cast("double")
+    c = c.try_cast("double")
     lo, hi = mean - cutoff * std, mean + cutoff * std
     clipped = F.least(F.greatest(F.coalesce(c, mean), lo), hi)
     return F.when(F.abs(std) <= MIN_STD, F.lit(0.0)).otherwise((clipped - mean) / std)
@@ -144,6 +144,13 @@ def normalize_df(
             continue
         name = cc.column_name
         st, b = cc.column_stats, cc.column_binning
+        def padded(woes_in: list[float]) -> list[float]:
+            # one-class columns have no WOE (ColumnStatsCalculator returns
+            # null when sumN==0 or sumP==0) -> transform degrades to 0.0
+            need = len(b.bin_boundary) + 1
+            w = list(woes_in[:need])
+            return w + [0.0] * (need - len(w))
+
         if norm_type in ("ZSCALE", "ZSCORE"):
             if cc.is_categorical:
                 pr = categorical_posrate_expr(name, b.bin_category, b.bin_pos_rate[: len(b.bin_category)],
@@ -152,22 +159,22 @@ def normalize_df(
             else:
                 e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
         elif norm_type in ("WOE", "WEIGHT_WOE"):
-            woes = b.bin_weighted_woe if norm_type == "WEIGHT_WOE" else b.bin_count_woe
-            e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1] if woes else 0.0)
+            woes = padded(b.bin_weighted_woe if norm_type == "WEIGHT_WOE" else b.bin_count_woe)
+            e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1])
         elif norm_type in ("WOE_ZSCORE", "WOE_ZSCALE"):
-            woes = b.bin_count_woe
+            woes = padded(b.bin_count_woe)
             wm, ws = cc.woe_mean_std()
-            e = zscore_expr(woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1] if woes else 0.0), wm, ws, cutoff)
+            e = zscore_expr(woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1]), wm, ws, cutoff)
         elif norm_type == "HYBRID":
             if cc.is_categorical:
-                woes = b.bin_count_woe
-                e = woe_expr(name, b.bin_boundary, woes, woes[-1] if woes else 0.0)
+                woes = padded(b.bin_count_woe)
+                e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1])
             else:
                 e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
         elif norm_type == "DISCRETE_ZSCORE":
             e = discrete_zscore_expr(name, b.bin_boundary, st.mean or 0.0, st.std_dev or 0.0, cutoff)
         elif norm_type == "ASIS_PR":
-            e = F.col(name).cast("double")
+            e = F.col(name).try_cast("double")
         else:
             raise ValueError(f"unsupported norm_type {norm_type}")
         cols.append(e.alias(name))

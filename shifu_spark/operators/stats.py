@@ -116,7 +116,7 @@ def _moment_aggs(c: str, exact_percentiles: bool, distinct_exact: bool, decimal_
     UpdateBinningInfoReducer.java:351 ("To make it be consistent with
     SPDT, missingCount is excluded").
     """
-    v = F.col(c).cast("double")
+    v = F.col(c).try_cast("double")
 
     def s(e):
         return F.sum(e.cast(_DEC)).cast("double") if decimal_sums else F.sum(e)
