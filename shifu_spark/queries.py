@@ -897,3 +897,396 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Categorical binning + KS/IV (SURVEY §2.5 CategoricalBinning)
+# ---------------------------------------------------------------------------
+
+@query("ksiv_categorical", None)
+def ksiv_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical binning (frequency-ordered, CategoricalBinning.java:33)
+    + KS/IV/WOE on orders.o_orderpriority, tag = (o_orderstatus = 'F')."""
+    from pyspark.sql import Window
+    from shifu_spark.operators.ksiv import ksiv_df
+
+    o = _t(spark, sf_dir, "orders")
+    cats = o.groupBy(F.col("o_orderpriority").alias("cat")).count()
+    worder = Window.orderBy(F.desc("count"), F.asc("cat"))
+    idx = cats.withColumn("bin", F.row_number().over(worder) - 1).select("cat", "bin")
+    counts = (
+        o.join(F.broadcast(idx), o.o_orderpriority == idx.cat)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("bin_count_pos"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1)).alias("bin_count_neg"),
+        )
+        .withColumn("column_name", F.lit("o_orderpriority"))
+    )
+    return ksiv_df(counts)
+
+
+def _ksiv_cat_oracle() -> str:
+    from shifu_spark.operators.ksiv import ksiv_oracle_sql
+
+    counts_sql = """
+SELECT 'o_orderpriority' AS column_name, bin,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bin_count_pos,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS bin_count_neg
+FROM orders JOIN (
+  SELECT cat, row_number() OVER (ORDER BY c DESC, cat ASC) - 1 AS bin
+  FROM (SELECT o_orderpriority AS cat, count(*) AS c FROM orders GROUP BY 1)
+) ON o_orderpriority = cat
+GROUP BY bin"""
+    return ksiv_oracle_sql(counts_sql)
+
+
+ORACLES["ksiv_categorical"] = _ksiv_cat_oracle()
+
+
+@query("ksiv_equal_population", None)
+def ksiv_equal_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualTotal equal-population bins via exact percentile (the SPDT/
+    EqualPopulationBinning replacement) + KS/IV on l_extendedprice.
+
+    Boundaries come from `percentile` (same interpolation as DuckDB
+    quantile_cont -> bit-identical), bin index = #{edges <= x} - 1.
+    """
+    from shifu_spark.operators.ksiv import ksiv_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = 10
+    qs = [i / k for i in range(k)]
+    qdf = li.agg(F.expr(f"percentile(l_extendedprice, array({','.join(str(q) for q in qs)}))").alias("qs"))
+    binned = li.crossJoin(F.broadcast(qdf)).withColumn(
+        "bin",
+        F.greatest(
+            F.size(F.filter(F.col("qs"), lambda b: F.col("l_extendedprice") >= b)) - 1, F.lit(0)
+        ),
+    )
+    counts = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("bin_count_pos"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1)).alias("bin_count_neg"),
+        )
+        .withColumn("column_name", F.lit("l_extendedprice"))
+    )
+    return ksiv_df(counts)
+
+
+def _ksiv_eqpop_oracle() -> str:
+    from shifu_spark.operators.ksiv import ksiv_oracle_sql
+
+    qlist = ", ".join(f"quantile_cont(l_extendedprice, {i/10})" for i in range(10))
+    counts_sql = f"""
+SELECT 'l_extendedprice' AS column_name,
+       greatest(len(list_filter(qs, b -> l_extendedprice >= b)) - 1, 0) AS bin,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bin_count_pos,
+       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS bin_count_neg
+FROM lineitem CROSS JOIN (SELECT [{qlist}] AS qs FROM lineitem)
+GROUP BY 2"""
+    return ksiv_oracle_sql(counts_sql)
+
+
+ORACLES["ksiv_equal_population"] = _ksiv_eqpop_oracle()
+
+
+@query("ksiv_weighted", None)
+def ksiv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted KS/IV/WOE (binWeightNeg/binWeightPos, the double[] overload
+    of ColumnStatsCalculator) — weight = l_quantity, decimal-summed."""
+    from shifu_spark.operators.ksiv import ksiv_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = 10
+    mm = li.agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+    binned = li.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.least(F.floor((F.col("l_extendedprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)),
+    )
+    w = F.col("l_quantity").cast("decimal(38,10)")
+    counts = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", w).otherwise(F.lit(0).cast("decimal(38,10)"))).cast("double").alias("bin_count_pos"),
+            F.sum(F.when(F.col("l_returnflag") == "R", F.lit(0).cast("decimal(38,10)")).otherwise(w)).cast("double").alias("bin_count_neg"),
+        )
+        .withColumn("column_name", F.lit("l_extendedprice"))
+    )
+    return ksiv_df(counts)
+
+
+def _ksiv_weighted_oracle() -> str:
+    from shifu_spark.operators.ksiv import ksiv_oracle_sql
+
+    counts_sql = """
+SELECT 'l_extendedprice' AS column_name,
+       least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS bin,
+       sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity AS DECIMAL(38,10)) ELSE cast(0 AS DECIMAL(38,10)) END)::DOUBLE AS bin_count_pos,
+       sum(CASE WHEN l_returnflag = 'R' THEN cast(0 AS DECIMAL(38,10)) ELSE cast(l_quantity AS DECIMAL(38,10)) END)::DOUBLE AS bin_count_neg
+FROM lineitem CROSS JOIN (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+GROUP BY 2"""
+    return ksiv_oracle_sql(counts_sql)
+
+
+ORACLES["ksiv_weighted"] = _ksiv_weighted_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Varselect / posttrain (SURVEY §2.6, §2.10)
+# ---------------------------------------------------------------------------
+
+@query("varselect_top_iv", None)
+def varselect_top_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N columns by IV (VariableSelector / VarSelectReducer top-N
+    pattern) over the equal-interval KS/IV table."""
+    from pyspark.sql import Window
+
+    ks = QUERIES["ksiv_equal_interval"](spark, sf_dir)
+    w = Window.orderBy(F.desc("iv"), F.asc("column_name"))
+    return ks.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 2).select(
+        "rank", "column_name", "iv"
+    )
+
+
+ORACLES["varselect_top_iv"] = f"""
+WITH base AS ({ORACLES['ksiv_equal_interval']})
+SELECT row_number() OVER (ORDER BY iv DESC, column_name ASC)::INT AS rank, column_name, iv
+FROM base QUALIFY rank <= 2 ORDER BY rank
+"""
+
+
+@query("bin_avg_score", None)
+def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posttrain bin average score (PostTrain.pig:44-45,
+    CalculateBinAvgScoreUDF): score = l_extendedprice, bins = equal-
+    interval on l_quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = 10
+    mm = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+    binned = li.crossJoin(F.broadcast(mm)).withColumn(
+        "bin", F.least(F.floor((F.col("l_quantity") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLES["bin_avg_score"] = """
+SELECT least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) AS bin,
+       count(*)::BIGINT AS n,
+       round(sum(cast(l_extendedprice AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_score
+FROM lineitem CROSS JOIN (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("gain_buckets", None)
+def gain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed gains table (performanceBucketNum semantics): first
+    confusion point at or past each action-rate decile."""
+    from shifu_spark.operators.eval_metrics import confusion_points_df, gain_buckets_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
+    return gain_buckets_df(pts, 10)
+
+
+ORACLES["gain_buckets"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT score,
+         sum(pos) OVER (ORDER BY score DESC) AS tp,
+         sum(neg) OVER (ORDER BY score DESC) AS fp,
+         sum(pos) OVER () AS tot_p, sum(neg) OVER () AS tot_n
+  FROM pts
+),
+pts2 AS (
+  SELECT score, (tp + fp)::DOUBLE / (tot_p + tot_n) AS action_rate,
+         tp::DOUBLE / (tp + fp) AS precision, tp::DOUBLE / tot_p AS recall, fp::DOUBLE / tot_n AS fpr,
+         least(floor((tp + fp)::DOUBLE / (tot_p + tot_n) * 10), 10) AS bucket
+  FROM cum
+)
+SELECT bucket::BIGINT AS bucket, score, round(action_rate, 6) AS action_rate,
+       round(precision, 6) AS precision, round(recall, 6) AS recall, round(fpr, 6) AS fpr
+FROM (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY score DESC) AS rn FROM pts2)
+WHERE rn = 1 ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar transforms / segments / sessionization (SURVEY §2.8, §2.2)
+# ---------------------------------------------------------------------------
+
+@query("date_to_unix", None)
+def date_to_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertToUnixTimeUDF.java:29-58: timestamp -> epoch seconds.
+    Computed as exact integer division on the raw nanos column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("epoch_s", F.expr("ts div 1000000000"))
+        .groupBy("event_type")
+        .agg(F.min("epoch_s").alias("min_epoch"), F.max("epoch_s").alias("max_epoch"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+ORACLES["date_to_unix"] = """
+SELECT event_type,
+       min(floor(epoch(ts))::BIGINT) AS min_epoch,
+       max(floor(epoch(ts))::BIGINT) AS max_epoch,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("concat_fields", None)
+def concat_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConcatLogUDF: field concatenation as a pure column expression."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment"), F.col("c_nationkey")).alias("log_line"),
+    ).orderBy("c_custkey")
+
+
+ORACLES["concat_fields"] = """
+SELECT c_custkey, c_name || '|' || c_mktsegment || '|' || c_nationkey::VARCHAR AS log_line
+FROM customer ORDER BY c_custkey
+"""
+
+
+@query("segment_expansion", None)
+def segment_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment/virtual-dataset expansion (AddColumnNumAndFilterUDF:75-99):
+    stats per segment = union of filtered copies with segment ids."""
+    from shifu_spark.operators.purify import expand_segments
+
+    li = _t(spark, sf_dir, "lineitem")
+    seg = expand_segments(li, ["l_quantity > 25", "l_discount >= 0.05 && l_returnflag == 'R'"])
+    return (
+        seg.groupBy("segment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast("double"), 4).alias("sum_price"),
+        )
+        .orderBy("segment_id")
+    )
+
+
+ORACLES["segment_expansion"] = """
+WITH seg AS (
+  SELECT 0 AS segment_id, l_extendedprice FROM lineitem
+  UNION ALL SELECT 1, l_extendedprice FROM lineitem WHERE l_quantity > 25
+  UNION ALL SELECT 2, l_extendedprice FROM lineitem WHERE l_discount >= 0.05 AND l_returnflag = 'R'
+)
+SELECT segment_id, count(*)::BIGINT AS n,
+       round(sum(cast(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_price
+FROM seg GROUP BY segment_id ORDER BY segment_id
+"""
+
+
+@query("events_sessionize", None)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap > 30 min; sessions per user.
+    lag + conditional cumsum windows (the batch form of
+    session_window)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+ORACLES["events_sessionize"] = """
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("distinct_counts", None)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column distinct counts (the init auto-type input;
+    production uses approx_count_distinct = HLL++, the reference's
+    AutoTypeDistinctCountMapper)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_orderkey"]
+    return li.agg(
+        *[F.countDistinct(c).alias(f"dc_{c}") for c in cols],
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+ORACLES["distinct_counts"] = """
+SELECT count(DISTINCT l_quantity)::BIGINT AS dc_l_quantity,
+       count(DISTINCT l_discount)::BIGINT AS dc_l_discount,
+       count(DISTINCT l_returnflag)::BIGINT AS dc_l_returnflag,
+       count(DISTINCT l_linestatus)::BIGINT AS dc_l_linestatus,
+       count(DISTINCT l_orderkey)::BIGINT AS dc_l_orderkey,
+       count(*)::BIGINT AS total
+FROM lineitem
+"""
+
+
+@query("psi_by_column", None)
+def psi_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference column-level PSI = Σ over units of unit PSI
+    (PSICalculatorUDF accumulates across the unit bag)."""
+    per_unit = QUERIES["psi_events_by_day"](spark, sf_dir)
+    return per_unit.agg(F.round(F.sum("psi"), 6).alias("psi")).select(
+        F.lit("value").alias("column_name"), "psi"
+    )
+
+
+ORACLES["psi_by_column"] = f"""
+SELECT 'value' AS column_name, round(sum(psi), 6) AS psi
+FROM ({ORACLES['psi_events_by_day']})
+"""
+
+
+@query("stratified_sample", None)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling with keep-all-positives
+    (DataSampler.java:112-160) — rows-only check (seeded RNG is not
+    SQL-portable); invariants tested in tests/test_operators.py."""
+    from shifu_spark.operators.purify import bernoulli_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = bernoulli_sample(li, 0.1, sample_negative_only=True, tag_col="l_returnflag", pos_tags=["R"], seed=42)
+    return s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("l_returnflag")
