@@ -57,6 +57,9 @@ def main() -> None:
         n = df.count() if name not in () else len(df.collect())
         _ = n
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators may persist() intermediates; drop them so queries
+        # don't contend for executor memory with each other's caches
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

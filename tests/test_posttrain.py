@@ -1,0 +1,89 @@
+"""Posttrain operator tests: sensitivity, reason codes, tree encoding."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (800, 3))
+    w = np.array([2.0, 0.5, 0.0])
+    y = (1 / (1 + np.exp(-(x @ w))) > rng.uniform(0, 1, 800)).astype(float)
+    rows = [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(x, y)]
+    return spark.createDataFrame(rows, "f1 double, f2 double, f3 double, label double")
+
+
+class TestSensitivity:
+    def test_se_ranks_by_true_weight(self, toy):
+        from shifu_spark.ml.posttrain import sensitivity_se
+
+        out = sensitivity_se(toy, ["f1", "f2", "f3"], [2.0, 0.5, 0.0], 0.0).collect()
+        ranked = [r["column_name"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert ranked == ["f1", "f2", "f3"]  # SE ordering follows |w| for iid features
+        by = {r["column_name"]: r["se"] for r in out}
+        assert by["f3"] == pytest.approx(0.0, abs=1e-12)  # zero weight -> no delta
+
+    def test_se_matches_numpy(self, toy):
+        from shifu_spark.ml.posttrain import sensitivity_se
+
+        pdf = toy.toPandas()
+        x = pdf[["f1", "f2", "f3"]].to_numpy()
+        w = np.array([2.0, 0.5, 0.0])
+        logit = x @ w
+        base = 1 / (1 + np.exp(-logit))
+        want = []
+        for j in range(3):
+            masked = 1 / (1 + np.exp(-(logit - w[j] * x[:, j])))
+            want.append(((masked - base) ** 2).mean())
+        got = {r["column_name"]: r["se"] for r in sensitivity_se(toy, ["f1", "f2", "f3"], [2.0, 0.5, 0.0], 0.0).collect()}
+        for j, c in enumerate(["f1", "f2", "f3"]):
+            assert got[c] == pytest.approx(want[j], rel=1e-6, abs=1e-9)
+
+
+class TestReasonCodes:
+    def test_topk_by_abs_contribution(self, spark):
+        from shifu_spark.ml.posttrain import reason_codes_linear
+
+        df = spark.createDataFrame([(1.0, -5.0, 0.1)], "a double, b double, c double")
+        out = reason_codes_linear(df, ["a", "b", "c"], [1.0, 1.0, 10.0], top_k=2).collect()[0]
+        # contribs: a=1, b=5, c=1 -> top2 = [b, then a|c tie -> larger struct wins deterministically]
+        assert out["reason_codes"][0] == "b"
+        assert len(out["reason_codes"]) == 2
+
+
+class TestTreeEncode:
+    def test_leaf_encoding_matches_prediction_partition(self, spark, sf_dir):
+        from shifu_spark.ml.posttrain import extract_tree, feature_importance_df, tree_path_encode
+        from shifu_spark.ml.train import TrainParams, assemble_features, train_models
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(2000)
+        df = li.select(
+            F.col("l_quantity").alias("f1"),
+            F.col("l_discount").alias("f2"),
+            (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        )
+        assembled = assemble_features(df, ["f1", "f2"], "label")
+        model = train_models(assembled, TrainParams(algorithm="RF", trees=3, max_depth=3), 2)[0]
+        enc = tree_path_encode(df, ["f1", "f2"], model)
+        rows = enc.collect()
+        assert all(len(r["tree_leaves"]) == 3 for r in rows)
+        # identical feature rows must land in identical leaves
+        seen = {}
+        for r in rows:
+            key = (r["f1"], r["f2"])
+            if key in seen:
+                assert seen[key] == list(r["tree_leaves"])
+            seen[key] = list(r["tree_leaves"])
+        # importance ranked
+        imp = feature_importance_df(model, ["f1", "f2"])
+        assert len(imp) == 2 and imp[0][1] >= imp[1][1]
+        # extractor sanity: at least one internal node in tree 0
+        t0 = extract_tree(model._java_obj.trees()[0].rootNode())
+        assert any(f >= 0 for f in t0["feature"])
