@@ -95,14 +95,23 @@ def lsh_topk(
     query, then exact cosine re-rank. Recall < 1; throughput ~N/2^H."""
     b = hyperplane_bucket_expr(F.col(vec_col), hyperplanes)
     emb = embeddings.withColumn("bucket", b)
+    # norms once per side, not per candidate pair (same trick as brute force)
     q = emb.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
+        F.col("bucket"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "bucket")
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm_expr(F.col(vec_col)).alias("nnorm"),
+        "bucket",
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -1387,3 +1387,434 @@ def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_models(assembled, TrainParams(algorithm="RF", trees=3, max_depth=3, seed=42), 2)[0]
     enc = tree_path_encode(df, ["f1", "f2"], model)
     return enc.select(F.col("tree_leaves").getItem(0).alias("leaf0")).groupBy("leaf0").count().orderBy("leaf0")
+
+
+# ---------------------------------------------------------------------------
+# Normalize variants (SURVEY §2.8 — the remaining NormTypes as queries)
+# ---------------------------------------------------------------------------
+
+
+@query("onehot_normalize", None)
+def onehot_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONEHOT transform (Normalizer.java:379-424): numeric -> bin one-hot
+    (+ missing slot). Equal-interval 5 bins on l_quantity; one scan +
+    one select, bin edges from a broadcast 1-row min/max agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = 5
+    mm = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+    x = F.col("l_quantity")
+    b = F.when(
+        x.isNull(), F.lit(k)  # missing slot
+    ).otherwise(F.least(F.floor((x - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)))
+    cols = [F.when(b == i, 1.0).otherwise(0.0).alias(f"q_bin{i}") for i in range(k + 1)]
+    return li.crossJoin(F.broadcast(mm)).select("l_orderkey", "l_linenumber", *cols)
+
+
+ORACLES["onehot_normalize"] = """
+WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+binned AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity IS NULL THEN 5
+              ELSE least(floor((l_quantity - mn) / ((mx - mn) / 5)), 4) END AS bin
+  FROM lineitem CROSS JOIN mm
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN bin = 0 THEN 1.0 ELSE 0.0 END AS q_bin0,
+       CASE WHEN bin = 1 THEN 1.0 ELSE 0.0 END AS q_bin1,
+       CASE WHEN bin = 2 THEN 1.0 ELSE 0.0 END AS q_bin2,
+       CASE WHEN bin = 3 THEN 1.0 ELSE 0.0 END AS q_bin3,
+       CASE WHEN bin = 4 THEN 1.0 ELSE 0.0 END AS q_bin4,
+       CASE WHEN bin = 5 THEN 1.0 ELSE 0.0 END AS q_bin5
+FROM binned
+"""
+
+
+@query("discrete_zscore_normalize", None)
+def discrete_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE_ZSCORE (Normalizer.java:468-500): snap to the bin lower
+    boundary, then zscore with clip at mean±6σ. Boundaries + moments from
+    ONE broadcast agg row — still a single data pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = 5
+    v = F.col("l_quantity").cast("double")
+    mm = li.agg(
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(38,10)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,10)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    std = F.sqrt(F.abs((s2 - s1 * s1 / n + F.lit(1e-10)) / (n - 1)))
+    width = (F.col("mx") - F.col("mn")) / k
+    bin_ = F.least(F.floor((v - F.col("mn")) / width), F.lit(k - 1))
+    snapped = F.col("mn") + bin_ * width
+    clipped = F.least(F.greatest(snapped, mean - 6 * std), mean + 6 * std)
+    return li.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey", "l_linenumber", F.round((clipped - mean) / std, 6).alias("dz_l_quantity")
+    )
+
+
+ORACLES["discrete_zscore_normalize"] = """
+WITH mm AS (
+  SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+         count(l_quantity)::DOUBLE AS n,
+         sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE AS s1,
+         sum(cast(l_quantity*l_quantity AS DECIMAL(38,10)))::DOUBLE AS s2
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((least(greatest(mn + least(floor((l_quantity - mn) / ((mx - mn) / 5)), 4) * ((mx - mn) / 5),
+                             (s1/n) - 6*sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1)))),
+                    (s1/n) + 6*sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1))))
+              - (s1/n)) / sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1))), 6) AS dz_l_quantity
+FROM lineitem CROSS JOIN mm
+"""
+
+
+@query("woe_zscore_normalize", None)
+def woe_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE_ZSCORE (Normalizer.java:664-672): woe value, then z-score with
+    the woe-population mean/std from bin counts
+    (calculateWoeMeanAndStdDev:728-756). Bin-count arithmetic keeps the
+    woe table tiny (k rows) and the constants exact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = 10
+    c = "l_quantity"
+    mm = li.agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+    binned = li.crossJoin(F.broadcast(mm)).withColumn(
+        "bin", F.least(F.floor((F.col(c) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
+    )
+    is_pos = F.col("l_returnflag") == "R"
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    woes = counts.withColumn("sum_p", F.sum("pos").over(wall)).withColumn(
+        "sum_n", F.sum("neg").over(wall)
+    ).withColumn(
+        "woe",
+        F.log((F.col("neg") / F.col("sum_n") + F.lit(1e-10)) / (F.col("pos") / F.col("sum_p") + F.lit(1e-10))),
+    ).withColumn("cnt", F.col("pos") + F.col("neg"))
+    # woe-population mean/std over ALL rows, computed from the k bin rows
+    woes = (
+        woes.withColumn("tot", F.sum("cnt").over(wall))
+        .withColumn("wsum", F.sum(F.col("cnt") * F.col("woe")).over(wall))
+        .withColumn("wsum2", F.sum(F.col("cnt") * F.col("woe") * F.col("woe")).over(wall))
+        .withColumn("wm", F.col("wsum") / F.col("tot"))
+        .withColumn(
+            "ws",
+            F.sqrt(F.abs((F.col("wsum2") - F.col("wsum") * F.col("wsum") / F.col("tot") + F.lit(1e-10)) / (F.col("tot") - 1))),
+        )
+        .select("bin", "woe", "wm", "ws")
+    )
+    clipped = F.least(F.greatest(F.col("woe"), F.col("wm") - 6 * F.col("ws")), F.col("wm") + 6 * F.col("ws"))
+    return binned.join(F.broadcast(woes), "bin").select(
+        "l_orderkey", "l_linenumber", F.round((clipped - F.col("wm")) / F.col("ws"), 6).alias("wz_l_quantity")
+    )
+
+
+ORACLES["woe_zscore_normalize"] = """
+WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+binned AS (
+  SELECT l_orderkey, l_linenumber,
+         least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) AS bin, l_returnflag
+  FROM lineitem CROSS JOIN mm
+),
+counts AS (
+  SELECT bin,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::DOUBLE AS neg
+  FROM binned GROUP BY bin
+),
+woes AS (
+  SELECT bin, pos + neg AS cnt,
+         ln((neg / sum(neg) OVER () + 1e-10) / (pos / sum(pos) OVER () + 1e-10)) AS woe
+  FROM counts
+),
+consts AS (
+  SELECT bin, woe,
+         sum(cnt * woe) OVER () / sum(cnt) OVER () AS wm,
+         sqrt(abs((sum(cnt * woe * woe) OVER () - sum(cnt * woe) OVER () * sum(cnt * woe) OVER () / sum(cnt) OVER () + 1e-10)
+                  / (sum(cnt) OVER () - 1))) AS ws
+  FROM woes
+)
+SELECT b.l_orderkey, b.l_linenumber,
+       round((least(greatest(w.woe, w.wm - 6*w.ws), w.wm + 6*w.ws) - w.wm) / w.ws, 6) AS wz_l_quantity
+FROM binned b JOIN consts w USING (bin)
+"""
+
+
+@query("hybrid_normalize", None)
+def hybrid_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID (Normalizer.java:687-700): numeric -> zscore, categorical ->
+    woe — both in ONE select. Categorical woe table is per-category counts
+    (CategoricalBinning), broadcast back."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_quantity").cast("double")
+    mm = li.agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(38,10)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,10)")).cast("double").alias("s2"),
+    )
+    is_pos = F.col("l_linestatus") == "F"
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cate = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+        )
+        .withColumn("sum_p", F.sum("pos").over(wall))
+        .withColumn("sum_n", F.sum("neg").over(wall))
+        .select(
+            "l_returnflag",
+            F.log(
+                (F.col("neg") / F.col("sum_n") + F.lit(1e-10)) / (F.col("pos") / F.col("sum_p") + F.lit(1e-10))
+            ).alias("cate_woe"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    std = F.sqrt(F.abs((s2 - s1 * s1 / n + F.lit(1e-10)) / (n - 1)))
+    clipped = F.least(F.greatest(v, mean - 6 * std), mean + 6 * std)
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(cate), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round((clipped - mean) / std, 6).alias("z_l_quantity"),
+            F.round("cate_woe", 6).alias("woe_l_returnflag"),
+        )
+    )
+
+
+ORACLES["hybrid_normalize"] = """
+WITH mm AS (
+  SELECT count(l_quantity)::DOUBLE AS n,
+         sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE AS s1,
+         sum(cast(l_quantity*l_quantity AS DECIMAL(38,10)))::DOUBLE AS s2
+  FROM lineitem
+),
+cate AS (
+  SELECT l_returnflag,
+         ln(((sum(CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END)::DOUBLE) / (sum(sum(CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END)::DOUBLE) OVER ()) + 1e-10)
+            / ((sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::DOUBLE) / (sum(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::DOUBLE) OVER ()) + 1e-10)) AS cate_woe
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       round((least(greatest(l.l_quantity, (s1/n) - 6*sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1)))),
+                    (s1/n) + 6*sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1)))) - (s1/n))
+             / sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1))), 6) AS z_l_quantity,
+       round(c.cate_woe, 6) AS woe_l_returnflag
+FROM lineitem l CROSS JOIN mm JOIN cate c USING (l_returnflag)
+"""
+
+
+@query("mean_impute", None)
+def mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value mean imputation (Normalizer.java:602-605 semantics:
+    missing/unparseable numeric -> population mean of valid values).
+    l_tax = 0 plays the missing token; mean over the non-missing rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.nullif(F.col("l_tax"), F.lit(0.0))
+    mm = li.agg(
+        (F.sum(v.cast("decimal(38,10)")).cast("double") / F.count(v)).alias("mean_tax")
+    )
+    return li.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.coalesce(v, F.col("mean_tax")), 6).alias("l_tax_imputed"),
+    )
+
+
+ORACLES["mean_impute"] = """
+WITH mm AS (
+  SELECT sum(cast(nullif(l_tax, 0.0) AS DECIMAL(38,10)))::DOUBLE / count(nullif(l_tax, 0.0)) AS mean_tax
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(coalesce(nullif(l_tax, 0.0), mean_tax), 6) AS l_tax_imputed
+FROM lineitem CROSS JOIN mm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Eval completeness: PR AUC; posttrain feature importance; auto-type freq items
+# ---------------------------------------------------------------------------
+
+
+@query("pr_auc", None)
+def pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR AUC: trapezoid over (recall, precision) points
+    (AreaUnderCurve.ofPr semantics, eval_metrics.pr_auc_trapezoid)."""
+    from shifu_spark.operators.eval_metrics import confusion_points_df, pr_auc_trapezoid
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
+    return pr_auc_trapezoid(pts)
+
+
+ORACLES["pr_auc"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT sum(pos) OVER (ORDER BY score DESC) AS tp,
+         sum(neg) OVER (ORDER BY score DESC) AS fp,
+         sum(pos) OVER () AS tot_p
+  FROM pts
+),
+pr AS (
+  SELECT tp::DOUBLE / (tp + fp) AS precision, tp::DOUBLE / tot_p AS recall FROM cum
+),
+lagged AS (
+  SELECT recall, precision,
+         lag(recall) OVER (ORDER BY recall) AS prev_r,
+         lag(precision) OVER (ORDER BY recall) AS prev_p
+  FROM pr
+)
+SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6) AS pr_auc
+FROM lagged WHERE prev_r IS NOT NULL
+"""
+
+
+@query("feature_importance", None)
+def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature importance (FeatureImportanceMapper/Reducer.java): mean
+    |contribution| per column for a fixed linear model, normalized to
+    sum 1. One wide agg + tiny driver-free reshape."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.sum(F.abs(F.col(c) * w).cast("decimal(38,10)")).cast("double").alias(f"{c}__a")
+        for c, w in _SENS_W.items()
+    ]
+    wide = li.agg(*aggs)
+    total = sum((F.col(f"{c}__a") for c in _SENS_W), F.lit(0.0))
+    selects = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.round(F.col(f"{c}__a") / total, 8).alias("importance"),
+        )
+        for c in _SENS_W
+    ]
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("column_name")
+
+
+def _fi_oracle() -> str:
+    sums = ", ".join(
+        f"sum(cast(abs({c} * {w!r}) AS DECIMAL(38,10)))::DOUBLE AS {c}__a" for c, w in _SENS_W.items()
+    )
+    total = " + ".join(f"{c}__a" for c in _SENS_W)
+    parts = [
+        f"SELECT '{c}' AS column_name, round({c}__a / ({total}), 8) AS importance FROM wide"
+        for c in _SENS_W
+    ]
+    return f"WITH wide AS (SELECT {sums} FROM lineitem)\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+ORACLES["feature_importance"] = _fi_oracle()
+
+
+@query("freq_items", None)
+def freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item sets per column (CountAndFrequentItemsWritable /
+    auto-type inference): top-3 values by count per column via ONE
+    unpivot + one grouped count + per-column rank window."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    unpivoted = li.select(
+        F.expr(
+            "stack(2, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus) AS (column_name, value)"
+        )
+    )
+    counts = unpivoted.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("column_name", "value", "cnt", "rnk")
+        .orderBy("column_name", "rnk")
+    )
+
+
+ORACLES["freq_items"] = """
+WITH unpivoted AS (
+  SELECT 'l_returnflag' AS column_name, l_returnflag AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+),
+counts AS (
+  SELECT column_name, value, count(*) AS cnt FROM unpivoted GROUP BY 1, 2
+),
+ranked AS (
+  SELECT column_name, value, cnt,
+         row_number() OVER (PARTITION BY column_name ORDER BY cnt DESC, value ASC) AS rnk
+  FROM counts
+)
+SELECT column_name, value, cnt, rnk::INT AS rnk FROM ranked WHERE rnk <= 3
+ORDER BY column_name, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB similarity-search path) — SURVEY §7 phase 7
+# ---------------------------------------------------------------------------
+
+# deterministic "hyperplanes": indicator vectors of the four 16-dim
+# quarters of the 64-dim embedding — dot(vec, h_i) = sum of quarter i,
+# trivially portable to the oracle as list_sum(slice)
+_LSH_PLANES = [[1.0 if 16 * i <= d < 16 * (i + 1) else 0.0 for d in range(64)] for i in range(4)]
+
+
+@query("embedding_lsh_topk", None)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3: candidates share the 4-bit
+    sign-pattern bucket, exact cosine re-rank inside the bucket
+    (operators/similarity.lsh_topk). Shuffle = N rows once through the
+    bucket join; candidate set ~N/16 per query."""
+    from shifu_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, F.col("vec_id") < 10, _LSH_PLANES, k=3)
+
+
+ORACLES["embedding_lsh_topk"] = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN list_sum((embedding::DOUBLE[])[1:16])  >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_sum((embedding::DOUBLE[])[17:32]) >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN list_sum((embedding::DOUBLE[])[33:48]) >= 0 THEN 4 ELSE 0 END
+        + CASE WHEN list_sum((embedding::DOUBLE[])[49:64]) >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM b c JOIN q USING (bucket)
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
