@@ -1,0 +1,263 @@
+"""Distributed logistic-regression SGD with Shifu's optimizer + early-stop set.
+
+Reference: core/dtrain/lr/LogisticRegressionWorker.java:302-340 (workers
+accumulate sigmoid gradients over their local data), LogisticRegressionMaster
+(averages + applies optimizer), core/dtrain/Weight.java:48-176 (optimizers
+BGD / MOMENTUM / ADAGRAD / RMSPROP / ADAM), early stop
+core/dtrain/earlystop/WindowEarlyStop.java and
+ConvergeAndValidToleranceEarlyStop.java + core/ConvergeJudger.java.
+
+Spark shape — the BSP superstep becomes one job per epoch:
+  workers  = ``mapInPandas`` partial gradients (Arrow-batched numpy — one
+             (grad, loss, n) row per batch, no per-row Python);
+  master   = driver sums the few partial rows and applies the optimizer;
+  broadcast = the new weight vector rides into the next epoch's closure.
+
+This is exactly MLlib's own aggregate-broadcast iteration; we keep our own
+epoch loop because MLlib exposes no generic early-stop callback (SURVEY
+§2.10). Scales in features (gradient width) unlike a wide-agg formulation,
+and in rows via partition parallelism. Cache the input once — every epoch
+re-reads it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Optimizers (Weight.java:48-176)
+# ---------------------------------------------------------------------------
+
+
+class Optimizer:
+    """update(weights, grad) -> new weights. State lives on the driver —
+    the master applies the optimizer, workers only compute gradients."""
+
+    def __init__(self, learning_rate: float = 0.1):
+        self.lr = learning_rate
+
+    def update(self, w: np.ndarray, g: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class BGD(Optimizer):
+    def update(self, w: np.ndarray, g: np.ndarray) -> np.ndarray:
+        return w - self.lr * g
+
+
+class Momentum(Optimizer):
+    def __init__(self, learning_rate: float = 0.1, momentum: float = 0.9):
+        super().__init__(learning_rate)
+        self.momentum = momentum
+        self.v: np.ndarray | None = None
+
+    def update(self, w: np.ndarray, g: np.ndarray) -> np.ndarray:
+        if self.v is None:
+            self.v = np.zeros_like(w)
+        self.v = self.momentum * self.v - self.lr * g
+        return w + self.v
+
+
+class AdaGrad(Optimizer):
+    def __init__(self, learning_rate: float = 0.1, eps: float = 1e-8):
+        super().__init__(learning_rate)
+        self.eps = eps
+        self.h: np.ndarray | None = None
+
+    def update(self, w: np.ndarray, g: np.ndarray) -> np.ndarray:
+        if self.h is None:
+            self.h = np.zeros_like(w)
+        self.h = self.h + g * g
+        return w - self.lr * g / (np.sqrt(self.h) + self.eps)
+
+
+class RMSProp(Optimizer):
+    def __init__(self, learning_rate: float = 0.1, decay: float = 0.9, eps: float = 1e-8):
+        super().__init__(learning_rate)
+        self.decay = decay
+        self.eps = eps
+        self.h: np.ndarray | None = None
+
+    def update(self, w: np.ndarray, g: np.ndarray) -> np.ndarray:
+        if self.h is None:
+            self.h = np.zeros_like(w)
+        self.h = self.decay * self.h + (1 - self.decay) * g * g
+        return w - self.lr * g / (np.sqrt(self.h) + self.eps)
+
+
+class Adam(Optimizer):
+    def __init__(self, learning_rate: float = 0.1, beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8):
+        super().__init__(learning_rate)
+        self.beta1, self.beta2, self.eps = beta1, beta2, eps
+        self.m: np.ndarray | None = None
+        self.v: np.ndarray | None = None
+        self.t = 0
+
+    def update(self, w: np.ndarray, g: np.ndarray) -> np.ndarray:
+        if self.m is None:
+            self.m = np.zeros_like(w)
+            self.v = np.zeros_like(w)
+        self.t += 1
+        self.m = self.beta1 * self.m + (1 - self.beta1) * g
+        self.v = self.beta2 * self.v + (1 - self.beta2) * g * g
+        mh = self.m / (1 - self.beta1**self.t)
+        vh = self.v / (1 - self.beta2**self.t)
+        return w - self.lr * mh / (np.sqrt(vh) + self.eps)
+
+
+OPTIMIZERS = {"BGD": BGD, "MOMENTUM": Momentum, "ADAGRAD": AdaGrad, "RMSPROP": RMSProp, "ADAM": Adam}
+
+
+# ---------------------------------------------------------------------------
+# Early stopping (earlystop/WindowEarlyStop.java, ConvergeAndValidTolerance)
+# ---------------------------------------------------------------------------
+
+
+class WindowEarlyStop:
+    """Stop when validation error hasn't improved for ``window`` epochs
+    (WindowEarlyStop.java: ignoreValue buffer of size windowSize)."""
+
+    def __init__(self, window: int = 5):
+        self.window = window
+        self.best = float("inf")
+        self.since_best = 0
+
+    def should_stop(self, valid_error: float) -> bool:
+        if valid_error < self.best:
+            self.best = valid_error
+            self.since_best = 0
+        else:
+            self.since_best += 1
+        return self.since_best >= self.window
+
+
+class ConvergeEarlyStop:
+    """Stop when |train_error − last| < threshold (ConvergeJudger.java
+    semantics: consecutive-epoch loss delta under tolerance)."""
+
+    def __init__(self, threshold: float = 1e-6):
+        self.threshold = threshold
+        self.last: float | None = None
+
+    def should_stop(self, train_error: float) -> bool:
+        prev, self.last = self.last, train_error
+        return prev is not None and abs(prev - train_error) < self.threshold
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SGDResult:
+    weights: list[float]  # [w_0..w_{d-1}, bias]
+    train_losses: list[float] = field(default_factory=list)
+    valid_losses: list[float] = field(default_factory=list)
+    epochs_run: int = 0
+    stopped_early: bool = False
+
+
+def _partial_gradient_udf(feature_cols: list[str], label_col: str, weights: np.ndarray, reg: float):
+    """One (gradient, loss, n) partial row per Arrow batch — the 'worker'
+    side. Row count reaching the driver = O(batches), not O(rows)."""
+    d = len(feature_cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = pdf[feature_cols].to_numpy(dtype=np.float64)
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            n = len(y)
+            if n == 0:
+                continue
+            z = x @ weights[:d] + weights[d]
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+            err = p - y
+            grad_w = x.T @ err + reg * n * weights[:d]
+            grad_b = float(err.sum())
+            eps = 1e-12
+            loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+            yield pd.DataFrame({"grad": [np.append(grad_w, grad_b).tolist()], "loss": [loss], "n": [n]})
+
+    return fn
+
+
+def _epoch(df: DataFrame, feature_cols: list[str], label_col: str, w: np.ndarray, reg: float):
+    """Run one superstep: returns (summed gradient/n, mean loss, n)."""
+    schema = "grad array<double>, loss double, n long"
+    parts = df.mapInPandas(_partial_gradient_udf(feature_cols, label_col, w, reg), schema=schema)
+    agg = parts.agg(
+        F.aggregate(
+            F.collect_list("grad"),
+            F.array(*[F.lit(0.0)] * (len(feature_cols) + 1)),
+            lambda acc, g: F.zip_with(acc, g, lambda a, b: a + b),
+        ).alias("grad"),
+        F.sum("loss").alias("loss"),
+        F.sum("n").alias("n"),
+    ).collect()[0]
+    n = agg["n"] or 1
+    return np.array(agg["grad"]) / n, (agg["loss"] or 0.0) / n, n
+
+
+def train_lr_sgd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    valid_df: DataFrame | None = None,
+    optimizer: str = "ADAM",
+    learning_rate: float = 0.1,
+    max_epochs: int = 50,
+    reg: float = 0.0,
+    early_stop: WindowEarlyStop | ConvergeEarlyStop | None = None,
+    seed: int = 42,
+) -> SGDResult:
+    """Full-batch distributed LR with pluggable optimizer + early stop.
+
+    ``df`` is cached for the duration of the loop (every epoch re-reads).
+    Validation loss (when ``valid_df`` given) feeds WindowEarlyStop the way
+    the reference feeds validation error to the master.
+    """
+    rng = np.random.default_rng(seed)
+    d = len(feature_cols)
+    w = rng.normal(0.0, 0.01, d + 1)
+    opt = OPTIMIZERS[optimizer](learning_rate)
+    res = SGDResult(weights=w.tolist())
+
+    df = df.select(*feature_cols, label_col).persist()
+    if valid_df is not None:
+        valid_df = valid_df.select(*feature_cols, label_col).persist()
+    try:
+        for _ in range(max_epochs):
+            g, train_loss, _n = _epoch(df, feature_cols, label_col, w, reg)
+            w = opt.update(w, g)
+            res.train_losses.append(train_loss)
+            res.epochs_run += 1
+            watch = train_loss
+            if valid_df is not None:
+                _, valid_loss, _ = _epoch(valid_df, feature_cols, label_col, w, 0.0)
+                res.valid_losses.append(valid_loss)
+                watch = valid_loss
+            if early_stop is not None and early_stop.should_stop(watch):
+                res.stopped_early = True
+                break
+    finally:
+        df.unpersist()
+        if valid_df is not None:
+            valid_df.unpersist()
+    res.weights = w.tolist()
+    return res
+
+
+def lr_score_expr(feature_cols: list[str], weights: list[float]):
+    """sigmoid(w·x + b) as a pure column expression (broadcast weights)."""
+    z = F.lit(float(weights[len(feature_cols)]))
+    for i, c in enumerate(feature_cols):
+        z = z + F.col(c).cast("double") * float(weights[i])
+    return 1.0 / (1.0 + F.exp(-z))

@@ -145,3 +145,71 @@ def score_ensemble(assembled: DataFrame, models: list, keep_cols: list[str] | No
     keep = (keep_cols or []) + ["mean", "max", "min", "median", *score_cols]
     have = [c for c in keep if c in out.columns]
     return out.select(*have)
+
+
+# ---------------------------------------------------------------------------
+# Grid search (gs/GridSearch.java:44-170) + k-fold CV (ShifuInputFormat:149)
+# ---------------------------------------------------------------------------
+
+
+def flatten_grid(grid: dict[str, list]) -> list[dict]:
+    """Cartesian flatten of list-valued hyperparams — GridSearch.java:44-170
+    expands train#params lists the same way."""
+    from itertools import product
+
+    keys = sorted(grid)
+    return [dict(zip(keys, combo)) for combo in product(*[grid[k] for k in keys])]
+
+
+def grid_search(
+    assembled: DataFrame,
+    base: TrainParams,
+    grid: dict[str, list],
+    n_features: int,
+    train_fraction: float = 0.8,
+) -> list[dict]:
+    """Train/validate each grid point on a seeded split; returns
+    [{params, auc}] sorted by auc desc. The split is randomSplit with the
+    TrainParams seed — the Spark analogue of the injected validation
+    split set (guagua/ShifuInputFormat.java:74-149)."""
+    from dataclasses import replace
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    train, valid = assembled.randomSplit([train_fraction, 1 - train_fraction], seed=base.seed)
+    train = train.persist()
+    valid = valid.persist()
+    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+    results = []
+    try:
+        for point in flatten_grid(grid):
+            params = replace(base, **{k: v for k, v in point.items() if hasattr(base, k)})
+            params.extra = {**base.extra, **{k: v for k, v in point.items() if not hasattr(base, k)}}
+            model = _estimator(params, n_features).fit(train)
+            results.append({"params": point, "auc": ev.evaluate(model.transform(valid))})
+    finally:
+        train.unpersist()
+        valid.unpersist()
+    return sorted(results, key=lambda r: -r["auc"])
+
+
+def kfold_cv(assembled: DataFrame, params: TrainParams, n_features: int, k: int = 5) -> list[float]:
+    """K-fold cross validation with deterministic fold assignment
+    (crc32(cast of monotonically-increasing id) % k — seeded, stable
+    across runs unlike randomSplit chains). Returns per-fold AUC."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    folded = assembled.withColumn(
+        "__fold", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")) + params.seed, F.lit(k))
+    ).persist()
+    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+    aucs = []
+    try:
+        for fold in range(k):
+            train = folded.filter(F.col("__fold") != fold)
+            valid = folded.filter(F.col("__fold") == fold)
+            model = _estimator(params, n_features).fit(train)
+            aucs.append(ev.evaluate(model.transform(valid)))
+    finally:
+        folded.unpersist()
+    return aucs

@@ -1818,3 +1818,94 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, neighbor_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Eval: weighted confusion matrix + multi-class confusion (ConfusionMatrix.java)
+# ---------------------------------------------------------------------------
+
+
+@query("weighted_confusion", None)
+def weighted_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cumulative confusion matrix (ConfusionMatrix.java weighted
+    counters; weight clamp :361-370). Weight = l_quantity; one row per
+    distinct score with running weighted TP/FP."""
+    from shifu_spark.operators.eval_metrics import confusion_points_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R", weight_col="l_quantity")
+    return pts.select(
+        "score", "tp", "fp",
+        F.round("wtp", 4).alias("wtp"),
+        F.round("wfp", 4).alias("wfp"),
+    )
+
+
+ORACLES["weighted_confusion"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg,
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  FROM lineitem GROUP BY 1
+)
+SELECT score,
+       (sum(pos) OVER (ORDER BY score DESC))::BIGINT AS tp,
+       (sum(neg) OVER (ORDER BY score DESC))::BIGINT AS fp,
+       round(sum(wpos) OVER (ORDER BY score DESC), 4) AS wtp,
+       round(sum(wneg) OVER (ORDER BY score DESC), 4) AS wfp
+FROM pts
+"""
+
+
+@query("multiclass_confusion", None)
+def multiclass_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion matrix
+    (ConfusionMatrix.computeConfusionMatixForMultipleClassification:625):
+    (actual, predicted) counts; predicted = quantity-tercile rule mapped
+    onto the 3-class tag set."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (
+        F.when(F.col("l_quantity") < 17, "A")
+        .when(F.col("l_quantity") < 34, "N")
+        .otherwise("R")
+    )
+    return (
+        li.select(F.col("l_returnflag").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("actual", "predicted")
+    )
+
+
+ORACLES["multiclass_confusion"] = """
+SELECT l_returnflag AS actual,
+       CASE WHEN l_quantity < 17 THEN 'A' WHEN l_quantity < 34 THEN 'N' ELSE 'R' END AS predicted,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY 1, 2 ORDER BY actual, predicted
+"""
+
+
+@query("sgd_lr_train", None)
+def sgd_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SGD LR (core/dtrain/lr BSP as mapInPandas partial
+    gradients + driver optimizer, ml/sgd.py). Rows-only check: training
+    is iterative, not SQL-expressible. Returns per-class mean score of
+    the fitted model — stable shape, deterministic seed."""
+    from shifu_spark.ml.sgd import lr_score_expr, train_lr_sgd
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    )
+    res = train_lr_sgd(li, ["x1", "x2"], optimizer="ADAM", learning_rate=0.3, max_epochs=5)
+    return (
+        li.withColumn("p", lr_score_expr(["x1", "x2"], res.weights))
+        .groupBy("flag")
+        .agg(F.round(F.avg("p"), 4).alias("mean_score"))
+        .orderBy("flag")
+    )
