@@ -242,3 +242,94 @@ def categorical_index_expr(col: Column | str, categories: list[str], missing_ind
         pairs.extend([F.lit(cat), F.lit(i)])
     m = F.create_map(*pairs)
     return F.coalesce(m.getItem(c), F.lit(missing_index))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic binning (core/binning/DynamicBinning.java, AutoDynamicBinning.java,
+# ColumnConfigDynamicBinning.java; driven by pig/StatsDynamicBinning.pig)
+# ---------------------------------------------------------------------------
+
+def small_bin_counts(
+    df: DataFrame,
+    col: str,
+    num_small_bins: int = 100,
+    pos_expr: Column | None = None,
+) -> DataFrame:
+    """Pass 1 (GenSmallBinningInfoUDF): fine equal-interval small bins with
+    per-bin pos/neg/total counts. One groupBy — the small-bin table is
+    ≤ num_small_bins rows per column regardless of data size, so pass 2
+    (the merge) is driver-side array math like the reference's rebin path.
+
+    Returns (small_bin, lo, cnt, pos, neg) ordered by small_bin.
+    """
+    v = F.col(col).cast("double")
+    mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+    k = num_small_bins
+    b = F.least(F.floor((v - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
+    binned = df.crossJoin(F.broadcast(mm)).select(
+        b.alias("small_bin"),
+        (F.col("mn") + b * ((F.col("mx") - F.col("mn")) / k)).alias("lo"),
+        (pos_expr if pos_expr is not None else F.lit(False)).cast("int").alias("y"),
+    )
+    return (
+        binned.groupBy("small_bin", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+        .orderBy("small_bin")
+    )
+
+
+def dynamic_bin_merge(small_bins: list[tuple[float, int]], target_bins: int) -> list[float]:
+    """Pass 2 (DynamicBinning/ColumnConfigDynamicBinning rebin): merge
+    adjacent small bins into ``target_bins`` equal-population bins.
+
+    ``small_bins`` = [(lo_boundary, count)] ascending. A small bin joins
+    the current merged bin until the running count reaches the ideal
+    per-bin share; boundaries are small-bin los (never invented values —
+    same rule as EqualPopulationBinning quantile snapping). Pure driver
+    array op over ≤ num_small_bins entries.
+    """
+    total = sum(c for _, c in small_bins)
+    if total == 0 or not small_bins:
+        return []
+    share = total / target_bins
+    boundaries = [small_bins[0][0]]
+    run = 0
+    for lo, cnt in small_bins:
+        if run >= share * len(boundaries) and len(boundaries) < target_bins:
+            boundaries.append(lo)
+        run += cnt
+    return boundaries
+
+
+# ---------------------------------------------------------------------------
+# Hybrid columns (ColumnType.H: numeric below hybridThreshold, categorical
+# at/above it — ColumnConfig.java:76-79, BinUtils hybrid split)
+# ---------------------------------------------------------------------------
+
+def hybrid_bin_index_expr(
+    col: Column | str,
+    threshold: float,
+    boundaries: list[float],
+    categories: list[str],
+) -> Column:
+    """Bin lookup for hybrid columns: values < threshold take numeric bins
+    [0, len(boundaries)); values >= threshold are stringified and looked
+    up in the categorical map at offset len(boundaries); anything else
+    (missing / unknown category) -> the final missing slot.
+
+    Index layout (BinUtils hybrid split): [numeric bins][cate bins][missing].
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cd = c.try_cast("double")
+    n_num = len(boundaries)
+    num_idx = bin_index_expr(cd, boundaries, missing_index=n_num + len(categories))
+    cate_idx = categorical_index_expr(
+        F.format_number(cd, 2), categories, missing_index=len(categories)
+    ) + n_num
+    return F.when(cd.isNull(), F.lit(n_num + len(categories))).otherwise(
+        F.when(cd < threshold, num_idx).otherwise(cate_idx)
+    )

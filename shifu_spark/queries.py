@@ -1909,3 +1909,60 @@ def sgd_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("p"), 4).alias("mean_score"))
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic binning (§2.5 — StatsDynamicBinning.pig two-pass shape)
+# ---------------------------------------------------------------------------
+
+
+@query("dynamic_binning", None)
+def dynamic_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic binning two-pass: 100 fine equal-interval small bins
+    (GenSmallBinningInfoUDF) merged to 10 equal-population target bins by
+    cumulative count (DynamicBinningUDF). The merge runs on the ≤100-row
+    small-bin table — window math, no second data pass."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.binning import small_bin_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    sb = small_bin_counts(li, "l_extendedprice", 100, pos_expr=F.col("l_returnflag") == "R")
+    word = Window.orderBy("small_bin").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = sb.withColumn("cum_before", F.coalesce(F.sum("cnt").over(word), F.lit(0))).withColumn(
+        "total", F.sum("cnt").over(wall)
+    )
+    tgt = F.least(F.floor(F.col("cum_before") / (F.col("total") / 10)), F.lit(9))
+    return (
+        t.withColumn("bin", tgt)
+        .groupBy("bin")
+        .agg(
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("pos").alias("pos"),
+            F.sum("neg").alias("neg"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLES["dynamic_binning"] = """
+WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+small AS (
+  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) AS small_bin,
+         mn + least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) * ((mx - mn) / 100) AS lo,
+         count(*) AS cnt,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+  FROM lineitem CROSS JOIN mm GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, coalesce(sum(cnt) OVER (ORDER BY small_bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         sum(cnt) OVER () AS total
+  FROM small
+)
+SELECT least(floor(cum_before / (total / 10)), 9) AS bin,
+       round(min(lo), 6) AS lo, sum(cnt) AS cnt, sum(pos) AS pos, sum(neg) AS neg
+FROM cum GROUP BY 1 ORDER BY bin
+"""

@@ -139,3 +139,30 @@ def _regex_escape(delim: str) -> str:
     import re
 
     return re.escape(delim)
+
+
+def write_header_sidecar(df: DataFrame, path: str, delimiter: str = "|") -> None:
+    """Write the ``.pig_header`` sidecar next to a text sink
+    (pig/ShifuPigStorage.java:33 writes schema as a one-line header file)."""
+    header = delimiter.join(df.columns)
+    spark = df.sparkSession
+    spark.createDataFrame([(header,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path.rstrip("/") + ".pig_header")
+
+
+def seeded_split(df: DataFrame, valid_fraction: float, seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/validation split (the rebuild of the unseeded
+    CrossValidation split injection, guagua/ShifuInputFormat.java:74-149 —
+    seeded here so runs are reproducible)."""
+    train, valid = df.randomSplit([1 - valid_fraction, valid_fraction], seed=seed)
+    return train, valid
+
+
+def inject_validation(train_df: DataFrame, valid_df: DataFrame) -> DataFrame:
+    """Append a tagged validation dataset to training input with an origin
+    flag (ShifuInputFormat.java:149 appends validation splits; the flag
+    replaces the reference's path-prefix convention)."""
+    return train_df.withColumn("__origin", F.lit("train")).unionByName(
+        valid_df.withColumn("__origin", F.lit("valid"))
+    )

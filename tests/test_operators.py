@@ -237,3 +237,38 @@ class TestSimilarity:
             best.setdefault(r["query_id"], r["cosine"])
         for r in approx:
             assert r["cosine"] <= best[r["query_id"]] + 1e-9
+
+
+class TestDynamicHybridBinning:
+    def test_dynamic_bin_merge_equal_counts(self):
+        from shifu_spark.operators.binning import dynamic_bin_merge
+
+        # 10 small bins of 10 each -> 5 target bins, boundary every 2nd lo
+        small = [(float(i), 10) for i in range(10)]
+        assert dynamic_bin_merge(small, 5) == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+    def test_dynamic_bin_merge_skewed(self):
+        from shifu_spark.operators.binning import dynamic_bin_merge
+
+        # one huge small bin absorbs multiple shares -> fewer, wider bins after it
+        small = [(0.0, 80), (1.0, 5), (2.0, 5), (3.0, 5), (4.0, 5)]
+        b = dynamic_bin_merge(small, 4)
+        assert b[0] == 0.0 and len(b) <= 4 and sorted(b) == b
+
+    def test_dynamic_bin_merge_empty(self):
+        from shifu_spark.operators.binning import dynamic_bin_merge
+
+        assert dynamic_bin_merge([], 5) == []
+
+    def test_hybrid_bin_index(self, spark):
+        from shifu_spark.operators.binning import hybrid_bin_index_expr
+
+        df = spark.createDataFrame(
+            [(0.5,), (1.5,), (10.0,), (11.0,), (99.0,), (None,)], "v double"
+        )
+        # numeric bins [0,1) [1,..) below threshold 10; categories for >= 10
+        e = hybrid_bin_index_expr("v", 10.0, [0.0, 1.0], ["10.00", "11.00"])
+        got = [r[0] for r in df.select(e.alias("i")).collect()]
+        #   0.5 -> bin0; 1.5 -> bin1; 10 -> cate0 -> 2; 11 -> cate1 -> 3;
+        #   99 unknown cate -> missing 4; NULL -> missing 4
+        assert got == [0, 1, 2, 3, 4, 4]
