@@ -154,6 +154,12 @@ def minhash_lsh_pairs_df(
     never invent them).
     """
     r = num_hashes // bands
+    # spread docs across the session's parallelism first: single-file
+    # test inputs otherwise leave the md5-heavy shingle/signature chain
+    # on one core (measured ~1.5x end-to-end at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     # shingles feed three consumers (signatures + both verify sides) —
     # cache once or the whole explode+distinct chain runs 3x
     sh_cached = shingles_df(docs, n).persist()
@@ -185,21 +191,20 @@ def minhash_lsh_pairs_df(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-verify candidates only
-    sh = sh_cached
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
-    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # exact-verify candidates only — per-doc shingle ARRAYS, not a
+    # shingle-level equijoin: joining candidates back through (doc,
+    # shingle) rows fans out candidate×shingle and skews on frequent
+    # shingles (AQE plan-flapped 5-25s run-to-run at sf0.1). Arrays make
+    # the verify two candidate-keyed joins + an in-row array_intersect;
+    # doc shingle sets are bounded by doc length, so the payload is safe
+    # at scale.
+    doc_sets = sh_cached.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
+    da = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    db = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    j = inter / (F.size("set_a") + F.size("set_b") - inter)
     return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
+        candidates.join(da, "doc_a").join(db, "doc_b")
         .withColumn("jaccard", j)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -242,25 +247,34 @@ def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int
     """
     w = bits // chunks
     mask = (1 << w) - 1
-    chunked = sim.select(
-        "doc_id",
-        "simhash",
-        *[(F.shiftright("simhash", i * w).bitwiseAND(F.lit(mask))).alias(f"c{i}") for i in range(chunks)],
-    )
-    pairs = None
-    for i in range(chunks):
-        a = chunked.alias("a")
-        b = chunked.alias("b")
-        p = a.join(
-            b, (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+    # ONE join on (chunk_idx, chunk_val) over an exploded+materialized
+    # chunk table — the per-chunk join-and-union form re-ran the whole
+    # upstream simhash chain once per join side (8x at chunks=4)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright("simhash", i * w).bitwiseAND(F.lit(mask)).alias("cv"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    assert pairs is not None
+        for i in range(chunks)
+    ]
+    ex = (
+        sim.select("doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+        .persist()
+    )
+    ex.count()  # materialize before the self-join fans out
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ci") == F.col("b.ci"))
+        & (F.col("a.cv") == F.col("b.cv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
+    )
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         pairs.distinct()

@@ -853,10 +853,10 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dot product = sequential double fold (bit-identical to the oracle's
     list_dot_product); ties broken by neighbor_id.
     """
-    from shifu_spark.operators.similarity import brute_force_topk
+    from shifu_spark.operators.similarity import brute_force_topk_block
 
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, F.col("vec_id") < 10, k=5)
+    return brute_force_topk_block(emb, F.col("vec_id") < 10, k=5)
 
 
 ORACLES["embedding_topk"] = """
@@ -881,9 +881,9 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 @query("embedding_neardup_pairs", None)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (semantic dedup) at cosine ≥ 0.3."""
-    from shifu_spark.operators.similarity import embedding_neardup_pairs as _pairs
+    from shifu_spark.operators.similarity import embedding_neardup_pairs_block
 
-    return _pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3).orderBy("id_a", "id_b")
+    return embedding_neardup_pairs_block(_t(spark, sf_dir, "embeddings"), threshold=0.3).orderBy("id_a", "id_b")
 
 
 ORACLES["embedding_neardup_pairs"] = """

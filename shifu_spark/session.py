@@ -32,7 +32,10 @@ def get_spark(app_name: str = "shifu_spark", shuffle_partitions: str | int | Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 32g: roomy for sf0.1 caches yet small enough that G1 full GCs
+        # stay short — 48g heaps showed 5-15s stop-the-world stalls in
+        # bench runs with heavy broadcast churn
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     if not os.environ.get("SPARK_MASTER"):  # pragma: no branch - local default
         builder = builder.master(f"local[{cpus}]")
