@@ -329,3 +329,93 @@ def brute_force_topk_block(
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer cells + probe-1 search
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(embeddings: DataFrame, k: int = 16, vec_col: str = "embedding", seed: int = 42):
+    """Real IVF training path: k-means coarse quantizer via MLlib.
+
+    Returns a list of centroid vectors (python lists). The oracle-checked
+    query path uses seed-vector centroids instead (deterministic across
+    engines); swap these in for production recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(d)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    centroid_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid cell.
+
+    Centroids = rows matching ``centroid_filter`` (seed vectors —
+    deterministic and engine-portable; see :func:`train_ivf_centroids`
+    for the k-means path). Tie-break: higher cosine, then lower centroid
+    id — implemented as one row_number window so the duckdb oracle can
+    mirror it exactly. Output: (vec_id, embedding, norm, cell)."""
+    cents = embeddings.filter(centroid_filter).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("vnorm"),
+    ).crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", dot_expr(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "vnorm", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_filter: Column,
+    centroid_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe-1 approximate top-k: candidates live in the query's own
+    cell; exact cosine re-rank inside the cell.
+
+    Scale shape: assignment shuffles each row once (broadcast centroids),
+    search joins on the cell id — candidate volume ~N/#cells per query.
+    Increase recall with multi-probe (join on the top-p cells) or k-means
+    centroids; this is the standard IVF-Flat layout."""
+    cells = ivf_assign_cells(embeddings, centroid_filter, id_col, vec_col)
+    q = (
+        embeddings.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"))
+        .join(cells.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .select("query_id", F.col("vec").alias("qvec"), F.col("vnorm").alias("qnorm"), "cell")
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), F.col("vnorm").alias("nnorm"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

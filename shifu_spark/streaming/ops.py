@@ -1,0 +1,132 @@
+"""Streaming operators beyond the batch surface.
+
+The reference is strictly batch (SURVEY §2.9); these are the Structured
+Streaming counterparts of its operators plus the stateful running-stats
+accumulator it only has as a local helper:
+
+  * streaming dedup     — exact content dedup inside the watermark, the
+                          stream form of operators/dedup.exact_dedup_df
+  * session windows     — gap-based sessionization (the stream form of the
+                          batch events_sessionize query)
+  * running stats       — per-key Welford mean/variance carried across
+                          micro-batches via ``applyInPandasWithState``
+                          (core/StreamStatsCalculator.java:30-126 keeps the
+                          same running moments single-node; here the state
+                          store shards it by key)
+
+State bounds: dedup state = digests inside the watermark horizon; session
+state = open sessions per key; running stats = one (n, mean, M2) triple
+per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first occurrence of each content digest within the
+    watermark horizon. ``dropDuplicates`` keys the state store by digest;
+    late re-occurrences past the watermark are the accepted trade for
+    bounded state (document-dedup at stream scale is always horizoned)."""
+    return (
+        stream.withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["digest"])
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation: (key, session_start, session_end,
+    n_events). ``session_window`` merges events closer than ``gap``; the
+    watermark closes sessions so state stays bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful running moments (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_SCHEMA = "key string, n long, mean double, std double"
+_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def _welford_fn(key, pdfs, state):
+    """Merge each micro-batch into Welford (n, mean, M2) state.
+
+    Batch side uses numpy for the in-batch moments, then a single
+    Chan-et-al merge with the carried state — numerically stable and
+    O(1) state per key."""
+    import math
+
+    import numpy as np
+
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    for pdf in pdfs:
+        x = pdf["value"].to_numpy(dtype=float)
+        bn = len(x)
+        if bn == 0:
+            continue
+        bmean = float(x.mean())
+        bm2 = float(((x - bmean) ** 2).sum())
+        if n == 0:
+            n, mean, m2 = bn, bmean, bm2
+        else:
+            delta = bmean - mean
+            tot = n + bn
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            mean = mean + delta * bn / tot
+            n = tot
+    state.update((n, mean, m2))
+    std = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+    import pandas as pd
+
+    yield pd.DataFrame({"key": [key[0]], "n": [n], "mean": [mean], "std": [std]})
+
+
+def streaming_running_stats(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running mean/std across micro-batches.
+
+    ``applyInPandasWithState`` shards the (n, mean, M2) state by key in
+    the state store — the distributed form of the reference's
+    StreamStatsCalculator.add() loop. Emits the updated stats row for
+    every key seen in the batch (update semantics)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.select(F.col(key_col).cast("string").alias("key"), F.col(value_col).alias("value"))
+    return src.groupBy("key").applyInPandasWithState(
+        _welford_fn,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -272,3 +272,23 @@ class TestDynamicHybridBinning:
         #   0.5 -> bin0; 1.5 -> bin1; 10 -> cate0 -> 2; 11 -> cate1 -> 3;
         #   99 unknown cate -> missing 4; NULL -> missing 4
         assert got == [0, 1, 2, 3, 4, 4]
+
+
+class TestIvf:
+    def test_kmeans_centroids_shape(self, spark):
+        from shifu_spark.operators.similarity import train_ivf_centroids
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = train_ivf_centroids(emb, k=4)
+        assert len(cents) == 4
+        assert all(len(c) == 64 for c in cents)
+
+    def test_ivf_cells_partition_all_vectors(self, spark):
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.similarity import ivf_assign_cells
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cells = ivf_assign_cells(emb, F.col("vec_id") < 8)
+        assert cells.count() == emb.count()  # every vector in exactly one cell
+        assert cells.select("cell").distinct().count() <= 8
