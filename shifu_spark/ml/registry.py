@@ -1,0 +1,79 @@
+"""Model registry — persist/load trained model sets with their catalog.
+
+Reference: core/processor/ExportModelProcessor.java:109-190 (export NN/LR/
+tree specs), util/ModelSpecLoaderUtils.java (load bagged model specs),
+BinaryNNSerializer/BinaryDTSerializer custom binary formats. The Spark
+rebuild keeps MLlib's native save/load for the heavy artifacts and one
+JSON manifest for everything else — no custom binary formats:
+
+  <path>/manifest.json        pipeline spec + column catalog + model index
+  <path>/model_<i>/           MLlib native save (per bagged model)
+
+The manifest carries the fitted SGD weights inline (they're a vector),
+so ml/sgd.py models need no directory at all. PMML/ONNX export is out of
+scope (optional exporter in the reference too).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+_MLLIB_CLASSES = {
+    "LogisticRegressionModel": "pyspark.ml.classification",
+    "RandomForestClassificationModel": "pyspark.ml.classification",
+    "GBTClassificationModel": "pyspark.ml.classification",
+    "MultilayerPerceptronClassificationModel": "pyspark.ml.classification",
+}
+
+
+def save_model_set(
+    path: str,
+    models: list,
+    column_configs: list | None = None,
+    train_params: Any = None,
+    sgd_weights: list[float] | None = None,
+    feature_cols: list[str] | None = None,
+) -> None:
+    """Persist a bagged model set + metadata under one directory."""
+    os.makedirs(path, exist_ok=True)
+    index = []
+    for i, m in enumerate(models):
+        cls = type(m).__name__
+        if cls not in _MLLIB_CLASSES:
+            raise ValueError(f"unsupported model class {cls}")
+        mdir = os.path.join(path, f"model_{i}")
+        m.write().overwrite().save(mdir)
+        index.append({"dir": f"model_{i}", "cls": cls})
+    manifest = {
+        "models": index,
+        "feature_cols": feature_cols or [],
+        "sgd_weights": sgd_weights,
+        "train_params": asdict(train_params) if train_params is not None else None,
+        "column_configs": [asdict(c) for c in column_configs] if column_configs else None,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+
+
+def load_model_set(spark: SparkSession, path: str) -> dict:
+    """Load a model set saved by :func:`save_model_set`.
+
+    Returns {"models": [...], "feature_cols", "sgd_weights",
+    "train_params", "column_configs" (raw dicts)}.
+    """
+    import importlib
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    models = []
+    for entry in manifest["models"]:
+        mod = importlib.import_module(_MLLIB_CLASSES[entry["cls"]])
+        cls = getattr(mod, entry["cls"])
+        models.append(cls.load(os.path.join(path, entry["dir"])))
+    manifest["models"] = models
+    return manifest

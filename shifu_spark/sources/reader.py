@@ -166,3 +166,17 @@ def inject_validation(train_df: DataFrame, valid_df: DataFrame) -> DataFrame:
     return train_df.withColumn("__origin", F.lit("train")).unionByName(
         valid_df.withColumn("__origin", F.lit("valid"))
     )
+
+
+def shuffle_dataset(df: DataFrame, num_partitions: int | None = None, seed: int = 42) -> DataFrame:
+    """Randomly re-partition normalized data (norm-data shuffle,
+    core/shuffle/MapReduceShuffle.java:47-160 / DataShuffle.java:20-56 —
+    a whole MR job in the reference; one seeded round-robin repartition
+    here). Deterministic: rows are distributed by hash of a seeded rand
+    column rather than Spark's unseeded repartition(n)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("__shuffle_key", F.rand(seed))
+        .repartitionByRange(n, "__shuffle_key")
+        .drop("__shuffle_key")
+    )

@@ -87,3 +87,34 @@ class TestTreeEncode:
         # extractor sanity: at least one internal node in tree 0
         t0 = extract_tree(model._java_obj.trees()[0].rootNode())
         assert any(f >= 0 for f in t0["feature"])
+
+
+class TestModelRegistry:
+    def test_save_load_roundtrip_scores_identical(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from shifu_spark.ml.registry import load_model_set, save_model_set
+        from shifu_spark.ml.train import TrainParams, assemble_features, score_ensemble, train_models
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+            F.col("l_quantity").alias("f1"),
+            F.col("l_discount").alias("f2"),
+            (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        )
+        assembled = assemble_features(li, ["f1", "f2"], "label")
+        params = TrainParams(algorithm="LR", num_iterations=10, bags=2, bag_fraction=0.8, seed=42)
+        models = train_models(assembled, params, 2)
+
+        path = str(tmp_path / "modelset")
+        save_model_set(path, models, train_params=params, feature_cols=["f1", "f2"],
+                       sgd_weights=[0.1, -0.2, 0.05])
+        loaded = load_model_set(spark, path)
+
+        assert [type(m).__name__ for m in loaded["models"]] == ["LogisticRegressionModel"] * 2
+        assert loaded["feature_cols"] == ["f1", "f2"]
+        assert loaded["sgd_weights"] == [0.1, -0.2, 0.05]
+        assert loaded["train_params"]["algorithm"] == "LR"
+
+        a = score_ensemble(assembled, models).agg(F.sum("mean").alias("s")).collect()[0]["s"]
+        b = score_ensemble(assembled, loaded["models"]).agg(F.sum("mean").alias("s")).collect()[0]["s"]
+        assert a == b  # loaded models score bit-identically
