@@ -157,3 +157,89 @@ def gain_buckets_df(points: DataFrame, num_buckets: int = 10, round_to: int | No
         for c in ("action_rate", "precision", "recall", "fpr"):
             out = out.withColumn(c, F.round(F.col(c), round_to))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix-sum (the 100 TB form of the cumulative score scan)
+# ---------------------------------------------------------------------------
+
+def _range_prefix_offsets(parted: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-partition exclusive prefix offsets for ``cols``.
+
+    Sums each range-partition's totals (one tiny row per partition),
+    cumulates them on the driver (#partitions rows — trivially small),
+    and returns (pid, <col>_off...) for a broadcast join back."""
+    from pyspark.sql.functions import spark_partition_id
+
+    totals = (
+        parted.withColumn("__pid", spark_partition_id())
+        .groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .orderBy("__pid")
+        .collect()
+    )
+    rows, running = [], {c: 0 for c in cols}
+    for r in totals:
+        rows.append((r["__pid"], *[running[c] for c in cols]))
+        for c in cols:
+            running[c] += r[c] or 0
+    spark = parted.sparkSession
+    schema = "pid int, " + ", ".join(f"{c}_off long" for c in cols)
+    return spark.createDataFrame(rows, schema), running
+
+
+def confusion_points_scalable(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Cumulative confusion matrix without the single-task global window.
+
+    The plain :func:`confusion_points_df` uses ``sum() OVER (ORDER BY
+    score)`` — correct, but an unpartitioned window funnels every
+    distinct-score row through ONE task. This form is the distributed
+    prefix-sum: range-repartition by score desc, cumulate WITHIN each
+    range (tasks run in parallel), then add per-range exclusive offsets
+    (#partitions driver rows, broadcast back). Identical output.
+    """
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    pts = (
+        df.select(
+            F.col(score_col).cast("double").alias("score"),
+            F.when(label_expr, 1).otherwise(0).alias("y"),
+        )
+        .groupBy("score")
+        .agg(F.sum("y").alias("pos"), F.sum(F.lit(1) - F.col("y")).alias("neg"))
+    )
+    parted = pts.repartitionByRange(n, F.desc("score")).sortWithinPartitions(F.desc("score")).persist()
+    parted.count()  # pin the partitioning — offsets must see the same layout
+    offsets, grand = _range_prefix_offsets(parted, ["pos", "neg"])
+    from pyspark.sql.functions import spark_partition_id
+
+    wpart = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        parted.withColumn("__pid", spark_partition_id())
+        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
+        .withColumn("tp", F.sum("pos").over(wpart) + F.col("pos_off"))
+        .withColumn("fp", F.sum("neg").over(wpart) + F.col("neg_off"))
+        # grand totals fall out of the offset scan — no global window
+        .withColumn("tot_p", F.lit(grand["pos"]))
+        .withColumn("tot_n", F.lit(grand["neg"]))
+        .select(
+            "score",
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("tot_p") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("tot_n") - F.col("fp")).cast("long").alias("tn"),
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+            F.try_divide(F.col("tp"), F.col("tot_p")).alias("recall"),
+            F.try_divide(F.col("fp"), F.col("tot_n")).alias("fpr"),
+        )
+    )
+    return out

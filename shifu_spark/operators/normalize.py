@@ -174,7 +174,41 @@ def normalize_df(
         elif norm_type == "DISCRETE_ZSCORE":
             e = discrete_zscore_expr(name, b.bin_boundary, st.mean or 0.0, st.std_dev or 0.0, cutoff)
         elif norm_type == "ASIS_PR":
-            e = F.col(name).try_cast("double")
+            if cc.is_categorical:
+                e = categorical_posrate_expr(
+                    name, b.bin_category, b.bin_pos_rate[: len(b.bin_category)],
+                    b.bin_pos_rate[-1] if b.bin_pos_rate else 0.0,
+                )
+            else:
+                e = F.col(name).try_cast("double")
+        elif norm_type == "ASIS_WOE":
+            # pass-through numeric; categorical -> its bin's woe
+            # (Normalizer.java:353-377); woe slots = categories + missing
+            if cc.is_categorical:
+                need = len(b.bin_category) + 1
+                woes = list(b.bin_count_woe[:need]) + [0.0] * (need - len(b.bin_count_woe[:need]))
+                from shifu_spark.operators.binning import categorical_index_expr
+
+                idx = categorical_index_expr(name, b.bin_category)
+                arr = F.array(*[F.lit(float(x)) for x in woes])
+                e = F.element_at(arr, idx + 1)
+            else:
+                e = F.col(name).try_cast("double")
+        elif norm_type in ("ZSCALE_INDEX", "WOE_INDEX", "WOE_ZSCALE_INDEX"):
+            # categorical -> RAW bin index (embedding inputs,
+            # Normalizer.java:287-350); numeric -> the named transform
+            if cc.is_categorical:
+                from shifu_spark.operators.binning import categorical_index_expr
+
+                e = categorical_index_expr(name, b.bin_category).cast("double")
+            elif norm_type == "ZSCALE_INDEX":
+                e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+            else:
+                woes = padded(b.bin_count_woe)
+                e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1])
+                if norm_type == "WOE_ZSCALE_INDEX":
+                    wm, ws = cc.woe_mean_std()
+                    e = zscore_expr(e, wm, ws, cutoff)
         else:
             raise ValueError(f"unsupported norm_type {norm_type}")
         cols.append(e.alias(name))

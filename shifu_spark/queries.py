@@ -2017,3 +2017,25 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, neighbor_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
+
+
+@query("confusion_matrix_scalable", None)
+def confusion_matrix_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative confusion matrix via distributed prefix-sum
+    (eval_metrics.confusion_points_scalable): range-partitioned
+    within-range windows + broadcast per-range offsets — the 100 TB form
+    of the single-task ORDER BY window. Same oracle as
+    confusion_matrix_points (outputs are identical by construction)."""
+    from shifu_spark.operators.eval_metrics import confusion_points_scalable
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = confusion_points_scalable(li, "l_extendedprice", F.col("l_returnflag") == "R")
+    return pts.select(
+        "score", "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("fpr", 6).alias("fpr"),
+    )
+
+
+ORACLES["confusion_matrix_scalable"] = ORACLES["confusion_matrix_points"]

@@ -292,3 +292,64 @@ class TestIvf:
         cells = ivf_assign_cells(emb, F.col("vec_id") < 8)
         assert cells.count() == emb.count()  # every vector in exactly one cell
         assert cells.select("cell").distinct().count() <= 8
+
+
+class TestScalableConfusion:
+    def test_matches_window_form(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.eval_metrics import confusion_points_df, confusion_points_scalable
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        label = F.col("l_returnflag") == "R"
+        a = confusion_points_df(li, "l_extendedprice", label).select(
+            "score", "tp", "fp", "fn", "tn"
+        )
+        b = confusion_points_scalable(li, "l_extendedprice", label, num_ranges=8).select(
+            "score", "tp", "fp", "fn", "tn"
+        )
+        rows_a = sorted(map(tuple, a.collect()))
+        rows_b = sorted(map(tuple, b.collect()))
+        assert rows_a == rows_b
+
+
+class TestNormalizeVariants:
+    """normalize_df dispatch for the index/asis NormTypes
+    (ModelNormalizeConf.java:33-57, Normalizer.java:287-377)."""
+
+    @staticmethod
+    def _cc_cat():
+        from shifu_spark.catalog import ColumnBinning, ColumnConfig, ColumnStats, ColumnType
+
+        cc = ColumnConfig(column_num=0, column_name="c", column_type=ColumnType.CATEGORICAL)
+        cc.final_select = True
+        cc.column_binning = ColumnBinning(
+            bin_category=["x", "y"], bin_pos_rate=[0.2, 0.8, 0.5],
+            bin_count_woe=[1.0, -1.0, 0.0], bin_boundary=[],
+        )
+        cc.column_stats = ColumnStats(mean=0.0, std_dev=1.0)
+        return cc
+
+    def test_index_variant_emits_raw_bin_index(self, spark):
+        from shifu_spark.operators.normalize import normalize_df
+
+        df = spark.createDataFrame([("x",), ("y",), ("zz",)], "c string")
+        out = normalize_df(df, [self._cc_cat()], norm_type="ZSCALE_INDEX")
+        got = [r["c"] for r in out.collect()]
+        assert got == [0.0, 1.0, 2.0]  # x->0, y->1, unknown->missing slot 2
+
+    def test_asis_woe_categorical(self, spark):
+        from shifu_spark.operators.normalize import normalize_df
+
+        df = spark.createDataFrame([("x",), ("y",), ("zz",)], "c string")
+        out = normalize_df(df, [self._cc_cat()], norm_type="ASIS_WOE")
+        got = [r["c"] for r in out.collect()]
+        assert got == [1.0, -1.0, 0.0]  # woe per bin; unknown -> missing woe
+
+    def test_asis_pr_categorical(self, spark):
+        from shifu_spark.operators.normalize import normalize_df
+
+        df = spark.createDataFrame([("x",), ("y",), ("zz",)], "c string")
+        out = normalize_df(df, [self._cc_cat()], norm_type="ASIS_PR")
+        got = [r["c"] for r in out.collect()]
+        assert got == [0.2, 0.8, 0.5]  # posrate per category; miss -> last
