@@ -1,0 +1,86 @@
+"""Physical-plan inspection — the plan-regression toolkit.
+
+The reference hand-tunes its execution (reducer counts, in-mapper
+combining, salted keys — SURVEY §4); on Spark those properties are
+Catalyst's job, but they can silently regress when an operator is
+rewritten. These helpers read the executed plan so tests can pin the
+plan shape an operator is supposed to have:
+
+    assert_pushed_filters(df, ["l_shipdate"])   # filter reached the scan
+    assert count_shuffles(df) <= 2              # agg = one exchange + AQE read
+    assert has_broadcast_join(df)               # dim side stayed broadcast
+
+Used by tests/test_plans.py; also handy interactively:
+``print(plan_report(df))``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_explain(df: DataFrame) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the executed plan (AQE reuse and
+    broadcast exchanges excluded)."""
+    plan = _executed_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    plan = _executed_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The PushedFilters lists of every scan in the optimized plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", _full_explain(df))
+
+
+def assert_pushed_filters(df: DataFrame, column_substrings: list[str]) -> None:
+    """Assert each named column appears in some scan's pushed filters."""
+    pushed = " | ".join(pushed_filters(df))
+    missing = [c for c in column_substrings if c not in pushed]
+    if missing:
+        raise AssertionError(f"filters not pushed to scan for: {missing}\npushed: {pushed}")
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists each parquet scan actually reads (pruning check)."""
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _full_explain(df))
+    return [[c.split(":")[0] for c in s.split(",") if c] for s in schemas]
+
+
+def assert_columns_pruned(df: DataFrame, table_width: int) -> None:
+    """Assert no scan reads the full table width (projection reached it)."""
+    widths = [len(cols) for cols in read_schema_columns(df)]
+    if any(w >= table_width for w in widths):
+        raise AssertionError(f"scan reads {max(widths)} columns of a {table_width}-wide table")
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """How many WholeStageCodegen regions the executed plan contains.
+
+    Under AQE the final plan (with codegen markers) only exists after an
+    action — run ``df.count()`` first or this reports 0."""
+    return len(set(re.findall(r"\*\((\d+)\)", _executed_plan(df))))
+
+
+def plan_report(df: DataFrame) -> str:
+    """One-screen plan summary for interactive tuning."""
+    return (
+        f"shuffles:            {count_shuffles(df)}\n"
+        f"broadcast join:      {has_broadcast_join(df)}\n"
+        f"codegen spans:       {whole_stage_codegen_spans(df)}\n"
+        f"pushed filters:      {pushed_filters(df)}\n"
+        f"scan read schemas:   {read_schema_columns(df)}\n"
+    )

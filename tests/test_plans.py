@@ -1,0 +1,82 @@
+"""Plan-regression tests: pin the physical-plan properties each operator
+family is designed to have (SURVEY §4 — what Catalyst must keep doing
+for the 100 TB story to hold)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shifu_spark.plans.inspect import (
+    assert_columns_pruned,
+    assert_pushed_filters,
+    count_shuffles,
+    has_broadcast_join,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+class TestScanHygiene:
+    def test_tpch_q1_pushdown_and_pruning(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q1"](spark, SF)
+        assert_pushed_filters(df, ["l_shipdate"])
+        assert_columns_pruned(df, table_width=11)  # lineitem has 11 cols
+        assert count_shuffles(df) <= 2  # partial agg + final agg exchange (+sort reuse)
+
+    def test_purify_filter_pushdown(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["purify_filter"](spark, SF)
+        # the translated JEXL predicate must reach the parquet scan
+        assert_pushed_filters(df, ["l_quantity"])
+
+
+class TestAggShapes:
+    def test_column_stats_single_pass(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["column_stats"](spark, SF)
+        # wide agg: everything reduces through global aggregation —
+        # no join, no per-column pass
+        assert count_shuffles(df) <= len(df.columns)  # union of k 1-row selects
+        assert_columns_pruned(df, table_width=11)
+
+    def test_normalize_is_broadcast_only(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["zscore_normalize"](spark, SF)
+        # row transform + broadcast stats row: no hash shuffle of the data
+        assert has_broadcast_join(df)
+        assert count_shuffles(df) <= 1  # only the 1-row agg's own exchange
+
+    def test_codegen_covers_normalize(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["zscore_normalize"](spark, SF)
+        df.collect()  # AQE finalizes THIS plan only via its own action
+        assert whole_stage_codegen_spans(df) >= 1
+
+
+class TestJoinShapes:
+    def test_combo_join_broadcasts(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["nation_revenue"](spark, SF)
+        assert has_broadcast_join(df)  # nation/region dims must broadcast
+
+    def test_lsh_band_join_not_nested_loop(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["minhash_lsh_pairs"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # banding turns the quadratic problem into equi-joins: the plan
+        # must contain hash/sort-merge equi-joins, and the only nested
+        # loop allowed is a broadcast one (tiny side)
+        assert "CartesianProduct" not in plan
