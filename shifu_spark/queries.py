@@ -2039,3 +2039,95 @@ def confusion_matrix_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["confusion_matrix_scalable"] = ORACLES["confusion_matrix_points"]
+
+
+@query("events_props_json", None)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the JSON props column
+    JVM-side (get_json_object — no Python, pushdown-friendly) and
+    aggregate by event type. The training-data-pipeline op for
+    metadata-bearing event/row payloads."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["events_props_json"] = """
+SELECT event_type, count(*) AS n,
+       sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("weighted_roc_auc", None)
+def weighted_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted ROC AUC (PerformanceResult weighted curves,
+    AreaUnderCurve weighted trapezoid): trapezoid over weighted
+    (FPR, TPR) per distinct score; weight = l_quantity with the
+    reference's clamp (null/negative -> 1.0)."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.eval_metrics import confusion_points_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R", weight_col="l_quantity")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = (
+        pts.withColumn("wp_tot", F.max("wtp").over(wall))
+        .withColumn("wn_tot", F.max("wfp").over(wall))
+        .withColumn("tpr", F.col("wtp") / F.col("wp_tot"))
+        .withColumn("fpr_w", F.col("wfp") / F.col("wn_tot"))
+    )
+    wprev = Window.orderBy("fpr_w", "tpr")
+    lagged = (
+        t.select("fpr_w", "tpr")
+        .withColumn("prev_f", F.lag("fpr_w").over(wprev))
+        .withColumn("prev_t", F.lag("tpr").over(wprev))
+    )
+    auc = F.sum(
+        F.when(
+            F.col("prev_f").isNotNull(),
+            (F.col("fpr_w") - F.col("prev_f")) * (F.col("tpr") + F.col("prev_t")) / 2.0,
+        ).otherwise(F.col("fpr_w") * F.col("tpr") / 2.0)
+    )
+    return lagged.agg(F.round(auc, 6).alias("weighted_auc"))
+
+
+ORACLES["weighted_roc_auc"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT sum(wpos) OVER (ORDER BY score DESC) AS wtp,
+         sum(wneg) OVER (ORDER BY score DESC) AS wfp
+  FROM pts
+),
+curve AS (
+  SELECT wtp / (max(wtp) OVER ()) AS tpr, wfp / (max(wfp) OVER ()) AS fpr_w FROM cum
+),
+lagged AS (
+  SELECT fpr_w, tpr,
+         lag(fpr_w) OVER (ORDER BY fpr_w, tpr) AS prev_f,
+         lag(tpr) OVER (ORDER BY fpr_w, tpr) AS prev_t
+  FROM curve
+)
+SELECT round(sum(CASE WHEN prev_f IS NOT NULL
+                      THEN (fpr_w - prev_f) * (tpr + prev_t) / 2.0
+                      ELSE fpr_w * tpr / 2.0 END), 6) AS weighted_auc
+FROM lagged
+"""
