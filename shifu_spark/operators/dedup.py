@@ -282,3 +282,68 @@ def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_groups_df(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into GROUPS: connected components with the
+    minimum doc_id as the group representative.
+
+    (doc_a, doc_b) edges -> (doc_id, group_id) where group_id = min id
+    reachable through any chain of near-dup pairs — the keep-one-per-
+    cluster step after minhash/simhash/embedding pair generation.
+
+    Spark shape: iterative label propagation — each round every node
+    adopts the min label among itself and its neighbors; converges in
+    O(diameter) rounds (≤ log n after path doubling would, but dup
+    clusters are shallow in practice). Each round is one join + one
+    groupBy on (edges + labels); labels are checkpointed via persist to
+    keep lineage bounded. Driver sees only the per-round change count.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("group_id"), F.coalesce(F.col("nmin"), F.col("group_id"))).alias("group_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every non-representative member of each near-dup group:
+    docs minus (group members with id != group min). Anti-join keeps
+    docs that never appear in any pair untouched."""
+    groups = dedup_groups_df(pairs)
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    return docs.join(losers, docs[id_col] == losers["doc_id"], "left_anti")

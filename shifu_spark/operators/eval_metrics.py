@@ -243,3 +243,37 @@ def confusion_points_scalable(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Raw-score rescale strategies (GBT scores are unbounded margins)
+# ---------------------------------------------------------------------------
+
+def rescale_score_expr(score: Column | str, strategy: str = "SIGMOID") -> Column:
+    """Map raw model output to [0,1] before the confusion-matrix sweep.
+
+    Reference: ConfusionMatrix.java:257-276,404-420 — GBT margins are
+    rescaled per configured strategy before bucketing:
+      RAW       pass-through (already a probability)
+      SIGMOID   1/(1+exp(-2·s)) (the reference's scaled sigmoid)
+      OLD_SIGMOID  1/(1+exp(-s))
+      MAXMIN    (s - min)/(max - min) — needs the global max/min, so this
+                variant takes (score, min_col, max_col) broadcast columns
+    """
+    s = F.col(score) if isinstance(score, str) else score
+    s = s.cast("double")
+    if strategy == "RAW":
+        return s
+    if strategy == "SIGMOID":
+        return 1.0 / (1.0 + F.exp(-2.0 * s))
+    if strategy == "OLD_SIGMOID":
+        return 1.0 / (1.0 + F.exp(-s))
+    raise ValueError(f"unsupported rescale strategy {strategy}")
+
+
+def rescale_maxmin_expr(score: Column | str, min_col: Column, max_col: Column) -> Column:
+    """MAXMIN rescale with broadcast global bounds; degenerate range -> 0.5
+    (the reference clamps equal-max-min the same way)."""
+    s = (F.col(score) if isinstance(score, str) else score).cast("double")
+    rng = max_col - min_col
+    return F.when(rng <= 0, F.lit(0.5)).otherwise((s - min_col) / rng)

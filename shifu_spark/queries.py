@@ -2131,3 +2131,47 @@ SELECT round(sum(CASE WHEN prev_f IS NOT NULL
                       ELSE fpr_w * tpr / 2.0 END), 6) AS weighted_auc
 FROM lagged
 """
+
+
+@query("dedup_groups", None)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: connected components over the n-gram
+    Jaccard pairs, min doc_id as group representative
+    (operators/dedup.dedup_groups_df — iterative label propagation).
+    Oracle = DuckDB recursive CTE computing min-reachable-id."""
+    from shifu_spark.operators.dedup import dedup_groups_df, ngram_jaccard_pairs_df
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_df(docs, 3, threshold=0.5)
+    return dedup_groups_df(pairs).orderBy("doc_id")
+
+
+ORACLES["dedup_groups"] = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+cnt AS (SELECT doc_id, count(*) ns FROM sh GROUP BY 1),
+raw_pairs AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM raw_pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE inter::DOUBLE / (ca.ns + cb.ns - inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+)
+SELECT src AS doc_id, min(lbl) AS group_id FROM reach GROUP BY src ORDER BY doc_id
+"""

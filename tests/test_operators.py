@@ -353,3 +353,45 @@ class TestNormalizeVariants:
         out = normalize_df(df, [self._cc_cat()], norm_type="ASIS_PR")
         got = [r["c"] for r in out.collect()]
         assert got == [0.2, 0.8, 0.5]  # posrate per category; miss -> last
+
+
+class TestDedupGroups:
+    def test_transitive_chain_one_group(self, spark):
+        from shifu_spark.operators.dedup import dedup_groups_df
+
+        # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two groups
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r["group_id"] for r in dedup_groups_df(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_keep_representatives(self, spark):
+        from shifu_spark.operators.dedup import dedup_keep_representatives
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+        )
+        kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
+        # group reps 1 and 10 survive; untouched 99 survives
+        assert kept == [1, 10, 99]
+
+
+class TestScoreRescale:
+    def test_strategies(self, spark):
+        from shifu_spark.operators.eval_metrics import rescale_maxmin_expr, rescale_score_expr
+
+        df = spark.createDataFrame([(-2.0,), (0.0,), (2.0,)], "s double")
+        sig = [r[0] for r in df.select(rescale_score_expr("s", "SIGMOID").alias("v")).collect()]
+        assert abs(sig[1] - 0.5) < 1e-12 and sig[0] < 0.02 and sig[2] > 0.98
+        raw = [r[0] for r in df.select(rescale_score_expr("s", "RAW").alias("v")).collect()]
+        assert raw == [-2.0, 0.0, 2.0]
+        import pyspark.sql.functions as F
+
+        mm = [r[0] for r in df.select(rescale_maxmin_expr("s", F.lit(-2.0), F.lit(2.0)).alias("v")).collect()]
+        assert mm == [0.0, 0.5, 1.0]
+        degenerate = [r[0] for r in df.select(rescale_maxmin_expr("s", F.lit(1.0), F.lit(1.0)).alias("v")).collect()]
+        assert degenerate == [0.5, 0.5, 0.5]
