@@ -1,0 +1,101 @@
+"""Sources/sinks: header sidecar schema, string-typed ingest, missing
+semantics, malformed-row drop, splits (SURVEY §1.1/§2.1 reference
+behaviors)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shifu_spark.sources.reader import (
+    inject_validation,
+    is_missing_str,
+    read_dataset,
+    read_header,
+    safe_double,
+    seeded_split,
+    shuffle_dataset,
+    write_dataset,
+    write_header_sidecar,
+)
+
+
+@pytest.fixture(scope="module")
+def text_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    header = d / "data.pig_header"
+    header.write_text("ns::id|ns::amount|tag\n")
+    data = d / "data.txt"
+    data.write_text(
+        "1|10.5|R\n"
+        "2|?|A\n"          # missing token
+        "3|abc|R\n"        # unparseable numeric
+        "4|NaN|A\n"        # NaN -> missing
+        "5|Infinity|R\n"   # Inf -> missing
+        "6|2.5\n"          # malformed: 2 fields -> dropped
+        "7|3.0|N|extra\n"  # malformed: 4 fields -> dropped
+    )
+    return str(data), str(header)
+
+
+class TestIngest:
+    def test_header_namespace_collapse(self, spark, text_data):
+        _, header = text_data
+        assert read_header(spark, header) == ["id", "amount", "tag"]
+
+    def test_malformed_rows_dropped(self, spark, text_data):
+        data, header = text_data
+        df = read_dataset(spark, data, header_path=header)
+        assert df.columns == ["id", "amount", "tag"]
+        ids = sorted(r["id"] for r in df.collect())
+        assert ids == ["1", "2", "3", "4", "5"]  # 6 and 7 dropped
+
+    def test_unparseable_is_missing_not_error(self, spark, text_data):
+        data, header = text_data
+        df = read_dataset(spark, data, header_path=header)
+        vals = {r["id"]: r["v"] for r in df.select("id", safe_double("amount").alias("v")).collect()}
+        assert vals["1"] == 10.5
+        assert vals["2"] is None  # '?' token
+        assert vals["3"] is None  # unparseable
+        assert vals["4"] is None  # NaN
+        assert vals["5"] is None  # Infinity
+
+    def test_is_missing_str(self, spark):
+        df = spark.createDataFrame([("",), ("?",), ("x",), (None,)], "s string")
+        got = [r[0] for r in df.select(is_missing_str("s").alias("m")).collect()]
+        assert got == [True, True, False, True]
+
+
+class TestSinksAndSplits:
+    def test_csv_roundtrip_with_sidecar(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        out = str(tmp_path / "out_csv")
+        write_dataset(df, out, fmt="csv", delimiter="|")
+        write_header_sidecar(df, out, delimiter="|")
+        header = spark.read.text(out + ".pig_header").collect()[0][0]
+        assert header == "id|v"
+        back = spark.read.option("sep", "|").option("header", "true").csv(out)
+        assert sorted(r["v"] for r in back.collect()) == ["a", "b"]
+
+    def test_seeded_split_deterministic(self, spark):
+        df = spark.range(1000)
+        t1, v1 = seeded_split(df, 0.3, seed=7)
+        t2, v2 = seeded_split(df, 0.3, seed=7)
+        assert sorted(r["id"] for r in v1.collect()) == sorted(r["id"] for r in v2.collect())
+        assert t1.count() + v1.count() == 1000
+
+    def test_inject_validation_flags(self, spark):
+        t = spark.range(5)
+        v = spark.range(5, 8)
+        out = inject_validation(t, v)
+        counts = {r["__origin"]: r["n"] for r in out.groupBy("__origin").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"train": 5, "valid": 3}
+
+    def test_shuffle_preserves_rows(self, spark):
+        df = spark.range(500)
+        out = shuffle_dataset(df, num_partitions=8)
+        assert out.rdd.getNumPartitions() == 8
+        assert sorted(r["id"] for r in out.collect()) == list(range(500))
