@@ -283,3 +283,41 @@ SELECT '{c}' AS column_name,
 FROM {sums}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, tuple[str, str | None]],
+    salt: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys.
+
+    Reference: the stats job salts its per-column groupBy with a random
+    int (AddColumnNumUDF isAppendRandom + GROUP BY (columnId, rand),
+    StatsSpdtI.pig:57-60) so 10k columns over billions of rows don't
+    funnel through #columns reducers. Spark's partial aggregation already
+    combines map-side, but when per-key state is heavy the salt still
+    matters: stage 1 aggregates on (key, salt) — salt = hash of a
+    high-cardinality column (deterministic, unlike the reference's
+    Math.random()) — stage 2 merges the ≤ salt partials per key.
+
+    ``agg_exprs``: {out_name: (how, in_col)} with how in
+    sum|count|min|max — algebraic aggs whose partial/merge split is
+    (sum,sum), (count,sum), (min,min), (max,max); in_col ignored for
+    count.
+    """
+    from pyspark.sql import functions as F
+
+    sc = salt_col or df.columns[0]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(sc)), F.lit(salt)))
+    stage1_aggs = []
+    for out, (how, in_col) in agg_exprs.items():
+        e = F.count(F.lit(1)) if how == "count" else getattr(F, how)(in_col)
+        stage1_aggs.append(e.alias(out))
+    stage1 = salted.groupBy(*key_cols, "__salt").agg(*stage1_aggs)
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    return stage1.groupBy(*key_cols).agg(
+        *[merge[how](out).alias(out) for out, (how, _in) in agg_exprs.items()]
+    )

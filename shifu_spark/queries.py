@@ -2175,3 +2175,28 @@ reach(src, lbl) AS (
 )
 SELECT src AS doc_id, min(lbl) AS group_id FROM reach GROUP BY src ORDER BY doc_id
 """
+
+
+@query("salted_group_counts", None)
+def salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation (StatsSpdtI.pig salted two-level
+    GROUP BY as operators/stats.salted_agg): lineitem has only 3 return
+    flags — salting spreads each hot key over 16 partial groups before
+    the 3-row merge. Result identical to the direct groupBy (oracle)."""
+    from shifu_spark.operators.stats import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", None), "qty_min": ("min", "l_quantity"), "qty_max": ("max", "l_quantity")},
+        salt=16,
+        salt_col="l_orderkey",
+    )
+    return out.orderBy("l_returnflag")
+
+
+ORACLES["salted_group_counts"] = """
+SELECT l_returnflag, count(*) AS n, min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
