@@ -2200,3 +2200,48 @@ ORACLES["salted_group_counts"] = """
 SELECT l_returnflag, count(*) AS n, min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of simhash_df + chunk-join pairs: hex→int via strpos
+    digit decode (same value as Spark's conv(md5[1:8],16,10)), 32 weighted
+    bit votes, 4×8-bit pigeonhole chunks, hamming = bit_count(xor)."""
+    hexdec = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(token),{i + 1},1))-1)*{16 ** (7 - i)}"
+        for i in range(8)
+    )
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS b{j}" for j in range(32)
+    )
+    simbits = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    chunks = ", ".join(f"(simhash >> {i * 8}) & 255 AS c{i}" for i in range(4))
+    chunk_eq = " OR ".join(f"a.c{i} = b.c{i}" for i in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS token, count(*) AS w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id, w, ({hexdec})::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+),
+sim AS (SELECT doc_id, ({simbits})::BIGINT AS simhash FROM votes),
+chunked AS (SELECT doc_id, simhash, {chunks} FROM sim),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunked a JOIN chunked b
+    ON a.doc_id < b.doc_id AND ({chunk_eq})
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLES["simhash_neardup_pairs"] = _simhash_oracle()
