@@ -1911,6 +1911,33 @@ def sgd_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("nn_train", None)
+def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MLP with Shifu's activation set (core/dtrain/nn BSP as
+    mapInPandas backprop partials + driver optimizer, ml/nn.py —
+    ActivationPTANH/Swish/LeakyReLU parity that MLlib's MLP lacks).
+    Rows-only check: iterative training is not SQL-expressible. Returns
+    per-class mean score of the fitted net — stable shape, seeded."""
+    from shifu_spark.ml.nn import nn_score_udf, train_nn
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    )
+    res = train_nn(
+        li, ["x1", "x2"], hidden_layers=[4], hidden_activation="SWISH",
+        optimizer="ADAM", learning_rate=0.3, max_epochs=3, seed=42,
+    )
+    return (
+        li.withColumn("p", nn_score_udf(["x1", "x2"], res))
+        .groupBy("flag")
+        .agg(F.round(F.avg("p"), 4).alias("mean_score"))
+        .orderBy("flag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dynamic binning (§2.5 — StatsDynamicBinning.pig two-pass shape)
 # ---------------------------------------------------------------------------
