@@ -354,15 +354,20 @@ def ivf_assign_cells(
     centroid_filter: Column,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
-    """Assign every vector to its max-cosine centroid cell.
+    """Assign every vector to its ``probes`` max-cosine centroid cells
+    (probes=1 ⇒ classic single-cell assignment; probes>1 is the query-side
+    multi-probe expansion).
 
-    Centroids = rows matching ``centroid_filter`` (seed vectors —
-    deterministic and engine-portable; see :func:`train_ivf_centroids`
-    for the k-means path). Tie-break: higher cosine, then lower centroid
-    id — implemented as one row_number window so the duckdb oracle can
-    mirror it exactly. Output: (vec_id, embedding, norm, cell)."""
-    cents = embeddings.filter(centroid_filter).select(
+    Centroids = rows of ``centroid_source`` (default: ``embeddings``
+    itself) matching ``centroid_filter`` (seed vectors — deterministic and
+    engine-portable; see :func:`train_ivf_centroids` for the k-means
+    path). Tie-break: higher cosine, then lower centroid id — implemented
+    as one row_number window so the duckdb oracle can mirror it exactly.
+    Output: (vec_id, embedding, norm, cell)."""
+    cents = (centroid_source if centroid_source is not None else embeddings).filter(centroid_filter).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cnorm"),
@@ -377,7 +382,7 @@ def ivf_assign_cells(
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= probes)
         .select("vec_id", "vec", "vnorm", F.col("cid").alias("cell"))
     )
 
@@ -406,6 +411,59 @@ def ivf_topk(
     )
     c = cells.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), F.col("vnorm").alias("nnorm"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk_multiprobe(
+    embeddings: DataFrame,
+    query_filter: Column,
+    centroid_filter: Column,
+    k: int = 5,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF top-k: each data vector lives in exactly one cell,
+    each query searches its ``probes`` nearest cells — the standard recall
+    knob of IVF-Flat (probe-1 misses neighbors that quantized into an
+    adjacent cell).
+
+    Scale shape: candidate volume ~ probes*N/#cells per query; the data
+    side still shuffles once on cell id, queries are broadcast. No pair
+    dedup is needed — one cell per data vector => each (query, neighbor)
+    appears at most once."""
+    cells = ivf_assign_cells(embeddings, centroid_filter, id_col, vec_col)
+    qcells = ivf_assign_cells(
+        embeddings.filter(query_filter),
+        centroid_filter,
+        id_col,
+        vec_col,
+        probes=probes,
+        centroid_source=embeddings,
+    )
+    q = qcells.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        "cell",
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("vnorm").alias("nnorm"),
+        "cell",
     )
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -2008,6 +2008,57 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, F.col("vec_id").between(10, 19), F.col("vec_id") < 8, k=3)
 
 
+@query("embedding_ivf_multiprobe", None)
+def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (operators/similarity.ivf_topk_multiprobe):
+    data vectors in their 1 nearest cell, queries probe their top-2 cells
+    — the IVF-Flat recall knob. Seed-vector centroids (vec_id 0-7) keep
+    the oracle deterministic."""
+    from shifu_spark.operators.similarity import ivf_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_multiprobe(
+        emb, F.col("vec_id").between(10, 19), F.col("vec_id") < 8, k=3, probes=2
+    )
+
+
+ORACLES["embedding_ivf_multiprobe"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vnorm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cvec, vnorm AS cnorm FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, e.vnorm, c.cid,
+         list_dot_product(e.v, c.cvec) / (e.vnorm * c.cnorm) AS ccos
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM scored
+),
+cells AS (SELECT vec_id, v, vnorm, cid AS cell FROM assigned WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, vnorm AS qnorm, cid AS cell
+  FROM assigned WHERE rn <= 2 AND vec_id BETWEEN 10 AND 19
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v) / (q.qnorm * c.vnorm) AS cosine
+  FROM cells c JOIN q USING (cell)
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank::INT AS rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 ORACLES["embedding_ivf_topk"] = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
