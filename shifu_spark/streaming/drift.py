@@ -88,3 +88,43 @@ def start_drift_monitor(
         .queryName(queryName)
         .start()
     )
+
+
+def start_drift_monitor_foreach_batch(
+    stream: DataFrame,
+    value_col: str,
+    boundaries: list[float],
+    expected_frac: dict[int, float],
+    output_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Production sink wiring: closed windows' bin counts flow through
+    ``foreachBatch``, which finalizes PSI per window and appends one
+    parquet row per (window, psi) — swap the ``write.parquet`` for any
+    batch sink (delta/kafka/jdbc) without touching the streaming graph.
+
+    Append mode ⇒ a window's counts arrive exactly once, after the
+    watermark passes its end, so each PSI row is final (no upsert logic
+    needed downstream). Checkpointing makes the query restartable with
+    exactly-once sink semantics for idempotent batch writes."""
+    counts = streaming_bin_counts(stream, value_col, boundaries, ts_col, window, watermark)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            psi_of_batch(batch_df, expected_frac)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -97,3 +97,66 @@ class TestRunningStats:
             assert s["n"] == b["n"]
             assert math.isclose(s["mean"], b["mean"], rel_tol=1e-9)
             assert math.isclose(s["std"], b["std"], rel_tol=1e-9)
+
+
+class TestDriftForeachBatchSink:
+    def test_foreach_batch_psi_parquet_sink(self, spark, tmp_path):
+        """Production sink wiring: two micro-batches (maxFilesPerTrigger=1);
+        the second advances the watermark past the first hour's window end,
+        so its PSI row lands in the parquet sink, finalized once."""
+        from datetime import datetime
+
+        from shifu_spark.streaming.drift import psi_of_batch, start_drift_monitor_foreach_batch
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        mk = lambda h, m, v: (datetime(2026, 1, 1, h, m), float(v))
+        early = [mk(0, i % 60, 1.0 + 3 * (i % 4)) for i in range(40)]
+        late = [mk(6, i % 60, 2.0) for i in range(10)]  # watermark mover
+        schema = "ts timestamp, v double"
+        spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+
+        boundaries = [0.0, 2.0, 5.0]
+        expected = {0: 0.5, 1: 0.3, 2: 0.2}
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = start_drift_monitor_foreach_batch(
+            stream, "v", boundaries, expected, out, ckpt, window="1 hour", watermark="2 hours"
+        )
+        # the monitor runs the default trigger — poll until the closed
+        # window's PSI row reaches the parquet sink, then stop
+        import time
+
+        def _out_ready():
+            try:
+                return len(spark.read.parquet(out).take(1)) > 0
+            except Exception:
+                return False
+
+        deadline = time.time() + 120
+        while time.time() < deadline and not _out_ready():
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+        assert _out_ready(), "no PSI rows reached the sink before timeout"
+
+        got = spark.read.parquet(out)
+        rows = {r["window_start"]: r["psi"] for r in got.collect()}
+        # only the hour-0 window closed (hour-6 stays open)
+        assert set(rows) == {datetime(2026, 1, 1, 0, 0)}
+
+        # batch replica of the same math on the same early rows
+        bdf = spark.createDataFrame(early, schema).select(
+            F.lit(datetime(2026, 1, 1, 0, 0)).alias("window_start"),
+            F.col("v"),
+        )
+        from shifu_spark.operators.binning import bin_index_expr
+
+        counts = (
+            bdf.withColumn("bin", bin_index_expr("v", boundaries))
+            .groupBy("window_start", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        want = psi_of_batch(counts, expected).collect()[0]["psi"]
+        assert abs(rows[datetime(2026, 1, 1, 0, 0)] - want) < 1e-9
