@@ -1938,6 +1938,37 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ga_varselect", None)
+def ga_varselect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GA wrapper variable selection (core/dvarsel CandidateGenerator
+    mechanics; ml/ga_varselect.py). Two Gram-matrix passes, then the GA
+    runs driver-side — fitness is closed-form linear-probe validation
+    MSE. Rows-only: iterative + RNG-driven (seeded). The target is a
+    known function of (l_quantity, l_discount); the GA must pick them
+    out of 5 candidate columns."""
+    from shifu_spark.ml.ga_varselect import ga_varselect
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x_qty"),
+        F.col("l_discount").alias("x_disc"),
+        F.col("l_tax").alias("x_tax"),
+        (F.col("l_partkey") % 97).cast("double").alias("x_part"),
+        (F.col("l_suppkey") % 89).cast("double").alias("x_supp"),
+        (F.col("l_quantity") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    train, valid = li.randomSplit([0.7, 0.3], seed=42)
+    cols = ["x_qty", "x_disc", "x_tax", "x_part", "x_supp"]
+    res = ga_varselect(
+        train, valid, cols, label_col="y",
+        expect_variable_cnt=2, population_live_size=8,
+        population_multiply_cnt=4, seed=42,
+    )
+    return spark.createDataFrame(
+        [(f, float(round(res.best_error, 6))) for f in sorted(res.best_features)],
+        "feature string, best_valid_mse double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dynamic binning (§2.5 — StatsDynamicBinning.pig two-pass shape)
 # ---------------------------------------------------------------------------
