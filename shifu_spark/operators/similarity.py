@@ -477,3 +477,86 @@ def ivf_topk_multiprobe(
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means quantizer training (the IVF centroid path) as DataFrame ops
+# ---------------------------------------------------------------------------
+
+def kmeans_step(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration, declaratively: assign every vector to its
+    max-cosine centroid (broadcast cross join + row_number, identical
+    tie-breaks to ivf_assign_cells), then recompute each cell's centroid
+    as the element-wise mean. Returns (cell, pos, centroid) rows, pos
+    0-based over dims.
+
+    Determinism: per-dim sums run through DECIMAL(38,10) so the mean is
+    partition-order independent (the repo-wide oracle rule); the final
+    divide happens in double on both engines. Scale shape: centroids are
+    a k x dim literal broadcast; the recompute shuffles N*dim exploded
+    rows once per iteration — for 100 TB run it on the standard
+    quantizer-training sample, not the full corpus."""
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cid int, cvec array<double>",
+    ).select("cid", "cvec", norm_expr(F.col("cvec")).alias("cnorm"))
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            norm_expr(F.col(vec_col)).alias("vnorm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", dot_expr(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cid").alias("cell"), "vec")
+    )
+    return (
+        assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+        .orderBy("cell", "pos")
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    centroid_filter: Column,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd loop seeded from rows matching ``centroid_filter`` — the
+    deterministic alternative to train_ivf_centroids (MLlib KMeans) whose
+    single step is oracle-checkable. Centroids (k x dim, catalog-sized)
+    round-trip through the driver between iterations, like any
+    aggregate-broadcast loop."""
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(centroid_filter).select(id_col, vec_col).collect()
+    ]
+    for _ in range(iters):
+        rows = kmeans_step(embeddings, cents, id_col, vec_col).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["centroid"]
+        cents = [
+            (cell, [dims[p] for p in sorted(dims)]) for cell, dims in sorted(by_cell.items())
+        ]
+    return cents

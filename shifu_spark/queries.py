@@ -2090,6 +2090,53 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+@query("kmeans_step_centroids", None)
+def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of the IVF quantizer trainer
+    (operators/similarity.kmeans_step): assign all vectors to their
+    max-cosine seed centroid (vec_id 0-7), recompute per-cell
+    element-wise means. DECIMAL(38,10) dim-sums keep the mean
+    partition-order independent; first 8 dims returned to keep the
+    result compact."""
+    from shifu_spark.operators.similarity import kmeans_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    return kmeans_step(emb, cents).filter(F.col("pos") < 8)
+
+
+ORACLES["kmeans_step_centroids"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vnorm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cvec, vnorm AS cnorm FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_dot_product(e.v, c.cvec) / (e.vnorm * c.cnorm) AS ccos
+  FROM e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT cell, i.idx - 1 AS pos, v[i.idx] AS val
+  FROM cells, (SELECT unnest(range(1, 9)) AS idx) i
+)
+SELECT cell, pos::INT AS pos,
+       round((sum(val::DECIMAL(38,10))::DOUBLE) / count(*), 6) AS centroid
+FROM dims
+GROUP BY cell, pos ORDER BY cell, pos
+"""
+
+
 ORACLES["embedding_ivf_topk"] = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
