@@ -286,3 +286,48 @@ def nn_score_udf(feature_cols: list[str], result: NNResult):
         return pd.Series(as_[-1][:, 0])
 
     return score(*[F.col(c) for c in feature_cols])
+
+
+def train_nn_bagged(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    bags: int = 3,
+    bag_fraction: float = 0.8,
+    seed: int = 42,
+    **train_kwargs,
+) -> list[NNResult]:
+    """Bagging for the custom NN: one net per seeded resample
+    (TrainModelProcessor.java:931-942 runs N parallel Guagua jobs; here
+    the epochs-of-bag-b jobs simply queue on the same cluster)."""
+    return [
+        train_nn(
+            df.sample(withReplacement=False, fraction=bag_fraction, seed=seed + bag),
+            feature_cols,
+            label_col,
+            seed=seed + bag,
+            **train_kwargs,
+        )
+        for bag in range(bags)
+    ]
+
+
+def score_nn_ensemble(
+    df: DataFrame,
+    feature_cols: list[str],
+    results: list[NNResult],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bagged-NN ensemble scoring: model0..N columns via the Arrow scorer
+    (all nets ride pandas_udf closures — the broadcast-model pattern of
+    EvalScoreUDF.java:237-247), then the shared mean/max/min/median
+    array expressions (ScoreObject.java:35-74)."""
+    from shifu_spark.ml.train import with_ensemble_stats
+
+    out = df
+    score_cols = []
+    for i, r in enumerate(results):
+        col = f"model{i}"
+        out = out.withColumn(col, nn_score_udf(feature_cols, r))
+        score_cols.append(col)
+    return with_ensemble_stats(out, score_cols, keep_cols)

@@ -129,6 +129,13 @@ def score_ensemble(assembled: DataFrame, models: list, keep_cols: list[str] | No
             .drop("rawPrediction", "probability", "prediction")
         )
         score_cols.append(col)
+    return with_ensemble_stats(out, score_cols, keep_cols)
+
+
+def with_ensemble_stats(out: DataFrame, score_cols: list[str], keep_cols: list[str] | None = None) -> DataFrame:
+    """mean/max/min/median over per-model score columns as array
+    expressions (ScoreObject.java:35-74 aggregation; shared by the MLlib
+    and custom-NN ensembles)."""
     arr = F.array(*[F.col(c) for c in score_cols])
     n = len(score_cols)
     sorted_arr = F.array_sort(arr)

@@ -157,3 +157,22 @@ def test_train_nn_early_stop(spark):
         seed=1,
     )
     assert res.stopped_early and res.epochs_run < 50
+
+
+def test_bagged_nn_ensemble(spark):
+    from shifu_spark.ml.nn import score_nn_ensemble, train_nn_bagged
+
+    df = _xor_df(spark, n=150)
+    results = train_nn_bagged(
+        df, ["x1", "x2"], bags=3, bag_fraction=0.7,
+        hidden_layers=[4], hidden_activation="TANH", max_epochs=3, seed=2,
+    )
+    assert len(results) == 3
+    # bags see different resamples -> different weights
+    assert results[0].weights != results[1].weights
+
+    scored = score_nn_ensemble(df, ["x1", "x2"], results, keep_cols=["label"])
+    assert scored.columns == ["label", "mean", "max", "min", "median", "model0", "model1", "model2"]
+    row = scored.first()
+    assert row["min"] <= row["median"] <= row["max"]
+    assert abs(row["mean"] - (row["model0"] + row["model1"] + row["model2"]) / 3) < 1e-12
