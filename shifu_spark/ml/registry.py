@@ -38,8 +38,12 @@ def save_model_set(
     train_params: Any = None,
     sgd_weights: list[float] | None = None,
     feature_cols: list[str] | None = None,
+    nn_results: list | None = None,
 ) -> None:
-    """Persist a bagged model set + metadata under one directory."""
+    """Persist a bagged model set + metadata under one directory.
+
+    ``nn_results`` — fitted ml/nn.py NNResult bags; like SGD weights they
+    serialize inline (flat vectors + layer/activation spec)."""
     os.makedirs(path, exist_ok=True)
     index = []
     for i, m in enumerate(models):
@@ -54,6 +58,7 @@ def save_model_set(
         "feature_cols": feature_cols or [],
         "sgd_weights": sgd_weights,
         "train_params": asdict(train_params) if train_params is not None else None,
+        "nn_models": [asdict(r) for r in nn_results] if nn_results else None,
         "column_configs": [asdict(c) for c in column_configs] if column_configs else None,
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -64,7 +69,8 @@ def load_model_set(spark: SparkSession, path: str) -> dict:
     """Load a model set saved by :func:`save_model_set`.
 
     Returns {"models": [...], "feature_cols", "sgd_weights",
-    "train_params", "column_configs" (raw dicts)}.
+    "train_params", "column_configs" (raw dicts), "nn_models"
+    (NNResult objects)}.
     """
     import importlib
 
@@ -76,4 +82,8 @@ def load_model_set(spark: SparkSession, path: str) -> dict:
         cls = getattr(mod, entry["cls"])
         models.append(cls.load(os.path.join(path, entry["dir"])))
     manifest["models"] = models
+    if manifest.get("nn_models"):
+        from shifu_spark.ml.nn import NNResult
+
+        manifest["nn_models"] = [NNResult(**d) for d in manifest["nn_models"]]
     return manifest

@@ -118,3 +118,24 @@ class TestModelRegistry:
         a = score_ensemble(assembled, models).agg(F.sum("mean").alias("s")).collect()[0]["s"]
         b = score_ensemble(assembled, loaded["models"]).agg(F.sum("mean").alias("s")).collect()[0]["s"]
         assert a == b  # loaded models score bit-identically
+
+
+def test_registry_nn_result_roundtrip(spark, tmp_path):
+    from shifu_spark.ml.nn import NNResult, nn_score_udf
+    from shifu_spark.ml.registry import load_model_set, save_model_set
+
+    res = NNResult(
+        weights=[0.1] * 17, layers=[2, 4, 1], activations=["SWISH", "SIGMOID"],
+        train_losses=[0.7, 0.6], epochs_run=2,
+    )
+    path = str(tmp_path / "nnset")
+    save_model_set(path, [], feature_cols=["x1", "x2"], nn_results=[res])
+    loaded = load_model_set(spark, path)
+    got = loaded["nn_models"][0]
+    assert got == res
+
+    # the loaded net scores identically
+    df = spark.createDataFrame([(0.5, -0.5)], "x1 double, x2 double")
+    a = df.withColumn("p", nn_score_udf(["x1", "x2"], res)).first()["p"]
+    b = df.withColumn("p", nn_score_udf(["x1", "x2"], got)).first()["p"]
+    assert a == b
