@@ -154,7 +154,9 @@ class NNResult:
     stopped_early: bool = False
 
 
-def _partial_grad_udf(feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed):
+def _partial_grad_udf(
+    feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, epoch_sample_rate=1.0
+):
     n_weights = sum(r * c for r, c in _shapes(layers))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -163,6 +165,12 @@ def _partial_grad_udf(feature_cols, label_col, w, layers, acts, dropout_rate, ep
         for pdf in batches:
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
+            if epoch_sample_rate < 1.0:
+                # per-epoch stochastic subsample of each worker's rows
+                # (AbstractNNWorker sampleRate; fresh draw every epoch via
+                # the epoch-varying seed — epochs see different subsets)
+                pick = rng.random(len(y)) < epoch_sample_rate
+                x, y = x[pick], y[pick]
             n = len(y)
             if n == 0:
                 continue
@@ -181,10 +189,12 @@ def _partial_grad_udf(feature_cols, label_col, w, layers, acts, dropout_rate, ep
     return fn
 
 
-def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed):
+def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, sample_rate=1.0):
     schema = "grad array<double>, loss double, n long"
     parts = df.mapInPandas(
-        _partial_grad_udf(feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed),
+        _partial_grad_udf(
+            feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, sample_rate
+        ),
         schema=schema,
     ).collect()
     if not parts:
@@ -210,6 +220,7 @@ def train_nn(
     learning_rate: float = 0.05,
     max_epochs: int = 30,
     dropout_rate: float = 0.0,
+    epoch_sample_rate: float = 1.0,
     fixed_layers: list[int] | None = None,
     early_stop: WindowEarlyStop | ConvergeEarlyStop | None = None,
     seed: int = 42,
@@ -220,6 +231,9 @@ def train_nn(
     SIGMOID/TANH/RELU/LEAKY_RELU/PTANH/SWISH/LINEAR); the output layer is
     always SIGMOID. ``fixed_layers`` zeroes those layer indices' gradients
     (fine-tune with frozen layers, AbstractNNWorker fixedLayers).
+    ``epoch_sample_rate`` < 1 makes each epoch a stochastic subsample of
+    every worker's rows (AbstractNNWorker sampleRate) — cheaper epochs,
+    noisier gradients, fresh subset per epoch.
     """
     layers = [len(feature_cols), *list(hidden_layers), 1]
     acts = [hidden_activation] * len(hidden_layers) + ["SIGMOID"]
@@ -241,7 +255,8 @@ def train_nn(
     try:
         for epoch in range(max_epochs):
             g, train_loss, _n = _epoch(
-                df, feature_cols, label_col, w, layers, acts, dropout_rate, seed + epoch
+                df, feature_cols, label_col, w, layers, acts, dropout_rate, seed + epoch,
+                epoch_sample_rate,
             )
             if frozen:
                 off = 0

@@ -176,3 +176,13 @@ def test_bagged_nn_ensemble(spark):
     row = scored.first()
     assert row["min"] <= row["median"] <= row["max"]
     assert abs(row["mean"] - (row["model0"] + row["model1"] + row["model2"]) / 3) < 1e-12
+
+
+def test_train_nn_epoch_sample_rate(spark):
+    df = _xor_df(spark, n=300)
+    res = train_nn(
+        df, ["x1", "x2"], hidden_layers=[6], hidden_activation="TANH",
+        learning_rate=0.1, max_epochs=15, epoch_sample_rate=0.5, seed=8,
+    )
+    assert res.epochs_run == 15 and all(np.isfinite(res.train_losses))
+    assert res.train_losses[-1] < res.train_losses[0]  # still learns
