@@ -7,21 +7,32 @@ container/obj/PerformanceResult.java. Weight semantics: unparseable
 weights default to 1.0 and negatives clamp to 1.0
 (ConfusionMatrix.java:361-370).
 
-Spark shape — fully distributed, no driver scan:
+Spark shape — fully distributed, no driver scan and **no unpartitioned
+global window** anywhere on the hot path:
   * collapse to per-distinct-score points first (groupBy score — bounds
     all downstream work by #distinct scores, not #rows);
-  * cumulative TP/FP via window over score DESC (ties collapse into one
-    point, making the scan deterministic — the reference's row-at-a-time
-    walk is order-dependent within ties);
-  * ROC-AUC via the trapezoid over those points (equivalently the
-    Mann-Whitney rank statistic); integer-count arithmetic keeps results
-    bit-deterministic across engines.
+  * cumulative sums via a distributed prefix-sum: range-repartition on
+    the sort key, cumulate WITHIN each range in parallel, then add
+    per-range exclusive offsets (#partitions tiny driver rows broadcast
+    back).  Identical output to a global ``sum() OVER (ORDER BY ...)``
+    but the work is spread across every core instead of one WindowExec
+    task — the form that survives 100 TB where distinct scores grow
+    linearly with data;
+  * ROC-AUC via the Mann-Whitney rank statistic over those points
+    (equivalent to the trapezoid over the full-resolution ROC);
+    integer-count arithmetic keeps results bit-deterministic across
+    engines.
+
+The round-1 global-window form is kept as ``confusion_points_global``
+purely as an oracle-mirror / differential-test path; every public entry
+point routes through the prefix-sum plan by default.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import spark_partition_id
 
 
 def clamp_weight(weight_col: str) -> Column:
@@ -30,21 +41,14 @@ def clamp_weight(weight_col: str) -> Column:
     return F.when(w.isNull() | (w < 0), F.lit(1.0)).otherwise(w)
 
 
-def confusion_points_df(
-    df: DataFrame,
-    score_col: str,
-    label_expr: Column,
-    weight_col: str | None = None,
+def _score_points(
+    df: DataFrame, score_col: str, label_expr: Column, weight_col: str | None
 ) -> DataFrame:
-    """Per-distinct-score cumulative confusion matrix.
-
-    Returns (score, tp, fp, fn, tn, wtp, wfp, precision, recall, fpr) —
-    one row per distinct score, cumulative counts for the rule
-    "predict positive iff score >= this score" (score-descending scan,
-    ConfusionMatrix.java:276-520).
-    """
+    """Collapse rows to one point per distinct score with pos/neg
+    (and weighted) tallies — the map-side combine that bounds every
+    curve computation by #distinct scores."""
     w = clamp_weight(weight_col) if weight_col else F.lit(1.0)
-    pts = (
+    return (
         df.select(
             F.col(score_col).cast("double").alias("score"),
             F.when(label_expr, 1).otherwise(0).alias("y"),
@@ -58,55 +62,183 @@ def confusion_points_df(
             F.sum(F.when(F.col("y") == 0, F.col("w")).otherwise(0.0)).alias("wneg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix-sum core (the 100 TB form of the cumulative scan)
+# ---------------------------------------------------------------------------
+
+def _range_prefix_offsets(parted: DataFrame, cols: list[str]):
+    """Per-partition exclusive prefix offsets for ``cols``.
+
+    Sums each range-partition's totals (one tiny row per partition),
+    cumulates them on the driver (#partitions rows — trivially small),
+    and returns ((pid, <col>_off...) DataFrame for a broadcast join
+    back, grand-total dict)."""
+    totals = (
+        parted.withColumn("__pid", spark_partition_id())
+        .groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .orderBy("__pid")
+        .collect()
+    )
+    is_double = {
+        c: any(isinstance(r[c], float) for r in totals) for c in cols
+    }
+    rows, running = [], {c: (0.0 if is_double[c] else 0) for c in cols}
+    for r in totals:
+        rows.append((r["__pid"], *[running[c] for c in cols]))
+        for c in cols:
+            running[c] += r[c] or 0
+    spark = parted.sparkSession
+    schema = "pid int, " + ", ".join(
+        f"{c}_off {'double' if is_double[c] else 'long'}" for c in cols
+    )
+    return spark.createDataFrame(rows, schema), running
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    cols: list[str],
+    descending: bool = True,
+    num_ranges: int | None = None,
+):
+    """Distributed inclusive prefix-sum of ``cols`` in ``order_col`` order.
+
+    Returns (DataFrame with ``cum_<col>`` columns appended, grand-total
+    dict).  Plan: range-repartition on the key (parallel sort), prefix
+    WITHIN each range under a pid-partitioned window, add per-range
+    exclusive offsets via a broadcast join.  Output is row-identical to
+    an unpartitioned ``sum() OVER (ORDER BY ...)`` but every task works
+    on ~1/num_ranges of the points.
+    """
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    key = F.desc(order_col) if descending else F.asc(order_col)
+    parted = df.repartitionByRange(n, key).sortWithinPartitions(key).persist()
+    parted.count()  # pin the partitioning — offsets must see the same layout
+    offsets, grand = _range_prefix_offsets(parted, cols)
+    wpart = (
+        Window.partitionBy("__pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = parted.withColumn("__pid", spark_partition_id()).join(
+        F.broadcast(offsets), F.col("__pid") == F.col("pid")
+    )
+    for c in cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(wpart) + F.col(f"{c}_off"))
+    return out.drop("pid", *[f"{c}_off" for c in cols]), grand
+
+
+def _confusion_select(t: DataFrame, weighted: bool) -> DataFrame:
+    cols = [
+        "score",
+        F.col("cum_pos").cast("long").alias("tp"),
+        F.col("cum_neg").cast("long").alias("fp"),
+        (F.col("tot_p") - F.col("cum_pos")).cast("long").alias("fn"),
+        (F.col("tot_n") - F.col("cum_neg")).cast("long").alias("tn"),
+    ]
+    if weighted:
+        cols += [F.col("cum_wpos").alias("wtp"), F.col("cum_wneg").alias("wfp")]
+    cols += [
+        # try_divide: degenerate corpora (no positives / no negatives)
+        # yield NULL metrics instead of an ANSI divide-by-zero
+        F.try_divide(F.col("cum_pos"), F.col("cum_pos") + F.col("cum_neg")).alias("precision"),
+        F.try_divide(F.col("cum_pos"), F.col("tot_p")).alias("recall"),
+        F.try_divide(F.col("cum_neg"), F.col("tot_n")).alias("fpr"),
+    ]
+    return t.select(*cols)
+
+
+def confusion_points_df(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Per-distinct-score cumulative confusion matrix (distributed form).
+
+    Returns (score, tp, fp, fn, tn[, wtp, wfp], precision, recall, fpr)
+    — one row per distinct score, cumulative counts for the rule
+    "predict positive iff score >= this score" (score-descending scan,
+    ConfusionMatrix.java:276-520).  Weighted columns are emitted only
+    when ``weight_col`` is given (they are constant-1 sums otherwise).
+
+    This IS the scalable prefix-sum plan — no unpartitioned window.
+    """
+    pts = _score_points(df, score_col, label_expr, weight_col)
+    cols = ["pos", "neg"] + (["wpos", "wneg"] if weight_col else [])
+    cum, grand = prefix_sums(pts, "score", cols, descending=True, num_ranges=num_ranges)
+    t = cum.withColumn("tot_p", F.lit(grand["pos"])).withColumn("tot_n", F.lit(grand["neg"]))
+    return _confusion_select(t, weighted=weight_col is not None)
+
+
+# Back-compat alias: the scalable path is now the only public plan.
+def confusion_points_scalable(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    return confusion_points_df(df, score_col, label_expr, None, num_ranges)
+
+
+def confusion_points_global(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Round-1 global-window form — kept ONLY as a differential-test /
+    oracle-mirror path (one WindowExec task; do not use at scale)."""
+    pts = _score_points(df, score_col, label_expr, weight_col)
     wdesc = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return (
-        pts.withColumn("tp", F.sum("pos").over(wdesc))
-        .withColumn("fp", F.sum("neg").over(wdesc))
-        .withColumn("wtp", F.sum("wpos").over(wdesc))
-        .withColumn("wfp", F.sum("wneg").over(wdesc))
+    t = (
+        pts.withColumn("cum_pos", F.sum("pos").over(wdesc))
+        .withColumn("cum_neg", F.sum("neg").over(wdesc))
+        .withColumn("cum_wpos", F.sum("wpos").over(wdesc))
+        .withColumn("cum_wneg", F.sum("wneg").over(wdesc))
         .withColumn("tot_p", F.sum("pos").over(wall))
         .withColumn("tot_n", F.sum("neg").over(wall))
-        .select(
-            "score",
-            F.col("tp").cast("long").alias("tp"),
-            F.col("fp").cast("long").alias("fp"),
-            (F.col("tot_p") - F.col("tp")).cast("long").alias("fn"),
-            (F.col("tot_n") - F.col("fp")).cast("long").alias("tn"),
-            "wtp",
-            "wfp",
-            # try_divide: degenerate corpora (no positives / no negatives)
-            # yield NULL metrics instead of an ANSI divide-by-zero
-            F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
-            F.try_divide(F.col("tp"), F.col("tot_p")).alias("recall"),
-            F.try_divide(F.col("fp"), F.col("tot_n")).alias("fpr"),
-        )
     )
+    return _confusion_select(t, weighted=weight_col is not None)
 
 
-def roc_auc_df(df: DataFrame, score_col: str, label_expr: Column, round_to: int | None = 6) -> DataFrame:
+def roc_auc_df(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    round_to: int | None = 6,
+    weight_col: str | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
     """ROC AUC via the Mann-Whitney rank form with average ranks for ties.
 
     AUC = (Σ avg-ranks of positives − nP(nP+1)/2) / (nP·nN).
     All intermediates are exact integers/half-integers -> deterministic
     across engines, and equals the trapezoid over the full-resolution ROC
     (AreaUnderCurve.java:56-133 semantics without bucketing loss).
+
+    Distributed: ranks come from an ascending prefix-sum over the
+    per-distinct-score points — no global window.  With ``weight_col``
+    the weighted trapezoid over (wfpr, wtpr) is used instead (weighted
+    Mann-Whitney and weighted trapezoid-with-ties agree the same way).
     """
-    d = df.select(F.col(score_col).cast("double").alias("score"), F.when(label_expr, 1).otherwise(0).alias("y"))
-    # average rank per distinct score = (min_rank + max_rank)/2, ascending
-    pts = d.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("npos"))
-    wasc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = (
-        pts.withColumn("cum_n", F.sum("n").over(wasc))
-        .withColumn("avg_rank", F.col("cum_n") - (F.col("n") - 1) / 2.0)
-        .withColumn("tot_p", F.sum("npos").over(wall))
-        .withColumn("tot", F.sum("n").over(wall))
-    )
+    if weight_col is not None:
+        return _weighted_roc_auc(df, score_col, label_expr, weight_col, round_to, num_ranges)
+    pts = _score_points(df, score_col, label_expr, None).select("score", "pos", "neg")
+    pts = pts.withColumn("n", F.col("pos") + F.col("neg"))
+    cum, grand = prefix_sums(pts, "score", ["n"], descending=False, num_ranges=num_ranges)
+    _ = grand
+    ranked = cum.withColumn("avg_rank", F.col("cum_n") - (F.col("n") - 1) / 2.0)
     agg = ranked.agg(
-        F.sum(F.col("avg_rank") * F.col("npos")).alias("rank_sum"),
-        F.first("tot_p").alias("np"),
-        (F.first("tot") - F.first("tot_p")).alias("nn"),
+        F.sum(F.col("avg_rank") * F.col("pos")).alias("rank_sum"),
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
     )
     auc = F.try_divide(
         F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0, F.col("np") * F.col("nn")
@@ -116,19 +248,84 @@ def roc_auc_df(df: DataFrame, score_col: str, label_expr: Column, round_to: int 
     return agg.select(auc.alias("auc"))
 
 
-def pr_auc_trapezoid(points: DataFrame, round_to: int | None = 6) -> DataFrame:
+def _weighted_roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str,
+    round_to: int | None,
+    num_ranges: int | None,
+) -> DataFrame:
+    """Weighted ROC AUC: trapezoid over the weighted cumulative curve,
+    with the tie-correct half-step (equivalent to weighted Mann-Whitney).
+
+    Per distinct score (descending): ΔAUC = Δwfp·(wtp_prev + wtp)/2,
+    normalized by totals.  Uses the same distributed prefix-sum."""
+    pts = _score_points(df, score_col, label_expr, weight_col)
+    cum, grand = prefix_sums(
+        pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges
+    )
+    tot_p, tot_n = grand["wpos"], grand["wneg"]
+    # Δwfp for this point is its own wneg; wtp_prev = cum_wpos - wpos
+    t = cum.withColumn(
+        "area", F.col("wneg") * ((F.col("cum_wpos") - F.col("wpos")) + F.col("cum_wpos")) / 2.0
+    )
+    agg = t.agg(F.sum("area").alias("area_sum"))
+    denom = float(tot_p) * float(tot_n)
+    auc = F.try_divide(F.col("area_sum"), F.lit(denom) if denom else F.lit(None))
+    if round_to is not None:
+        auc = F.round(auc, round_to)
+    return agg.select(auc.alias("auc"))
+
+
+def pr_auc_trapezoid(
+    points: DataFrame, round_to: int | None = 6, num_ranges: int | None = None
+) -> DataFrame:
     """PR AUC: trapezoid over (recall, precision) points ordered by recall.
 
     Mirrors AreaUnderCurve.ofPr (:56-133): Σ (r_i − r_{i-1})·(p_i + p_{i-1})/2.
-    """
-    wprev = Window.orderBy("recall")
+
+    Distributed adjacent-pair scan: range-partition by recall, pair rows
+    WITHIN each partition under a pid-local lag window, and close the
+    #partitions−1 boundary pairs from the per-partition first/last rows
+    (2 tiny rows per partition, cumulated on the driver)."""
+    spark = points.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    pts = points.select("recall", "precision").filter(F.col("recall").isNotNull())
+    parted = (
+        pts.repartitionByRange(n, F.asc("recall"))
+        .sortWithinPartitions(F.asc("recall"))
+        .persist()
+    )
+    parted.count()
+    # boundary rows: first and last (recall, precision) of each partition
+    pid = parted.withColumn("__pid", spark_partition_id())
+    wasc = Window.partitionBy("__pid").orderBy(F.asc("recall"))
+    wdesc = Window.partitionBy("__pid").orderBy(F.desc("recall"))
+    bounds = (
+        pid.withColumn("rn_a", F.row_number().over(wasc))
+        .withColumn("rn_d", F.row_number().over(wdesc))
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .select("__pid", "recall", "precision", "rn_a", "rn_d")
+        .collect()
+    )
+    first = {r["__pid"]: r for r in bounds if r["rn_a"] == 1}
+    last = {r["__pid"]: r for r in bounds if r["rn_d"] == 1}
+    boundary_area = 0.0
+    pids = sorted(first)
+    for prev, cur in zip(pids, pids[1:]):
+        a, b = last[prev], first[cur]
+        if a["precision"] is None or b["precision"] is None:
+            continue
+        boundary_area += (b["recall"] - a["recall"]) * (b["precision"] + a["precision"]) / 2.0
+    wprev = Window.partitionBy("__pid").orderBy(F.asc("recall"))
     t = (
-        points.select("recall", "precision")
-        .withColumn("prev_r", F.lag("recall").over(wprev))
+        pid.withColumn("prev_r", F.lag("recall").over(wprev))
         .withColumn("prev_p", F.lag("precision").over(wprev))
         .filter(F.col("prev_r").isNotNull())
     )
-    auc = F.sum((F.col("recall") - F.col("prev_r")) * (F.col("precision") + F.col("prev_p")) / 2.0)
+    inner = F.sum((F.col("recall") - F.col("prev_r")) * (F.col("precision") + F.col("prev_p")) / 2.0)
+    auc = F.coalesce(inner, F.lit(0.0)) + F.lit(boundary_area)
     if round_to is not None:
         auc = F.round(auc, round_to)
     return t.agg(auc.alias("pr_auc"))
@@ -140,108 +337,26 @@ def gain_buckets_df(points: DataFrame, num_buckets: int = 10, round_to: int | No
     Reference buckets by FPR/recall/gain boundary crossings
     (ConfusionMatrix.java:276-520 performanceBucketNum). Action rate =
     (tp+fp)/total; we keep the first score point at or past each i/N.
+
+    Plan: the "first point per bucket" is simply the max-score point of
+    each bucket — one ``max_by`` aggregation (map-side partial + tiny
+    shuffle on ≤N+1 bucket keys) instead of a per-bucket window scan.
     """
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     t = points.withColumn("total", (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")))
     t = t.withColumn("action_rate", (F.col("tp") + F.col("fp")) / F.col("total"))
     t = t.withColumn("bucket", F.least(F.floor(F.col("action_rate") * num_buckets), F.lit(num_buckets)))
-    wbucket = Window.partitionBy("bucket").orderBy(F.desc("score"))
+    picked = F.max_by(
+        F.struct("score", "action_rate", "precision", "recall", "fpr"), F.col("score")
+    ).alias("pt")
     out = (
-        t.withColumn("rn", F.row_number().over(wbucket))
-        .filter(F.col("rn") == 1)
-        .select("bucket", "score", "action_rate", "precision", "recall", "fpr")
+        t.groupBy("bucket")
+        .agg(picked)
+        .select("bucket", "pt.score", "pt.action_rate", "pt.precision", "pt.recall", "pt.fpr")
         .orderBy("bucket")
     )
-    _ = wall
     if round_to is not None:
         for c in ("action_rate", "precision", "recall", "fpr"):
             out = out.withColumn(c, F.round(F.col(c), round_to))
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Distributed prefix-sum (the 100 TB form of the cumulative score scan)
-# ---------------------------------------------------------------------------
-
-def _range_prefix_offsets(parted: DataFrame, cols: list[str]) -> DataFrame:
-    """Per-partition exclusive prefix offsets for ``cols``.
-
-    Sums each range-partition's totals (one tiny row per partition),
-    cumulates them on the driver (#partitions rows — trivially small),
-    and returns (pid, <col>_off...) for a broadcast join back."""
-    from pyspark.sql.functions import spark_partition_id
-
-    totals = (
-        parted.withColumn("__pid", spark_partition_id())
-        .groupBy("__pid")
-        .agg(*[F.sum(c).alias(c) for c in cols])
-        .orderBy("__pid")
-        .collect()
-    )
-    rows, running = [], {c: 0 for c in cols}
-    for r in totals:
-        rows.append((r["__pid"], *[running[c] for c in cols]))
-        for c in cols:
-            running[c] += r[c] or 0
-    spark = parted.sparkSession
-    schema = "pid int, " + ", ".join(f"{c}_off long" for c in cols)
-    return spark.createDataFrame(rows, schema), running
-
-
-def confusion_points_scalable(
-    df: DataFrame,
-    score_col: str,
-    label_expr: Column,
-    num_ranges: int | None = None,
-) -> DataFrame:
-    """Cumulative confusion matrix without the single-task global window.
-
-    The plain :func:`confusion_points_df` uses ``sum() OVER (ORDER BY
-    score)`` — correct, but an unpartitioned window funnels every
-    distinct-score row through ONE task. This form is the distributed
-    prefix-sum: range-repartition by score desc, cumulate WITHIN each
-    range (tasks run in parallel), then add per-range exclusive offsets
-    (#partitions driver rows, broadcast back). Identical output.
-    """
-    spark = df.sparkSession
-    n = num_ranges or spark.sparkContext.defaultParallelism
-    pts = (
-        df.select(
-            F.col(score_col).cast("double").alias("score"),
-            F.when(label_expr, 1).otherwise(0).alias("y"),
-        )
-        .groupBy("score")
-        .agg(F.sum("y").alias("pos"), F.sum(F.lit(1) - F.col("y")).alias("neg"))
-    )
-    parted = pts.repartitionByRange(n, F.desc("score")).sortWithinPartitions(F.desc("score")).persist()
-    parted.count()  # pin the partitioning — offsets must see the same layout
-    offsets, grand = _range_prefix_offsets(parted, ["pos", "neg"])
-    from pyspark.sql.functions import spark_partition_id
-
-    wpart = (
-        Window.partitionBy("__pid")
-        .orderBy(F.desc("score"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    out = (
-        parted.withColumn("__pid", spark_partition_id())
-        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
-        .withColumn("tp", F.sum("pos").over(wpart) + F.col("pos_off"))
-        .withColumn("fp", F.sum("neg").over(wpart) + F.col("neg_off"))
-        # grand totals fall out of the offset scan — no global window
-        .withColumn("tot_p", F.lit(grand["pos"]))
-        .withColumn("tot_n", F.lit(grand["neg"]))
-        .select(
-            "score",
-            F.col("tp").cast("long").alias("tp"),
-            F.col("fp").cast("long").alias("fp"),
-            (F.col("tot_p") - F.col("tp")).cast("long").alias("fn"),
-            (F.col("tot_n") - F.col("fp")).cast("long").alias("tn"),
-            F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
-            F.try_divide(F.col("tp"), F.col("tot_p")).alias("recall"),
-            F.try_divide(F.col("fp"), F.col("tot_n")).alias("fpr"),
-        )
-    )
     return out
 
 

@@ -1081,7 +1081,7 @@ def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bin_avg_score"] = """
-SELECT least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) AS bin,
+SELECT least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9)::BIGINT AS bin,
        count(*)::BIGINT AS n,
        round(sum(cast(l_extendedprice AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_score
 FROM lineitem CROSS JOIN (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
@@ -2020,8 +2020,8 @@ cum AS (
          sum(cnt) OVER () AS total
   FROM small
 )
-SELECT least(floor(cum_before / (total / 10)), 9) AS bin,
-       round(min(lo), 6) AS lo, sum(cnt) AS cnt, sum(pos) AS pos, sum(neg) AS neg
+SELECT least(floor(cum_before / (total / 10)), 9)::BIGINT AS bin,
+       round(min(lo), 6) AS lo, sum(cnt)::BIGINT AS cnt, sum(pos)::BIGINT AS pos, sum(neg)::BIGINT AS neg
 FROM cum GROUP BY 1 ORDER BY bin
 """
 
@@ -2232,33 +2232,13 @@ def weighted_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted ROC AUC (PerformanceResult weighted curves,
     AreaUnderCurve weighted trapezoid): trapezoid over weighted
     (FPR, TPR) per distinct score; weight = l_quantity with the
-    reference's clamp (null/negative -> 1.0)."""
-    from pyspark.sql import Window
-
-    from shifu_spark.operators.eval_metrics import confusion_points_df
+    reference's clamp (null/negative -> 1.0). Runs on the distributed
+    prefix-sum path — no global window."""
+    from shifu_spark.operators.eval_metrics import roc_auc_df
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R", weight_col="l_quantity")
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    t = (
-        pts.withColumn("wp_tot", F.max("wtp").over(wall))
-        .withColumn("wn_tot", F.max("wfp").over(wall))
-        .withColumn("tpr", F.col("wtp") / F.col("wp_tot"))
-        .withColumn("fpr_w", F.col("wfp") / F.col("wn_tot"))
-    )
-    wprev = Window.orderBy("fpr_w", "tpr")
-    lagged = (
-        t.select("fpr_w", "tpr")
-        .withColumn("prev_f", F.lag("fpr_w").over(wprev))
-        .withColumn("prev_t", F.lag("tpr").over(wprev))
-    )
-    auc = F.sum(
-        F.when(
-            F.col("prev_f").isNotNull(),
-            (F.col("fpr_w") - F.col("prev_f")) * (F.col("tpr") + F.col("prev_t")) / 2.0,
-        ).otherwise(F.col("fpr_w") * F.col("tpr") / 2.0)
-    )
-    return lagged.agg(F.round(auc, 6).alias("weighted_auc"))
+    auc = roc_auc_df(li, "l_extendedprice", F.col("l_returnflag") == "R", weight_col="l_quantity")
+    return auc.select(F.col("auc").alias("weighted_auc"))
 
 
 ORACLES["weighted_roc_auc"] = """

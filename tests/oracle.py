@@ -10,6 +10,7 @@ locally first.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 
@@ -27,13 +28,24 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Type-tagged normalization mirroring the driver's *typed* value hash.
+
+    int vs float cells must NOT compare equal (Python 0 == 0.0 hid the
+    bin_avg_score DOUBLE-vs-BIGINT mismatch in round 1) — so every numeric
+    cell carries its type class in the normalized form."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         # driver-style: compare at ~9 significant digits to absorb fp noise
-        return float(f"{v:.9g}")
+        return ("float", float(f"{v:.9g}"))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -58,8 +70,8 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
 
     sidx = [spark_df.columns.index(c) for c in sp_cols]
     oidx = [ora_cols_raw.index(c) for c in sp_cols]
-    s_sorted = sorted(tuple(_norm_cell(r[i]) for i in sidx) for r in sp_rows)
-    o_sorted = sorted(tuple(_norm_cell(r[i]) for i in oidx) for r in ora_rows)
+    s_sorted = sorted((tuple(_norm_cell(r[i]) for i in sidx) for r in sp_rows), key=repr)
+    o_sorted = sorted((tuple(_norm_cell(r[i]) for i in oidx) for r in ora_rows), key=repr)
     for i, (a, b) in enumerate(zip(s_sorted, o_sorted)):
         if a != b:
             problems.append(f"{name}: row {i} differs\n  spark ={a}\n  oracle={b}")

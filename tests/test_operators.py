@@ -298,16 +298,33 @@ class TestScalableConfusion:
     def test_matches_window_form(self, spark, sf_dir):
         from pyspark.sql import functions as F
 
-        from shifu_spark.operators.eval_metrics import confusion_points_df, confusion_points_scalable
+        from shifu_spark.operators.eval_metrics import confusion_points_df, confusion_points_global
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         label = F.col("l_returnflag") == "R"
-        a = confusion_points_df(li, "l_extendedprice", label).select(
+        a = confusion_points_global(li, "l_extendedprice", label).select(
             "score", "tp", "fp", "fn", "tn"
         )
-        b = confusion_points_scalable(li, "l_extendedprice", label, num_ranges=8).select(
+        b = confusion_points_df(li, "l_extendedprice", label, num_ranges=8).select(
             "score", "tp", "fp", "fn", "tn"
         )
+        rows_a = sorted(map(tuple, a.collect()))
+        rows_b = sorted(map(tuple, b.collect()))
+        assert rows_a == rows_b
+
+    def test_weighted_matches_window_form(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.eval_metrics import confusion_points_df, confusion_points_global
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        label = F.col("l_returnflag") == "R"
+        a = confusion_points_global(li, "l_extendedprice", label, weight_col="l_quantity").select(
+            "score", "tp", "fp", "wtp", "wfp"
+        )
+        b = confusion_points_df(
+            li, "l_extendedprice", label, weight_col="l_quantity", num_ranges=8
+        ).select("score", "tp", "fp", "wtp", "wfp")
         rows_a = sorted(map(tuple, a.collect()))
         rows_b = sorted(map(tuple, b.collect()))
         assert rows_a == rows_b
