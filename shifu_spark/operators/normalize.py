@@ -98,6 +98,19 @@ def onehot_exprs(col: Column | str, boundaries: list[float], prefix: str) -> lis
     ]
 
 
+def onehot_cat_exprs(col: Column | str, categories: list[str], prefix: str) -> list[Column]:
+    """Categorical one-hot over category slots + missing slot
+    (Normalizer.java OneHotNormalize:379-389, zscaleOneHotNormalize:391-406:
+    unknown category -> the dedicated missing slot gets the 1)."""
+    from shifu_spark.operators.binning import categorical_index_expr
+
+    idx = categorical_index_expr(col, categories, missing_index=len(categories))
+    return [
+        F.when(idx == i, F.lit(1.0)).otherwise(F.lit(0.0)).alias(f"{prefix}_bin{i}")
+        for i in range(len(categories) + 1)  # +1 = missing slot
+    ]
+
+
 def discrete_zscore_expr(col: Column | str, boundaries: list[float], mean: float, std: float, cutoff: float = 6.0) -> Column:
     """Snap to bin lower boundary (bin0 -> min) then zscore
     (Normalizer.java:468-500); missing -> mean (z=0)."""
@@ -129,13 +142,25 @@ def normalize_df(
     pos_tags: list[str] | None = None,
     neg_tags: list[str] | None = None,
     weight_expr: Column | None = None,
+    category_missing: str = "POSRATE",
 ) -> DataFrame:
     """Full `shifu norm` step: one select of generated expressions.
 
     Column constants come from the driver-side catalog (broadcast via
     literal embedding — columns << rows, the plan stays pure Catalyst).
+
+    ``category_missing`` is CategoryMissingNormType
+    (Normalizer.java:579-596): POSRATE fills an unseen category with the
+    missing bin's posRate; MEAN fills with the column mean
+    (defaultMissingValue:602-605, mean-null -> 0).
     """
     cols: list[Column] = []
+
+    def cat_missing_value(cc: ColumnConfig) -> float:
+        b, st = cc.column_binning, cc.column_stats
+        if category_missing == "MEAN":
+            return float(st.mean) if st.mean is not None else 0.0
+        return float(b.bin_pos_rate[-1]) if b.bin_pos_rate else 0.0
     if tag_col:
         df = filter_valid_tags(df, tag_col, pos_tags or [], neg_tags or [])
         cols.append(tag_expr(tag_col, pos_tags or [], neg_tags or []).alias("tag"))
@@ -144,34 +169,75 @@ def normalize_df(
             continue
         name = cc.column_name
         st, b = cc.column_stats, cc.column_binning
+        n_slots = len(b.bin_category) if cc.is_categorical else len(b.bin_boundary)
+
         def padded(woes_in: list[float]) -> list[float]:
             # one-class columns have no WOE (ColumnStatsCalculator returns
             # null when sumN==0 or sumP==0) -> transform degrades to 0.0
-            need = len(b.bin_boundary) + 1
+            need = n_slots + 1
             w = list(woes_in[:need])
             return w + [0.0] * (need - len(w))
+
+        def woe_lookup(woes: list[float]) -> Column:
+            # kind-aware bin->woe: categorical columns index by category
+            # slot (BinUtils categorical getBinNum), numeric by boundary
+            if cc.is_categorical:
+                from shifu_spark.operators.binning import categorical_index_expr
+
+                idx = categorical_index_expr(name, b.bin_category, missing_index=n_slots)
+                arr = F.array(*[F.lit(float(x)) for x in woes])
+                return F.element_at(arr, idx + 1)
+            return woe_expr(name, b.bin_boundary, woes[:n_slots], woes[-1])
 
         if norm_type in ("ZSCALE", "ZSCORE"):
             if cc.is_categorical:
                 pr = categorical_posrate_expr(name, b.bin_category, b.bin_pos_rate[: len(b.bin_category)],
-                                              b.bin_pos_rate[-1] if b.bin_pos_rate else 0.0)
+                                              cat_missing_value(cc))
                 e = zscore_expr(pr, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+            else:
+                e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+        elif norm_type in ("OLD_ZSCALE", "OLD_ZSCORE"):
+            # Normalizer.java:444-452 (zScoreNormalize isOld=true):
+            # categorical passes the raw posRate through UN-zscored;
+            # numeric is identical to ZSCALE
+            if cc.is_categorical:
+                e = categorical_posrate_expr(name, b.bin_category, b.bin_pos_rate[: len(b.bin_category)],
+                                             cat_missing_value(cc))
             else:
                 e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
         elif norm_type in ("WOE", "WEIGHT_WOE"):
             woes = padded(b.bin_weighted_woe if norm_type == "WEIGHT_WOE" else b.bin_count_woe)
-            e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1])
-        elif norm_type in ("WOE_ZSCORE", "WOE_ZSCALE"):
-            woes = padded(b.bin_count_woe)
-            wm, ws = cc.woe_mean_std()
-            e = zscore_expr(woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1]), wm, ws, cutoff)
-        elif norm_type == "HYBRID":
+            e = woe_lookup(woes)
+        elif norm_type in ("WOE_ZSCORE", "WOE_ZSCALE", "WEIGHT_WOE_ZSCORE", "WEIGHT_WOE_ZSCALE"):
+            weighted = norm_type.startswith("WEIGHT_")
+            woes = padded(b.bin_weighted_woe if weighted else b.bin_count_woe)
+            wm, ws = cc.woe_mean_std(weighted=weighted)
+            e = zscore_expr(woe_lookup(woes), wm, ws, cutoff)
+        elif norm_type in ("HYBRID", "WEIGHT_HYBRID"):
+            # hybridNormalize (Normalizer.java:687-700): numeric -> zscore,
+            # categorical -> (weighted) woe
             if cc.is_categorical:
-                woes = padded(b.bin_count_woe)
-                e = woe_expr(name, b.bin_boundary, woes[: len(b.bin_boundary)], woes[-1])
+                woes = padded(b.bin_weighted_woe if norm_type == "WEIGHT_HYBRID" else b.bin_count_woe)
+                e = woe_lookup(woes)
             else:
                 e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
-        elif norm_type == "DISCRETE_ZSCORE":
+        elif norm_type == "ONEHOT":
+            # OneHotNormalize (Normalizer.java:379-389): bin one-hot with
+            # a missing slot for BOTH numeric (boundary bins) and
+            # categorical (category slots) — emits multiple columns
+            if cc.is_categorical:
+                cols.extend(onehot_cat_exprs(name, b.bin_category, name))
+            else:
+                cols.extend(onehot_exprs(name, b.bin_boundary, name))
+            continue
+        elif norm_type == "ZSCALE_ONEHOT":
+            # zscaleOneHotNormalize (Normalizer.java:391-406):
+            # numeric -> zscore (single column), categorical -> one-hot
+            if cc.is_categorical:
+                cols.extend(onehot_cat_exprs(name, b.bin_category, name))
+                continue
+            e = zscore_expr(name, st.mean or 0.0, st.std_dev or 0.0, cutoff)
+        elif norm_type in ("DISCRETE_ZSCORE", "DISCRETE_ZSCALE"):
             e = discrete_zscore_expr(name, b.bin_boundary, st.mean or 0.0, st.std_dev or 0.0, cutoff)
         elif norm_type == "ASIS_PR":
             if cc.is_categorical:
@@ -185,13 +251,7 @@ def normalize_df(
             # pass-through numeric; categorical -> its bin's woe
             # (Normalizer.java:353-377); woe slots = categories + missing
             if cc.is_categorical:
-                need = len(b.bin_category) + 1
-                woes = list(b.bin_count_woe[:need]) + [0.0] * (need - len(b.bin_count_woe[:need]))
-                from shifu_spark.operators.binning import categorical_index_expr
-
-                idx = categorical_index_expr(name, b.bin_category)
-                arr = F.array(*[F.lit(float(x)) for x in woes])
-                e = F.element_at(arr, idx + 1)
+                e = woe_lookup(padded(b.bin_count_woe))
             else:
                 e = F.col(name).try_cast("double")
         elif norm_type in ("ZSCALE_INDEX", "WOE_INDEX", "WOE_ZSCALE_INDEX"):

@@ -1618,6 +1618,183 @@ FROM lineitem l CROSS JOIN mm JOIN cate c USING (l_returnflag)
 """
 
 
+def _zscore_parts(li):
+    """Shared decimal-deterministic zscore pieces for l_quantity
+    (mirrors the zscore/hybrid normalize queries)."""
+    v = F.col("l_quantity").cast("double")
+    mm = li.agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(38,10)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,10)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    std = F.sqrt(F.abs((s2 - s1 * s1 / n + F.lit(1e-10)) / (n - 1)))
+    clipped = F.least(F.greatest(v, mean - 6 * std), mean + 6 * std)
+    return mm, F.round((clipped - mean) / std, 6)
+
+
+_ZQ_SQL = """round((least(greatest(l.l_quantity, (s1/n) - 6*sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1)))),
+                    (s1/n) + 6*sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1)))) - (s1/n))
+             / sqrt(abs((s2 - s1*s1/n + 1e-10)/(n-1))), 6)"""
+
+_MM_SQL = """SELECT count(l_quantity)::DOUBLE AS n,
+         sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE AS s1,
+         sum(cast(l_quantity*l_quantity AS DECIMAL(38,10)))::DOUBLE AS s2
+  FROM lineitem"""
+
+
+@query("old_zscale_normalize", None)
+def old_zscale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLD_ZSCALE (Normalizer.java:444-452, zScoreNormalize isOld=true):
+    numeric -> zscore exactly like ZSCALE, but categorical passes the raw
+    binPosRate through UN-zscored — the legacy-config behavior."""
+    li = _t(spark, sf_dir, "lineitem")
+    is_pos = F.col("l_linestatus") == "F"
+    cate = li.groupBy("l_returnflag").agg(
+        F.round(F.avg(F.when(is_pos, 1.0).otherwise(0.0)), 6).alias("pr_l_returnflag")
+    )
+    mm, zq = _zscore_parts(li)
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(cate), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", zq.alias("z_l_quantity"), "pr_l_returnflag")
+    )
+
+
+ORACLES["old_zscale_normalize"] = f"""
+WITH mm AS ({_MM_SQL}),
+cate AS (
+  SELECT l_returnflag,
+         round(avg(CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS pr_l_returnflag
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, {_ZQ_SQL} AS z_l_quantity, c.pr_l_returnflag
+FROM lineitem l CROSS JOIN mm JOIN cate c USING (l_returnflag)
+"""
+
+
+@query("weight_hybrid_normalize", None)
+def weight_hybrid_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT_HYBRID (Normalizer.java:687-700 isWeightedNorm=true):
+    numeric -> zscore, categorical -> WEIGHTED woe (weight = l_quantity
+    with the reference's null/negative->1.0 clamp)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    is_pos = F.col("l_linestatus") == "F"
+    w = F.col("l_quantity").cast("double")
+    w = F.when(w.isNull() | (w < 0), F.lit(1.0)).otherwise(w)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cate = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_pos, w).otherwise(0.0).cast("decimal(38,10)")).cast("double").alias("wpos"),
+            F.sum(F.when(is_pos, 0.0).otherwise(w).cast("decimal(38,10)")).cast("double").alias("wneg"),
+        )
+        .withColumn("sum_p", F.sum("wpos").over(wall))
+        .withColumn("sum_n", F.sum("wneg").over(wall))
+        .select(
+            "l_returnflag",
+            F.round(
+                F.log(
+                    (F.col("wneg") / F.col("sum_n") + F.lit(1e-10))
+                    / (F.col("wpos") / F.col("sum_p") + F.lit(1e-10))
+                ),
+                6,
+            ).alias("wwoe_l_returnflag"),
+        )
+    )
+    mm, zq = _zscore_parts(li)
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(cate), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", zq.alias("z_l_quantity"), "wwoe_l_returnflag")
+    )
+
+
+ORACLES["weight_hybrid_normalize"] = f"""
+WITH mm AS ({_MM_SQL}),
+cate AS (
+  SELECT l_returnflag,
+         round(ln((sum(cast(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END AS DECIMAL(38,10)))::DOUBLE
+                   / (sum(sum(cast(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END AS DECIMAL(38,10)))::DOUBLE) OVER ()) + 1e-10)
+                  / (sum(cast(CASE WHEN l_linestatus = 'F' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0.0 END AS DECIMAL(38,10)))::DOUBLE
+                     / (sum(sum(cast(CASE WHEN l_linestatus = 'F' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0.0 END AS DECIMAL(38,10)))::DOUBLE) OVER ()) + 1e-10)), 6) AS wwoe_l_returnflag
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, {_ZQ_SQL} AS z_l_quantity, c.wwoe_l_returnflag
+FROM lineitem l CROSS JOIN mm JOIN cate c USING (l_returnflag)
+"""
+
+
+@query("zscale_onehot_normalize", None)
+def zscale_onehot_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSCALE_ONEHOT (Normalizer.java zscaleOneHotNormalize:391-406):
+    numeric -> zscore single column; categorical -> one-hot over category
+    slots + a missing slot (unknown category gets the 1 there)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cats = ["A", "N", "R"]  # l_returnflag category slots, catalog order
+    mm, zq = _zscore_parts(li)
+    oh = [
+        F.when(F.col("l_returnflag") == c, 1.0).otherwise(0.0).alias(f"rf_bin{i}")
+        for i, c in enumerate(cats)
+    ] + [F.when(~F.col("l_returnflag").isin(cats), 1.0).otherwise(0.0).alias(f"rf_bin{len(cats)}")]
+    return li.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey", "l_linenumber", zq.alias("z_l_quantity"), *oh
+    )
+
+
+ORACLES["zscale_onehot_normalize"] = f"""
+WITH mm AS ({_MM_SQL})
+SELECT l.l_orderkey, l.l_linenumber, {_ZQ_SQL} AS z_l_quantity,
+       (CASE WHEN l.l_returnflag = 'A' THEN 1.0 ELSE 0.0 END)::DOUBLE AS rf_bin0,
+       (CASE WHEN l.l_returnflag = 'N' THEN 1.0 ELSE 0.0 END)::DOUBLE AS rf_bin1,
+       (CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)::DOUBLE AS rf_bin2,
+       (CASE WHEN l.l_returnflag NOT IN ('A','N','R') THEN 1.0 ELSE 0.0 END)::DOUBLE AS rf_bin3
+FROM lineitem l CROSS JOIN mm
+"""
+
+
+@query("category_missing_mean", None)
+def category_missing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CategoryMissingNormType=MEAN (Normalizer.java:579-596,
+    defaultMissingValue:602-605): an unseen category fills with the
+    column MEAN (here: overall positive rate — the mean of the 0/1
+    posrate-carrying column) instead of the missing bin's posRate.
+    Known slots are restricted to ('R','A') so 'N' rows exercise the
+    missing path."""
+    li = _t(spark, sf_dir, "lineitem")
+    is_pos = F.col("l_linestatus") == "F"
+    known = ["R", "A"]
+    cate = (
+        li.filter(F.col("l_returnflag").isin(known))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.avg(F.when(is_pos, 1.0).otherwise(0.0)), 6).alias("pr"))
+    )
+    mean = li.agg(F.round(F.avg(F.when(is_pos, 1.0).otherwise(0.0)), 6).alias("mean_pr"))
+    return (
+        li.crossJoin(F.broadcast(mean))
+        .join(F.broadcast(cate), "l_returnflag", "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(F.col("pr"), F.col("mean_pr")).alias("val"),
+        )
+    )
+
+
+ORACLES["category_missing_mean"] = """
+WITH cate AS (
+  SELECT l_returnflag, round(avg(CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS pr
+  FROM lineitem WHERE l_returnflag IN ('R','A') GROUP BY l_returnflag
+),
+m AS (SELECT round(avg(CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS mean_pr FROM lineitem)
+SELECT l.l_orderkey, l.l_linenumber, coalesce(c.pr, m.mean_pr) AS val
+FROM lineitem l CROSS JOIN m LEFT JOIN cate c USING (l_returnflag)
+"""
+
+
 @query("mean_impute", None)
 def mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-value mean imputation (Normalizer.java:602-605 semantics:

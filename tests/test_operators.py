@@ -371,6 +371,99 @@ class TestNormalizeVariants:
         got = [r["c"] for r in out.collect()]
         assert got == [0.2, 0.8, 0.5]  # posrate per category; miss -> last
 
+    @staticmethod
+    def _cc_cat_weighted():
+        from shifu_spark.catalog import ColumnBinning, ColumnConfig, ColumnStats, ColumnType
+
+        cc = ColumnConfig(column_num=0, column_name="c", column_type=ColumnType.CATEGORICAL)
+        cc.final_select = True
+        cc.column_binning = ColumnBinning(
+            bin_category=["x", "y"], bin_pos_rate=[0.2, 0.8, 0.5],
+            bin_count_woe=[1.0, -1.0, 0.0], bin_weighted_woe=[2.0, -2.0, 0.5],
+            bin_count_pos=[1, 4, 0], bin_count_neg=[4, 1, 0], bin_boundary=[],
+        )
+        cc.column_stats = ColumnStats(mean=0.4, std_dev=0.1)
+        return cc
+
+    def test_old_zscale_categorical_passes_raw_posrate(self, spark):
+        # Normalizer.java:444-452 isOld: categorical posRate NOT zscored —
+        # with mean=.4/std=.1 a zscored output would be [-2, 4, 1] instead
+        from shifu_spark.operators.normalize import normalize_df
+
+        df = spark.createDataFrame([("x",), ("y",), ("zz",)], "c string")
+        out = normalize_df(df, [self._cc_cat_weighted()], norm_type="OLD_ZSCALE")
+        got = [r["c"] for r in out.collect()]
+        assert got == [0.2, 0.8, 0.5]
+
+    def test_old_zscale_numeric_equals_zscale(self, spark):
+        from shifu_spark.catalog import ColumnBinning, ColumnConfig, ColumnStats, ColumnType
+        from shifu_spark.operators.normalize import normalize_df
+
+        cc = ColumnConfig(column_num=0, column_name="v", column_type=ColumnType.NUMERICAL)
+        cc.final_select = True
+        cc.column_binning = ColumnBinning(bin_boundary=[float("-inf"), 1.0])
+        cc.column_stats = ColumnStats(mean=2.0, std_dev=1.0)
+        df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "v double")
+        a = [r["v"] for r in normalize_df(df, [cc], norm_type="OLD_ZSCALE").collect()]
+        b = [r["v"] for r in normalize_df(df, [cc], norm_type="ZSCALE").collect()]
+        assert a == b == [-1.0, 1.0, 0.0]
+
+    def test_weight_hybrid_uses_weighted_woe(self, spark):
+        from shifu_spark.operators.normalize import normalize_df
+
+        df = spark.createDataFrame([("x",), ("y",), ("zz",)], "c string")
+        out = normalize_df(df, [self._cc_cat_weighted()], norm_type="WEIGHT_HYBRID")
+        got = [r["c"] for r in out.collect()]
+        assert got == [2.0, -2.0, 0.5]  # binWeightedWoe, not binCountWoe
+
+    def test_weight_woe_zscore_weighted_population(self, spark):
+        # zscore of the WEIGHTED woe with weighted woe mean/std
+        # (calculateWoeMeanAndStdDev:728-756 over binWeightedWoe)
+        from shifu_spark.operators.normalize import normalize_df
+
+        cc = self._cc_cat_weighted()
+        wm, ws = cc.woe_mean_std(weighted=True)
+        df = spark.createDataFrame([("x",), ("y",)], "c string")
+        out = normalize_df(df, [cc], norm_type="WEIGHT_WOE_ZSCALE")
+        got = [r["c"] for r in out.collect()]
+        assert got == [pytest.approx((2.0 - wm) / ws), pytest.approx((-2.0 - wm) / ws)]
+
+    def test_onehot_categorical_multi_column(self, spark):
+        from shifu_spark.operators.normalize import normalize_df
+
+        df = spark.createDataFrame([("x",), ("y",), ("zz",)], "c string")
+        out = normalize_df(df, [self._cc_cat()], norm_type="ONEHOT")
+        assert out.columns == ["c_bin0", "c_bin1", "c_bin2"]  # 2 cats + missing
+        got = [tuple(r) for r in out.collect()]
+        assert got == [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+
+    def test_zscale_onehot_mixed(self, spark):
+        from shifu_spark.catalog import ColumnBinning, ColumnConfig, ColumnStats, ColumnType
+        from shifu_spark.operators.normalize import normalize_df
+
+        num = ColumnConfig(column_num=1, column_name="v", column_type=ColumnType.NUMERICAL)
+        num.final_select = True
+        num.column_binning = ColumnBinning(bin_boundary=[float("-inf"), 1.0])
+        num.column_stats = ColumnStats(mean=2.0, std_dev=1.0)
+        df = spark.createDataFrame([("x", 1.0), ("zz", 3.0)], "c string, v double")
+        out = normalize_df(df, [self._cc_cat(), num], norm_type="ZSCALE_ONEHOT")
+        assert out.columns == ["c_bin0", "c_bin1", "c_bin2", "v"]
+        got = [tuple(r) for r in out.collect()]
+        assert got == [(1.0, 0.0, 0.0, -1.0), (0.0, 0.0, 1.0, 1.0)]
+
+    def test_category_missing_mean_fill(self, spark):
+        # CategoryMissingNormType.MEAN (Normalizer.java:586-590): unseen
+        # category fills with the column mean -> zscore exactly 0.0
+        from shifu_spark.operators.normalize import normalize_df
+
+        cc = self._cc_cat_weighted()  # mean=0.4 std=0.1
+        df = spark.createDataFrame([("zz",)], "c string")
+        mean_fill = normalize_df(df, [cc], norm_type="ZSCALE", category_missing="MEAN")
+        posrate_fill = normalize_df(df, [cc], norm_type="ZSCALE", category_missing="POSRATE")
+        assert [r["c"] for r in mean_fill.collect()] == [0.0]
+        # POSRATE fill: (0.5 - 0.4) / 0.1 = 1.0
+        assert [r["c"] for r in posrate_fill.collect()] == [pytest.approx(1.0)]
+
 
 class TestDedupGroups:
     def test_transitive_chain_one_group(self, spark):
