@@ -126,6 +126,10 @@ class ColumnConfig:
     def is_categorical(self) -> bool:
         return self.column_type == ColumnType.CATEGORICAL
 
+    @property
+    def is_hybrid(self) -> bool:
+        return self.column_type == ColumnType.HYBRID
+
     # -- woe-distribution constants (reference Normalizer.java:728-756) ----
     def woe_mean_std(self, weighted: bool = False) -> tuple[float, float]:
         """Mean/stddev of the woe-transformed population, from bin counts.

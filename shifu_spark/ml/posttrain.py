@@ -83,6 +83,50 @@ def sensitivity_se(
     return agg.withColumn("rank", rk).select("rank", "column_name", F.round("se", 8).alias("se"))
 
 
+def sensitivity_st(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    intercept: float,
+    label_col: str,
+    means: list[float] | None = None,
+) -> DataFrame:
+    """Per-column ST = mean squared (target − column-masked score).
+
+    The other half of the wrapper varselect (VarSelectMapper.java:306-309:
+    ``diff = outputs[0] - currentModelScore`` under FILTER_BY_ST;
+    VarSelectReducer ranks by rms desc — identical ordering to ranking by
+    this MSE). Masking fills column j with its mean, a rank-1 logit
+    update, so one Arrow pass scores all masked variants per batch.
+    Returns (rank, column_name, st).
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    mu = np.asarray(means if means is not None else [0.0] * len(w), dtype=np.float64)
+    cols = list(feature_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros(len(cols))
+        count = 0
+        for pdf in batches:
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            logit = x @ w + intercept
+            delta = w[None, :] * (x - mu[None, :])  # (n, k)
+            masked = 1.0 / (1.0 + np.exp(-(logit[:, None] - delta)))
+            sums += ((y[:, None] - masked) ** 2).sum(axis=0)
+            count += len(pdf)
+        yield pd.DataFrame({"column_name": cols, "sq_sum": sums, "n": [count] * len(cols)})
+
+    partials = df.select(label_col, *cols).mapInPandas(
+        run, "column_name string, sq_sum double, n long"
+    )
+    agg = partials.groupBy("column_name").agg((F.sum("sq_sum") / F.sum("n")).alias("st"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("st"), F.asc("column_name")))
+    return agg.withColumn("rank", rk).select("rank", "column_name", F.round("st", 8).alias("st"))
+
+
 # ---------------------------------------------------------------------------
 # Reason codes for linear models — pure expressions
 # ---------------------------------------------------------------------------

@@ -316,20 +316,53 @@ def hybrid_bin_index_expr(
     boundaries: list[float],
     categories: list[str],
 ) -> Column:
-    """Bin lookup for hybrid columns: values < threshold take numeric bins
-    [0, len(boundaries)); values >= threshold are stringified and looked
-    up in the categorical map at offset len(boundaries); anything else
-    (missing / unknown category) -> the final missing slot.
+    """Bin lookup for hybrid columns (ColumnType.H), matching the
+    reference's lookup order (Normalizer.woeNormalize:622-640):
+
+      1. the raw token is looked up in the categorical map FIRST —
+         hit -> category slot + len(boundaries);
+      2. miss -> parse as number -> numeric boundary bin;
+      3. null / unparseable -> the final missing slot.
+
+    ``threshold`` governs which values were COLLECTED as categories at
+    binning time (BinningPartialDataUDF:119-135: NaN or value <
+    hybridThreshold go to the categorical binning; default -inf = only
+    non-numeric tokens), so at lookup time a value on the numeric side
+    simply misses the map — categorical-first lookup is the reference's
+    exact order and needs no threshold gate here.
 
     Index layout (BinUtils hybrid split): [numeric bins][cate bins][missing].
+
+    Category key contract: ``categories`` entries MUST be the plain
+    ``%.2f`` rendering of the value — fixed two decimals, '.' separator,
+    NO thousands grouping (e.g. ``"1234.00"``, not ``"1,234.00"``).
+    ``format_string`` is locale-free, unlike ``format_number`` whose
+    grouping separators would silently miss every value >= 1000.
     """
+    _ = threshold  # binning-time parameter; lookup is categorical-first
     c = F.col(col) if isinstance(col, str) else col
     cd = c.try_cast("double")
     n_num = len(boundaries)
-    num_idx = bin_index_expr(cd, boundaries, missing_index=n_num + len(categories))
+    missing = n_num + len(categories)
+    num_idx = bin_index_expr(cd, boundaries, missing_index=missing)
     cate_idx = categorical_index_expr(
-        F.format_number(cd, 2), categories, missing_index=len(categories)
+        F.format_string("%.2f", cd), categories, missing_index=-1 - n_num
     ) + n_num
-    return F.when(cd.isNull(), F.lit(n_num + len(categories))).otherwise(
-        F.when(cd < threshold, num_idx).otherwise(cate_idx)
+    return (
+        F.when(cd.isNull(), F.lit(missing))
+        .when(cate_idx >= n_num, cate_idx)
+        .otherwise(num_idx)
     )
+
+
+def hybrid_is_category_expr(col: Column | str, threshold: float | None) -> Column:
+    """Binning-time split predicate for hybrid columns
+    (BinningPartialDataUDF:119-135): a token goes to the CATEGORICAL
+    binning when it is non-numeric/NaN or its numeric value is below
+    ``hybridThreshold`` (null threshold -> -inf: only non-numeric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cd = c.try_cast("double")
+    is_cat = c.isNotNull() & cd.isNull()  # unparseable token
+    if threshold is not None:
+        is_cat = is_cat | (cd < F.lit(float(threshold)))
+    return is_cat

@@ -360,6 +360,36 @@ def gain_buckets_df(points: DataFrame, num_buckets: int = 10, round_to: int | No
     return out
 
 
+def meta_score_eval(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Champion-challenger / meta-score evaluation: run an ARBITRARY score
+    column (an external model's output, a business heuristic, a challenger
+    model) through the full metric stack and return one summary row
+    (auc, pr_auc, ks).
+
+    Reference: EvalModelProcessor.runDistMetaScore (:1007) +
+    pig/EvalScoreMetaSort.pig + udf/ColumnProjector.java — the reference
+    re-sorts the eval output on the meta column and replays the
+    ConfusionMatrix scan.  Here the curve operators are already
+    column-agnostic, so meta-scoring is literally pointing them at the
+    other column; everything runs on the distributed prefix-sum path.
+    KS = max(TPR − FPR) over the full-resolution curve
+    (PerformanceResult ks semantics, as a fraction not ×100).
+    """
+    pts = confusion_points_df(df, score_col, label_expr, weight_col)
+    auc = roc_auc_df(df, score_col, label_expr, round_to, weight_col)
+    pr = pr_auc_trapezoid(pts, round_to)
+    ks = F.max(F.col("recall") - F.col("fpr"))
+    if round_to is not None:
+        ks = F.round(ks, round_to)
+    return auc.crossJoin(pr).crossJoin(pts.agg(ks.alias("ks")))
+
+
 # ---------------------------------------------------------------------------
 # Raw-score rescale strategies (GBT scores are unbounded margins)
 # ---------------------------------------------------------------------------

@@ -169,7 +169,13 @@ def normalize_df(
             continue
         name = cc.column_name
         st, b = cc.column_stats, cc.column_binning
-        n_slots = len(b.bin_category) if cc.is_categorical else len(b.bin_boundary)
+        if cc.is_hybrid:
+            # hybrid slot layout: [numeric bins][cate bins] + missing
+            n_slots = len(b.bin_boundary) + len(b.bin_category)
+        elif cc.is_categorical:
+            n_slots = len(b.bin_category)
+        else:
+            n_slots = len(b.bin_boundary)
 
         def padded(woes_in: list[float]) -> list[float]:
             # one-class columns have no WOE (ColumnStatsCalculator returns
@@ -180,7 +186,17 @@ def normalize_df(
 
         def woe_lookup(woes: list[float]) -> Column:
             # kind-aware bin->woe: categorical columns index by category
-            # slot (BinUtils categorical getBinNum), numeric by boundary
+            # slot (BinUtils categorical getBinNum), numeric by boundary,
+            # hybrid via categorical-first combined lookup
+            # (woeNormalize:622-640)
+            if cc.is_hybrid:
+                from shifu_spark.operators.binning import hybrid_bin_index_expr
+
+                idx = hybrid_bin_index_expr(
+                    name, cc.hybrid_threshold, b.bin_boundary, b.bin_category
+                )
+                arr = F.array(*[F.lit(float(x)) for x in woes])
+                return F.element_at(arr, idx + 1)
             if cc.is_categorical:
                 from shifu_spark.operators.binning import categorical_index_expr
 

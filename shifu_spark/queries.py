@@ -1342,6 +1342,168 @@ FROM lineitem""")
 ORACLES["sensitivity_se"] = _sens_oracle()
 
 
+@query("sensitivity_st", None)
+def sensitivity_st_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity ST varselect (VarSelectMapper.java:306-309 FILTER_BY_ST:
+    diff = target − column-masked score; reducer ranks rms desc): per
+    column, MSE of (y − sigmoid(logit − w_j·x_j)) with a fixed linear
+    model and y = (l_returnflag = 'R'). Decimal term sums keep the oracle
+    bit-deterministic (Arrow/numpy form: ml.posttrain.sensitivity_st)."""
+    li = _t(spark, sf_dir, "lineitem")
+    logit = sum((F.col(c) * w for c, w in _SENS_W.items()), F.lit(0.0))
+    y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    aggs = []
+    for c, w in _SENS_W.items():
+        masked = 1.0 / (1.0 + F.exp(-(logit - F.col(c) * w)))
+        term = (y - masked) * (y - masked)
+        aggs.append(F.sum(term.cast("decimal(38,18)")).cast("double").alias(f"{c}__s"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    wide = li.agg(*aggs)
+    selects = [
+        wide.select(F.lit(c).alias("column_name"), F.round(F.col(f"{c}__s") / F.col("n"), 8).alias("st"))
+        for c in _SENS_W
+    ]
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("column_name")
+
+
+def _sens_st_oracle() -> str:
+    logit = " + ".join(f"{c} * {w!r}" for c, w in _SENS_W.items())
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)"
+    parts = []
+    for c, w in _SENS_W.items():
+        masked = f"1.0/(1.0+exp(-(({logit}) - {c} * {w!r})))"
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       round(sum(cast(({y} - {masked}) * ({y} - {masked})
+                 AS DECIMAL(38,18)))::DOUBLE / count(*), 8) AS st
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+ORACLES["sensitivity_st"] = _sens_st_oracle()
+
+
+@query("hybrid_column_woe", None)
+def hybrid_column_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (ColumnType.H) column end-to-end: l_quantity with sentinel
+    values 1/2 collected as categories (hybridThreshold=3,
+    BinningPartialDataUDF:119-135) and numeric bins [3,20) [20,40) [40,∞).
+    Slot layout [numeric][cate][missing] (BinUtils hybrid split); lookup
+    is categorical-first (woeNormalize:622-640). Output: per-row slot +
+    that slot's count-woe."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.binning import hybrid_bin_index_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    slot = hybrid_bin_index_expr("l_quantity", 3.0, [3.0, 20.0, 40.0], ["1.00", "2.00"])
+    is_pos = F.col("l_returnflag") == "R"
+    t = li.select(
+        "l_orderkey", "l_linenumber", slot.cast("int").alias("slot"),
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    woes = (
+        t.groupBy("slot")
+        .agg(F.sum("y").alias("pos"), F.sum(F.lit(1) - F.col("y")).alias("neg"))
+        .withColumn("sum_p", F.sum("pos").over(wall))
+        .withColumn("sum_n", F.sum("neg").over(wall))
+        .select(
+            "slot",
+            F.round(
+                F.log(
+                    (F.col("neg") / F.col("sum_n") + F.lit(1e-10))
+                    / (F.col("pos") / F.col("sum_p") + F.lit(1e-10))
+                ),
+                6,
+            ).alias("woe"),
+        )
+    )
+    return t.join(F.broadcast(woes), "slot").select("l_orderkey", "l_linenumber", "slot", "woe")
+
+
+ORACLES["hybrid_column_woe"] = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         (CASE WHEN l_quantity = 1 THEN 3
+               WHEN l_quantity = 2 THEN 4
+               WHEN l_quantity >= 40 THEN 2
+               WHEN l_quantity >= 20 THEN 1
+               ELSE 0 END)::INT AS slot,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+woes AS (
+  SELECT slot,
+         round(ln((sum(1 - y)::DOUBLE / (sum(sum(1 - y)::DOUBLE) OVER ()) + 1e-10)
+                  / (sum(y)::DOUBLE / (sum(sum(y)::DOUBLE) OVER ()) + 1e-10)), 6) AS woe
+  FROM t GROUP BY slot
+)
+SELECT t.l_orderkey, t.l_linenumber, t.slot, w.woe
+FROM t JOIN woes w USING (slot)
+"""
+
+
+@query("eval_meta_score", None)
+def eval_meta_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-score / champion-challenger eval
+    (EvalModelProcessor.runDistMetaScore:1007, EvalScoreMetaSort.pig,
+    udf/ColumnProjector.java): an external score column — here
+    l_discount standing in for a challenger model's output — through the
+    full metric stack: ROC AUC, PR AUC, KS. All on the distributed
+    prefix-sum curve path."""
+    from shifu_spark.operators.eval_metrics import meta_score_eval
+
+    li = _t(spark, sf_dir, "lineitem")
+    return meta_score_eval(li, "l_discount", F.col("l_returnflag") == "R")
+
+
+ORACLES["eval_meta_score"] = """
+WITH pts AS (
+  SELECT l_discount AS score,
+         count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT n, pos,
+         sum(n) OVER (ORDER BY score) - (n - 1) / 2.0 AS avg_rank,
+         sum(pos) OVER () AS tot_p, sum(n) OVER () AS tot
+  FROM pts
+),
+auc_t AS (
+  SELECT round((sum(avg_rank * pos) - max(tot_p) * (max(tot_p) + 1) / 2.0)
+               / (max(tot_p) * (max(tot) - max(tot_p))), 6) AS auc
+  FROM ranked
+),
+cum AS (
+  SELECT sum(pos) OVER (ORDER BY score DESC) AS tp,
+         sum(neg) OVER (ORDER BY score DESC) AS fp,
+         sum(pos) OVER () AS tot_p, sum(neg) OVER () AS tot_n
+  FROM pts
+),
+curve AS (
+  SELECT tp::DOUBLE / (tp + fp) AS precision, tp::DOUBLE / tot_p AS recall,
+         fp::DOUBLE / tot_n AS fpr
+  FROM cum
+),
+pr_t AS (
+  SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6) AS pr_auc
+  FROM (SELECT recall, precision,
+               lag(recall) OVER (ORDER BY recall) AS prev_r,
+               lag(precision) OVER (ORDER BY recall) AS prev_p
+        FROM curve)
+  WHERE prev_r IS NOT NULL
+),
+ks_t AS (SELECT round(max(recall - fpr), 6) AS ks FROM curve)
+SELECT auc, pr_auc, ks FROM auc_t CROSS JOIN pr_t CROSS JOIN ks_t
+"""
+
+
 @query("reason_codes", None)
 def reason_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reason codes (CalculateReasonCodeUDF): top-2 |w·x| features per

@@ -264,14 +264,29 @@ class TestDynamicHybridBinning:
         from shifu_spark.operators.binning import hybrid_bin_index_expr
 
         df = spark.createDataFrame(
-            [(0.5,), (1.5,), (10.0,), (11.0,), (99.0,), (None,)], "v double"
+            [(0.5,), (1.5,), (10.0,), (11.0,), (99.0,), (1234.0,), (None,)], "v double"
         )
-        # numeric bins [0,1) [1,..) below threshold 10; categories for >= 10
-        e = hybrid_bin_index_expr("v", 10.0, [0.0, 1.0], ["10.00", "11.00"])
+        # categorical-first lookup (woeNormalize:622-640): map hit -> cate
+        # slot; miss -> numeric boundary bin; null -> missing slot
+        e = hybrid_bin_index_expr("v", 10.0, [0.0, 1.0], ["10.00", "11.00", "1234.00"])
         got = [r[0] for r in df.select(e.alias("i")).collect()]
         #   0.5 -> bin0; 1.5 -> bin1; 10 -> cate0 -> 2; 11 -> cate1 -> 3;
-        #   99 unknown cate -> missing 4; NULL -> missing 4
-        assert got == [0, 1, 2, 3, 4, 4]
+        #   99 not a category -> numeric fallback bin1 -> 1;
+        #   1234 -> cate2 -> 4 (format_number's "1,234.00" would miss);
+        #   NULL -> missing 5
+        assert got == [0, 1, 2, 3, 1, 4, 5]
+
+    def test_hybrid_is_category_split(self, spark):
+        from shifu_spark.operators.binning import hybrid_is_category_expr
+
+        df = spark.createDataFrame(
+            [("-999",), ("1.5",), ("N/A",), (None,)], "v string"
+        )
+        # BinningPartialDataUDF:119-135: non-numeric or < threshold -> cate
+        e = hybrid_is_category_expr("v", 0.0)
+        got = [r[0] for r in df.select(e.alias("c")).collect()]
+        assert got[0] is True and got[1] is False and got[2] is True
+        assert not got[3]  # null input is not a category token
 
 
 class TestIvf:

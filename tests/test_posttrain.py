@@ -30,6 +30,42 @@ class TestSensitivity:
         by = {r["column_name"]: r["se"] for r in out}
         assert by["f3"] == pytest.approx(0.0, abs=1e-12)  # zero weight -> no delta
 
+    def test_st_matches_numpy(self, toy):
+        # ST mode: diff = target - maskedScore (VarSelectMapper.java:306-309)
+        from shifu_spark.ml.posttrain import sensitivity_st
+
+        pdf = toy.toPandas()
+        x = pdf[["f1", "f2", "f3"]].to_numpy()
+        y = pdf["label"].to_numpy()
+        w = np.array([2.0, 0.5, 0.0])
+        logit = x @ w
+        want = []
+        for j in range(3):
+            masked = 1 / (1 + np.exp(-(logit - w[j] * x[:, j])))
+            want.append(((y - masked) ** 2).mean())
+        got = {
+            r["column_name"]: r["st"]
+            for r in sensitivity_st(
+                toy, ["f1", "f2", "f3"], [2.0, 0.5, 0.0], 0.0, "label"
+            ).collect()
+        }
+        for j, c in enumerate(["f1", "f2", "f3"]):
+            assert got[c] == pytest.approx(want[j], rel=1e-6)
+
+    def test_st_zero_weight_equals_base_error(self, toy):
+        # masking a zero-weight column leaves the model unchanged, so ST
+        # for it equals the base model's Brier score exactly
+        from shifu_spark.ml.posttrain import sensitivity_st
+
+        pdf = toy.toPandas()
+        x = pdf[["f1", "f2", "f3"]].to_numpy()
+        y = pdf["label"].to_numpy()
+        base = 1 / (1 + np.exp(-(x @ np.array([2.0, 0.5, 0.0]))))
+        brier = ((y - base) ** 2).mean()
+        out = sensitivity_st(toy, ["f1", "f2", "f3"], [2.0, 0.5, 0.0], 0.0, "label").collect()
+        by = {r["column_name"]: r["st"] for r in out}
+        assert by["f3"] == pytest.approx(brier, rel=1e-6)
+
     def test_se_matches_numpy(self, toy):
         from shifu_spark.ml.posttrain import sensitivity_se
 
