@@ -18,34 +18,58 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# headline set: one per operator family — keep this list stable round-over-round
-HEADLINE = [
-    "tpch_q1",
-    "column_stats",
-    "ksiv_equal_interval",
-    "zscore_normalize",
-    "woe_normalize",
-    "psi_events_by_day",
-    "correlation_matrix",
-    "confusion_matrix_points",
-    "roc_auc",
-    "combo_score_join",
-    "nation_revenue",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "text_stats",
-    "embedding_topk",
+# headline set: one per operator family — keep this list stable round-over-round.
+# Maps query -> pipeline stage (BASELINE.md asks per-stage attribution:
+# stats / norm / train / eval, plus the LLM-pipeline families).
+HEADLINE_STAGES = {
+    "tpch_q1": "query",
+    "column_stats": "stats",
+    "ksiv_equal_interval": "stats",
+    "zscore_normalize": "norm",
+    "woe_normalize": "norm",
+    "psi_events_by_day": "stats",
+    "correlation_matrix": "stats",
+    "confusion_matrix_points": "eval",
+    "roc_auc": "eval",
+    "combo_score_join": "eval",
+    "nation_revenue": "query",
+    "ngram_jaccard_pairs": "dedup",
+    "minhash_lsh_pairs": "dedup",
+    "text_stats": "text",
+    "embedding_topk": "similarity",
     # round-1 additions (new operator families; per-query timings are the
     # stable unit of comparison, the total only grows with coverage)
-    "embedding_neardup_pairs",
-    "embedding_lsh_topk",
-    "simhash_neardup_pairs",
-    "exact_dedup",
-    "dynamic_binning",
-    "pr_auc",
-    "weighted_confusion",
-    "freq_items",
-]
+    "embedding_neardup_pairs": "similarity",
+    "embedding_lsh_topk": "similarity",
+    "simhash_neardup_pairs": "dedup",
+    "exact_dedup": "dedup",
+    "dynamic_binning": "stats",
+    "pr_auc": "eval",
+    "weighted_confusion": "eval",
+    "freq_items": "stats",
+    # round-2 additions: queries that previously lacked driver coverage +
+    # the new normalize/eval/hybrid surfaces
+    "multiclass_confusion": "eval",
+    "gain_buckets": "eval",
+    "weighted_roc_auc": "eval",
+    "eval_meta_score": "eval",
+    "sensitivity_st": "train",
+    "sgd_lr_train": "train",
+    "nn_train": "train",
+    "ga_varselect": "train",
+    "kmeans_step_centroids": "similarity",
+    "embedding_ivf_topk": "similarity",
+    "embedding_ivf_multiprobe": "similarity",
+    "dedup_groups": "dedup",
+    "salted_group_counts": "stats",
+    "events_props_json": "query",
+    "old_zscale_normalize": "norm",
+    "weight_hybrid_normalize": "norm",
+    "zscale_onehot_normalize": "norm",
+    "category_missing_mean": "norm",
+    "hybrid_column_woe": "norm",
+}
+HEADLINE = list(HEADLINE_STAGES)
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
@@ -95,6 +119,10 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    stages: dict[str, float] = {}
+    for name, sec in timings.items():
+        stage = HEADLINE_STAGES.get(name, "query")
+        stages[stage] = round(stages.get(stage, 0.0) + sec, 3)
     print(
         json.dumps(
             {
@@ -102,6 +130,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "stages": stages,
                 "sf": sf_val,
             }
         )

@@ -160,8 +160,17 @@ def _partial_grad_udf(
     n_weights = sum(r * c for r, c in _shapes(layers))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         mats = _unflatten(np.asarray(w), layers)
-        rng = np.random.default_rng(epoch_seed)
+        # per-partition seed component: without it every task draws the
+        # SAME dropout masks / subsample picks at the same batch offset,
+        # biasing the stochastics relative to the reference's independent
+        # per-worker randomness. (epoch_seed, partitionId) stays fully
+        # deterministic for a fixed partitioning while decorrelating tasks.
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        rng = np.random.default_rng((epoch_seed, pid))
         for pdf in batches:
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf[label_col].to_numpy(dtype=np.float64)

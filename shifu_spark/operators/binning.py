@@ -89,19 +89,21 @@ def weighted_equal_population_boundaries(
     percentile_approx has no weight argument; the reference feeds
     frequency-expanded values into its histogram. Spark's exact
     ``percentile(col, q, frequency)`` takes an integer frequency — we
-    scale weights to integer millis. At 100 TB scale this becomes a
-    two-pass approximate weighted quantile (bucket by value, sum weights,
-    cumulative scan) — implemented in :func:`weighted_quantile_scalable`.
+    scale weights to integer millis (precision contract: weights are
+    honored to 3 decimal places and anything below 0.001 clamps to 1
+    milli-unit; callers needing finer resolution should pre-scale their
+    weight column). At 100 TB scale this becomes a two-pass approximate
+    weighted quantile (bucket by value, sum weights, cumulative scan) —
+    implemented in :func:`weighted_quantile_scalable`; route through it
+    when the input is more than a driver-friendly sample.
     """
     v = F.col(col).try_cast("double")
-    w = (F.col(weight_col).cast("double") * 1000).cast("bigint")
     qs = [i / num_bins for i in range(num_bins)]
     arr = (
         df.filter(v.isNotNull())
         .agg(F.expr(f"percentile({col}, array({','.join(str(q) for q in qs)}), greatest(cast({weight_col}*1000 as bigint), 1L))"))
         .collect()[0][0]
     )
-    _ = w
     out: list[float] = []
     for b in arr or []:
         if b is not None and (not out or b > out[-1]):

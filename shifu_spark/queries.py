@@ -2610,14 +2610,19 @@ FROM lagged
 
 @query("dedup_groups", None)
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUP resolution: connected components over the n-gram
-    Jaccard pairs, min doc_id as group representative
-    (operators/dedup.dedup_groups_df — iterative label propagation).
-    Oracle = DuckDB recursive CTE computing min-reachable-id."""
-    from shifu_spark.operators.dedup import dedup_groups_df, ngram_jaccard_pairs_df
+    """Near-dup GROUP resolution: connected components over the
+    MinHash+LSH banded pair generator (the 100 TB-shaped composition —
+    shuffle = docs×bands, NOT the quadratic shared-shingle self-join),
+    min doc_id as group representative (operators/dedup.dedup_groups_df —
+    iterative label propagation). The oracle computes the exact-Jaccard
+    pair universe; LSH candidates are exact-verified at the same
+    threshold, and recall is 1.0 on this corpus (asserted in
+    tests/test_operators.py::TestDedupGroups::test_lsh_pairs_subset_of_exact),
+    so the group structure is identical."""
+    from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_df(docs, 3, threshold=0.5)
+    pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5).select("doc_a", "doc_b")
     return dedup_groups_df(pairs).orderBy("doc_id")
 
 

@@ -491,6 +491,18 @@ class TestDedupGroups:
         got = {r["doc_id"]: r["group_id"] for r in dedup_groups_df(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
+    def test_lsh_pairs_subset_of_exact(self, spark, sf_dir):
+        # dedup_groups composes over the LSH generator; its candidates are
+        # exact-verified, so LSH pairs ⊆ exact pairs always — and on the
+        # test corpus recall is 1.0, which keeps the exact-pair oracle valid
+        from shifu_spark.operators.dedup import minhash_lsh_pairs_df, ngram_jaccard_pairs_df
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs_df(docs, 3, threshold=0.5).collect()}
+        lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs_df(docs, 3, threshold=0.5).collect()}
+        assert lsh <= exact
+        assert lsh == exact  # recall 1.0 on this corpus
+
     def test_keep_representatives(self, spark):
         from shifu_spark.operators.dedup import dedup_keep_representatives
 
