@@ -117,7 +117,9 @@ def prefix_sums(
     n = num_ranges or spark.sparkContext.defaultParallelism
     key = F.desc(order_col) if descending else F.asc(order_col)
     parted = df.repartitionByRange(n, key).sortWithinPartitions(key).persist()
-    parted.count()  # pin the partitioning — offsets must see the same layout
+    # the offsets aggregation below is the pinning action: it materializes
+    # the persisted layout, and every later read hits that cache — no
+    # separate count() pass needed
     offsets, grand = _range_prefix_offsets(parted, cols)
     wpart = (
         Window.partitionBy("__pid")
@@ -297,8 +299,8 @@ def pr_auc_trapezoid(
         .sortWithinPartitions(F.asc("recall"))
         .persist()
     )
-    parted.count()
     # boundary rows: first and last (recall, precision) of each partition
+    # (this collect is also the action that pins the persisted layout)
     pid = parted.withColumn("__pid", spark_partition_id())
     wasc = Window.partitionBy("__pid").orderBy(F.asc("recall"))
     wdesc = Window.partitionBy("__pid").orderBy(F.desc("recall"))
@@ -360,6 +362,84 @@ def gain_buckets_df(points: DataFrame, num_buckets: int = 10, round_to: int | No
     return out
 
 
+def curve_metrics_df(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    round_to: int | None = 6,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ROC AUC + PR AUC + KS in ONE distributed prefix scan.
+
+    The naive composition (roc_auc_df + confusion_points_df +
+    pr_auc_trapezoid) runs three independent prefix machineries — three
+    groupBys and two extra range shuffles over the same points. This form
+    derives all three metrics from a single score-desc cumulative scan:
+
+      * ROC AUC as the tie-corrected trapezoid over counts,
+        U = Σ neg_i·(tp_{i-1}+tp_i)/2 — algebraically identical to the
+        Mann-Whitney average-rank statistic (roc_auc_df's form); the sum
+        runs in DECIMAL so it is exact at any scale (products overflow
+        int64 around 10^12 rows);
+      * PR AUC as the recall-ordered trapezoid, adjacent pairs resolved
+        WITHIN each range partition (pid-local lag) plus the
+        #partitions−1 boundary pairs from a tiny max_by/min_by agg;
+      * KS = max(TPR − FPR) over the full-resolution curve.
+
+    Returns one row (auc, pr_auc, ks).
+    """
+    pts = _score_points(df, score_col, label_expr, None)
+    cum, grand = prefix_sums(pts, "score", ["pos", "neg"], descending=True, num_ranges=num_ranges)
+    tot_p, tot_n = grand["pos"], grand["neg"]
+    t = (
+        cum.withColumn("rec", F.try_divide(F.col("cum_pos"), F.lit(tot_p)))
+        .withColumn("prec", F.try_divide(F.col("cum_pos"), F.col("cum_pos") + F.col("cum_neg")))
+        .withColumn("fpr", F.try_divide(F.col("cum_neg"), F.lit(tot_n)))
+    )
+    # boundary pairs: (lowest-score row of pid k) -> (highest-score row of
+    # pid k+1); one tiny agg instead of a second range shuffle
+    bounds = (
+        t.groupBy("__pid")
+        .agg(
+            F.max_by(F.struct("rec", "prec"), "score").alias("first"),
+            F.min_by(F.struct("rec", "prec"), "score").alias("last"),
+        )
+        .collect()
+    )
+    by_pid = {r["__pid"]: r for r in sorted(bounds, key=lambda r: r["__pid"])}
+    pids = sorted(by_pid)
+    boundary_area = 0.0
+    for prev, curp in zip(pids, pids[1:]):
+        a, b = by_pid[prev]["last"], by_pid[curp]["first"]
+        if a["prec"] is None or b["prec"] is None:
+            continue
+        boundary_area += (b["rec"] - a["rec"]) * (b["prec"] + a["prec"]) / 2.0
+    wprev = Window.partitionBy("__pid").orderBy(F.desc("score"))
+    t = t.withColumn("prev_r", F.lag("rec").over(wprev)).withColumn(
+        "prev_p", F.lag("prec").over(wprev)
+    )
+    pr_inner = F.sum(
+        F.when(
+            F.col("prev_r").isNotNull(),
+            (F.col("rec") - F.col("prev_r")) * (F.col("prec") + F.col("prev_p")) / 2.0,
+        )
+    )
+    # exact trapezoid numerator: Σ neg·(2·tp − pos) = 2·U
+    u2 = F.sum((F.col("neg") * (2 * F.col("cum_pos") - F.col("pos"))).cast("decimal(38,0)"))
+    agg = t.agg(
+        u2.alias("u2"),
+        pr_inner.alias("pr_inner"),
+        F.max(F.col("rec") - F.col("fpr")).alias("ks_raw"),
+    )
+    denom = 2.0 * float(tot_p) * float(tot_n)
+    auc = F.try_divide(F.col("u2").cast("double"), F.lit(denom) if denom else F.lit(None))
+    pr = F.coalesce(F.col("pr_inner"), F.lit(0.0)) + F.lit(boundary_area)
+    ks = F.col("ks_raw")
+    if round_to is not None:
+        auc, pr, ks = F.round(auc, round_to), F.round(pr, round_to), F.round(ks, round_to)
+    return agg.select(auc.alias("auc"), pr.alias("pr_auc"), ks.alias("ks"))
+
+
 def meta_score_eval(
     df: DataFrame,
     score_col: str,
@@ -381,6 +461,8 @@ def meta_score_eval(
     KS = max(TPR − FPR) over the full-resolution curve
     (PerformanceResult ks semantics, as a fraction not ×100).
     """
+    if weight_col is None:
+        return curve_metrics_df(df, score_col, label_expr, round_to)
     pts = confusion_points_df(df, score_col, label_expr, weight_col)
     auc = roc_auc_df(df, score_col, label_expr, round_to, weight_col)
     pr = pr_auc_trapezoid(pts, round_to)

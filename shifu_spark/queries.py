@@ -1993,12 +1993,12 @@ FROM lineitem CROSS JOIN mm
 @query("pr_auc", None)
 def pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PR AUC: trapezoid over (recall, precision) points
-    (AreaUnderCurve.ofPr semantics, eval_metrics.pr_auc_trapezoid)."""
-    from shifu_spark.operators.eval_metrics import confusion_points_df, pr_auc_trapezoid
+    (AreaUnderCurve.ofPr semantics) — via the one-pass
+    eval_metrics.curve_metrics_df prefix scan."""
+    from shifu_spark.operators.eval_metrics import curve_metrics_df
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
-    return pr_auc_trapezoid(pts)
+    return curve_metrics_df(li, "l_extendedprice", F.col("l_returnflag") == "R").select("pr_auc")
 
 
 ORACLES["pr_auc"] = """

@@ -58,6 +58,48 @@ class TestMultimodal:
         out = repartition_by_payload(big, target_partition_mb=1)
         assert out.rdd.getNumPartitions() >= 5
 
+    def test_byte_accounting_contract_large_skewed_payloads(self, spark):
+        # Contract (decode stays stubbed — this pins the REAL plumbing):
+        # (1) partition sizing follows cumulative payload BYTES, not row
+        #     count, under heavy skew; (2) the Arrow stage's byte
+        #     accounting (n_bytes, sha256) is exact per row end-to-end;
+        # (3) every input row survives the repartition + mapInPandas hop.
+        import hashlib
+
+        from shifu_spark.operators.multimodal import (
+            extract_image_features,
+            repartition_by_payload,
+        )
+
+        rows = [(i, bytes([i % 251]) * (1_000_000 if i < 6 else 1_000)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        # ~6.05 MB total -> >= 7 partitions at 1 MB target even though 90%
+        # of ROWS are tiny; a row-count split would give far fewer
+        parted = repartition_by_payload(df, target_partition_mb=1)
+        assert parted.rdd.getNumPartitions() >= 6
+        out = {r["doc_id"]: r for r in extract_image_features(parted).collect()}
+        assert len(out) == 60  # no row lost across the hop
+        for i, payload in rows:
+            assert out[i]["n_bytes"] == len(payload)
+            assert out[i]["sha256"] == hashlib.sha256(payload).hexdigest()
+            assert len(out[i]["feature"]) == 8
+
+    def test_strict_decode_raises_on_large_payloads_too(self, spark):
+        # strict mode must raise for ANY payload — stubs never silently
+        # count as decode coverage regardless of batch size
+        import pytest as _pytest
+
+        from shifu_spark.operators.multimodal import extract_image_features
+
+        df = spark.createDataFrame(
+            [(0, b"\xff\xd8\xff" + b"j" * 500_000)], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception) as ei:
+            extract_image_features(df, decode="strict").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+
     def test_frame_sample_plan(self, spark):
         from shifu_spark.operators.multimodal import attach_media_meta, frame_sample_plan
 
