@@ -87,3 +87,43 @@ def load_model_set(spark: SparkSession, path: str) -> dict:
 
         manifest["nn_models"] = [NNResult(**d) for d in manifest["nn_models"]]
     return manifest
+
+
+def export_pmml(path: str, out_dir: str | None = None) -> list[str]:
+    """`shifu export -t pmml` over a saved model set: one .pmml per
+    bagging member (ExportModelProcessor.java:158-173 writes
+    pmmls/<name><i>.pmml the same way).
+
+    Exports the inline-serialized members — SGD/LR weights as
+    RegressionModel, NN bags as NeuralNetwork (PMML-expressible
+    activations only; PTANH/SWISH/LEAKY_RELU members are skipped with
+    their index reported via ValueError from ml/pmml). Returns the
+    written file paths.
+    """
+    from shifu_spark.ml.pmml import lr_to_pmml, nn_to_pmml
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    out_dir = out_dir or os.path.join(path, "pmmls")
+    os.makedirs(out_dir, exist_ok=True)
+    feats = manifest.get("feature_cols") or []
+    written: list[str] = []
+    if manifest.get("sgd_weights"):
+        w = manifest["sgd_weights"]
+        # sgd weight vector layout: [w..., intercept]
+        xml = lr_to_pmml(feats, w[: len(feats)], w[-1] if len(w) > len(feats) else 0.0)
+        p = os.path.join(out_dir, "sgd_lr.pmml")
+        with open(p, "w") as fh:
+            fh.write(xml)
+        written.append(p)
+    for i, d in enumerate(manifest.get("nn_models") or []):
+        xml = nn_to_pmml(
+            feats, [int(x) for x in d["layers"]],
+            [float(x) for x in d["weights"]], list(d["activations"]),
+            model_name=f"nn_{i}",
+        )
+        p = os.path.join(out_dir, f"nn_{i}.pmml")
+        with open(p, "w") as fh:
+            fh.write(xml)
+        written.append(p)
+    return written

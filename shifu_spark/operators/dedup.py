@@ -284,7 +284,11 @@ def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int
     )
 
 
-def dedup_groups_df(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def dedup_groups_df(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
     """Resolve near-dup PAIRS into GROUPS: connected components with the
     minimum doc_id as the group representative.
 
@@ -292,12 +296,18 @@ def dedup_groups_df(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     reachable through any chain of near-dup pairs — the keep-one-per-
     cluster step after minhash/simhash/embedding pair generation.
 
-    Spark shape: iterative label propagation — each round every node
-    adopts the min label among itself and its neighbors; converges in
-    O(diameter) rounds (≤ log n after path doubling would, but dup
-    clusters are shallow in practice). Each round is one join + one
-    groupBy on (edges + labels); labels are checkpointed via persist to
-    keep lineage bounded. Driver sees only the per-round change count.
+    Two regimes (same output):
+      * **small graph** (≤ ``small_graph_threshold`` distinct edges):
+        verified near-dup pair sets are orders of magnitude smaller than
+        the corpus, so the edge list routinely fits the driver even when
+        the documents table is 100 TB — one collect + union-find beats
+        O(diameter) Spark rounds of fixed scheduler overhead;
+      * **large graph**: distributed label propagation — every node
+        adopts the min label among itself and its neighbors; converges in
+        O(diameter) rounds (dup clusters are shallow in practice). Each
+        round is one edge join + one per-node agg; labels persist to keep
+        lineage bounded, and the change count rides the same
+        materialization (no second join per round).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -305,6 +315,32 @@ def dedup_groups_df(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = edges.collect()
+        edges.unpersist()
+        for r in rows:
+            for v in (r["src"], r["dst"]):
+                parent.setdefault(v, v)
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        out = sorted((v, find(v)) for v in parent)
+        spark = pairs.sparkSession
+        schema = "doc_id {t}, group_id {t}".format(
+            t=dict(pairs.dtypes).get("doc_a", "long")
+        )
+        return spark.createDataFrame(out, schema)
+
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -312,28 +348,26 @@ def dedup_groups_df(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .persist()
     )
     labels.count()
+    pinned = labels  # the df actually holding the cache for this round
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("group_id").alias("nmin"))
         )
-        new_labels = (
+        joined = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
                 "doc_id",
                 F.least(F.col("group_id"), F.coalesce(F.col("nmin"), F.col("group_id"))).alias("group_id"),
+                (F.col("nmin") < F.col("group_id")).alias("__changed"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = joined.filter(F.col("__changed")).count()  # materializes the round
+        pinned.unpersist()
+        pinned = joined
+        labels = joined.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()

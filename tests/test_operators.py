@@ -491,6 +491,23 @@ class TestDedupGroups:
         got = {r["doc_id"]: r["group_id"] for r in dedup_groups_df(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
+    def test_distributed_path_matches_union_find(self, spark):
+        # force the label-propagation regime (threshold 0) and check it
+        # produces the identical grouping as the small-graph union-find
+        from shifu_spark.operators.dedup import dedup_groups_df
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (7, 4), (11, 20)],
+            "doc_a long, doc_b long",
+        )
+        small = {r["doc_id"]: r["group_id"] for r in dedup_groups_df(pairs).collect()}
+        dist = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup_groups_df(pairs, small_graph_threshold=0).collect()
+        }
+        assert small == dist
+        assert dist[7] == 1 and dist[20] == 10
+
     def test_lsh_pairs_subset_of_exact(self, spark, sf_dir):
         # dedup_groups composes over the LSH generator; its candidates are
         # exact-verified, so LSH pairs ⊆ exact pairs always — and on the

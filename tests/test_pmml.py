@@ -1,0 +1,109 @@
+"""PMML export round-trip tests (ExportModelProcessor parity).
+
+Export -> parse -> score must reproduce the in-engine score bit-for-bit
+(repr() float rendering round-trips exactly)."""
+
+import math
+import os
+import sys
+import xml.etree.ElementTree as ET
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+class TestLrPmml:
+    def test_round_trip_exact(self):
+        from shifu_spark.ml.pmml import lr_to_pmml, score_pmml
+
+        feats = ["f1", "f2", "f3"]
+        w = [0.25, -1.75, 3.5]
+        b = -0.125
+        xml = lr_to_pmml(feats, w, b)
+        row = {"f1": 1.5, "f2": -2.0, "f3": 0.5}
+        want = 1.0 / (1.0 + math.exp(-(sum(wi * row[f] for wi, f in zip(w, feats)) + b)))
+        assert score_pmml(xml, row) == want  # exact, not approx
+
+    def test_structure_is_pmml_42(self):
+        from shifu_spark.ml.pmml import PMML_XMLNS, lr_to_pmml
+
+        xml = lr_to_pmml(["a"], [1.0], 0.0)
+        root = ET.fromstring(xml)
+        assert root.get("version") == "4.2" and PMML_XMLNS in root.tag
+        tags = [t.tag.split("}")[-1] for t in root]
+        assert tags == ["Header", "DataDictionary", "RegressionModel"]
+        # one NumericPredictor per feature inside the RegressionTable
+        preds = [e for e in root.iter() if e.tag.split("}")[-1] == "NumericPredictor"]
+        assert len(preds) == 1 and preds[0].get("name") == "a"
+
+    def test_length_mismatch_raises(self):
+        from shifu_spark.ml.pmml import lr_to_pmml
+
+        with pytest.raises(ValueError):
+            lr_to_pmml(["a", "b"], [1.0], 0.0)
+
+
+class TestNnPmml:
+    def test_round_trip_matches_nn_forward(self):
+        from shifu_spark.ml.nn import _forward, _unflatten
+        from shifu_spark.ml.pmml import nn_to_pmml, score_pmml
+
+        rng = np.random.default_rng(7)
+        layers = [3, 4, 1]
+        acts = ["TANH", "SIGMOID"]
+        n = sum((layers[i] + 1) * layers[i + 1] for i in range(len(layers) - 1))
+        w = rng.normal(0, 0.5, n)
+        xml = nn_to_pmml(["x1", "x2", "x3"], layers, w.tolist(), acts)
+        x = np.array([[0.3, -1.2, 2.0]])
+        _, as_ = _forward(x, _unflatten(w, layers), acts)
+        want = float(as_[-1][0, 0])
+        got = score_pmml(xml, {"x1": 0.3, "x2": -1.2, "x3": 2.0})
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_unsupported_activation_raises(self):
+        from shifu_spark.ml.pmml import nn_to_pmml
+
+        with pytest.raises(ValueError, match="PMML equivalent"):
+            nn_to_pmml(["x"], [1, 2, 1], [0.0] * 7, ["ptanh", "sigmoid"])
+
+    def test_relu_layer(self):
+        from shifu_spark.ml.nn import _forward, _unflatten
+        from shifu_spark.ml.pmml import nn_to_pmml, score_pmml
+
+        rng = np.random.default_rng(11)
+        layers = [2, 3, 1]
+        acts = ["RELU", "SIGMOID"]
+        n = sum((layers[i] + 1) * layers[i + 1] for i in range(len(layers) - 1))
+        w = rng.normal(0, 1.0, n)
+        xml = nn_to_pmml(["a", "b"], layers, w.tolist(), acts)
+        x = np.array([[1.0, -0.5]])
+        _, as_ = _forward(x, _unflatten(w, layers), acts)
+        assert score_pmml(xml, {"a": 1.0, "b": -0.5}) == pytest.approx(
+            float(as_[-1][0, 0]), rel=1e-12
+        )
+
+
+class TestRegistryExport:
+    def test_export_pmml_from_manifest(self, tmp_path):
+        from shifu_spark.ml.nn import NNResult
+        from shifu_spark.ml.pmml import score_pmml
+        from shifu_spark.ml.registry import export_pmml, save_model_set
+
+        path = str(tmp_path / "mset")
+        res = NNResult(
+            weights=[0.1] * ((2 + 1) * 2 + (2 + 1) * 1),
+            layers=[2, 2, 1],
+            activations=["TANH", "SIGMOID"],
+        )
+        save_model_set(
+            path, [], feature_cols=["f1", "f2"],
+            sgd_weights=[0.5, -0.5, 0.25], nn_results=[res],
+        )
+        written = export_pmml(path)
+        assert [p.split("/")[-1] for p in written] == ["sgd_lr.pmml", "nn_0.pmml"]
+        lr_score = score_pmml(open(written[0]).read(), {"f1": 1.0, "f2": 1.0})
+        want = 1.0 / (1.0 + math.exp(-(0.5 - 0.5 + 0.25)))
+        assert lr_score == want
+        assert 0.0 < score_pmml(open(written[1]).read(), {"f1": 1.0, "f2": 1.0}) < 1.0
