@@ -133,6 +133,26 @@ def filter_valid_tags(df: DataFrame, tag_col: str, pos_tags: list[str], neg_tags
     return df.filter(F.col(tag_col).isin(list(pos_tags) + list(neg_tags)))
 
 
+def tag_expr_multiclass(tag_col: str, tag_sets: list[list[str]]) -> Column:
+    """Multi-class tag -> class index (NormalizeUDF.java:354-372: index of
+    the FIRST tag set containing the raw tag; unlisted tag -> NULL, which
+    the caller drops — the reference skips the record)."""
+    c = F.col(tag_col)
+    e: Column | None = None
+    for i, tags in enumerate(tag_sets):
+        cond = c.isin(list(tags))
+        e = F.when(cond, float(i)) if e is None else e.when(cond, float(i))
+    if e is None:
+        return F.lit(None).cast("double")
+    return e.otherwise(F.lit(None).cast("double"))
+
+
+def tag_expr_linear(tag_col: str) -> Column:
+    """Linear-target recode (NormalizeUDF.java:340-352): parse the raw tag
+    as double; unparseable -> NULL (caller drops, as the reference skips)."""
+    return F.col(tag_col).try_cast("double")
+
+
 def normalize_df(
     df: DataFrame,
     configs: list[ColumnConfig],

@@ -198,7 +198,7 @@ def run_pipeline(df: DataFrame, mc: ModelConfig, algorithm: str = "LR", bags: in
     row: auc, pr_auc, n_rows.
     """
     from shifu_spark.ml.train import TrainParams, assemble_features, score_ensemble, train_models
-    from shifu_spark.operators.eval_metrics import confusion_points_df, pr_auc_trapezoid, roc_auc_df
+    from shifu_spark.operators.eval_metrics import curve_metrics_df
     from shifu_spark.operators.normalize import normalize_df
 
     ccs = init_columns(df, mc)
@@ -216,9 +216,9 @@ def run_pipeline(df: DataFrame, mc: ModelConfig, algorithm: str = "LR", bags: in
     models = train_models(assembled, params, len(feat_cols))
 
     scored = score_ensemble(assembled, models, keep_cols=["label"]).cache()
-    auc = roc_auc_df(scored, "mean", F.col("label") == 1.0).collect()[0]["auc"]
-    pts = confusion_points_df(scored, "mean", F.col("label") == 1.0)
-    pr = pr_auc_trapezoid(pts).collect()[0]["pr_auc"]
+    # one prefix scan yields AUC + PR AUC (+KS) together
+    curve = curve_metrics_df(scored, "mean", F.col("label") == 1.0).collect()[0]
+    auc, pr = curve["auc"], curve["pr_auc"]
     n = scored.count()
     spark = df.sparkSession
     # degenerate corpora (single-class) have NULL AUCs — keep them NULL

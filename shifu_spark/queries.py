@@ -1581,12 +1581,12 @@ binned AS (
   FROM lineitem CROSS JOIN mm
 )
 SELECT l_orderkey, l_linenumber,
-       CASE WHEN bin = 0 THEN 1.0 ELSE 0.0 END AS q_bin0,
-       CASE WHEN bin = 1 THEN 1.0 ELSE 0.0 END AS q_bin1,
-       CASE WHEN bin = 2 THEN 1.0 ELSE 0.0 END AS q_bin2,
-       CASE WHEN bin = 3 THEN 1.0 ELSE 0.0 END AS q_bin3,
-       CASE WHEN bin = 4 THEN 1.0 ELSE 0.0 END AS q_bin4,
-       CASE WHEN bin = 5 THEN 1.0 ELSE 0.0 END AS q_bin5
+       (CASE WHEN bin = 0 THEN 1.0 ELSE 0.0 END)::DOUBLE AS q_bin0,
+       (CASE WHEN bin = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE AS q_bin1,
+       (CASE WHEN bin = 2 THEN 1.0 ELSE 0.0 END)::DOUBLE AS q_bin2,
+       (CASE WHEN bin = 3 THEN 1.0 ELSE 0.0 END)::DOUBLE AS q_bin3,
+       (CASE WHEN bin = 4 THEN 1.0 ELSE 0.0 END)::DOUBLE AS q_bin4,
+       (CASE WHEN bin = 5 THEN 1.0 ELSE 0.0 END)::DOUBLE AS q_bin5
 FROM binned
 """
 

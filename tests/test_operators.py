@@ -466,6 +466,20 @@ class TestNormalizeVariants:
         got = [tuple(r) for r in out.collect()]
         assert got == [(1.0, 0.0, 0.0, -1.0), (0.0, 0.0, 1.0, 1.0)]
 
+    def test_multiclass_tag_recode(self, spark):
+        # NormalizeUDF.java:354-372: index of the first tag-set containing
+        # the raw tag; unlisted -> NULL (record skipped)
+        from shifu_spark.operators.normalize import tag_expr_linear, tag_expr_multiclass
+
+        df = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "t string")
+        e = tag_expr_multiclass("t", [["a"], ["b", "c"]])
+        got = [r[0] for r in df.select(e.alias("i")).collect()]
+        assert got == [0.0, 1.0, 1.0, None]
+        lin = [r[0] for r in
+               spark.createDataFrame([("1.5",), ("x",)], "t string")
+               .select(tag_expr_linear("t").alias("v")).collect()]
+        assert lin == [1.5, None]
+
     def test_category_missing_mean_fill(self, spark):
         # CategoryMissingNormType.MEAN (Normalizer.java:586-590): unseen
         # category fills with the column mean -> zscore exactly 0.0
