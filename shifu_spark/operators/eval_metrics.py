@@ -68,70 +68,63 @@ def _score_points(
 # Distributed prefix-sum core (the 100 TB form of the cumulative scan)
 # ---------------------------------------------------------------------------
 
-def _range_prefix_offsets(parted: DataFrame, cols: list[str]):
-    """Per-partition exclusive prefix offsets for ``cols``.
-
-    Sums each range-partition's totals (one tiny row per partition),
-    cumulates them on the driver (#partitions rows — trivially small),
-    and returns ((pid, <col>_off...) DataFrame for a broadcast join
-    back, grand-total dict)."""
-    totals = (
-        parted.withColumn("__pid", spark_partition_id())
-        .groupBy("__pid")
-        .agg(*[F.sum(c).alias(c) for c in cols])
-        .orderBy("__pid")
-        .collect()
-    )
-    is_double = {
-        c: any(isinstance(r[c], float) for r in totals) for c in cols
-    }
-    rows, running = [], {c: (0.0 if is_double[c] else 0) for c in cols}
-    for r in totals:
-        rows.append((r["__pid"], *[running[c] for c in cols]))
-        for c in cols:
-            running[c] += r[c] or 0
-    spark = parted.sparkSession
-    schema = "pid int, " + ", ".join(
-        f"{c}_off {'double' if is_double[c] else 'long'}" for c in cols
-    )
-    return spark.createDataFrame(rows, schema), running
-
-
 def prefix_sums(
     df: DataFrame,
     order_col: str,
     cols: list[str],
     descending: bool = True,
     num_ranges: int | None = None,
-):
+    persist: bool = False,
+) -> DataFrame:
     """Distributed inclusive prefix-sum of ``cols`` in ``order_col`` order.
 
-    Returns (DataFrame with ``cum_<col>`` columns appended, grand-total
-    dict).  Plan: range-repartition on the key (parallel sort), prefix
-    WITHIN each range under a pid-partitioned window, add per-range
-    exclusive offsets via a broadcast join.  Output is row-identical to
-    an unpartitioned ``sum() OVER (ORDER BY ...)`` but every task works
-    on ~1/num_ranges of the points.
+    Returns the input with ``cum_<col>`` (running sum), ``tot_<col>``
+    (grand total, constant) and ``__pid`` columns appended.
+
+    Plan — fully declarative, ONE job per consuming action:
+      * range-repartition on the key (parallel sort into ``num_ranges``);
+      * per-range totals (one tiny row per range) cumulated under a
+        window over ``__pid`` — the window is unpartitioned but spans
+        only #ranges rows, so it is trivially cheap, unlike a global
+        window over the data;
+      * broadcast the (#ranges)-row offset table back and add it to the
+        pid-partitioned within-range running sum.
+
+    Output is row-identical to an unpartitioned ``sum() OVER (ORDER BY
+    ...)`` but every task works on ~1/num_ranges of the points. Catalyst
+    reuses the range exchange between the totals branch and the main
+    branch (ReusedExchange), so the input is shuffled once. Set
+    ``persist=True`` when the caller runs MULTIPLE actions over the
+    result (each action would otherwise re-execute the plan).
     """
     spark = df.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
     key = F.desc(order_col) if descending else F.asc(order_col)
-    parted = df.repartitionByRange(n, key).sortWithinPartitions(key).persist()
-    # the offsets aggregation below is the pinning action: it materializes
-    # the persisted layout, and every later read hits that cache — no
-    # separate count() pass needed
-    offsets, grand = _range_prefix_offsets(parted, cols)
+    parted = (
+        df.repartitionByRange(n, key)
+        .sortWithinPartitions(key)
+        .withColumn("__pid", spark_partition_id())
+    )
+    if persist:
+        parted = parted.persist()
+    totals = parted.groupBy("__pid").agg(*[F.sum(c).alias(f"__t_{c}") for c in cols])
+    wprev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    zero = F.lit(0)
+    offsets = totals.select(
+        F.col("__pid").alias("__opid"),
+        *[F.coalesce(F.sum(f"__t_{c}").over(wprev), zero).alias(f"{c}_off") for c in cols],
+        *[F.sum(f"__t_{c}").over(wall).alias(f"tot_{c}") for c in cols],
+    )
     wpart = (
         Window.partitionBy("__pid")
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = parted.withColumn("__pid", spark_partition_id()).join(
-        F.broadcast(offsets), F.col("__pid") == F.col("pid")
-    )
+    out = parted.join(F.broadcast(offsets), F.col("__pid") == F.col("__opid")).drop("__opid")
     for c in cols:
         out = out.withColumn(f"cum_{c}", F.sum(c).over(wpart) + F.col(f"{c}_off"))
-    return out.drop("pid", *[f"{c}_off" for c in cols]), grand
+    return out.drop(*[f"{c}_off" for c in cols])
 
 
 def _confusion_select(t: DataFrame, weighted: bool) -> DataFrame:
@@ -139,8 +132,8 @@ def _confusion_select(t: DataFrame, weighted: bool) -> DataFrame:
         "score",
         F.col("cum_pos").cast("long").alias("tp"),
         F.col("cum_neg").cast("long").alias("fp"),
-        (F.col("tot_p") - F.col("cum_pos")).cast("long").alias("fn"),
-        (F.col("tot_n") - F.col("cum_neg")).cast("long").alias("tn"),
+        (F.col("tot_pos") - F.col("cum_pos")).cast("long").alias("fn"),
+        (F.col("tot_neg") - F.col("cum_neg")).cast("long").alias("tn"),
     ]
     if weighted:
         cols += [F.col("cum_wpos").alias("wtp"), F.col("cum_wneg").alias("wfp")]
@@ -148,8 +141,8 @@ def _confusion_select(t: DataFrame, weighted: bool) -> DataFrame:
         # try_divide: degenerate corpora (no positives / no negatives)
         # yield NULL metrics instead of an ANSI divide-by-zero
         F.try_divide(F.col("cum_pos"), F.col("cum_pos") + F.col("cum_neg")).alias("precision"),
-        F.try_divide(F.col("cum_pos"), F.col("tot_p")).alias("recall"),
-        F.try_divide(F.col("cum_neg"), F.col("tot_n")).alias("fpr"),
+        F.try_divide(F.col("cum_pos"), F.col("tot_pos")).alias("recall"),
+        F.try_divide(F.col("cum_neg"), F.col("tot_neg")).alias("fpr"),
     ]
     return t.select(*cols)
 
@@ -173,9 +166,8 @@ def confusion_points_df(
     """
     pts = _score_points(df, score_col, label_expr, weight_col)
     cols = ["pos", "neg"] + (["wpos", "wneg"] if weight_col else [])
-    cum, grand = prefix_sums(pts, "score", cols, descending=True, num_ranges=num_ranges)
-    t = cum.withColumn("tot_p", F.lit(grand["pos"])).withColumn("tot_n", F.lit(grand["neg"]))
-    return _confusion_select(t, weighted=weight_col is not None)
+    cum = prefix_sums(pts, "score", cols, descending=True, num_ranges=num_ranges)
+    return _confusion_select(cum, weighted=weight_col is not None)
 
 
 # Back-compat alias: the scalable path is now the only public plan.
@@ -204,8 +196,8 @@ def confusion_points_global(
         .withColumn("cum_neg", F.sum("neg").over(wdesc))
         .withColumn("cum_wpos", F.sum("wpos").over(wdesc))
         .withColumn("cum_wneg", F.sum("wneg").over(wdesc))
-        .withColumn("tot_p", F.sum("pos").over(wall))
-        .withColumn("tot_n", F.sum("neg").over(wall))
+        .withColumn("tot_pos", F.sum("pos").over(wall))
+        .withColumn("tot_neg", F.sum("neg").over(wall))
     )
     return _confusion_select(t, weighted=weight_col is not None)
 
@@ -234,8 +226,7 @@ def roc_auc_df(
         return _weighted_roc_auc(df, score_col, label_expr, weight_col, round_to, num_ranges)
     pts = _score_points(df, score_col, label_expr, None).select("score", "pos", "neg")
     pts = pts.withColumn("n", F.col("pos") + F.col("neg"))
-    cum, grand = prefix_sums(pts, "score", ["n"], descending=False, num_ranges=num_ranges)
-    _ = grand
+    cum = prefix_sums(pts, "score", ["n"], descending=False, num_ranges=num_ranges)
     ranked = cum.withColumn("avg_rank", F.col("cum_n") - (F.col("n") - 1) / 2.0)
     agg = ranked.agg(
         F.sum(F.col("avg_rank") * F.col("pos")).alias("rank_sum"),
@@ -264,17 +255,17 @@ def _weighted_roc_auc(
     Per distinct score (descending): ΔAUC = Δwfp·(wtp_prev + wtp)/2,
     normalized by totals.  Uses the same distributed prefix-sum."""
     pts = _score_points(df, score_col, label_expr, weight_col)
-    cum, grand = prefix_sums(
-        pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges
-    )
-    tot_p, tot_n = grand["wpos"], grand["wneg"]
+    cum = prefix_sums(pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges)
     # Δwfp for this point is its own wneg; wtp_prev = cum_wpos - wpos
     t = cum.withColumn(
         "area", F.col("wneg") * ((F.col("cum_wpos") - F.col("wpos")) + F.col("cum_wpos")) / 2.0
     )
-    agg = t.agg(F.sum("area").alias("area_sum"))
-    denom = float(tot_p) * float(tot_n)
-    auc = F.try_divide(F.col("area_sum"), F.lit(denom) if denom else F.lit(None))
+    agg = t.agg(
+        F.sum("area").alias("area_sum"),
+        F.first("tot_wpos").alias("tp"),
+        F.first("tot_wneg").alias("tn"),
+    )
+    auc = F.try_divide(F.col("area_sum"), F.col("tp") * F.col("tn"))
     if round_to is not None:
         auc = F.round(auc, round_to)
     return agg.select(auc.alias("auc"))
@@ -389,12 +380,14 @@ def curve_metrics_df(
     Returns one row (auc, pr_auc, ks).
     """
     pts = _score_points(df, score_col, label_expr, None)
-    cum, grand = prefix_sums(pts, "score", ["pos", "neg"], descending=True, num_ranges=num_ranges)
-    tot_p, tot_n = grand["pos"], grand["neg"]
+    # persist: this consumer runs two actions (boundary agg + final agg)
+    cum = prefix_sums(
+        pts, "score", ["pos", "neg"], descending=True, num_ranges=num_ranges, persist=True
+    )
     t = (
-        cum.withColumn("rec", F.try_divide(F.col("cum_pos"), F.lit(tot_p)))
+        cum.withColumn("rec", F.try_divide(F.col("cum_pos"), F.col("tot_pos")))
         .withColumn("prec", F.try_divide(F.col("cum_pos"), F.col("cum_pos") + F.col("cum_neg")))
-        .withColumn("fpr", F.try_divide(F.col("cum_neg"), F.lit(tot_n)))
+        .withColumn("fpr", F.try_divide(F.col("cum_neg"), F.col("tot_neg")))
     )
     # boundary pairs: (lowest-score row of pid k) -> (highest-score row of
     # pid k+1); one tiny agg instead of a second range shuffle
@@ -430,9 +423,12 @@ def curve_metrics_df(
         u2.alias("u2"),
         pr_inner.alias("pr_inner"),
         F.max(F.col("rec") - F.col("fpr")).alias("ks_raw"),
+        F.first("tot_pos").alias("tp"),
+        F.first("tot_neg").alias("tn"),
     )
-    denom = 2.0 * float(tot_p) * float(tot_n)
-    auc = F.try_divide(F.col("u2").cast("double"), F.lit(denom) if denom else F.lit(None))
+    auc = F.try_divide(
+        F.col("u2").cast("double"), 2.0 * F.col("tp").cast("double") * F.col("tn").cast("double")
+    )
     pr = F.coalesce(F.col("pr_inner"), F.lit(0.0)) + F.lit(boundary_area)
     ks = F.col("ks_raw")
     if round_to is not None:
