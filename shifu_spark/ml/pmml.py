@@ -168,6 +168,89 @@ def nn_to_pmml(
     return ET.tostring(root, encoding="unicode")
 
 
+def _tree_node_el(parent: ET.Element, tree: dict, idx: int, feature_names: list[str], predicate: ET.Element | None) -> None:
+    """Emit one PMML Node (recursive). MLlib ContinuousSplit semantics:
+    go LEFT iff feature <= threshold -> left child predicate
+    lessOrEqual, right child greaterThan."""
+    node = ET.SubElement(parent, "Node", {"score": repr(float(tree["prediction"][idx]))})
+    if predicate is None:
+        ET.SubElement(node, "True")
+    else:
+        node.append(predicate)
+    f = tree["feature"][idx]
+    if f >= 0:
+        t = repr(float(tree["threshold"][idx]))
+        le = ET.Element("SimplePredicate", {"field": feature_names[f], "operator": "lessOrEqual", "value": t})
+        gt = ET.Element("SimplePredicate", {"field": feature_names[f], "operator": "greaterThan", "value": t})
+        _tree_node_el(node, tree, tree["left"][idx], feature_names, le)
+        _tree_node_el(node, tree, tree["right"][idx], feature_names, gt)
+
+
+def trees_to_pmml(
+    feature_names: list[str],
+    trees: list[dict],
+    tree_weights: list[float] | None = None,
+    method: str = "average",
+    model_name: str = "model",
+    target: str = "target",
+) -> str:
+    """Tree ensemble -> PMML MiningModel with Segmentation
+    (TreeEnsemblePMMLTranslator.java semantics).
+
+    ``trees`` are ml/posttrain.extract_tree dicts (feature/threshold/
+    left/right/prediction parallel arrays). ``method``: "average" (RF
+    regression / probability forests) or "sum" (GBT; pass the per-tree
+    ``tree_weights`` MLlib exposes as treeWeights — encoded as PMML
+    Segment weights). A single tree exports as a plain TreeModel.
+    """
+    if method not in ("average", "sum", "weightedAverage"):
+        raise ValueError(method)
+    root = _pmml_root(model_name)
+    _data_dictionary(root, feature_names, target)
+    if len(trees) == 1 and tree_weights is None:
+        tm = ET.SubElement(root, "TreeModel", {
+            "modelName": model_name, "functionName": "regression",
+            "splitCharacteristic": "binarySplit",
+        })
+        _mining_schema(tm, feature_names, target)
+        _tree_node_el(tm, trees[0], 0, feature_names, None)
+        return ET.tostring(root, encoding="unicode")
+    mm = ET.SubElement(root, "MiningModel", {"modelName": model_name, "functionName": "regression"})
+    _mining_schema(mm, feature_names, target)
+    seg = ET.SubElement(mm, "Segmentation", {"multipleModelMethod": method})
+    for i, tree in enumerate(trees):
+        attrs = {"id": str(i)}
+        if tree_weights is not None:
+            attrs["weight"] = repr(float(tree_weights[i]))
+        s = ET.SubElement(seg, "Segment", attrs)
+        ET.SubElement(s, "True")
+        tm = ET.SubElement(s, "TreeModel", {
+            "modelName": f"{model_name}_t{i}", "functionName": "regression",
+            "splitCharacteristic": "binarySplit",
+        })
+        _mining_schema(tm, feature_names, target)
+        _tree_node_el(tm, tree, 0, feature_names, None)
+    return ET.tostring(root, encoding="unicode")
+
+
+def mllib_tree_model_to_pmml(model, feature_names: list[str], model_name: str = "model") -> str:
+    """Export a fitted MLlib tree model (DecisionTree/RandomForest/GBT
+    regressor or classifier) straight from its JVM structure."""
+    from shifu_spark.ml.posttrain import extract_tree
+
+    jm = model._java_obj
+    cls = type(model).__name__
+    # py4j proxies claim every attribute, so dispatch on the model CLASS,
+    # not hasattr (calling .trees() on a single DecisionTree model throws)
+    if cls.startswith(("RandomForest", "GBT")):
+        trees = [extract_tree(jt.rootNode()) for jt in jm.trees()]
+        if cls.startswith("GBT"):
+            weights = [float(w) for w in jm.treeWeights()]
+            return trees_to_pmml(feature_names, trees, weights, "sum", model_name)
+        return trees_to_pmml(feature_names, trees, None, "average", model_name)
+    return trees_to_pmml(feature_names, [extract_tree(jm.rootNode())], None, "average", model_name)
+
+
 # ---------------------------------------------------------------------------
 # Minimal evaluator — test-side consumer proving the artifact is scoreable
 # ---------------------------------------------------------------------------
@@ -182,9 +265,42 @@ def score_pmml(xml: str, row: dict[str, float]) -> float:
     export -> consume round-trips exactly; NOT a production scorer."""
     import math
 
+    def walk_tree_model(tm: ET.Element) -> float:
+        def node_matches(n: ET.Element) -> bool:
+            for p in n:
+                t = _strip(p.tag)
+                if t == "True":
+                    return True
+                if t == "SimplePredicate":
+                    v, x = float(p.get("value")), row[p.get("field")]
+                    return x <= v if p.get("operator") == "lessOrEqual" else x > v
+            return False
+
+        node = next(e for e in tm if _strip(e.tag) == "Node")
+        while True:
+            kids = [e for e in node if _strip(e.tag) == "Node"]
+            if not kids:
+                return float(node.get("score"))
+            node = next(k for k in kids if node_matches(k))
+
     root = ET.fromstring(xml)
     for child in root:
         tag = _strip(child.tag)
+        if tag == "TreeModel":
+            return walk_tree_model(child)
+        if tag == "MiningModel":
+            seg = next(e for e in child if _strip(e.tag) == "Segmentation")
+            method = seg.get("multipleModelMethod")
+            scores, weights = [], []
+            for s in seg:
+                if _strip(s.tag) != "Segment":
+                    continue
+                tm = next(e for e in s if _strip(e.tag) == "TreeModel")
+                scores.append(walk_tree_model(tm))
+                weights.append(float(s.get("weight", "1.0")))
+            if method == "sum":
+                return sum(w * v for w, v in zip(weights, scores))
+            return sum(scores) / len(scores)
         if tag == "RegressionModel":
             table = next(e for e in child.iter() if _strip(e.tag) == "RegressionTable")
             s = float(table.get("intercept"))

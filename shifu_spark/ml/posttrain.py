@@ -160,11 +160,13 @@ def reason_codes_linear(
 
 def extract_tree(java_root) -> dict[str, list]:
     """Flatten an MLlib decision tree into parallel arrays
-    (feature, threshold, left, right); leaves have feature == -1."""
+    (feature, threshold, left, right, prediction); leaves have
+    feature == -1 and carry the node prediction."""
     feat: list[int] = []
     thr: list[float] = []
     left: list[int] = []
     right: list[int] = []
+    pred: list[float] = []
 
     def walk(node) -> int:
         idx = len(feat)
@@ -175,6 +177,7 @@ def extract_tree(java_root) -> dict[str, list]:
             thr.append(float(split.threshold()) if split.getClass().getSimpleName() == "ContinuousSplit" else 0.0)
             left.append(-1)
             right.append(-1)
+            pred.append(float(node.prediction()))
             li = walk(node.leftChild())
             ri = walk(node.rightChild())
             left[idx], right[idx] = li, ri
@@ -183,10 +186,11 @@ def extract_tree(java_root) -> dict[str, list]:
             thr.append(0.0)
             left.append(-1)
             right.append(-1)
+            pred.append(float(node.prediction()))
         return idx
 
     walk(java_root)
-    return {"feature": feat, "threshold": thr, "left": left, "right": right}
+    return {"feature": feat, "threshold": thr, "left": left, "right": right, "prediction": pred}
 
 
 def tree_path_encode(df: DataFrame, feature_cols: list[str], tree_model) -> DataFrame:

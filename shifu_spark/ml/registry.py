@@ -28,6 +28,10 @@ _MLLIB_CLASSES = {
     "RandomForestClassificationModel": "pyspark.ml.classification",
     "GBTClassificationModel": "pyspark.ml.classification",
     "MultilayerPerceptronClassificationModel": "pyspark.ml.classification",
+    "DecisionTreeRegressionModel": "pyspark.ml.regression",
+    "RandomForestRegressionModel": "pyspark.ml.regression",
+    "GBTRegressionModel": "pyspark.ml.regression",
+    "LinearRegressionModel": "pyspark.ml.regression",
 }
 
 
@@ -89,7 +93,7 @@ def load_model_set(spark: SparkSession, path: str) -> dict:
     return manifest
 
 
-def export_pmml(path: str, out_dir: str | None = None) -> list[str]:
+def export_pmml(path: str, out_dir: str | None = None, spark: SparkSession | None = None) -> list[str]:
     """`shifu export -t pmml` over a saved model set: one .pmml per
     bagging member (ExportModelProcessor.java:158-173 writes
     pmmls/<name><i>.pmml the same way).
@@ -97,8 +101,9 @@ def export_pmml(path: str, out_dir: str | None = None) -> list[str]:
     Exports the inline-serialized members — SGD/LR weights as
     RegressionModel, NN bags as NeuralNetwork (PMML-expressible
     activations only; PTANH/SWISH/LEAKY_RELU members are skipped with
-    their index reported via ValueError from ml/pmml). Returns the
-    written file paths.
+    their index reported via ValueError from ml/pmml) — and, when a
+    ``spark`` session is provided, saved MLlib tree ensembles as
+    TreeModel/MiningModel documents. Returns the written file paths.
     """
     from shifu_spark.ml.pmml import lr_to_pmml, nn_to_pmml
 
@@ -108,6 +113,18 @@ def export_pmml(path: str, out_dir: str | None = None) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     feats = manifest.get("feature_cols") or []
     written: list[str] = []
+    if spark is not None and manifest.get("models"):
+        from shifu_spark.ml.pmml import mllib_tree_model_to_pmml
+
+        loaded = load_model_set(spark, path)
+        for i, m in enumerate(loaded["models"]):
+            cls = type(m).__name__
+            if not cls.startswith(("RandomForest", "GBT", "DecisionTree")):
+                continue  # LR etc. export via sgd path; others registry-native
+            p = os.path.join(out_dir, f"tree_{i}.pmml")
+            with open(p, "w") as fh:
+                fh.write(mllib_tree_model_to_pmml(m, feats, model_name=f"tree_{i}"))
+            written.append(p)
     if manifest.get("sgd_weights"):
         w = manifest["sgd_weights"]
         # sgd weight vector layout: [w..., intercept]

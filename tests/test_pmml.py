@@ -107,3 +107,79 @@ class TestRegistryExport:
         want = 1.0 / (1.0 + math.exp(-(0.5 - 0.5 + 0.25)))
         assert lr_score == want
         assert 0.0 < score_pmml(open(written[1]).read(), {"f1": 1.0, "f2": 1.0}) < 1.0
+
+
+class TestTreePmml:
+    @staticmethod
+    def _toy(spark):
+        from pyspark.ml.feature import VectorAssembler
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1, (400, 3))
+        y = x[:, 0] * 2 + (x[:, 1] > 0) * 3 + rng.normal(0, 0.1, 400)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(x, y)],
+            "f1 double, f2 double, f3 double, label double",
+        )
+        return VectorAssembler(inputCols=["f1", "f2", "f3"], outputCol="features").transform(df)
+
+    def test_rf_regressor_round_trip(self, spark):
+        from pyspark.ml.regression import RandomForestRegressor
+
+        from shifu_spark.ml.pmml import mllib_tree_model_to_pmml, score_pmml
+
+        data = self._toy(spark)
+        model = RandomForestRegressor(numTrees=3, maxDepth=4, seed=7).fit(data)
+        xml = mllib_tree_model_to_pmml(model, ["f1", "f2", "f3"])
+        rows = data.select("f1", "f2", "f3").limit(20).collect()
+        preds = model.transform(data).select("prediction").limit(20).collect()
+        for r, p in zip(rows, preds):
+            got = score_pmml(xml, {"f1": r["f1"], "f2": r["f2"], "f3": r["f3"]})
+            assert got == pytest.approx(p["prediction"], rel=1e-9)
+
+    def test_gbt_regressor_round_trip(self, spark):
+        from pyspark.ml.regression import GBTRegressor
+
+        from shifu_spark.ml.pmml import mllib_tree_model_to_pmml, score_pmml
+
+        data = self._toy(spark)
+        model = GBTRegressor(maxIter=4, maxDepth=3, seed=7).fit(data)
+        xml = mllib_tree_model_to_pmml(model, ["f1", "f2", "f3"])
+        rows = data.select("f1", "f2", "f3").limit(20).collect()
+        preds = model.transform(data).select("prediction").limit(20).collect()
+        for r, p in zip(rows, preds):
+            got = score_pmml(xml, {"f1": r["f1"], "f2": r["f2"], "f3": r["f3"]})
+            assert got == pytest.approx(p["prediction"], rel=1e-9)
+
+    def test_single_decision_tree_plain_treemodel(self, spark):
+        from pyspark.ml.regression import DecisionTreeRegressor
+
+        from shifu_spark.ml.pmml import mllib_tree_model_to_pmml, score_pmml
+
+        data = self._toy(spark)
+        model = DecisionTreeRegressor(maxDepth=3, seed=7).fit(data)
+        xml = mllib_tree_model_to_pmml(model, ["f1", "f2", "f3"])
+        assert "<TreeModel" in xml and "MiningModel" not in xml
+        r = data.select("f1", "f2", "f3").limit(1).collect()[0]
+        p = model.transform(data).select("prediction").limit(1).collect()[0]
+        assert score_pmml(xml, dict(zip(["f1", "f2", "f3"], r))) == pytest.approx(
+            p["prediction"], rel=1e-9
+        )
+
+    def test_registry_tree_export(self, spark, tmp_path):
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import RandomForestRegressor
+
+        from shifu_spark.ml.pmml import score_pmml
+        from shifu_spark.ml.registry import export_pmml, save_model_set
+
+        data = self._toy(spark)
+        model = RandomForestRegressor(numTrees=2, maxDepth=3, seed=3).fit(data)
+        path = str(tmp_path / "mset")
+        save_model_set(path, [model], feature_cols=["f1", "f2", "f3"])
+        written = export_pmml(path, spark=spark)
+        assert len(written) == 1 and written[0].endswith("tree_0.pmml")
+        r = data.select("f1", "f2", "f3").limit(1).collect()[0]
+        p = model.transform(data).select("prediction").limit(1).collect()[0]
+        got = score_pmml(open(written[0]).read(), dict(zip(["f1", "f2", "f3"], r)))
+        assert got == pytest.approx(p["prediction"], rel=1e-9)
