@@ -1386,6 +1386,68 @@ FROM lineitem""")
 ORACLES["sensitivity_st"] = _sens_st_oracle()
 
 
+@query("streaming_drift_psi", None)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming drift PSI, driver-checkable: replay the
+    events table as a bounded stream (availableNow trigger), window the
+    per-bin counts by event day (streaming/drift.streaming_bin_counts —
+    the SAME bin expression as batch), land them in a memory sink, and
+    finalize PSI per window against a fixed expected distribution
+    (psi_of_batch; PSICalculatorUDF.java:88-99 skip semantics). The
+    bounded replay makes the result identical to the batch computation,
+    which is exactly what the DuckDB oracle runs."""
+    import uuid
+
+    from shifu_spark.streaming.drift import psi_of_batch, streaming_bin_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource needs a DIRECTORY base path; glob-filter down to
+    # the single events file inside the sf dir
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    s = stream.withColumn("ets", F.expr("cast(ts div 1000000000 as timestamp)"))
+    counts = streaming_bin_counts(
+        s, "value", [0.0, 50.0, 100.0, 150.0], ts_col="ets", window="1 day", watermark="0 seconds"
+    )
+    name = f"drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+    return psi_of_batch(spark.table(name), expected).withColumn(
+        "window_start", F.col("window_start").cast("timestamp")
+    )
+
+
+ORACLES["streaming_drift_psi"] = """
+WITH binned AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
+         CASE WHEN value >= 150 THEN 3 WHEN value >= 100 THEN 2
+              WHEN value >= 50 THEN 1 ELSE 0 END AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+frac AS (
+  SELECT window_start, bin, cnt,
+         cnt::DOUBLE / sum(cnt) OVER (PARTITION BY window_start) AS actual_frac
+  FROM binned
+)
+SELECT window_start,
+       round(sum(CASE WHEN actual_frac > 0
+                 THEN (actual_frac - 0.25) * ln(actual_frac / 0.25) ELSE 0 END), 6) AS psi
+FROM frac GROUP BY window_start ORDER BY window_start
+"""
+
+
 @query("hybrid_column_woe", None)
 def hybrid_column_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid (ColumnType.H) column end-to-end: l_quantity with sentinel
