@@ -1386,6 +1386,76 @@ FROM lineitem""")
 ORACLES["sensitivity_st"] = _sens_st_oracle()
 
 
+@query("text_roundtrip_stats", None)
+def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 sources end-to-end, driver-checkable: write orders as
+    gzip pipe-delimited text with a `.pig_header` sidecar
+    (write_dataset/write_header_sidecar — PigStorage('-schema') +
+    Normalize.pig:29-34 gzip sink), read it back through the all-string
+    ingest with the header-file schema and unparseable->missing cast
+    (read_dataset/safe_double), and aggregate. The oracle aggregates the
+    original parquet directly — hash equality proves the text sink and
+    typed re-ingest are lossless."""
+    import tempfile
+    import uuid
+
+    from shifu_spark.sources.reader import (
+        read_dataset,
+        safe_double,
+        write_dataset,
+        write_header_sidecar,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    base = f"{tempfile.gettempdir()}/shifu_spark_textrt_{uuid.uuid4().hex[:8]}"
+    write_dataset(o, f"{base}/data", fmt="csv", delimiter="|", compression="gzip")
+    write_header_sidecar(o, f"{base}/data", delimiter="|")  # -> {base}/data.pig_header
+    back = read_dataset(spark, f"{base}/data", header_path=f"{base}/data.pig_header")
+    # csv sink wrote an inline header row too — drop it by field-name match
+    back = back.filter(F.col("o_orderkey") != "o_orderkey")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(safe_double(F.col("o_totalprice")).cast("decimal(38,10)")).cast("double"), 2
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLES["text_roundtrip_stats"] = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(cast(o_totalprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("rf_train", None)
+def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RF training as a dataflow op (SURVEY §2.10; DTMaster/DTWorker ->
+    MLlib RandomForestClassifier): fit on lineitem numerics vs
+    l_returnflag='R', return per-feature importances. Rows-only (tree
+    induction isn't SQL-expressible); invariants pinned in
+    tests/test_pipeline.py / ml/train.py goldens."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    data = li.select(
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+    )
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(data)
+    model = RandomForestClassifier(numTrees=5, maxDepth=4, seed=42).fit(assembled)
+    imps = [float(x) for x in model.featureImportances.toArray()]
+    return spark.createDataFrame(
+        sorted(zip(feats, [round(v, 6) for v in imps])), "feature string, importance double"
+    )
+
+
 @query("streaming_drift_psi", None)
 def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming drift PSI, driver-checkable: replay the
