@@ -41,6 +41,21 @@ def clamp_weight(weight_col: str) -> Column:
     return F.when(w.isNull() | (w < 0), F.lit(1.0)).otherwise(w)
 
 
+def _score_bounds(df: DataFrame, score_col: str, n: int | None) -> list[float]:
+    """Range-bucket boundaries from the RAW score column — a single
+    column-pruned scan with no shuffle (cheaper than quantiling the
+    post-groupBy points, which would re-run the aggregation). Collected
+    once and embedded as literals, so every plan branch sees the SAME
+    buckets by construction."""
+    spark = df.sparkSession
+    k = n or spark.sparkContext.defaultParallelism
+    qs = [i / k for i in range(1, k)]
+    row = df.agg(
+        F.percentile_approx(F.col(score_col).cast("double"), qs, 1000).alias("b")
+    ).collect()
+    return [b for b in (row[0]["b"] or []) if b is not None]
+
+
 def _score_points(
     df: DataFrame, score_col: str, label_expr: Column, weight_col: str | None
 ) -> DataFrame:
@@ -75,36 +90,56 @@ def prefix_sums(
     descending: bool = True,
     num_ranges: int | None = None,
     persist: bool = False,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Distributed inclusive prefix-sum of ``cols`` in ``order_col`` order.
 
     Returns the input with ``cum_<col>`` (running sum), ``tot_<col>``
     (grand total, constant) and ``__pid`` columns appended.
 
-    Plan — fully declarative, ONE job per consuming action:
-      * range-repartition on the key (parallel sort into ``num_ranges``);
-      * per-range totals (one tiny row per range) cumulated under a
-        window over ``__pid`` — the window is unpartitioned but spans
-        only #ranges rows, so it is trivially cheap, unlike a global
-        window over the data;
-      * broadcast the (#ranges)-row offset table back and add it to the
-        pid-partitioned within-range running sum.
+    Plan:
+      * ONE cheap boundary pass (``percentile_approx`` over the key,
+        driver sees ``num_ranges−1`` values) defines range buckets as a
+        DETERMINISTIC FUNCTION OF THE DATA.  This is load-bearing:
+        ``repartitionByRange``'s sampled boundaries differ per plan
+        instantiation, so a totals branch and a main branch that don't
+        share the exchange can disagree about which rows a partition id
+        covers — silently misaligning the offsets (observed as a
+        nondeterministic ROC AUC).  A value-derived bucket id is
+        identical in every branch by construction, whether or not
+        Catalyst reuses the exchange;
+      * per-bucket totals (one tiny row per bucket) cumulated under a
+        window over ``__pid`` — unpartitioned, but spanning only
+        #buckets rows;
+      * broadcast the (#buckets)-row offset table back and add it to the
+        bucket-partitioned within-range running sum (the window shuffles
+        on the bucket id, spreading buckets across every core).
 
     Output is row-identical to an unpartitioned ``sum() OVER (ORDER BY
-    ...)`` but every task works on ~1/num_ranges of the points. Catalyst
-    reuses the range exchange between the totals branch and the main
-    branch (ReusedExchange), so the input is shuffled once. Set
+    ...)`` but every task works on ~1/num_ranges of the points. Set
     ``persist=True`` when the caller runs MULTIPLE actions over the
     result (each action would otherwise re-execute the plan).
     """
     spark = df.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
     key = F.desc(order_col) if descending else F.asc(order_col)
-    parted = (
-        df.repartitionByRange(n, key)
-        .sortWithinPartitions(key)
-        .withColumn("__pid", spark_partition_id())
-    )
+    if bounds is None:
+        qs = [i / n for i in range(1, n)]
+        bounds_row = df.agg(F.percentile_approx(order_col, qs, 1000).alias("b")).collect()
+        bounds = [b for b in (bounds_row[0]["b"] or []) if b is not None]
+    bounds = sorted({float(b) for b in bounds})
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        # ascending bucket id = #{boundaries < value}; ties share a bucket
+        asc_id = F.aggregate(
+            arr, F.lit(0), lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0)
+        )
+        bucket = (F.lit(len(bounds)) - asc_id) if descending else asc_id
+    else:
+        bucket = F.lit(0)
+    # no physical repartition needed: the per-bucket window below
+    # clusters+sorts on __pid itself, and the offsets join is by value
+    parted = df.withColumn("__pid", bucket)
     if persist:
         parted = parted.persist()
     totals = parted.groupBy("__pid").agg(*[F.sum(c).alias(f"__t_{c}") for c in cols])
@@ -166,7 +201,10 @@ def confusion_points_df(
     """
     pts = _score_points(df, score_col, label_expr, weight_col)
     cols = ["pos", "neg"] + (["wpos", "wneg"] if weight_col else [])
-    cum = prefix_sums(pts, "score", cols, descending=True, num_ranges=num_ranges)
+    cum = prefix_sums(
+        pts, "score", cols, descending=True, num_ranges=num_ranges,
+        bounds=_score_bounds(df, score_col, num_ranges),
+    )
     return _confusion_select(cum, weighted=weight_col is not None)
 
 
@@ -226,7 +264,8 @@ def roc_auc_df(
         return _weighted_roc_auc(df, score_col, label_expr, weight_col, round_to, num_ranges)
     pts = _score_points(df, score_col, label_expr, None).select("score", "pos", "neg")
     pts = pts.withColumn("n", F.col("pos") + F.col("neg"))
-    cum = prefix_sums(pts, "score", ["n"], descending=False, num_ranges=num_ranges)
+    cum = prefix_sums(pts, "score", ["n"], descending=False, num_ranges=num_ranges,
+                      bounds=_score_bounds(df, score_col, num_ranges))
     ranked = cum.withColumn("avg_rank", F.col("cum_n") - (F.col("n") - 1) / 2.0)
     agg = ranked.agg(
         F.sum(F.col("avg_rank") * F.col("pos")).alias("rank_sum"),
@@ -255,7 +294,8 @@ def _weighted_roc_auc(
     Per distinct score (descending): ΔAUC = Δwfp·(wtp_prev + wtp)/2,
     normalized by totals.  Uses the same distributed prefix-sum."""
     pts = _score_points(df, score_col, label_expr, weight_col)
-    cum = prefix_sums(pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges)
+    cum = prefix_sums(pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
+                      bounds=_score_bounds(df, score_col, num_ranges))
     # Δwfp for this point is its own wneg; wtp_prev = cum_wpos - wpos
     t = cum.withColumn(
         "area", F.col("wneg") * ((F.col("cum_wpos") - F.col("wpos")) + F.col("cum_wpos")) / 2.0
@@ -382,7 +422,8 @@ def curve_metrics_df(
     pts = _score_points(df, score_col, label_expr, None)
     # persist: this consumer runs two actions (boundary agg + final agg)
     cum = prefix_sums(
-        pts, "score", ["pos", "neg"], descending=True, num_ranges=num_ranges, persist=True
+        pts, "score", ["pos", "neg"], descending=True, num_ranges=num_ranges, persist=True,
+        bounds=_score_bounds(df, score_col, num_ranges),
     )
     t = (
         cum.withColumn("rec", F.try_divide(F.col("cum_pos"), F.col("tot_pos")))
