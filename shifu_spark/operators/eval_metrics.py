@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import spark_partition_id
 
 
 def clamp_weight(weight_col: str) -> Column:
@@ -318,36 +317,40 @@ def pr_auc_trapezoid(
 
     Mirrors AreaUnderCurve.ofPr (:56-133): Σ (r_i − r_{i-1})·(p_i + p_{i-1})/2.
 
-    Distributed adjacent-pair scan: range-partition by recall, pair rows
-    WITHIN each partition under a pid-local lag window, and close the
-    #partitions−1 boundary pairs from the per-partition first/last rows
-    (2 tiny rows per partition, cumulated on the driver)."""
+    Distributed adjacent-pair scan: bucket by RECALL VALUE (quantile
+    boundaries collected once as literals — deterministic under any
+    physical partitioning, same rationale as prefix_sums), pair rows
+    WITHIN each bucket under a bucket-local lag window, and close the
+    #buckets−1 boundary pairs from the per-bucket first/last rows (one
+    tiny min_by/max_by agg, stitched on the driver). Recall ties share a
+    bucket by construction, so tie groups never split."""
     spark = points.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
     pts = points.select("recall", "precision").filter(F.col("recall").isNotNull())
-    parted = (
-        pts.repartitionByRange(n, F.asc("recall"))
-        .sortWithinPartitions(F.asc("recall"))
-        .persist()
-    )
-    # boundary rows: first and last (recall, precision) of each partition
-    # (this collect is also the action that pins the persisted layout)
-    pid = parted.withColumn("__pid", spark_partition_id())
-    wasc = Window.partitionBy("__pid").orderBy(F.asc("recall"))
-    wdesc = Window.partitionBy("__pid").orderBy(F.desc("recall"))
-    bounds = (
-        pid.withColumn("rn_a", F.row_number().over(wasc))
-        .withColumn("rn_d", F.row_number().over(wdesc))
-        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
-        .select("__pid", "recall", "precision", "rn_a", "rn_d")
+    qs = [i / n for i in range(1, n)]
+    brow = pts.agg(F.percentile_approx("recall", qs, 1000).alias("b")).collect()
+    rbounds = sorted({float(b) for b in (brow[0]["b"] or []) if b is not None})
+    if rbounds:
+        arr = F.array(*[F.lit(b) for b in rbounds])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, b: acc + F.when(F.col("recall") > b, 1).otherwise(0)
+        )
+    else:
+        bucket = F.lit(0)
+    pid = pts.withColumn("__pid", bucket).persist()
+    bmap = (
+        pid.groupBy("__pid")
+        .agg(
+            F.min_by(F.struct("recall", "precision"), "recall").alias("first"),
+            F.max_by(F.struct("recall", "precision"), "recall").alias("last"),
+        )
         .collect()
     )
-    first = {r["__pid"]: r for r in bounds if r["rn_a"] == 1}
-    last = {r["__pid"]: r for r in bounds if r["rn_d"] == 1}
+    by_pid = {r["__pid"]: r for r in bmap}
     boundary_area = 0.0
-    pids = sorted(first)
+    pids = sorted(by_pid)
     for prev, cur in zip(pids, pids[1:]):
-        a, b = last[prev], first[cur]
+        a, b = by_pid[prev]["last"], by_pid[cur]["first"]
         if a["precision"] is None or b["precision"] is None:
             continue
         boundary_area += (b["recall"] - a["recall"]) * (b["precision"] + a["precision"]) / 2.0
