@@ -52,6 +52,8 @@ HEADLINE_STAGES = {
     "multiclass_confusion": "eval",
     "gain_buckets": "eval",
     "weighted_roc_auc": "eval",
+    "weighted_pr_auc": "eval",
+    "weighted_gain_buckets": "eval",
     "eval_meta_score": "eval",
     "sensitivity_st": "train",
     "sgd_lr_train": "train",

@@ -480,6 +480,70 @@ def curve_metrics_df(
     return agg.select(auc.alias("auc"), pr.alias("pr_auc"), ks.alias("ks"))
 
 
+def weighted_pr_auc_df(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str,
+    round_to: int | None = 6,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Weighted PR AUC (PerformanceResult weighted PR curve +
+    AreaUnderCurve.ofPr trapezoid): precision/recall computed from the
+    weighted cumulative counters (ConfusionMatrix weighted columns with
+    the :361-370 clamp), integrated over weighted recall. Runs on the
+    distributed prefix-sum + value-bucket lag paths."""
+    pts = _score_points(df, score_col, label_expr, weight_col)
+    cum = prefix_sums(
+        pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
+        bounds=_score_bounds(df, score_col, num_ranges),
+    )
+    t = cum.select(
+        F.try_divide(F.col("cum_wpos"), F.col("tot_wpos")).alias("recall"),
+        F.try_divide(F.col("cum_wpos"), F.col("cum_wpos") + F.col("cum_wneg")).alias("precision"),
+    )
+    out = pr_auc_trapezoid(t, round_to, num_ranges)
+    return out.select(F.col("pr_auc").alias("weighted_pr_auc"))
+
+
+def weighted_gain_buckets_df(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str,
+    num_buckets: int = 10,
+    round_to: int | None = 6,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Weighted gains table: first score point at or past each weighted
+    action-rate 1/N boundary (ConfusionMatrix.java weighted bucket walk).
+    Action rate = (wtp+wfp)/total_weight; per bucket the max-score point
+    is picked with one max_by agg."""
+    pts = _score_points(df, score_col, label_expr, weight_col)
+    cum = prefix_sums(
+        pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
+        bounds=_score_bounds(df, score_col, num_ranges),
+    )
+    tot_w = F.col("tot_wpos") + F.col("tot_wneg")
+    t = (
+        cum.withColumn("action_rate", (F.col("cum_wpos") + F.col("cum_wneg")) / tot_w)
+        .withColumn("wprecision", F.try_divide(F.col("cum_wpos"), F.col("cum_wpos") + F.col("cum_wneg")))
+        .withColumn("wrecall", F.try_divide(F.col("cum_wpos"), F.col("tot_wpos")))
+        .withColumn("bucket", F.least(F.floor(F.col("action_rate") * num_buckets), F.lit(num_buckets)))
+    )
+    picked = F.max_by(F.struct("score", "action_rate", "wprecision", "wrecall"), F.col("score")).alias("pt")
+    out = (
+        t.groupBy("bucket")
+        .agg(picked)
+        .select("bucket", "pt.score", "pt.action_rate", "pt.wprecision", "pt.wrecall")
+        .orderBy("bucket")
+    )
+    if round_to is not None:
+        for c in ("action_rate", "wprecision", "wrecall"):
+            out = out.withColumn(c, F.round(F.col(c), round_to))
+    return out
+
+
 def meta_score_eval(
     df: DataFrame,
     score_col: str,

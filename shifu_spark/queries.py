@@ -1386,6 +1386,83 @@ FROM lineitem""")
 ORACLES["sensitivity_st"] = _sens_st_oracle()
 
 
+@query("weighted_pr_auc", None)
+def weighted_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PR AUC (PerformanceResult weighted PR curve): trapezoid
+    over weighted (recall, precision); weight = l_quantity with the
+    reference clamp."""
+    from shifu_spark.operators.eval_metrics import weighted_pr_auc_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_pr_auc_df(li, "l_extendedprice", F.col("l_returnflag") == "R", "l_quantity")
+
+
+ORACLES["weighted_pr_auc"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT sum(wpos) OVER (ORDER BY score DESC) AS wtp,
+         sum(wneg) OVER (ORDER BY score DESC) AS wfp,
+         sum(wpos) OVER () AS tot_p
+  FROM pts
+),
+pr AS (
+  SELECT wtp::DOUBLE / (wtp + wfp) AS precision, wtp::DOUBLE / tot_p AS recall FROM cum
+),
+lagged AS (
+  SELECT recall, precision,
+         lag(recall) OVER (ORDER BY recall) AS prev_r,
+         lag(precision) OVER (ORDER BY recall) AS prev_p
+  FROM pr
+)
+SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6) AS weighted_pr_auc
+FROM lagged WHERE prev_r IS NOT NULL
+"""
+
+
+@query("weighted_gain_buckets", None)
+def weighted_gain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted gains table (ConfusionMatrix weighted bucket walk): first
+    point at or past each weighted action-rate decile."""
+    from shifu_spark.operators.eval_metrics import weighted_gain_buckets_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_gain_buckets_df(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", "l_quantity", 10
+    )
+
+
+ORACLES["weighted_gain_buckets"] = """
+WITH pts AS (
+  SELECT l_extendedprice AS score,
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT score,
+         sum(wpos) OVER (ORDER BY score DESC) AS wtp,
+         sum(wneg) OVER (ORDER BY score DESC) AS wfp,
+         sum(wpos) OVER () AS tot_p, sum(wpos + wneg) OVER () AS tot_w
+  FROM pts
+),
+pts2 AS (
+  SELECT score, (wtp + wfp)::DOUBLE / tot_w AS action_rate,
+         wtp::DOUBLE / (wtp + wfp) AS wprecision, wtp::DOUBLE / tot_p AS wrecall,
+         least(floor((wtp + wfp)::DOUBLE / tot_w * 10), 10) AS bucket
+  FROM cum
+)
+SELECT bucket::BIGINT AS bucket, score, round(action_rate, 6) AS action_rate,
+       round(wprecision, 6) AS wprecision, round(wrecall, 6) AS wrecall
+FROM (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY score DESC) AS rn FROM pts2)
+WHERE rn = 1 ORDER BY bucket
+"""
+
+
 @query("text_roundtrip_stats", None)
 def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 sources end-to-end, driver-checkable: write orders as
