@@ -1463,6 +1463,65 @@ WHERE rn = 1 ORDER BY bucket
 """
 
 
+@query("score_rescale", None)
+def score_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-score rescale strategies (ConfusionMatrix.java:257-276,404-420):
+    SIGMOID (1/(1+e^{-2s})), OLD_SIGMOID (1/(1+e^{-s})), and MAXMIN with
+    broadcast global bounds (degenerate range -> 0.5) over a centered
+    margin column."""
+    from shifu_spark.operators.eval_metrics import rescale_maxmin_expr, rescale_score_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    margin = (F.col("l_discount") - 0.05).alias("margin")
+    mm = li.agg(
+        F.min(F.col("l_discount") - 0.05).alias("mn"), F.max(F.col("l_discount") - 0.05).alias("mx")
+    )
+    t = li.select("l_orderkey", "l_linenumber", margin).crossJoin(F.broadcast(mm))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rescale_score_expr(F.col("margin"), "SIGMOID"), 6).alias("sigmoid"),
+        F.round(rescale_score_expr(F.col("margin"), "OLD_SIGMOID"), 6).alias("old_sigmoid"),
+        F.round(rescale_maxmin_expr(F.col("margin"), F.col("mn"), F.col("mx")), 6).alias("maxmin"),
+    )
+
+
+ORACLES["score_rescale"] = """
+WITH mm AS (SELECT min(l_discount - 0.05) AS mn, max(l_discount - 0.05) AS mx FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(1.0 / (1.0 + exp(-2.0 * (l_discount - 0.05))), 6) AS sigmoid,
+       round(1.0 / (1.0 + exp(-(l_discount - 0.05))), 6) AS old_sigmoid,
+       round(CASE WHEN mx - mn <= 0 THEN 0.5 ELSE (l_discount - 0.05 - mn) / (mx - mn) END, 6) AS maxmin
+FROM lineitem CROSS JOIN mm
+"""
+
+
+@query("multiclass_tag_recode", None)
+def multiclass_tag_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class tag recode (NormalizeUDF.java:354-372): index of the
+    first tag-set containing the raw tag; per-class counts prove the
+    mapping."""
+    from shifu_spark.operators.normalize import tag_expr_multiclass
+
+    li = _t(spark, sf_dir, "lineitem")
+    idx = tag_expr_multiclass("l_returnflag", [["R"], ["A", "N"]])
+    return (
+        li.select(idx.alias("class_idx"))
+        .filter(F.col("class_idx").isNotNull())
+        .groupBy("class_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("class_idx")
+    )
+
+
+ORACLES["multiclass_tag_recode"] = """
+SELECT (CASE WHEN l_returnflag = 'R' THEN 0.0 WHEN l_returnflag IN ('A','N') THEN 1.0 END)::DOUBLE AS class_idx,
+       count(*) AS n
+FROM lineitem WHERE l_returnflag IN ('R','A','N')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 @query("text_roundtrip_stats", None)
 def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 sources end-to-end, driver-checkable: write orders as
