@@ -1463,6 +1463,50 @@ WHERE rn = 1 ORDER BY bucket
 """
 
 
+@query("kfold_cv", None)
+def kfold_cv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold CV as a dataflow op (SURVEY §2.10; deterministic crc32 fold
+    assignment): 3-fold LR on lineitem numerics vs l_returnflag='R',
+    per-fold AUC. Rows-only (MLlib LR internals not SQL-expressible);
+    determinism pinned by the seeded fold hash."""
+    from shifu_spark.ml.train import TrainParams, assemble_features, kfold_cv
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    data = li.select(
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("tag"),
+    )
+    assembled = assemble_features(data, feats)
+    params = TrainParams(algorithm="LR", num_iterations=20, seed=42)
+    aucs = kfold_cv(assembled, params, len(feats), k=3)
+    return spark.createDataFrame(
+        [(i, float(round(a, 4))) for i, a in enumerate(aucs)], "fold int, auc double"
+    )
+
+
+@query("grid_search", None)
+def grid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid search over TrainParams (SURVEY §2.10 train-conf grid): 2
+    learning-rate points of LR, seeded train/valid split, AUC per point.
+    Rows-only."""
+    from shifu_spark.ml.train import TrainParams, assemble_features, grid_search
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    data = li.select(
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("tag"),
+    )
+    assembled = assemble_features(data, feats)
+    base = TrainParams(algorithm="LR", num_iterations=15, seed=42)
+    res = grid_search(assembled, base, {"learning_rate": [0.05, 0.2]}, len(feats))
+    return spark.createDataFrame(
+        [(float(r["params"]["learning_rate"]), float(round(r["auc"], 4))) for r in res],
+        "learning_rate double, auc double",
+    ).orderBy("learning_rate")
+
+
 @query("score_rescale", None)
 def score_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-score rescale strategies (ConfusionMatrix.java:257-276,404-420):
