@@ -1473,12 +1473,13 @@ def kfold_cv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     feats = ["l_quantity", "l_discount", "l_tax"]
-    data = li.select(
+    # deterministic 1/4 subset keeps the driver-gate cost bounded
+    data = li.filter(F.col("l_orderkey") % 4 == 0).select(
         *[F.col(c).cast("double").alias(c) for c in feats],
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("tag"),
     )
     assembled = assemble_features(data, feats)
-    params = TrainParams(algorithm="LR", num_iterations=20, seed=42)
+    params = TrainParams(algorithm="LR", num_iterations=8, seed=42)
     aucs = kfold_cv(assembled, params, len(feats), k=3)
     return spark.createDataFrame(
         [(i, float(round(a, 4))) for i, a in enumerate(aucs)], "fold int, auc double"
@@ -1494,12 +1495,12 @@ def grid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     feats = ["l_quantity", "l_discount", "l_tax"]
-    data = li.select(
+    data = li.filter(F.col("l_orderkey") % 4 == 0).select(
         *[F.col(c).cast("double").alias(c) for c in feats],
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("tag"),
     )
     assembled = assemble_features(data, feats)
-    base = TrainParams(algorithm="LR", num_iterations=15, seed=42)
+    base = TrainParams(algorithm="LR", num_iterations=6, seed=42)
     res = grid_search(assembled, base, {"learning_rate": [0.05, 0.2]}, len(feats))
     return spark.createDataFrame(
         [(float(r["params"]["learning_rate"]), float(round(r["auc"], 4))) for r in res],
