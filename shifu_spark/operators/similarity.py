@@ -276,6 +276,74 @@ def embedding_neardup_pairs_block(
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def embedding_neardup_lsh_pairs(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    bands: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded random-projection LSH near-dup pairs — the 100 TB path for
+    embedding-cosine dedup (the exact kernels above are O(N²)).
+
+    Sign bits against ``hyperplanes`` are split into ``bands`` bands;
+    any pair sharing one band's full bit pattern is a candidate
+    (recall grows with bands, candidate volume with band width), then
+    exact cosine verifies.  Shuffle = N×bands rows through ONE
+    equi-join on (band_idx, band_val) — same shape as the MinHash band
+    join in dedup.py, no cross join anywhere.  Verify joins are
+    candidate-keyed (two hash joins back to the doc table), so cost is
+    O(candidates), not O(N²).
+    """
+    n_planes = len(hyperplanes)
+    w = n_planes // bands
+    bit_exprs = [
+        F.when(dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) >= 0, 1).otherwise(0)
+        for h in hyperplanes
+    ]
+    band_exprs = []
+    for bi in range(bands):
+        val = F.lit(0)
+        for j in range(w):
+            val = val + bit_exprs[bi * w + j] * F.lit(1 << j)
+        band_exprs.append(val.alias(f"band{bi}"))
+    docs = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+        *band_exprs,
+    ).persist()
+    docs.count()  # materialize once — both join sides reuse it
+    banded = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(bi).alias("bi"), F.col(f"band{bi}").alias("bv")) for bi in range(bands)])
+        ).alias("c"),
+    ).select("doc_id", F.col("c.bi").alias("bi"), F.col("c.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk_block(
     embeddings: DataFrame,
     query_filter: Column,

@@ -899,6 +899,42 @@ ORDER BY id_a, id_b
 """
 
 
+@query("embedding_neardup_lsh", None)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH embedding near-dup at cosine ≥ 0.3 — the scale-shaped
+    registration of semantic dedup (the exact kernel above stays as the
+    test-scale baseline). Two 2-bit sign-pattern bands over the four
+    quarter-sum hyperplanes; candidates share either band, exact-verify."""
+    from shifu_spark.operators.similarity import embedding_neardup_lsh_pairs
+
+    return embedding_neardup_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), _LSH_PLANES, bands=2, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+# mirror of the banded candidate generation: band0 = sign bits of quarter
+# sums 1,2; band1 = quarters 3,4; pair is a candidate iff either band
+# matches (the OR reproduces the Spark band-join ∪ exactly)
+ORACLES["embedding_neardup_lsh"] = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN list_sum((embedding::DOUBLE[])[1:16])  >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_sum((embedding::DOUBLE[])[17:32]) >= 0 THEN 2 ELSE 0 END) AS band0,
+         (CASE WHEN list_sum((embedding::DOUBLE[])[33:48]) >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_sum((embedding::DOUBLE[])[49:64]) >= 0 THEN 2 ELSE 0 END) AS band1
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM b a JOIN b c
+  ON a.vec_id < c.vec_id AND (a.band0 = c.band0 OR a.band1 = c.band1)
+WHERE list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Categorical binning + KS/IV (SURVEY §2.5 CategoricalBinning)
 # ---------------------------------------------------------------------------

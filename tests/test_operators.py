@@ -239,6 +239,28 @@ class TestSimilarity:
             assert r["cosine"] <= best[r["query_id"]] + 1e-9
 
 
+    def test_neardup_lsh_subset_of_exact(self, spark):
+        from shifu_spark.operators.similarity import (
+            embedding_neardup_lsh_pairs,
+            embedding_neardup_pairs,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        planes = [[1.0 if 16 * i <= d < 16 * (i + 1) else 0.0 for d in range(64)] for i in range(4)]
+        lsh = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_lsh_pairs(emb, planes, bands=2, threshold=0.3).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(emb, threshold=0.3, use_arrow=False).collect()
+        }
+        assert lsh, "fixture should produce at least one candidate pair"
+        assert set(lsh) <= set(exact)  # LSH candidates are a subset of exact pairs
+        for k, v in lsh.items():
+            assert v == pytest.approx(exact[k], abs=1e-9)
+
+
 class TestDynamicHybridBinning:
     def test_dynamic_bin_merge_equal_counts(self):
         from shifu_spark.operators.binning import dynamic_bin_merge
