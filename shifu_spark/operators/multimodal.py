@@ -263,15 +263,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def extract_ppm_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    downsample_k: int | None = None,
 ) -> DataFrame:
-    """Arrow-batched REAL image decode (P6 PPM) + per-channel stats."""
+    """Arrow-batched REAL image decode (P6 PPM) + per-channel stats.
+
+    ``downsample_k`` applies the :func:`box_downsample` resize kernel
+    after decode, so the stats describe the resized image — the
+    decode→resize→featurize chain of an image-preprocessing pipeline."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_ppm(bytes(payload)).astype(np.int64)
+                img = decode_ppm(bytes(payload))
+                if downsample_k:
+                    img = box_downsample(img, downsample_k)
+                img = img.astype(np.int64)
                 h, w, _ = img.shape
                 npx = h * w
                 out["doc_id"].append(doc_id)
