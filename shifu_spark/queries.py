@@ -31,15 +31,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column as a usable timestamp.
+    """events table with its ts column normalized to TIMESTAMP (UTC session).
 
-    Spark 4 rejects nanos parquet timestamps; we read them as long
-    (legacy conf, settable at runtime) and convert ns -> µs with exact
-    integer division (double division would lose precision at 1e18)."""
+    The driver has shipped this file with three physical ts encodings
+    across rounds: TIMESTAMP(NANOS) (Spark 4 rejects it unless read as
+    long via the legacy conf — then ns -> µs by exact integer division),
+    TIMESTAMP_NTZ micros, and plain TIMESTAMP. Normalize all three so
+    every downstream query (batch windows, streaming watermarks — which
+    reject NTZ) sees one type; the session is pinned UTC so the
+    NTZ->TIMESTAMP cast preserves the wall-clock instant."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -1170,11 +1177,13 @@ WHERE rn = 1 ORDER BY bucket
 @query("date_to_unix", None)
 def date_to_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConvertToUnixTimeUDF.java:29-58: timestamp -> epoch seconds.
-    Computed as exact integer division on the raw nanos column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    ``_events`` normalizes ts to TIMESTAMP; cast-to-bigint truncates to
+    whole epoch seconds (equals floor for post-1970 data), matching the
+    oracle's floor(epoch(ts))."""
+    ev = _events(spark, sf_dir)
     return (
-        ev.withColumn("epoch_s", F.expr("ts div 1000000000"))
+        ev.withColumn("epoch_s", F.col("ts").cast("bigint"))
         .groupBy("event_type")
         .agg(F.min("epoch_s").alias("min_epoch"), F.max("epoch_s").alias("max_epoch"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
@@ -1690,13 +1699,19 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # FileStreamSource needs a DIRECTORY base path; glob-filter down to
-    # the single events file inside the sf dir
+    # the single events file inside the sf dir. The stream schema must
+    # match the file's physical encoding (bigint nanos / TIMESTAMP_NTZ /
+    # TIMESTAMP have all shipped across rounds), so normalize AFTER read.
     stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    s = stream.withColumn("ets", F.expr("cast(ts div 1000000000 as timestamp)"))
+    if dict(batch.dtypes)["ts"] == "bigint":
+        ets = F.expr("cast(ts div 1000000000 as timestamp)")
+    else:
+        ets = F.col("ts").cast("timestamp")
+    s = stream.withColumn("ets", ets)
     counts = streaming_bin_counts(
         s, "value", [0.0, 50.0, 100.0, 150.0], ts_col="ets", window="1 day", watermark="0 seconds"
     )

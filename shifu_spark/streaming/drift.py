@@ -33,6 +33,10 @@ def streaming_bin_counts(
     """
     from shifu_spark.operators.binning import bin_index_expr
 
+    # watermarks reject TIMESTAMP_NTZ event time; the session is UTC so
+    # the cast preserves the instant
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
         .withColumn("bin", bin_index_expr(value_col, boundaries))
