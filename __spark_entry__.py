@@ -27,8 +27,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the first 50 entries of ``queries()``
+# in dict order.  Round 2 proved 50 queries (CORRECTNESS_r02.json); the 32
+# registered after them never got a driver row.  Per VERDICT.md round-2 item
+# #1 we rotate: the round-2-unproven queries (plus anything newly added this
+# round) come first, then sentinel re-checks of the already-proven core
+# family fill the window to 50.  Every remaining proven query follows, so
+# the full registry is still exposed.
+_PRIORITY = [
+    # -- 32 queries registered at positions 50-81 in round 2 (driver-unproven)
+    "eval_meta_score",
+    "reason_codes",
+    "tree_path_encoding",
+    "onehot_normalize",
+    "discrete_zscore_normalize",
+    "woe_zscore_normalize",
+    "hybrid_normalize",
+    "old_zscale_normalize",
+    "weight_hybrid_normalize",
+    "zscale_onehot_normalize",
+    "category_missing_mean",
+    "mean_impute",
+    "pr_auc",
+    "feature_importance",
+    "freq_items",
+    "embedding_lsh_topk",
+    "weighted_confusion",
+    "multiclass_confusion",
+    "sgd_lr_train",
+    "nn_train",
+    "ga_varselect",
+    "dynamic_binning",
+    "embedding_ivf_topk",
+    "embedding_ivf_multiprobe",
+    "kmeans_step_centroids",
+    "confusion_matrix_scalable",
+    "events_props_json",
+    "weighted_roc_auc",
+    "dedup_groups",
+    "salted_group_counts",
+    "audio_wav_features",
+    "image_ppm_features",
+    # -- new round-3 queries (need their first driver row)
+    "embedding_neardup_lsh_scale",
+    "streaming_sessionize",
+    "streaming_minhash_dedup",
+    "gain_chart_export",
+    # -- sentinel re-checks of the round-2-proven core family
+    "tpch_q1",
+    "column_stats",
+    "ksiv_equal_interval",
+    "zscore_normalize",
+    "woe_normalize",
+    "confusion_matrix_points",
+    "roc_auc",
+    "weighted_pr_auc",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "streaming_drift_psi",
+    "hybrid_column_woe",
+    "psi_by_column",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    ordered.update({n: fn for n, fn in QUERIES.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -79,6 +79,7 @@ def sensitivity_se(
     )
     from pyspark.sql import Window
 
+    # bounded: unpartitioned rank over #feature-columns rows (catalog-scale)
     rk = F.row_number().over(Window.orderBy(F.desc("se"), F.asc("column_name")))
     return agg.withColumn("rank", rk).select("rank", "column_name", F.round("se", 8).alias("se"))
 
@@ -123,6 +124,7 @@ def sensitivity_st(
     agg = partials.groupBy("column_name").agg((F.sum("sq_sum") / F.sum("n")).alias("st"))
     from pyspark.sql import Window
 
+    # bounded: unpartitioned rank over #feature-columns rows (catalog-scale)
     rk = F.row_number().over(Window.orderBy(F.desc("st"), F.asc("column_name")))
     return agg.withColumn("rank", rk).select("rank", "column_name", F.round("st", 8).alias("st"))
 

@@ -142,6 +142,9 @@ def prefix_sums(
     if persist:
         parted = parted.persist()
     totals = parted.groupBy("__pid").agg(*[F.sum(c).alias(f"__t_{c}") for c in cols])
+    # bounded: these unpartitioned windows run over the per-bucket totals
+    # (#buckets <= defaultParallelism rows), not the data — the WindowExec
+    # "No Partition Defined" warning they emit is catalog-scale and benign
     wprev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     zero = F.lit(0)

@@ -955,6 +955,7 @@ def ksiv_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     cats = o.groupBy(F.col("o_orderpriority").alias("cat")).count()
+    # bounded: unpartitioned rank over #distinct-categories rows (catalog-scale)
     worder = Window.orderBy(F.desc("count"), F.asc("cat"))
     idx = cats.withColumn("bin", F.row_number().over(worder) - 1).select("cat", "bin")
     counts = (
@@ -1087,6 +1088,7 @@ def varselect_top_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ks = QUERIES["ksiv_equal_interval"](spark, sf_dir)
+    # bounded: unpartitioned rank over #columns rows (catalog-scale)
     w = Window.orderBy(F.desc("iv"), F.asc("column_name"))
     return ks.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 2).select(
         "rank", "column_name", "iv"
@@ -1708,7 +1710,9 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(batch.dtypes)["ts"] == "bigint":
-        ets = F.expr("cast(ts div 1000000000 as timestamp)")
+        # exact ns->us normalization, same as _events — a plain
+        # div-1e9 cast would truncate sub-second precision
+        ets = F.timestamp_micros(F.expr("ts div 1000"))
     else:
         ets = F.col("ts").cast("timestamp")
     s = stream.withColumn("ets", ets)
@@ -2689,6 +2693,7 @@ def dynamic_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     sb = small_bin_counts(li, "l_extendedprice", 100, pos_expr=F.col("l_returnflag") == "R")
+    # bounded: unpartitioned windows over the 100 small-bin rows (catalog-scale)
     word = Window.orderBy("small_bin").rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     t = sb.withColumn("cum_before", F.coalesce(F.sum("cnt").over(word), F.lit(0))).withColumn(

@@ -33,9 +33,18 @@ def streaming_bin_counts(
     """
     from shifu_spark.operators.binning import bin_index_expr
 
-    # watermarks reject TIMESTAMP_NTZ event time; the session is UTC so
-    # the cast preserves the instant
+    # watermarks reject TIMESTAMP_NTZ event time. The NTZ->TZ cast is
+    # instant-preserving ONLY under a UTC session timezone; callers with
+    # a non-UTC session would get silently shifted windows, so pin it.
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        spark = stream.sparkSession
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"streaming_bin_counts requires spark.sql.session.timeZone=UTC "
+                f"for TIMESTAMP_NTZ event time (got {tz!r}); set it or cast "
+                f"{ts_col} to TIMESTAMP yourself with explicit tz semantics"
+            )
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
