@@ -1461,9 +1461,11 @@ pr AS (
   SELECT wtp::DOUBLE / (wtp + wfp) AS precision, wtp::DOUBLE / tot_p AS recall FROM cum
 ),
 lagged AS (
+  -- recall ties (zero-wpos score runs) are pinned by precision DESC,
+  -- which equals the score-descending scan order on the Spark side
   SELECT recall, precision,
-         lag(recall) OVER (ORDER BY recall) AS prev_r,
-         lag(precision) OVER (ORDER BY recall) AS prev_p
+         lag(recall) OVER (ORDER BY recall, precision DESC) AS prev_r,
+         lag(precision) OVER (ORDER BY recall, precision DESC) AS prev_p
   FROM pr
 )
 SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6) AS weighted_pr_auc
@@ -1860,10 +1862,11 @@ curve AS (
   FROM cum
 ),
 pr_t AS (
+  -- tie order pinned to precision DESC == the score-descending scan
   SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6) AS pr_auc
   FROM (SELECT recall, precision,
-               lag(recall) OVER (ORDER BY recall) AS prev_r,
-               lag(precision) OVER (ORDER BY recall) AS prev_p
+               lag(recall) OVER (ORDER BY recall, precision DESC) AS prev_r,
+               lag(precision) OVER (ORDER BY recall, precision DESC) AS prev_p
         FROM curve)
   WHERE prev_r IS NOT NULL
 ),
@@ -2386,9 +2389,11 @@ pr AS (
   SELECT tp::DOUBLE / (tp + fp) AS precision, tp::DOUBLE / tot_p AS recall FROM cum
 ),
 lagged AS (
+  -- recall ties (zero-pos score runs) are pinned by precision DESC,
+  -- which equals the score-descending scan order on the Spark side
   SELECT recall, precision,
-         lag(recall) OVER (ORDER BY recall) AS prev_r,
-         lag(precision) OVER (ORDER BY recall) AS prev_p
+         lag(recall) OVER (ORDER BY recall, precision DESC) AS prev_r,
+         lag(precision) OVER (ORDER BY recall, precision DESC) AS prev_p
   FROM pr
 )
 SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6) AS pr_auc

@@ -1,0 +1,91 @@
+"""Unpersist discipline: curve operators must not leak caches.
+
+VERDICT r2 "What's wrong #4": ``pr_auc_trapezoid`` and the
+``prefix_sums(persist=True)`` consumers persisted intermediates without
+releasing them — harmless run-once, a slow cache leak in a long-lived
+session. The operators now finalize their (metric-sized) results eagerly
+and unpersist in a finally; these tests pin that no persistent RDDs
+survive a full curve-family pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+@pytest.fixture()
+def scored(spark):
+    return spark.range(0, 5000).select(
+        (F.col("id") % 997 / 997.0).alias("score"),
+        (F.rand(7) < 0.3).cast("int").alias("label"),
+        (F.col("id") % 13).cast("double").alias("w"),
+    )
+
+
+def test_curve_metrics_releases_cache(spark, scored):
+    from shifu_spark.operators.eval_metrics import curve_metrics_df
+
+    before = _persistent_rdd_count(spark)
+    out = curve_metrics_df(scored, "score", F.col("label") == 1)
+    row = out.collect()[0]
+    assert row["auc"] is not None
+    assert _persistent_rdd_count(spark) == before
+
+
+def test_weighted_curve_metrics_releases_cache(spark, scored):
+    from shifu_spark.operators.eval_metrics import weighted_curve_metrics_df
+
+    before = _persistent_rdd_count(spark)
+    out = weighted_curve_metrics_df(scored, "score", F.col("label") == 1, "w")
+    row = out.collect()[0]
+    assert row["weighted_auc"] is not None
+    assert _persistent_rdd_count(spark) == before
+
+
+def test_pr_auc_trapezoid_releases_cache(spark, scored):
+    from shifu_spark.operators.eval_metrics import confusion_points_df, pr_auc_trapezoid
+
+    before = _persistent_rdd_count(spark)
+    pts = confusion_points_df(scored, "score", F.col("label") == 1)
+    row = pr_auc_trapezoid(pts).collect()[0]
+    assert row["pr_auc"] is not None
+    assert _persistent_rdd_count(spark) == before
+
+
+def test_weighted_single_scan_matches_two_machinery_form(spark, scored):
+    """The single-scan weighted PR AUC must equal the round-2 composition
+    (prefix_sums -> pr_auc_trapezoid over the weighted curve points)."""
+    from shifu_spark.operators.eval_metrics import (
+        _score_bounds,
+        _score_points,
+        pr_auc_trapezoid,
+        prefix_sums,
+        weighted_curve_metrics_df,
+        weighted_pr_auc_df,
+    )
+
+    label = F.col("label") == 1
+    pts = _score_points(scored, "score", label, "w")
+    cum = prefix_sums(
+        pts, "score", ["wpos", "wneg"], descending=True,
+        bounds=_score_bounds(scored, "score", None),
+    )
+    t = cum.select(
+        F.try_divide(F.col("cum_wpos"), F.col("tot_wpos")).alias("recall"),
+        F.try_divide(F.col("cum_wpos"), F.col("cum_wpos") + F.col("cum_wneg")).alias("precision"),
+    )
+    old = pr_auc_trapezoid(t).collect()[0]["pr_auc"]
+    new = weighted_pr_auc_df(scored, "score", label, "w").collect()[0]["weighted_pr_auc"]
+    assert new == pytest.approx(old, abs=2e-6)
+
+    # and the weighted AUC column agrees with the standalone weighted ROC path
+    from shifu_spark.operators.eval_metrics import roc_auc_df
+
+    wauc = roc_auc_df(scored, "score", label, weight_col="w").collect()[0]["auc"]
+    curve = weighted_curve_metrics_df(scored, "score", label, "w").collect()[0]
+    assert curve["weighted_auc"] == pytest.approx(wauc, abs=2e-6)
