@@ -138,6 +138,39 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def with_minhash_signature(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "signature",
+) -> DataFrame:
+    """Append a full MinHash signature column computed ENTIRELY in-row.
+
+    Same hash family and shingling as :func:`minhash_signatures_df`
+    (salted-md5 lexicographic min over distinct word n-grams — equality
+    pinned by tests/test_dedup_signature.py), but with zero shuffle: the
+    shingle set, the K min-hashes, and the joined signature are array
+    expressions over the row. That makes it legal as the stateless half
+    of a Structured Streaming plan whose ONLY stateful operator is the
+    downstream groupBy(signature) — multiple stateful ops per stream are
+    restricted, so signature-at-ingest is the streaming-dedup shape.
+    """
+    toks = docs.withColumn("__toks", F.split(F.col(text_col), " "))
+    elems = ", ".join(f"try_element_at(__toks, i + {j})" for j in range(n))
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {elems})))"
+    )
+    g = toks.withColumn("__grams", F.expr(grams))
+    mins = [
+        F.array_min(F.expr(f"transform(__grams, s -> md5(concat('{k}', '|', s)))"))
+        for k in range(num_hashes)
+    ]
+    return g.withColumn(out_col, F.concat_ws("|", *mins)).drop("__toks", "__grams")
+
+
 def minhash_lsh_pairs_df(
     docs: DataFrame,
     n: int = 3,

@@ -260,6 +260,49 @@ class TestSimilarity:
         for k, v in lsh.items():
             assert v == pytest.approx(exact[k], abs=1e-9)
 
+    def test_toy_lsh_matches_duckdb_mirror(self, spark):
+        """The demoted toy-width LSH instance (2 bands × 2 bits) stays as
+        a differential mirror: its band-OR is small enough for a literal
+        DuckDB replication. Registered coverage moved to
+        embedding_neardup_lsh_scale (16-bit bands) in round 3."""
+        from shifu_spark.queries import LSH_TOY_ORACLE, embedding_neardup_lsh
+        from tests.oracle import compare, duckdb_conn
+
+        sf_dir = "/root/testdata/sf0.001"
+        con = duckdb_conn(sf_dir)
+        out = embedding_neardup_lsh(spark, sf_dir)
+        assert compare(out, con, LSH_TOY_ORACLE, "toy_lsh") == []
+
+    def test_scale_lsh_recall_vs_exact(self, spark):
+        """Recall-subset contract for the registered scale
+        parameterization (VERDICT r2 item #2): on the planted-near-dup
+        corpus, LSH pairs ⊆ exact pairs at the same threshold, and
+        recall ≥ 0.95 (analytically ≈0.998 at cosine 0.9987 with
+        16-bit bands × 4)."""
+        from shifu_spark.operators.similarity import embedding_neardup_pairs_block
+        from shifu_spark.queries import (
+            _LSH_PLANES_SCALE,
+            _lsh_scale_corpus,
+        )
+        from shifu_spark.operators.similarity import embedding_neardup_lsh_pairs
+
+        sf_dir = "/root/testdata/sf0.001"
+        corpus = _lsh_scale_corpus(spark, sf_dir)
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_lsh_pairs(
+                corpus, _LSH_PLANES_SCALE, bands=4, threshold=0.9
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs_block(corpus, threshold=0.9).collect()
+        }
+        assert lsh <= exact, "LSH must never emit a pair the exact kernel rejects"
+        assert len(exact) > 0
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.95, f"recall {recall:.3f} below target"
+
 
 class TestDynamicHybridBinning:
     def test_dynamic_bin_merge_equal_counts(self):
