@@ -72,8 +72,12 @@ _PRIORITY = [
     "embedding_neardup_lsh_scale",
     "streaming_sessionize",
     "streaming_minhash_dedup",
+    "streaming_running_stats",
+    "auto_filter",
+    "native_ntile_binning",
     "gain_chart_export",
-    # -- sentinel re-checks of the round-2-proven core family
+    # -- sentinel re-checks of the round-2-proven core family, biased
+    # toward the paths round 3 touched (curve metrics, streaming ts)
     "tpch_q1",
     "column_stats",
     "ksiv_equal_interval",
@@ -82,9 +86,6 @@ _PRIORITY = [
     "confusion_matrix_points",
     "roc_auc",
     "weighted_pr_auc",
-    "exact_dedup",
-    "minhash_lsh_pairs",
-    "embedding_topk",
     "streaming_drift_psi",
     "hybrid_column_woe",
     "psi_by_column",

@@ -82,6 +82,9 @@ HEADLINE_STAGES = {
     "gain_chart_export": "eval",
     "streaming_sessionize": "streaming",
     "streaming_minhash_dedup": "streaming",
+    "streaming_running_stats": "streaming",
+    "auto_filter": "stats",
+    "native_ntile_binning": "stats",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -1228,6 +1228,109 @@ FROM base QUALIFY rank <= 2 ORDER BY rank
 """
 
 
+@query("auto_filter", None)
+def auto_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-filter varselect (ModelVarSelectConf.java:92-113,
+    VariableSelector): a column survives iff missing rate <= 0.98 AND
+    iv >= minIv, then the top-2 by IV get final_select — the DataFrame
+    twin of pipeline.var_select (which applies the same rules to the
+    ColumnConfig list). Output one row per candidate column with the
+    inputs and the decision."""
+    from pyspark.sql import Window
+
+    ks = QUERIES["ksiv_equal_interval"](spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    mr_aggs = [
+        (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) / F.count(F.lit(1))).alias(c)
+        for c in _KSIV_COLS
+    ]
+    stack = ", ".join(f"'{c}', {c}" for c in _KSIV_COLS)
+    missing = li.agg(*mr_aggs).select(
+        F.expr(f"stack({len(_KSIV_COLS)}, {stack}) AS (column_name, missing_rate)")
+    )
+    t = ks.join(F.broadcast(missing), "column_name")
+    passes = (F.col("missing_rate") <= 0.98) & (F.col("iv") >= 0.001)
+    # bounded: unpartitioned rank over #candidate-columns rows (catalog-scale)
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.when(passes, F.col("iv")).otherwise(F.lit(None)).desc_nulls_last(),
+            F.asc("column_name"),
+        )
+    )
+    return (
+        t.withColumn("final_select", passes & (rk <= 2))
+        .select(
+            "column_name",
+            F.round("missing_rate", 6).alias("missing_rate"),
+            "iv",
+            "ks",
+            "final_select",
+        )
+        .orderBy("column_name")
+    )
+
+
+ORACLES["auto_filter"] = f"""
+WITH base AS ({ORACLES['ksiv_equal_interval']}),
+mr AS (
+  SELECT column_name, missing_rate FROM (
+    SELECT round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_quantity,
+           round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_extendedprice,
+           round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_discount,
+           round(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_tax
+    FROM lineitem
+  ) UNPIVOT (missing_rate FOR column_name IN (l_quantity, l_extendedprice, l_discount, l_tax))
+),
+t AS (
+  SELECT b.column_name, mr.missing_rate, b.iv, b.ks,
+         (mr.missing_rate <= 0.98 AND b.iv >= 0.001) AS passes
+  FROM base b JOIN mr ON b.column_name = mr.column_name
+),
+rk AS (
+  SELECT *, row_number() OVER (
+      ORDER BY CASE WHEN passes THEN iv END DESC NULLS LAST, column_name ASC
+  ) AS rn
+  FROM t
+)
+SELECT column_name, missing_rate, iv, ks, (passes AND rn <= 2) AS final_select
+FROM rk ORDER BY column_name
+"""
+
+
+@query("native_ntile_binning", None)
+def native_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native equal-count binning (NativeBinning.java:27): exact ntile
+    cut — left edge of tile i = min value inside tile i, per
+    binning.ntile_boundaries. Documented TEST-SCALE path (global sort);
+    the 100 TB path is percentile/KLL (ksiv_equal_population). Output
+    (tile, edge, n) is deterministic across engines: ntile splits by
+    position with fixed tile sizes, and tied values are interchangeable
+    within their run, so per-tile min/count are order-free."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    w = Window.orderBy(v)
+    return (
+        o.filter(v.isNotNull())
+        .select(v.alias("v"), F.ntile(8).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(F.round(F.min("v"), 6).alias("edge"), F.count(F.lit(1)).alias("n"))
+        .orderBy("tile")
+    )
+
+
+ORACLES["native_ntile_binning"] = """
+SELECT tile::INT AS tile, round(min(v), 6) AS edge, count(*)::BIGINT AS n
+FROM (
+  SELECT o_totalprice::DOUBLE AS v,
+         ntile(8) OVER (ORDER BY o_totalprice::DOUBLE) AS tile
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+GROUP BY tile ORDER BY tile
+"""
+
+
 @query("bin_avg_score", None)
 def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posttrain bin average score (PostTrain.pig:44-45,
@@ -2041,6 +2144,71 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("rep_id", "n_docs").orderBy("rep_id")
+
+
+@query("streaming_running_stats", None)
+def streaming_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running moments carried in ``applyInPandasWithState``
+    group state (streaming/ops — the distributed form of
+    core/StreamStatsCalculator.java:30-126), replayed bounded so the
+    final state equals the batch moments the oracle computes.
+
+    Uses the EXACT integer-cent state variant: float Welford means
+    depend on within-key row order (shuffle-nondeterministic) and on
+    engine summation order, which flips 6th-decimal roundings at half
+    boundaries (observed: mean 48.5609375 on this very table). Integer
+    sums are associative, so mean/std here are bit-identical to the
+    oracle's regardless of partitioning. Update mode emits state per
+    micro-batch; the highest-n row per key is the final state whether
+    the source replays in one batch or many."""
+    import uuid
+
+    from shifu_spark.streaming.ops import streaming_running_stats_exact_cents
+
+    s = _events_stream(spark, sf_dir)
+    out = streaming_running_stats_exact_cents(s, "user_id", "value")
+    name = f"rstats_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = F.max_by(F.struct("n", "sum_c", "sumsq_c"), "n").alias("s")
+    n, sc, ssc = F.col("s.n"), F.col("s.sum_c"), F.col("s.sumsq_c")
+    # double ops over exact int64 inputs — deterministic on every engine
+    mean = sc.cast("double") / (n.cast("double") * 100.0)
+    var_c = (n * ssc - sc * sc).cast("double") / (n * (n - F.lit(1))).cast("double")
+    std = F.sqrt(var_c) / 100.0
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(latest)
+        .select(
+            "key",
+            n.alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(std, 6).alias("std"),
+        )
+        .orderBy("key")
+    )
+
+
+ORACLES["streaming_running_stats"] = """
+WITH cents AS (
+  SELECT user_id::VARCHAR AS key, round(value * 100)::BIGINT AS c FROM events
+),
+agg AS (
+  SELECT key, count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_c, sum(c * c)::BIGINT AS sumsq_c
+  FROM cents GROUP BY key
+)
+SELECT key, n,
+       round(sum_c::DOUBLE / (n::DOUBLE * 100.0), 6) AS mean,
+       round(sqrt((n * sumsq_c - sum_c * sum_c)::DOUBLE / (n * (n - 1))::DOUBLE) / 100.0, 6) AS std
+FROM agg ORDER BY key
+"""
 
 
 ORACLES["streaming_minhash_dedup"] = """

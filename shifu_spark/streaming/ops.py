@@ -109,6 +109,59 @@ def _welford_fn(key, pdfs, state):
     yield pd.DataFrame({"key": [key[0]], "n": [n], "mean": [mean], "std": [std]})
 
 
+CENTS_STATS_SCHEMA = "key string, n long, sum_c long, sumsq_c long"
+_CENTS_STATE_SCHEMA = "n long, sum_c long, sumsq_c long"
+
+
+def _cents_fn(key, pdfs, state):
+    """Exact integer-cent moment accumulation (2-decimal metrics).
+
+    Unlike float Welford, integer sums are associative — the result is
+    independent of row order, batch boundaries, AND engine float
+    behavior, so a DuckDB oracle can match it bit-for-bit. int64 bounds:
+    sum_c < 2^53 keeps the downstream double division exact-input;
+    sumsq_c overflows int64 only past ~10^12 rows·cent² per key."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        n, s, ss = state.get
+    else:
+        n, s, ss = 0, 0, 0
+    for pdf in pdfs:
+        c = np.rint(pdf["value"].to_numpy(dtype=float) * 100).astype(np.int64)
+        n += len(c)
+        s += int(c.sum())
+        ss += int((c * c).sum())
+    state.update((n, s, ss))
+    yield pd.DataFrame({"key": [key[0]], "n": [n], "sum_c": [s], "sumsq_c": [ss]})
+
+
+def streaming_running_stats_exact_cents(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running moments with EXACT integer-cent state.
+
+    The oracle-deterministic twin of :func:`streaming_running_stats` for
+    fixed-2-decimal metrics: emits (key, n, sum_c, sumsq_c); derive
+    mean = sum_c/(100n) and std = sqrt((n·sumsq_c − sum_c²)/(n(n−1)))/100
+    as double ops over the exact integers — identical on every engine."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"), F.col(value_col).alias("value")
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _cents_fn,
+        outputStructType=CENTS_STATS_SCHEMA,
+        stateStructType=_CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_running_stats(
     stream: DataFrame,
     key_col: str,

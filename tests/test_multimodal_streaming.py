@@ -58,6 +58,22 @@ class TestMultimodal:
         out = repartition_by_payload(big, target_partition_mb=1)
         assert out.rdd.getNumPartitions() >= 5
 
+    def test_repartition_by_payload_sampled_estimate(self, spark):
+        # the at-scale path: a seeded sample estimate lands within ~2x of
+        # the exact partition count on a uniform corpus (the point is to
+        # avoid the second full payload scan, not byte-exact sizing)
+        from shifu_spark.operators.multimodal import repartition_by_payload
+
+        big = spark.createDataFrame(
+            [(i, b"x" * 10_000) for i in range(2000)], "doc_id long, payload binary"
+        )
+        exact = repartition_by_payload(big, target_partition_mb=1).rdd.getNumPartitions()
+        est = repartition_by_payload(
+            big, target_partition_mb=1, sample_fraction=0.1
+        ).rdd.getNumPartitions()
+        assert exact >= 20
+        assert exact / 2 <= est <= exact * 2
+
     def test_byte_accounting_contract_large_skewed_payloads(self, spark):
         # Contract (decode stays stubbed — this pins the REAL plumbing):
         # (1) partition sizing follows cumulative payload BYTES, not row
