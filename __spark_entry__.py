@@ -76,19 +76,19 @@ _PRIORITY = [
     "auto_filter",
     "native_ntile_binning",
     "gain_chart_export",
+    "ksiv_equal_positive",
+    "varselect_top_ks",
     # -- sentinel re-checks of the round-2-proven core family, biased
     # toward the paths round 3 touched (curve metrics, streaming ts)
     "tpch_q1",
     "column_stats",
     "ksiv_equal_interval",
     "zscore_normalize",
-    "woe_normalize",
     "confusion_matrix_points",
     "roc_auc",
     "weighted_pr_auc",
     "streaming_drift_psi",
     "hybrid_column_woe",
-    "psi_by_column",
 ]
 
 

@@ -85,6 +85,8 @@ HEADLINE_STAGES = {
     "streaming_running_stats": "streaming",
     "auto_filter": "stats",
     "native_ntile_binning": "stats",
+    "ksiv_equal_positive": "stats",
+    "varselect_top_ks": "stats",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

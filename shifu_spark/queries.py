@@ -1162,6 +1162,56 @@ GROUP BY 2"""
 ORACLES["ksiv_equal_population"] = _ksiv_eqpop_oracle()
 
 
+@query("ksiv_equal_positive", None)
+def ksiv_equal_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualPositive binning — the reference's DEFAULT BinningMethod
+    (ModelStatsConf.java:34-36): boundaries are exact quantiles over the
+    POSITIVE rows only (binning.equal_population_boundaries method
+    semantics), then KS/IV over the full population with those edges.
+    Same percentile/quantile_cont interpolation contract as
+    ksiv_equal_population."""
+    from shifu_spark.operators.ksiv import ksiv_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = 10
+    qs = [i / k for i in range(k)]
+    qdf = li.filter(F.col("l_returnflag") == "R").agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(str(q) for q in qs)}))").alias("qs")
+    )
+    binned = li.crossJoin(F.broadcast(qdf)).withColumn(
+        "bin",
+        F.greatest(
+            F.size(F.filter(F.col("qs"), lambda b: F.col("l_extendedprice") >= b)) - 1, F.lit(0)
+        ),
+    )
+    counts = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("bin_count_pos"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1)).alias("bin_count_neg"),
+        )
+        .withColumn("column_name", F.lit("l_extendedprice"))
+    )
+    return ksiv_df(counts)
+
+
+def _ksiv_eqpos_oracle() -> str:
+    from shifu_spark.operators.ksiv import ksiv_oracle_sql
+
+    qlist = ", ".join(f"quantile_cont(l_extendedprice, {i/10})" for i in range(10))
+    counts_sql = f"""
+SELECT 'l_extendedprice' AS column_name,
+       greatest(len(list_filter(qs, b -> l_extendedprice >= b)) - 1, 0) AS bin,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bin_count_pos,
+       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS bin_count_neg
+FROM lineitem CROSS JOIN (SELECT [{qlist}] AS qs FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY 2"""
+    return ksiv_oracle_sql(counts_sql)
+
+
+ORACLES["ksiv_equal_positive"] = _ksiv_eqpos_oracle()
+
+
 @query("ksiv_weighted", None)
 def ksiv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted KS/IV/WOE (binWeightNeg/binWeightPos, the double[] overload
@@ -1224,6 +1274,30 @@ def varselect_top_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["varselect_top_iv"] = f"""
 WITH base AS ({ORACLES['ksiv_equal_interval']})
 SELECT row_number() OVER (ORDER BY iv DESC, column_name ASC)::INT AS rank, column_name, iv
+FROM base QUALIFY rank <= 2 ORDER BY rank
+"""
+
+
+@query("varselect_top_ks", None)
+def varselect_top_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N columns by KS (pipeline.var_select ``by='ks'`` — the other
+    half of the reference's sort-columns-by-KS/IV selection,
+    VarSelectReducer)."""
+    from pyspark.sql import Window
+
+    ks = QUERIES["ksiv_equal_interval"](spark, sf_dir)
+    # bounded: unpartitioned rank over #columns rows (catalog-scale)
+    w = Window.orderBy(F.desc("ks"), F.asc("column_name"))
+    return (
+        ks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("rank", "column_name", "ks")
+    )
+
+
+ORACLES["varselect_top_ks"] = f"""
+WITH base AS ({ORACLES['ksiv_equal_interval']})
+SELECT row_number() OVER (ORDER BY ks DESC, column_name ASC)::INT AS rank, column_name, ks
 FROM base QUALIFY rank <= 2 ORDER BY rank
 """
 
