@@ -80,3 +80,30 @@ class TestJoinShapes:
         # must contain hash/sort-merge equi-joins, and the only nested
         # loop allowed is a broadcast one (tiny side)
         assert "CartesianProduct" not in plan
+
+    def test_scale_lsh_band_join_not_nested_loop(self, spark):
+        # the 16-bit-band embedding LSH must keep the same equi-join
+        # shape as the MinHash band join — no cartesian anywhere in the
+        # candidate/verify chain
+        from shifu_spark.operators.similarity import embedding_neardup_lsh_pairs
+        from shifu_spark.queries import _LSH_PLANES_SCALE, _lsh_scale_corpus
+
+        caches = []
+        df = embedding_neardup_lsh_pairs(
+            _lsh_scale_corpus(spark, SF), _LSH_PLANES_SCALE, bands=4,
+            threshold=0.9, cache_out=caches,
+        )
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+        finally:
+            for c in caches:
+                c.unpersist()
+
+    def test_auto_filter_broadcasts_missing_rates(self, spark):
+        # the 1-row missing-rate agg joins the per-column KS/IV table by
+        # broadcast — no shuffle of either side on the join key
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["auto_filter"](spark, SF)
+        assert has_broadcast_join(df)
