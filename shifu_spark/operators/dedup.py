@@ -76,14 +76,23 @@ def shingleset_dedup_df(docs: DataFrame, n: int = 3) -> DataFrame:
     return agg.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
 
 
-def ngram_jaccard_pairs_df(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs_df(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    cache_out: list[DataFrame] | None = None,
+) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
 
     (doc_a, doc_b, jaccard): jaccard = |∩| / (|A| + |B| − |∩|), exact
     integer arithmetic. Quadratic in the worst case — the correctness
-    verifier; use :func:`minhash_lsh_pairs_df` at scale.
+    verifier; use :func:`minhash_lsh_pairs_df` at scale. The shingle
+    cache is appended to ``cache_out`` for the caller to release once
+    the result is consumed.
     """
     sh = shingles_df(docs, n).persist()  # feeds the join twice + counts
+    if cache_out is not None:
+        cache_out.append(sh)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -177,6 +186,7 @@ def minhash_lsh_pairs_df(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
 
@@ -196,6 +206,8 @@ def minhash_lsh_pairs_df(
     # shingles feed three consumers (signatures + both verify sides) —
     # cache once or the whole explode+distinct chain runs 3x
     sh_cached = shingles_df(docs, n).persist()
+    if cache_out is not None:
+        cache_out.append(sh_cached)
     wide = _minhash_wide(sh_cached, num_hashes)
     # band key = md5 of that band's r minhashes joined in k order —
     # computed straight off the wide row (no second agg)
@@ -209,6 +221,8 @@ def minhash_lsh_pairs_df(
     band_keys = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     ).persist()
+    if cache_out is not None:
+        cache_out.append(band_keys)
     # materialize shingles + band keys ONCE before the self-join fans out —
     # a lazy cache fills mid-job and both join sides recompute the chain
     band_keys.count()

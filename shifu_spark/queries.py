@@ -685,7 +685,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram Jaccard ≥ 0.5 near-dup pairs (exact verifier)."""
     from shifu_spark.operators.dedup import ngram_jaccard_pairs_df
 
-    return ngram_jaccard_pairs_df(_t(spark, sf_dir, "documents"), n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+    caches: list[DataFrame] = []
+    out = ngram_jaccard_pairs_df(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, cache_out=caches
+    ).orderBy("doc_a", "doc_b")
+    try:
+        # pair-sized result: finalize eagerly so the shingle cache is freed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 ORACLES["ngram_jaccard_pairs"] = """
@@ -714,9 +723,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verified at ≥ 0.5 — the scale path for near-dup."""
     from shifu_spark.operators.dedup import minhash_lsh_pairs_df
 
-    return minhash_lsh_pairs_df(
-        _t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4, threshold=0.5
+    caches: list[DataFrame] = []
+    out = minhash_lsh_pairs_df(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4, threshold=0.5,
+        cache_out=caches,
     ).orderBy("doc_a", "doc_b")
+    try:
+        # pair-sized result: finalize eagerly so shingle/band caches free
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 ORACLES["minhash_lsh_pairs"] = """
@@ -3545,8 +3562,17 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5).select("doc_a", "doc_b")
-    return dedup_groups_df(pairs).orderBy("doc_id")
+    caches: list[DataFrame] = []
+    pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
+        "doc_a", "doc_b"
+    )
+    try:
+        out = dedup_groups_df(pairs).orderBy("doc_id")
+        # group rows are doc-count-sized: finalize eagerly, free caches
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 ORACLES["dedup_groups"] = """

@@ -57,6 +57,21 @@ def test_pr_auc_trapezoid_releases_cache(spark, scored):
     assert _persistent_rdd_count(spark) == before
 
 
+def test_dedup_queries_release_caches(spark):
+    """The registry dedup pair queries persist shingle/band-key
+    intermediates; after the (eagerly finalized) result is returned, no
+    cache may remain."""
+    from shifu_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    before = _persistent_rdd_count(spark)
+    for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_groups",
+                 "embedding_neardup_lsh_scale"):
+        out = QUERIES[name](spark, sf)
+        assert out.count() >= 0
+        assert _persistent_rdd_count(spark) == before, name
+
+
 def test_weighted_single_scan_matches_two_machinery_form(spark, scored):
     """The single-scan weighted PR AUC must equal the round-2 composition
     (prefix_sums -> pr_auc_trapezoid over the weighted curve points)."""
