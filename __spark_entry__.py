@@ -93,7 +93,11 @@ _PRIORITY = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    # a typo'd or stale priority name would silently shift every later
+    # query out of the 50-slot gate window — fail loudly instead
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
     ordered.update({n: fn for n, fn in QUERIES.items() if n not in ordered})
     return ordered
 

@@ -451,18 +451,41 @@ def curve_metrics_df(
 
     Returns one row (auc, pr_auc, ks).
     """
-    pts = _score_points(df, score_col, label_expr, None)
+    return _curve_metrics_impl(
+        df, score_col, label_expr, None, round_to, num_ranges, ("auc", "pr_auc", "ks")
+    )
+
+
+def _curve_metrics_impl(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    weight_col: str | None,
+    round_to: int | None,
+    num_ranges: int | None,
+    out_aliases: tuple[str, str, str],
+) -> DataFrame:
+    """Shared single-scan curve machinery for the weighted and unweighted
+    forms — ONE place owns the boundary stitch, the pid-local lag, the
+    tie-order pin, and the cache release. The only parameterization:
+    which tally columns cumulate (pos/neg vs the weighted wpos/wneg) and
+    the decimal scale of the trapezoid numerator (integer counts are
+    exact at scale 0; weights need fractional digits)."""
+    pos, neg = ("wpos", "wneg") if weight_col else ("pos", "neg")
+    u2_type = "decimal(38,10)" if weight_col else "decimal(38,0)"
+    pts = _score_points(df, score_col, label_expr, weight_col)
     # persist: this consumer runs two actions (boundary agg + final agg)
     caches: list[DataFrame] = []
     cum = prefix_sums(
-        pts, "score", ["pos", "neg"], descending=True, num_ranges=num_ranges, persist=True,
+        pts, "score", [pos, neg], descending=True, num_ranges=num_ranges, persist=True,
         bounds=_score_bounds(df, score_col, num_ranges), cache_out=caches,
     )
     try:
+        cpos, cneg = F.col(f"cum_{pos}"), F.col(f"cum_{neg}")
         t = (
-            cum.withColumn("rec", F.try_divide(F.col("cum_pos"), F.col("tot_pos")))
-            .withColumn("prec", F.try_divide(F.col("cum_pos"), F.col("cum_pos") + F.col("cum_neg")))
-            .withColumn("fpr", F.try_divide(F.col("cum_neg"), F.col("tot_neg")))
+            cum.withColumn("rec", F.try_divide(cpos, F.col(f"tot_{pos}")))
+            .withColumn("prec", F.try_divide(cpos, cpos + cneg))
+            .withColumn("fpr", F.try_divide(cneg, F.col(f"tot_{neg}")))
         )
         # boundary pairs: (lowest-score row of pid k) -> (highest-score row
         # of pid k+1); one tiny agg instead of a second range shuffle
@@ -474,7 +497,7 @@ def curve_metrics_df(
             )
             .collect()
         )
-        by_pid = {r["__pid"]: r for r in sorted(bounds, key=lambda r: r["__pid"])}
+        by_pid = {r["__pid"]: r for r in bounds}
         pids = sorted(by_pid)
         boundary_area = 0.0
         for prev, curp in zip(pids, pids[1:]):
@@ -482,6 +505,8 @@ def curve_metrics_df(
             if a["prec"] is None or b["prec"] is None:
                 continue
             boundary_area += (b["rec"] - a["rec"]) * (b["prec"] + a["prec"]) / 2.0
+        # score-desc lag == (recall asc, precision desc) — the pinned tie
+        # order every oracle mirrors
         wprev = Window.partitionBy("__pid").orderBy(F.desc("score"))
         t = t.withColumn("prev_r", F.lag("rec").over(wprev)).withColumn(
             "prev_p", F.lag("prec").over(wprev)
@@ -492,14 +517,18 @@ def curve_metrics_df(
                 (F.col("rec") - F.col("prev_r")) * (F.col("prec") + F.col("prev_p")) / 2.0,
             )
         )
-        # exact trapezoid numerator: Σ neg·(2·tp − pos) = 2·U
-        u2 = F.sum((F.col("neg") * (2 * F.col("cum_pos") - F.col("pos"))).cast("decimal(38,0)"))
+        # trapezoid numerator ×2: Σ neg·(2·cum_pos − pos) = 2·U; decimal
+        # accumulation -> exact / partition-order-independent. Counts stay
+        # in INTEGER arithmetic (a 2.0 literal would detour through
+        # doubles and lose exactness past 2^53); weights are doubles.
+        two = F.lit(2.0) if weight_col else F.lit(2)
+        u2 = F.sum((F.col(neg) * (two * cpos - F.col(pos))).cast(u2_type))
         agg = t.agg(
             u2.alias("u2"),
             pr_inner.alias("pr_inner"),
             F.max(F.col("rec") - F.col("fpr")).alias("ks_raw"),
-            F.first("tot_pos").alias("tp"),
-            F.first("tot_neg").alias("tn"),
+            F.first(f"tot_{pos}").alias("tp"),
+            F.first(f"tot_{neg}").alias("tn"),
         )
         auc = F.try_divide(
             F.col("u2").cast("double"),
@@ -509,7 +538,10 @@ def curve_metrics_df(
         ks = F.col("ks_raw")
         if round_to is not None:
             auc, pr, ks = F.round(auc, round_to), F.round(pr, round_to), F.round(ks, round_to)
-        return _finalize_one_row(agg.select(auc.alias("auc"), pr.alias("pr_auc"), ks.alias("ks")))
+        a_auc, a_pr, a_ks = out_aliases
+        return _finalize_one_row(
+            agg.select(auc.alias(a_auc), pr.alias(a_pr), ks.alias(a_ks))
+        )
     finally:
         for c in caches:
             c.unpersist()
@@ -546,76 +578,10 @@ def weighted_curve_metrics_df(
     VERDICT r2 "What's wrong #3". Returns one row
     (weighted_auc, weighted_pr_auc, weighted_ks).
     """
-    pts = _score_points(df, score_col, label_expr, weight_col)
-    caches: list[DataFrame] = []
-    cum = prefix_sums(
-        pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
-        persist=True, bounds=_score_bounds(df, score_col, num_ranges), cache_out=caches,
+    return _curve_metrics_impl(
+        df, score_col, label_expr, weight_col, round_to, num_ranges,
+        ("weighted_auc", "weighted_pr_auc", "weighted_ks"),
     )
-    try:
-        t = (
-            cum.withColumn("rec", F.try_divide(F.col("cum_wpos"), F.col("tot_wpos")))
-            .withColumn(
-                "prec", F.try_divide(F.col("cum_wpos"), F.col("cum_wpos") + F.col("cum_wneg"))
-            )
-            .withColumn("fpr", F.try_divide(F.col("cum_wneg"), F.col("tot_wneg")))
-        )
-        bounds = (
-            t.groupBy("__pid")
-            .agg(
-                F.max_by(F.struct("rec", "prec"), "score").alias("first"),
-                F.min_by(F.struct("rec", "prec"), "score").alias("last"),
-            )
-            .collect()
-        )
-        by_pid = {r["__pid"]: r for r in bounds}
-        pids = sorted(by_pid)
-        boundary_area = 0.0
-        for prev, curp in zip(pids, pids[1:]):
-            a, b = by_pid[prev]["last"], by_pid[curp]["first"]
-            if a["prec"] is None or b["prec"] is None:
-                continue
-            boundary_area += (b["rec"] - a["rec"]) * (b["prec"] + a["prec"]) / 2.0
-        wprev = Window.partitionBy("__pid").orderBy(F.desc("score"))
-        t = t.withColumn("prev_r", F.lag("rec").over(wprev)).withColumn(
-            "prev_p", F.lag("prec").over(wprev)
-        )
-        pr_inner = F.sum(
-            F.when(
-                F.col("prev_r").isNotNull(),
-                (F.col("rec") - F.col("prev_r")) * (F.col("prec") + F.col("prev_p")) / 2.0,
-            )
-        )
-        # weighted trapezoid numerator ×2: Σ wneg·(2·cum_wpos − wpos);
-        # decimal accumulation -> bit-deterministic across partitionings
-        u2 = F.sum(
-            (F.col("wneg") * (2.0 * F.col("cum_wpos") - F.col("wpos"))).cast("decimal(38,10)")
-        )
-        agg = t.agg(
-            u2.alias("u2"),
-            pr_inner.alias("pr_inner"),
-            F.max(F.col("rec") - F.col("fpr")).alias("ks_raw"),
-            F.first("tot_wpos").alias("tp"),
-            F.first("tot_wneg").alias("tn"),
-        )
-        auc = F.try_divide(
-            F.col("u2").cast("double"),
-            2.0 * F.col("tp").cast("double") * F.col("tn").cast("double"),
-        )
-        pr = F.coalesce(F.col("pr_inner"), F.lit(0.0)) + F.lit(boundary_area)
-        ks = F.col("ks_raw")
-        if round_to is not None:
-            auc, pr, ks = F.round(auc, round_to), F.round(pr, round_to), F.round(ks, round_to)
-        return _finalize_one_row(
-            agg.select(
-                auc.alias("weighted_auc"),
-                pr.alias("weighted_pr_auc"),
-                ks.alias("weighted_ks"),
-            )
-        )
-    finally:
-        for c in caches:
-            c.unpersist()
 
 
 def weighted_pr_auc_df(

@@ -68,7 +68,13 @@ def render_gain_chart_html(rows: list, title: str = "Gain chart") -> str:
     recall-vs-action_rate curve for the model, the y=x random baseline,
     and the operating-point table. Inline SVG, no external scripts."""
     pts = sorted(
-        ((r["action_rate"], r["recall"]) for r in rows if r["action_rate"] is not None),
+        (
+            (r["action_rate"], r["recall"])
+            for r in rows
+            # zero-positive corpora yield NULL recall (try_divide) — skip
+            # those points rather than crash float() below
+            if r["action_rate"] is not None and r["recall"] is not None
+        ),
         key=lambda p: p[0],
     )
     w = h = 400

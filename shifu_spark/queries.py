@@ -969,12 +969,16 @@ ORDER BY id_a, id_b
 def _lsh_scale_planes() -> list[list[float]]:
     """64 random ±1 hyperplanes (seeded, generated once at import).
 
-    ±1 entries keep every plane dot an exact-float sequential sum on both
-    engines — the oracle embeds the SAME literals, so sign bits agree
-    bitwise. 64 planes / 4 bands = 16 bits per band: at N docs a band
-    bucket holds ~N/2^16, which is the parameterization that keeps the
-    candidate join linear-ish at 100 TB (vs the toy 2-bit width whose
-    buckets hold N/4)."""
+    The oracle embeds the SAME literals, so both engines see identical
+    planes; sign bits agree unless a dot product sits within float-
+    summation noise of zero (the wide-plane path computes signs via a
+    numpy matmul whose pairwise summation can differ from the oracle's
+    sequential list_dot_product in the last ulps — similarity.py
+    documents the trade; the VERIFIED cosine column always uses the
+    sequential fold). 64 planes / 4 bands = 16 bits per band: at N docs
+    a band bucket holds ~N/2^16, which is the parameterization that
+    keeps the candidate join linear-ish at 100 TB (vs the toy 2-bit
+    width whose buckets hold N/4)."""
     import numpy as np
 
     rng = np.random.RandomState(42)
@@ -1131,68 +1135,22 @@ GROUP BY bin"""
 ORACLES["ksiv_categorical"] = _ksiv_cat_oracle()
 
 
-@query("ksiv_equal_population", None)
-def ksiv_equal_population(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EqualTotal equal-population bins via exact percentile (the SPDT/
-    EqualPopulationBinning replacement) + KS/IV on l_extendedprice.
-
-    Boundaries come from `percentile` (same interpolation as DuckDB
-    quantile_cont -> bit-identical), bin index = #{edges <= x} - 1.
-    """
+def _ksiv_quantile_query(
+    spark: SparkSession, sf_dir: str, boundary_where: str | None
+) -> DataFrame:
+    """Shared equal-frequency KS/IV machinery: exact `percentile`
+    boundaries over the (optionally filtered) boundary population, bin
+    index = #{edges <= x} − 1, KS/IV over ALL rows. One place owns the
+    interpolation and bin-lookup contract for every BinningMethod
+    variant (EqualTotal / EqualPositive / EqualNegative differ only in
+    which rows feed the quantiles — ModelStatsConf.java:34-36)."""
     from shifu_spark.operators.ksiv import ksiv_df
 
     li = _t(spark, sf_dir, "lineitem")
     k = 10
     qs = [i / k for i in range(k)]
-    qdf = li.agg(F.expr(f"percentile(l_extendedprice, array({','.join(str(q) for q in qs)}))").alias("qs"))
-    binned = li.crossJoin(F.broadcast(qdf)).withColumn(
-        "bin",
-        F.greatest(
-            F.size(F.filter(F.col("qs"), lambda b: F.col("l_extendedprice") >= b)) - 1, F.lit(0)
-        ),
-    )
-    counts = (
-        binned.groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("bin_count_pos"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1)).alias("bin_count_neg"),
-        )
-        .withColumn("column_name", F.lit("l_extendedprice"))
-    )
-    return ksiv_df(counts)
-
-
-def _ksiv_eqpop_oracle() -> str:
-    from shifu_spark.operators.ksiv import ksiv_oracle_sql
-
-    qlist = ", ".join(f"quantile_cont(l_extendedprice, {i/10})" for i in range(10))
-    counts_sql = f"""
-SELECT 'l_extendedprice' AS column_name,
-       greatest(len(list_filter(qs, b -> l_extendedprice >= b)) - 1, 0) AS bin,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bin_count_pos,
-       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS bin_count_neg
-FROM lineitem CROSS JOIN (SELECT [{qlist}] AS qs FROM lineitem)
-GROUP BY 2"""
-    return ksiv_oracle_sql(counts_sql)
-
-
-ORACLES["ksiv_equal_population"] = _ksiv_eqpop_oracle()
-
-
-@query("ksiv_equal_positive", None)
-def ksiv_equal_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EqualPositive binning — the reference's DEFAULT BinningMethod
-    (ModelStatsConf.java:34-36): boundaries are exact quantiles over the
-    POSITIVE rows only (binning.equal_population_boundaries method
-    semantics), then KS/IV over the full population with those edges.
-    Same percentile/quantile_cont interpolation contract as
-    ksiv_equal_population."""
-    from shifu_spark.operators.ksiv import ksiv_df
-
-    li = _t(spark, sf_dir, "lineitem")
-    k = 10
-    qs = [i / k for i in range(k)]
-    qdf = li.filter(F.col("l_returnflag") == "R").agg(
+    src = li.filter(F.expr(boundary_where)) if boundary_where else li
+    qdf = src.agg(
         F.expr(f"percentile(l_extendedprice, array({','.join(str(q) for q in qs)}))").alias("qs")
     )
     binned = li.crossJoin(F.broadcast(qdf)).withColumn(
@@ -1212,21 +1170,45 @@ def ksiv_equal_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ksiv_df(counts)
 
 
-def _ksiv_eqpos_oracle() -> str:
+def _ksiv_quantile_oracle(boundary_where: str | None) -> str:
     from shifu_spark.operators.ksiv import ksiv_oracle_sql
 
     qlist = ", ".join(f"quantile_cont(l_extendedprice, {i/10})" for i in range(10))
+    where = f" WHERE {boundary_where}" if boundary_where else ""
     counts_sql = f"""
 SELECT 'l_extendedprice' AS column_name,
        greatest(len(list_filter(qs, b -> l_extendedprice >= b)) - 1, 0) AS bin,
        sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bin_count_pos,
        sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS bin_count_neg
-FROM lineitem CROSS JOIN (SELECT [{qlist}] AS qs FROM lineitem WHERE l_returnflag = 'R')
+FROM lineitem CROSS JOIN (SELECT [{qlist}] AS qs FROM lineitem{where})
 GROUP BY 2"""
     return ksiv_oracle_sql(counts_sql)
 
 
-ORACLES["ksiv_equal_positive"] = _ksiv_eqpos_oracle()
+@query("ksiv_equal_population", None)
+def ksiv_equal_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualTotal equal-population bins via exact percentile (the SPDT/
+    EqualPopulationBinning replacement) + KS/IV on l_extendedprice.
+
+    Boundaries come from `percentile` (same interpolation as DuckDB
+    quantile_cont -> bit-identical), bin index = #{edges <= x} - 1.
+    """
+    return _ksiv_quantile_query(spark, sf_dir, None)
+
+
+ORACLES["ksiv_equal_population"] = _ksiv_quantile_oracle(None)
+
+
+@query("ksiv_equal_positive", None)
+def ksiv_equal_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualPositive binning — the reference's DEFAULT BinningMethod
+    (ModelStatsConf.java:34-36): boundaries are exact quantiles over the
+    POSITIVE rows only (binning.equal_population_boundaries method
+    semantics), then KS/IV over the full population with those edges."""
+    return _ksiv_quantile_query(spark, sf_dir, "l_returnflag = 'R'")
+
+
+ORACLES["ksiv_equal_positive"] = _ksiv_quantile_oracle("l_returnflag = 'R'")
 
 
 @query("ksiv_weighted", None)
@@ -1364,11 +1346,13 @@ def auto_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["auto_filter"] = f"""
 WITH base AS ({ORACLES['ksiv_equal_interval']}),
 mr AS (
+  -- the pass/fail gate compares the UNROUNDED rate (matching the Spark
+  -- side); rounding is display-only in the final select
   SELECT column_name, missing_rate FROM (
-    SELECT round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_quantity,
-           round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_extendedprice,
-           round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_discount,
-           round(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS l_tax
+    SELECT sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS l_quantity,
+           sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS l_extendedprice,
+           sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS l_discount,
+           sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS l_tax
     FROM lineitem
   ) UNPIVOT (missing_rate FOR column_name IN (l_quantity, l_extendedprice, l_discount, l_tax))
 ),
@@ -1383,7 +1367,8 @@ rk AS (
   ) AS rn
   FROM t
 )
-SELECT column_name, missing_rate, iv, ks, (passes AND rn <= 2) AS final_select
+SELECT column_name, round(missing_rate, 6) AS missing_rate, iv, ks,
+       (passes AND rn <= 2) AS final_select
 FROM rk ORDER BY column_name
 """
 
@@ -2047,6 +2032,35 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_stream_to_sink(
+    spark: SparkSession, df: DataFrame, prefix: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a bounded (availableNow) streaming query into a uuid-named
+    memory sink, snapshot the sink's rows eagerly, DROP the sink table,
+    and return the snapshot as a local-backed DataFrame.
+
+    Memory-sink tables pin their full result in the session for its
+    lifetime; without the drop, every invocation leaks one (the same
+    slow-leak class as an unreleased persist). Sink contents here are
+    summary-sized (windows × bins / sessions / distinct keys)."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    rows = sink.collect()
+    out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 @query("streaming_drift_psi", None)
 def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming drift PSI, driver-checkable: replay the
@@ -2057,42 +2071,15 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (psi_of_batch; PSICalculatorUDF.java:88-99 skip semantics). The
     bounded replay makes the result identical to the batch computation,
     which is exactly what the DuckDB oracle runs."""
-    import uuid
-
     from shifu_spark.streaming.drift import psi_of_batch, streaming_bin_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # FileStreamSource needs a DIRECTORY base path; glob-filter down to
-    # the single events file inside the sf dir. The stream schema must
-    # match the file's physical encoding (bigint nanos / TIMESTAMP_NTZ /
-    # TIMESTAMP have all shipped across rounds), so normalize AFTER read.
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(batch.dtypes)["ts"] == "bigint":
-        # exact ns->us normalization, same as _events — a plain
-        # div-1e9 cast would truncate sub-second precision
-        ets = F.timestamp_micros(F.expr("ts div 1000"))
-    else:
-        ets = F.col("ts").cast("timestamp")
-    s = stream.withColumn("ets", ets)
+    s = _events_stream(spark, sf_dir)
     counts = streaming_bin_counts(
-        s, "value", [0.0, 50.0, 100.0, 150.0], ts_col="ets", window="1 day", watermark="0 seconds"
+        s, "value", [0.0, 50.0, 100.0, 150.0], ts_col="ts", window="1 day", watermark="0 seconds"
     )
-    name = f"drift_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink = _run_stream_to_sink(spark, counts, "drift")
     expected = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
-    return psi_of_batch(spark.table(name), expected).withColumn(
+    return psi_of_batch(sink, expected).withColumn(
         "window_start", F.col("window_start").cast("timestamp")
     )
 
@@ -2147,24 +2134,13 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous one starts a NEW session (>= in the oracle), whereas the
     batch lag-form query uses strict >. Both are faithful gap readings;
     the boundary case is pinned explicitly on both sides here."""
-    import uuid
-
     from shifu_spark.streaming.ops import streaming_sessionize
 
     s = _events_stream(spark, sf_dir)
     sess = streaming_sessionize(s, key_col="user_id", ts_col="ts", gap="30 minutes")
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink = _run_stream_to_sink(spark, sess, "sess")
     return (
-        spark.table(name)
-        .groupBy("user_id")
+        sink.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
@@ -2176,15 +2152,17 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_sessionize"] = """
 WITH s AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ),
 sid AS (
+  -- event_id tiebreak: duplicate (user_id, ts) rows at a session
+  -- boundary must cumulate in the same order new_sess was computed
   SELECT user_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM s
 ),
@@ -2211,8 +2189,6 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store holds one (signature, rep, count) row per distinct
     signature inside the retention horizon — the streaming twin of the
     exact/shingleset dedup family."""
-    import uuid
-
     from shifu_spark.operators.dedup import with_minhash_signature
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2225,16 +2201,8 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sig.groupBy("signature").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
     )
-    name = f"mhdedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select("rep_id", "n_docs").orderBy("rep_id")
+    sink = _run_stream_to_sink(spark, agg, "mhdedup")
+    return sink.select("rep_id", "n_docs").orderBy("rep_id")
 
 
 @query("streaming_running_stats", None)
@@ -2252,21 +2220,11 @@ def streaming_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's regardless of partitioning. Update mode emits state per
     micro-batch; the highest-n row per key is the final state whether
     the source replays in one batch or many."""
-    import uuid
-
     from shifu_spark.streaming.ops import streaming_running_stats_exact_cents
 
     s = _events_stream(spark, sf_dir)
     out = streaming_running_stats_exact_cents(s, "user_id", "value")
-    name = f"rstats_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink = _run_stream_to_sink(spark, out, "rstats", output_mode="update")
     latest = F.max_by(F.struct("n", "sum_c", "sumsq_c"), "n").alias("s")
     n, sc, ssc = F.col("s.n"), F.col("s.sum_c"), F.col("s.sumsq_c")
     # double ops over exact int64 inputs — deterministic on every engine
@@ -2274,8 +2232,7 @@ def streaming_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_c = (n * ssc - sc * sc).cast("double") / (n * (n - F.lit(1))).cast("double")
     std = F.sqrt(var_c) / 100.0
     return (
-        spark.table(name)
-        .groupBy("key")
+        sink.groupBy("key")
         .agg(latest)
         .select(
             "key",
@@ -2289,7 +2246,9 @@ def streaming_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_running_stats"] = """
 WITH cents AS (
-  SELECT user_id::VARCHAR AS key, round(value * 100)::BIGINT AS c FROM events
+  -- NULL values are skipped (the state kernel drops NaN the same way)
+  SELECT user_id::VARCHAR AS key, round(value * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
 ),
 agg AS (
   SELECT key, count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_c, sum(c * c)::BIGINT AS sumsq_c

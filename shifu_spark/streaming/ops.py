@@ -129,7 +129,11 @@ def _cents_fn(key, pdfs, state):
     else:
         n, s, ss = 0, 0, 0
     for pdf in pdfs:
-        c = np.rint(pdf["value"].to_numpy(dtype=float) * 100).astype(np.int64)
+        x = pdf["value"].to_numpy(dtype=float)
+        x = x[~np.isnan(x)]  # NULLs: skip like SQL aggregates (NaN->int64 is UB)
+        # half-AWAY-from-zero to match SQL round(); np.rint rounds half
+        # to even (0.125 -> 12 vs SQL's 13)
+        c = (np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)).astype(np.int64)
         n += len(c)
         s += int(c.sum())
         ss += int((c * c).sum())

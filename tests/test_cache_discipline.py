@@ -72,6 +72,22 @@ def test_dedup_queries_release_caches(spark):
         assert _persistent_rdd_count(spark) == before, name
 
 
+def test_streaming_queries_drop_memory_sinks(spark):
+    """Memory-sink tables pin their results for the session's lifetime;
+    the streaming registry queries must drop their uuid-named sinks
+    after snapshotting."""
+    from shifu_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES["streaming_running_stats"](spark, sf).count()
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("drift_", "sess_", "mhdedup_", "rstats_"))
+    ]
+    assert leftovers == []
+
+
 def test_weighted_single_scan_matches_two_machinery_form(spark, scored):
     """The single-scan weighted PR AUC must equal the round-2 composition
     (prefix_sums -> pr_auc_trapezoid over the weighted curve points)."""
