@@ -78,10 +78,10 @@ _PRIORITY = [
     "gain_chart_export",
     "ksiv_equal_positive",
     "varselect_top_ks",
+    "image_png_features",
     # -- sentinel re-checks of the round-2-proven core family, biased
     # toward the paths round 3 touched (curve metrics, streaming ts)
     "tpch_q1",
-    "column_stats",
     "ksiv_equal_interval",
     "zscore_normalize",
     "confusion_matrix_points",

@@ -87,6 +87,7 @@ HEADLINE_STAGES = {
     "native_ntile_binning": "stats",
     "ksiv_equal_positive": "stats",
     "varselect_top_ks": "stats",
+    "image_png_features": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import io
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -152,12 +153,14 @@ def extract_image_features(
 # ---------------------------------------------------------------------------
 # REAL decode kernels — formats parseable with stdlib/numpy only.
 #
-# jpeg/png/mp3 stay behind the strict stub (no codec libs in this
-# container), but WAV (RIFF PCM, stdlib `wave`) and PPM (P6, pure numpy)
-# are real containers with real decoders below. The registry queries
-# round-trip synthesize→encode→decode→features against a closed-form
-# DuckDB oracle, so a wrong header offset, endianness, or channel
-# interleave breaks the driver hash — decode here is *proven*, not faked.
+# jpeg/mp3/video stay behind the strict stub (no codec libs in this
+# container), but WAV (RIFF PCM, stdlib `wave`), PPM (P6, pure numpy)
+# and PNG (stdlib zlib DEFLATE/CRC + spec filters, below) are real
+# containers with real decoders. The registry queries round-trip
+# synthesize→encode→decode→features against a closed-form DuckDB
+# oracle, so a wrong header offset, endianness, filter reconstruction,
+# or channel interleave breaks the driver hash — decode here is
+# *proven*, not faked.
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -306,6 +309,170 @@ def extract_ppm_features(
                 out["height"].append(h)
                 out["n_pixels"].append(npx)
                 out["byte_sum"].append(int(img.sum()))
+                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec — stdlib zlib owns DEFLATE/CRC; chunk framing and the
+# five scanline filters (None/Sub/Up/Average/Paeth) are implemented here
+# per the PNG spec (RFC 2083 §6). Truecolor 8-bit RGB/RGBA, no interlace.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """REAL PNG encode: IHDR/IDAT/IEND chunks, zlib-compressed scanlines,
+    the chosen filter (0-4) applied to every row. Filters are computed
+    vectorized from the raw bytes (no left-recursion on the filtered
+    output — encoding filters read only raw values)."""
+    h, w, c = img.shape
+    if c not in (3, 4):
+        raise ValueError("RGB or RGBA only")
+    bpp = c
+    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * c).astype(np.int64)
+    raw = bytearray()
+    zero = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y]
+        prev = rows[y - 1] if y else zero
+        a = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        cc = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:  # Sub
+            f = cur - a
+        elif filter_type == 2:  # Up
+            f = cur - prev
+        elif filter_type == 3:  # Average
+            f = cur - (a + prev) // 2
+        elif filter_type == 4:  # Paeth
+            f = cur - _paeth_pred(a, prev, cc)
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend((f % 256).astype(np.uint8).tobytes())
+    colortype = 2 if c == 3 else 6
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])  # bitdepth 8, deflate, filter0, no interlace
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode, stdlib+numpy: chunk walk with CRC verification,
+    zlib-inflated scanlines, full unfilter for all five filter types.
+    Truecolor 8-bit RGB/RGBA, non-interlaced (the forms the encoder and
+    any standards-compliant writer of this profile emit)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i < len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        crc = int.from_bytes(payload[i + 8 + ln : i + 12 + ln], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bitdepth, colortype, _, _, interlace = ihdr[8:13]
+    if bitdepth != 8 or colortype not in (2, 6) or interlace != 0:
+        raise NotImplementedError("only 8-bit truecolor non-interlaced PNG supported")
+    c = 3 if colortype == 2 else 4
+    bpp = c
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * c + 1
+    if len(raw) != h * stride:
+        raise ValueError("scanline data size mismatch")
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * c), dtype=np.int64)
+    zero = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        prev = out[y - 1] if y else zero
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters reconstruct pixel-group-sequentially:
+            # byte x needs the already-RECONSTRUCTED byte x-bpp
+            rec = np.empty_like(cur)
+            for x in range(len(cur)):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    v = cur[x] + a
+                elif ft == 3:
+                    v = cur[x] + (a + b) // 2
+                else:
+                    v = cur[x] + int(_paeth_pred(np.int64(a), np.int64(b), np.int64(cc)))
+                rec[x] = v % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def extract_png_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL PNG decode + per-channel stats (same feature
+    contract as :func:`extract_ppm_features`; alpha ignored for the
+    channel means so RGB and RGBA payloads report comparably)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_png(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                npx = h * w
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(npx)
+                out["byte_sum"].append(int(img[:, :, :3].sum()))
                 for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
                     out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
             yield pd.DataFrame(out)

@@ -3746,3 +3746,54 @@ def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_ppm_features(_synth_ppm_payloads(docs)).orderBy("doc_id")
+
+
+def _synth_png_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = real PNG (Paeth-filtered scanlines), w=7+d%8,
+    h=5+d%6, byte[j] = (d*19 + j*11) % 256 in row-major RGB order."""
+    from shifu_spark.operators.multimodal import encode_png
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 7 + int(d) % 8, 5 + int(d) % 6
+                j = np.arange(w * h * 3, dtype=np.int64)
+                img = ((int(d) * 19 + j * 11) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(img, filter_type=4))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "image_png_features",
+    """
+WITH d AS (SELECT doc_id, 7 + doc_id % 8 AS w, 5 + doc_id % 6 AS h FROM documents),
+b AS (SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS j FROM d),
+v AS (SELECT doc_id, w, h, j, (doc_id*19 + j*11) % 256 AS val FROM b)
+SELECT doc_id,
+  CAST(max(w) AS INT) AS width,
+  CAST(max(h) AS INT) AS height,
+  CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+  CAST(sum(val) AS BIGINT) AS byte_sum,
+  CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+  CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+  CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_b
+FROM v GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(REAL PNG: zlib DEFLATE + CRC chunks +
+    Paeth-filtered scanlines)→decode(full 5-filter reconstruction)→
+    per-channel stats. The oracle recomputes the stats straight from the
+    pixel arithmetic, so a wrong filter inverse, CRC framing, or stride
+    breaks the driver hash — PNG decode is proven end-to-end, upgrading
+    it out of the strict-stub set (jpeg/video remain stubbed)."""
+    from shifu_spark.operators.multimodal import extract_png_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_png_features(_synth_png_payloads(docs)).orderBy("doc_id")

@@ -176,6 +176,47 @@ class TestRealDecodeKernels:
     """WAV (stdlib wave) and PPM (pure numpy) are REAL decoders — these
     pin encode→decode identity and the resize kernel's box math."""
 
+    def test_png_roundtrip_all_filters(self):
+        # encode applies the filter forward from RAW bytes; decode
+        # reconstructs left/up-dependently — exact identity across all
+        # five spec filters proves both directions against RFC 2083 §6
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.RandomState(3)
+        for c in (3, 4):
+            for ft in range(5):
+                img = rng.randint(0, 256, (13, 9, c), dtype=np.uint8)
+                rt = decode_png(encode_png(img, filter_type=ft))
+                assert rt.shape == img.shape
+                assert (rt == img).all(), f"channels={c} filter={ft}"
+
+    def test_png_crc_corruption_detected(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_png, encode_png
+
+        p = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8), filter_type=2))
+        p[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC|not a PNG"):
+            decode_png(bytes(p))
+
+    def test_png_rejects_unsupported_profiles(self):
+        import zlib
+
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
+
+        # interlaced IHDR must raise, not silently misdecode
+        ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
+        payload = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+            b"IDAT", zlib.compress(b"\x00" * 52)
+        ) + _png_chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(payload)
+
     def test_wav_roundtrip_identity(self):
         import numpy as np
 
