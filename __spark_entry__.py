@@ -79,11 +79,11 @@ _PRIORITY = [
     "ksiv_equal_positive",
     "varselect_top_ks",
     "image_png_features",
+    "video_y4m_features",
     # -- sentinel re-checks of the round-2-proven core family, biased
     # toward the paths round 3 touched (curve metrics, streaming ts)
     "tpch_q1",
     "ksiv_equal_interval",
-    "zscore_normalize",
     "confusion_matrix_points",
     "roc_auc",
     "weighted_pr_auc",

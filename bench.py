@@ -88,6 +88,7 @@ HEADLINE_STAGES = {
     "ksiv_equal_positive": "stats",
     "varselect_top_ks": "stats",
     "image_png_features": "multimodal",
+    "video_y4m_features": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

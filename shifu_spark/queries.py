@@ -3733,9 +3733,9 @@ SELECT doc_id,
   CAST(max(h) AS INT) AS height,
   CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
   CAST(sum(val) AS BIGINT) AS byte_sum,
-  CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
-  CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
-  CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_b
+  round(CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+  round(CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+  round(CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
 FROM v GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -3780,9 +3780,9 @@ SELECT doc_id,
   CAST(max(h) AS INT) AS height,
   CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
   CAST(sum(val) AS BIGINT) AS byte_sum,
-  CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
-  CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
-  CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (max(w) * max(h)) AS mean_b
+  round(CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+  round(CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+  round(CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
 FROM v GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -3797,3 +3797,65 @@ def image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_png_features(_synth_png_payloads(docs)).orderBy("doc_id")
+
+
+def _synth_y4m_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = real YUV4MPEG2 C444 stream: 4+d%5 frames of
+    (4+d%4)×(6+d%5); pixel (frame f, channel ch, raster p) =
+    (d*7 + f*31 + ch*5 + p*3) % 256."""
+    from shifu_spark.operators.multimodal import encode_y4m
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                nf, w, h = 4 + int(d) % 5, 6 + int(d) % 5, 4 + int(d) % 4
+                f = np.arange(nf)[:, None, None]
+                p = np.arange(h * w).reshape(h, w)[None, :, :]
+                ch = np.arange(3)[None, None, None, :]
+                vals = (int(d) * 7 + f[..., None] * 31 + ch * 5 + p[..., None] * 3) % 256
+                payloads.append(encode_y4m(vals.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "video_y4m_features",
+    """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf, 6 + doc_id % 5 AS w, 4 + doc_id % 4 AS h
+           FROM documents),
+fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM d),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+b1 AS (SELECT doc_id, nf, w, h, f, unnest(range(0, w*h)) AS p FROM sampled),
+b2 AS (SELECT doc_id, nf, w, h, f, p, unnest(range(0, 3)) AS ch FROM b1),
+v AS (SELECT doc_id, nf, w, h, f, p, ch,
+             (doc_id*7 + f*31 + ch*5 + p*3) % 256 AS val
+      FROM b2)
+SELECT doc_id,
+  'y4m' AS codec,
+  CAST(max(w) AS INT) AS width,
+  CAST(max(h) AS INT) AS height,
+  CAST(max(nf) AS INT) AS n_frames,
+  CAST(count(DISTINCT f) AS INT) AS n_sampled,
+  CAST(sum(val) AS BIGINT) AS byte_sum,
+  round(CAST(sum(CASE WHEN ch = 0 THEN val END) AS DOUBLE)
+        / (count(DISTINCT f) * max(w) * max(h)), 6) AS mean_y
+FROM v GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def video_y4m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(REAL y4m C444 video stream)→decode(header tags
+    + FRAME-marker plane walk)→frame-sample(every 2nd)→Y-plane stats.
+    The oracle recomputes from the pixel arithmetic, so a wrong plane
+    stride, frame offset, or sample phase breaks the driver hash —
+    video container decode + frame sampling are proven end-to-end
+    (per-frame pixel decode of COMPRESSED codecs remains the honest
+    jpeg/h264 stub; y4m is the uncompressed interchange container)."""
+    from shifu_spark.operators.multimodal import extract_video_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_video_features(_synth_y4m_payloads(docs), sample_every=2).orderBy("doc_id")

@@ -217,6 +217,26 @@ class TestRealDecodeKernels:
         with pytest.raises(NotImplementedError):
             decode_png(payload)
 
+    def test_y4m_roundtrip_identity(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_y4m, encode_y4m
+
+        rng = np.random.RandomState(5)
+        frames = rng.randint(0, 256, (6, 8, 10, 3), dtype=np.uint8)
+        rt, fps = decode_y4m(encode_y4m(frames, fps=30))
+        assert fps == 30
+        assert rt.shape == frames.shape
+        assert (rt == frames).all()
+
+    def test_y4m_rejects_subsampled(self):
+        from shifu_spark.operators.multimodal import decode_y4m
+
+        # C420 (the spec default) must raise, not misread plane strides
+        payload = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\nFRAME\n" + b"\x00" * 24
+        with pytest.raises(NotImplementedError):
+            decode_y4m(payload)
+
     def test_wav_roundtrip_identity(self):
         import numpy as np
 
