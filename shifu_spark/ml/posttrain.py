@@ -195,23 +195,26 @@ def extract_tree(java_root) -> dict[str, list]:
     return {"feature": feat, "threshold": thr, "left": left, "right": right, "prediction": pred}
 
 
-def tree_path_encode(df: DataFrame, feature_cols: list[str], tree_model) -> DataFrame:
-    """Per-tree leaf index per row (EncodeDataUDF / TreeModel.encode).
+def tree_path_encode_trees(
+    df: DataFrame,
+    feature_cols: list[str],
+    trees: list[dict[str, list]],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Leaf-index encoding against explicit tree structures (the lookup
+    half of EncodeDataUDF.java:45-120, independent of any model fit).
 
-    Extracts tree structures driver-side once, broadcasts the arrays,
-    traverses vectorized in mapInPandas. Output: input columns + an
-    array<int> ``tree_leaves`` (one slot per tree).
+    ``trees`` are preorder parallel-array dicts as produced by
+    :func:`extract_tree` (feature/threshold/left/right/prediction; leaves
+    have feature == -1). The per-batch traversal is fully vectorized:
+    all rows advance one tree level per numpy step, so cost is
+    O(rows × depth) with no Python-per-row work. ``keep_cols`` are
+    passthrough id columns carried alongside the features.
     """
-    trees = []
-    jm = tree_model._java_obj
-    if hasattr(jm, "trees"):
-        for jt in jm.trees():
-            trees.append(extract_tree(jt.rootNode()))
-    else:
-        trees.append(extract_tree(jm.rootNode()))
-
+    keep = list(keep_cols or [])
     cols = list(feature_cols)
-    schema = df.select(*cols).schema.simpleString().replace("struct<", "").rstrip(">") + ", tree_leaves array<int>"
+    sel = df.select(*keep, *cols)
+    schema = sel.schema.simpleString().replace("struct<", "").rstrip(">") + ", tree_leaves array<int>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,11 +235,28 @@ def tree_path_encode(df: DataFrame, feature_cols: list[str], tree_model) -> Data
                     node[active] = nxt
                     active = feat[node] >= 0
                 leaves[:, t_i] = node
-            out = pdf[cols].copy()
+            out = pdf.copy()
             out["tree_leaves"] = list(leaves)
             yield out
 
-    return df.select(*cols).mapInPandas(run, schema)
+    return sel.mapInPandas(run, schema)
+
+
+def tree_path_encode(df: DataFrame, feature_cols: list[str], tree_model) -> DataFrame:
+    """Per-tree leaf index per row (EncodeDataUDF / TreeModel.encode).
+
+    Extracts tree structures driver-side once, broadcasts the arrays,
+    traverses vectorized in mapInPandas. Output: input columns + an
+    array<int> ``tree_leaves`` (one slot per tree).
+    """
+    trees = []
+    jm = tree_model._java_obj
+    if hasattr(jm, "trees"):
+        for jt in jm.trees():
+            trees.append(extract_tree(jt.rootNode()))
+    else:
+        trees.append(extract_tree(jm.rootNode()))
+    return tree_path_encode_trees(df, feature_cols, trees)
 
 
 def feature_importance_df(tree_model, feature_cols: list[str]) -> list[tuple[str, float]]:

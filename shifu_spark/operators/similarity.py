@@ -317,7 +317,20 @@ def embedding_neardup_lsh_pairs(
         @F.pandas_udf("array<long>")
         def band_vals(vecs: pd.Series) -> pd.Series:
             M = np.stack(vecs.to_numpy()).astype(np.float64)
-            bits = (M @ P.T) >= 0  # (rows, planes)
+            dots = M @ P.T  # (rows, planes)
+            # numpy's pairwise summation can land on the other side of 0
+            # than a sequential fold when the dot is within float noise
+            # of zero; the oracle (list_dot_product) and the JVM fold are
+            # both sequential, so snap near-zero dots deterministically by
+            # recomputing them with the same left-to-right fold
+            near = np.argwhere(np.abs(dots) < 1e-9)
+            for r, c in near:
+                acc = 0.0
+                v, p = M[r], P[c]
+                for k in range(v.shape[0]):
+                    acc += v[k] * p[k]
+                dots[r, c] = acc
+            bits = dots >= 0
             out = np.empty((len(M), bands), dtype=np.int64)
             for bi in range(bands):
                 out[:, bi] = bits[:, bi * w : (bi + 1) * w].astype(np.int64) @ weights[bi]

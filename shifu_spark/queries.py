@@ -30,6 +30,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _materialize_release(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Materialize ``out`` on the executors (localCheckpoint, eager) so the
+    upstream ``caches`` can be unpersisted, WITHOUT collecting to the
+    driver. Near-dup pair counts are data-dependent and unbounded on a
+    dup-heavy corpus, so the previous collect()-then-createDataFrame
+    finalize was a driver-OOM risk in exactly the family framed as the
+    at-scale dedup path (ADVICE r3). localCheckpoint truncates the
+    lineage, so the checkpointed frame no longer references the caches."""
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with its ts column normalized to TIMESTAMP (UTC session).
 
@@ -689,12 +704,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs_df(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5, cache_out=caches
     ).orderBy("doc_a", "doc_b")
-    try:
-        # pair-sized result: finalize eagerly so the shingle cache is freed
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        for c in caches:
-            c.unpersist()
+    return _materialize_release(out, caches)
 
 
 ORACLES["ngram_jaccard_pairs"] = """
@@ -728,12 +738,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4, threshold=0.5,
         cache_out=caches,
     ).orderBy("doc_a", "doc_b")
-    try:
-        # pair-sized result: finalize eagerly so shingle/band caches free
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        for c in caches:
-            c.unpersist()
+    return _materialize_release(out, caches)
 
 
 ORACLES["minhash_lsh_pairs"] = """
@@ -1030,13 +1035,7 @@ def embedding_neardup_lsh_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         cache_out=caches,
     ).orderBy("id_a", "id_b")
-    try:
-        # pair-sized result: finalize eagerly so the docs cache is released
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        for c in caches:
-            c.unpersist()
+    return _materialize_release(out, caches)
 
 
 def _lsh_scale_oracle() -> str:
@@ -2053,12 +2052,19 @@ def _run_stream_to_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    sink = spark.table(name)
-    rows = sink.collect()
-    out = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(name)
-    return out
+    try:
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows = sink.collect()
+        return spark.createDataFrame(rows, sink.schema)
+    finally:
+        # drop even on failure — otherwise a failed replay leaks the
+        # session-lifetime sink table this helper exists to prevent
+        try:
+            q.stop()
+        except Exception:
+            pass
+        spark.catalog.dropTempView(name)
 
 
 @query("streaming_drift_psi", None)
@@ -2445,6 +2451,67 @@ def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_models(assembled, TrainParams(algorithm="RF", trees=3, max_depth=3, seed=42), 2)[0]
     enc = tree_path_encode(df, ["f1", "f2"], model)
     return enc.select(F.col("tree_leaves").getItem(0).alias("leaf0")).groupBy("leaf0").count().orderBy("leaf0")
+
+
+# Fixture trees with literal thresholds (preorder parallel arrays, the
+# extract_tree layout). The operator under test is the path/leaf lookup
+# (EncodeDataUDF.java:45-120), not the fit — pinning the trees makes the
+# encoding SQL-expressible, so the oracle is an exact CASE mirror.
+_PINNED_TREES = [
+    {  # root: f1<=25 -> (f2<=0.05 -> leaf2 | leaf3) | (f1<=40 -> leaf5 | leaf6)
+        "feature": [0, 1, -1, -1, 0, -1, -1],
+        "threshold": [25.0, 0.05, 0.0, 0.0, 40.0, 0.0, 0.0],
+        "left": [1, 2, -1, -1, 5, -1, -1],
+        "right": [4, 3, -1, -1, 6, -1, -1],
+        "prediction": [0.0] * 7,
+    },
+    {  # root: f2<=0.03 -> leaf1 | (f1<=30 -> leaf3 | leaf4)
+        "feature": [1, -1, 0, -1, -1],
+        "threshold": [0.03, 0.0, 30.0, 0.0, 0.0],
+        "left": [1, -1, 3, -1, -1],
+        "right": [2, -1, 4, -1, -1],
+        "prediction": [0.0] * 5,
+    },
+]
+
+
+@query("tree_path_encoding_pinned", None)
+def tree_path_encoding_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-path leaf encoding against PINNED fixture trees — the
+    hash-checkable half of EncodeDataUDF.java:45-120 (pure leaf lookup;
+    the seeded-RF variant above stays rows-only because MLlib leaf ids
+    aren't SQL-expressible). Vectorized traversal, one scan, no shuffle."""
+    from shifu_spark.ml.posttrain import tree_path_encode_trees
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("f1"),
+        F.col("l_discount").cast("double").alias("f2"),
+    )
+    enc = tree_path_encode_trees(
+        df, ["f1", "f2"], _PINNED_TREES, keep_cols=["l_orderkey", "l_linenumber"]
+    )
+    return enc.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("tree_leaves").getItem(0).alias("leaf0"),
+        F.col("tree_leaves").getItem(1).alias("leaf1"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["tree_path_encoding_pinned"] = """
+SELECT l_orderkey, l_linenumber,
+       (CASE WHEN l_quantity <= 25.0
+             THEN CASE WHEN l_discount <= 0.05 THEN 2 ELSE 3 END
+             ELSE CASE WHEN l_quantity <= 40.0 THEN 5 ELSE 6 END
+        END)::INTEGER AS leaf0,
+       (CASE WHEN l_discount <= 0.03 THEN 1
+             ELSE CASE WHEN l_quantity <= 30.0 THEN 3 ELSE 4 END
+        END)::INTEGER AS leaf1
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3458,7 +3525,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["events_props_json"] = """
 SELECT event_type, count(*) AS n,
-       sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(cast(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -3526,12 +3593,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     try:
+        # label propagation runs jobs eagerly — release caches on failure too
         out = dedup_groups_df(pairs).orderBy("doc_id")
-        # group rows are doc-count-sized: finalize eagerly, free caches
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
+    except BaseException:
         for c in caches:
             c.unpersist()
+        raise
+    return _materialize_release(out, caches)
 
 
 ORACLES["dedup_groups"] = """

@@ -59,17 +59,24 @@ def test_pr_auc_trapezoid_releases_cache(spark, scored):
 
 def test_dedup_queries_release_caches(spark):
     """The registry dedup pair queries persist shingle/band-key
-    intermediates; after the (eagerly finalized) result is returned, no
-    cache may remain."""
+    intermediates; those upstream caches must be released before the
+    result is returned. The result itself is localCheckpoint'ed (ADVICE
+    r3: executor-side materialization, no driver collect round-trip), so
+    each query may add AT MOST ONE persistent entry — its own checkpoint
+    blocks, which the ContextCleaner releases when the frame is GC'd.
+    A leaked upstream cache would add 2+ per query and fail this."""
     from shifu_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
     before = _persistent_rdd_count(spark)
-    for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_groups",
-                 "embedding_neardup_lsh_scale"):
+    names = ("ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_groups",
+             "embedding_neardup_lsh_scale")
+    for i, name in enumerate(names):
         out = QUERIES[name](spark, sf)
         assert out.count() >= 0
-        assert _persistent_rdd_count(spark) == before, name
+        # cumulative allowance: one checkpoint per query run so far (old
+        # ones may still be pending async cleanup)
+        assert _persistent_rdd_count(spark) <= before + i + 1, name
 
 
 def test_streaming_queries_drop_memory_sinks(spark):

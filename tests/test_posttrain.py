@@ -124,6 +124,29 @@ class TestTreeEncode:
         t0 = extract_tree(model._java_obj.trees()[0].rootNode())
         assert any(f >= 0 for f in t0["feature"])
 
+    def test_pinned_tree_encoding_exact(self, spark):
+        """tree_path_encode_trees against literal fixture trees must route
+        every point to the hand-computed leaf (EncodeDataUDF lookup
+        semantics: x <= threshold goes left; leaf id = preorder index)."""
+        from shifu_spark.ml.posttrain import tree_path_encode_trees
+        from shifu_spark.queries import _PINNED_TREES
+
+        # corners of every region of both fixture trees, incl. boundaries
+        pts = [
+            (1, 10.0, 0.01),  # t0: f1<=25,f2<=0.05 -> 2 ; t1: f2<=0.03 -> 1
+            (2, 10.0, 0.08),  # t0 -> 3 ; t1: f2>0.03,f1<=30 -> 3
+            (3, 30.0, 0.00),  # t0: f1>25,f1<=40 -> 5 ; t1 -> 1
+            (4, 50.0, 0.10),  # t0: f1>40 -> 6 ; t1: f1>30 -> 4
+            (5, 25.0, 0.05),  # boundaries go LEFT: t0 -> 2 ; t1: 0.05>0.03, 25<=30 -> 3
+            (6, 40.0, 0.03),  # t0: 40<=40 -> 5 ; t1: 0.03<=0.03 -> 1
+        ]
+        df = spark.createDataFrame(pts, "id long, f1 double, f2 double")
+        out = {
+            r["id"]: list(r["tree_leaves"])
+            for r in tree_path_encode_trees(df, ["f1", "f2"], _PINNED_TREES, keep_cols=["id"]).collect()
+        }
+        assert out == {1: [2, 1], 2: [3, 3], 3: [5, 1], 4: [6, 4], 5: [2, 3], 6: [5, 1]}
+
 
 class TestModelRegistry:
     def test_save_load_roundtrip_scores_identical(self, spark, tmp_path):
