@@ -35,68 +35,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # family fill the window to 50.  Every remaining proven query follows, so
 # the full registry is still exposed.
 _PRIORITY = [
-    # -- 32 queries registered at positions 50-81 in round 2 (driver-unproven)
-    "eval_meta_score",
-    "reason_codes",
-    "tree_path_encoding",
-    "onehot_normalize",
-    "discrete_zscore_normalize",
-    "woe_zscore_normalize",
-    "hybrid_normalize",
-    "old_zscale_normalize",
-    "weight_hybrid_normalize",
-    "zscale_onehot_normalize",
-    "category_missing_mean",
-    "mean_impute",
-    "pr_auc",
-    "feature_importance",
-    "freq_items",
-    "embedding_lsh_topk",
-    "weighted_confusion",
-    "multiclass_confusion",
-    "sgd_lr_train",
-    "nn_train",
-    "ga_varselect",
-    "dynamic_binning",
-    "embedding_ivf_topk",
-    "embedding_ivf_multiprobe",
-    "kmeans_step_centroids",
-    "confusion_matrix_scalable",
+    # -- round-4 rotation (VERDICT r3 item #2): the queries whose latest
+    # driver proof is round 2 come first, so r03∪r04 covers the whole
+    # registry with every proof at most two rounds old.
+    "column_stats",
+    "zscore_normalize",
+    "woe_normalize",
+    "psi_events_by_day",
+    "psi_by_column",
+    "correlation_matrix",
+    "combo_score_join",
+    "nation_revenue",
+    "purify_filter",
+    "unpivot_column_totals",
+    "topk_orders_per_priority",
+    "exact_dedup",
+    "shingleset_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "text_stats",
+    "doc_fingerprint",
+    "token_count_by_source",
+    "text_roundtrip_stats",
+    "ksiv_categorical",
+    "ksiv_equal_population",
+    "ksiv_weighted",
+    "varselect_top_iv",
+    "bin_avg_score",
+    "gain_buckets",
+    "weighted_gain_buckets",
+    "date_to_unix",
+    "concat_fields",
+    "segment_expansion",
+    "events_sessionize",
+    "distinct_counts",
+    "sensitivity_se",
+    "sensitivity_st",
+    "score_rescale",
+    "multiclass_tag_recode",
+    "rf_train",
+    "kfold_cv",
+    "grid_search",
+    "embedding_topk",
+    "embedding_neardup_pairs",
+    # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
-    "weighted_roc_auc",
+    # -- new round-4 queries (first driver row). nn_forward_pinned takes
+    # the slot of the rows-only stratified_sample sentinel: a first
+    # hash-checked proof beats re-running a rows-only row.
+    "tree_path_encoding_pinned",
+    "nn_forward_pinned",
+    "streaming_eval_metrics",
+    "image_jpeg_features",
+    # -- sentinels for the paths round 4 touched (localCheckpoint
+    # finalize in the dedup family, stream-sink try/finally, wide-plane
+    # LSH near-zero snap) + the flagship
     "dedup_groups",
-    "salted_group_counts",
-    "audio_wav_features",
-    "image_ppm_features",
-    # -- new round-3 queries (need their first driver row)
     "embedding_neardup_lsh_scale",
-    "streaming_sessionize",
-    "streaming_minhash_dedup",
     "streaming_running_stats",
-    "auto_filter",
-    "native_ntile_binning",
-    "gain_chart_export",
-    "ksiv_equal_positive",
-    "varselect_top_ks",
-    "image_png_features",
-    "video_y4m_features",
-    # -- sentinel re-checks of the round-2-proven core family, biased
-    # toward the paths round 3 touched (curve metrics, streaming ts)
     "tpch_q1",
-    "ksiv_equal_interval",
-    "confusion_matrix_points",
-    "roc_auc",
-    "weighted_pr_auc",
-    "streaming_drift_psi",
-    "hybrid_column_woe",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a typo'd or stale priority name would silently shift every later
     # query out of the 50-slot gate window — fail loudly instead
+    # (explicit raise, not assert: assert compiles out under python -O)
     unknown = [n for n in _PRIORITY if n not in QUERIES]
-    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    if unknown:
+        raise ValueError(f"_PRIORITY names not in registry: {unknown}")
     ordered = {n: QUERIES[n] for n in _PRIORITY}
     ordered.update({n: fn for n, fn in QUERIES.items() if n not in ordered})
     return ordered

@@ -135,7 +135,7 @@ def extract_image_features(
         for pdf in batches:
             if decode == "strict":
                 raise NotImplementedError(
-                    "real image decode requires PIL/libjpeg — not in this container"
+                    "generic image decode (beyond the real PNG/PPM/JPEG codecs in this module) requires PIL — not in this container"
                 )
             feats = [_fake_decode_features(b, feature_dim) for b in pdf[payload_col]]
             yield pd.DataFrame(
@@ -153,10 +153,11 @@ def extract_image_features(
 # ---------------------------------------------------------------------------
 # REAL decode kernels — formats parseable with stdlib/numpy only.
 #
-# jpeg/mp3/video stay behind the strict stub (no codec libs in this
-# container), but WAV (RIFF PCM, stdlib `wave`), PPM (P6, pure numpy)
-# and PNG (stdlib zlib DEFLATE/CRC + spec filters, below) are real
-# containers with real decoders. The registry queries round-trip
+# mp3 stays behind the strict stub (no codec libs in this container),
+# but WAV (RIFF PCM, stdlib `wave`), PPM (P6, pure numpy), PNG (stdlib
+# zlib DEFLATE/CRC + spec filters), y4m video, and baseline JFIF JPEG
+# (full DCT/Huffman pipeline, end of this file) are real containers
+# with real decoders. The registry queries round-trip
 # synthesize→encode→decode→features against a closed-form DuckDB
 # oracle, so a wrong header offset, endianness, filter reconstruction,
 # or channel interleave breaks the driver hash — decode here is
@@ -619,3 +620,515 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000, payload_col: str = "p
     return df.withColumn(
         "frame_ms", F.explode(F.sequence(F.lit(0).cast("long"), dur, F.lit(every_ms).cast("long")))
     ).drop(payload_col)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JFIF JPEG codec — stdlib/numpy only (ITU T.81 baseline
+# sequential DCT, SOF0). Full pipeline both directions: YCbCr (BT.601
+# JFIF), optional 4:2:0 chroma subsampling, 8x8 forward/inverse DCT,
+# quantization (IJG quality scaling), zigzag, DC-diff + run-length AC
+# Huffman entropy coding with byte stuffing, and the marker framing
+# (SOI/APP0/DQT/SOF0/DHT/SOS/EOI).
+#
+# The Huffman tables are fixed-length canonical codes (all DC symbols at
+# 4 bits, all AC symbols at 8 bits) rather than the Annex K defaults —
+# a perfectly valid choice since baseline JPEG always carries its tables
+# in DHT segments; the decoder builds its decoder from whatever DHT says,
+# so it reads Annex-K-coded files from other encoders too. Compression is
+# a little worse than the tuned defaults; correctness is identical.
+#
+# Lossiness contract the registry oracle relies on (proven in
+# tests/test_multimodal_streaming.py): at quality=100 every quant value
+# is 1, and an image that is constant on each 16x16 tile round-trips
+# EXACTLY through 4:2:0 — constant blocks have a DC-only spectrum (all
+# AC terms are analytic zeros), integer DC survives round(), and the
+# grayscale YCbCr round-trip is exact.
+# ---------------------------------------------------------------------------
+
+def _zigzag_order() -> np.ndarray:
+    """Standard JPEG zigzag scan as (row, col) pairs, derived (not
+    transcribed): diagonals d = r+c in order; even diagonals walk row
+    descending, odd diagonals row ascending."""
+    cells = [(r, c) for r in range(8) for c in range(8)]
+    cells.sort(key=lambda rc: (rc[0] + rc[1], -rc[0] if (rc[0] + rc[1]) % 2 == 0 else rc[0]))
+    return np.array([r * 8 + c for r, c in cells], dtype=np.int64)
+
+
+_JPEG_ZIGZAG = _zigzag_order()
+
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+# IJG base tables (luminance K.1 / chrominance K.2) — only the SHAPE of
+# the quality scaling depends on these; both codec directions read the
+# actual table from the DQT segment, never these constants.
+_JPEG_QY_BASE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_JPEG_QC_BASE = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling: q<50 scales up (5000/q), q>=50 scales down
+    (200-2q); quality=100 yields all-ones tables (lossless quantization)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip((_JPEG_QY_BASE * s + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC_BASE * s + 50) // 100, 1, 255)
+    return qy.astype(np.int64), qc.astype(np.int64)
+
+
+# Fixed-length canonical Huffman specs: (bits-per-length-1..16, symbol order).
+# DC: 13 categories (diff magnitude 0..12 bits) all at code length 4.
+# AC: EOB + 16 runs x 11 sizes + ZRL = 178 symbols all at code length 8.
+_JPEG_DC_SYMS = list(range(13))
+_JPEG_DC_BITS = [0, 0, 0, 13] + [0] * 12
+_JPEG_AC_SYMS = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 12)] + [0xF0]
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8
+
+
+def _huff_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment per T.81 Annex C: symbol -> (code, len)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[syms[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the bit-serial decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, syms).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category encoding: value -> (size, raw bits)."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _mag_extend(raw: int, s: int) -> int:
+    """Inverse of :func:`_mag_bits` (T.81 F.2.2.1 EXTEND)."""
+    return raw if raw >= (1 << (s - 1)) else raw - (1 << s) + 1
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255).astype(np.int64)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf, cbf, crf = y.astype(np.float64), cb.astype(np.float64) - 128.0, cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _pad_to_multiple(plane: np.ndarray, m: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % m), (0, (-w) % m)), mode="edge")
+
+
+def _dct_quant_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) plane -> (H//8, W//8, 64) zigzagged quantized int blocks,
+    fully vectorized (one einsum for every block's 2-D DCT)."""
+    hb, wb = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128.0
+    freq = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
+    q = np.round(freq / qtab).astype(np.int64)
+    return q.reshape(hb, wb, 64)[:, :, _JPEG_ZIGZAG]
+
+
+def _idct_blocks(zz_blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(n, 64) zigzagged quantized blocks -> (n, 8, 8) uint8 pixels."""
+    deq = np.zeros((zz_blocks.shape[0], 64), dtype=np.float64)
+    deq[:, _JPEG_ZIGZAG] = zz_blocks
+    deq = deq.reshape(-1, 8, 8) * qtab
+    # B[x,y] = sum_uv C[u,x] F[u,v] C[v,y] — the labels transpose C
+    pix = np.einsum("ux,nuv,vy->nxy", _DCT_C, deq, _DCT_C)
+    return np.clip(np.round(pix + 128.0), 0, 255).astype(np.int64)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 100, subsampling: str = "4:2:0") -> bytes:
+    """REAL baseline JFIF encode of an (h, w, 3) uint8 RGB image."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("RGB (h, w, 3) only")
+    if subsampling not in ("4:2:0", "4:4:4"):
+        raise ValueError(subsampling)
+    sub = subsampling == "4:2:0"
+    h, w = img.shape[:2]
+    qy, qc = _jpeg_quality_tables(quality)
+    ycc = _rgb_to_ycbcr(img)
+    yp = _pad_to_multiple(ycc[:, :, 0], 16 if sub else 8)
+    if sub:
+        cbp, crp = [], []
+        for ch in (1, 2):
+            p = _pad_to_multiple(ycc[:, :, ch], 2)
+            # JFIF-style 2x2 box average, round-half-up in exact ints
+            p = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+            (cbp if ch == 1 else crp).append(_pad_to_multiple(p, 8))
+        cbp, crp = cbp[0], crp[0]
+    else:
+        cbp = _pad_to_multiple(ycc[:, :, 1], 8)
+        crp = _pad_to_multiple(ycc[:, :, 2], 8)
+
+    yq = _dct_quant_blocks(yp, qy)
+    cbq = _dct_quant_blocks(cbp, qc)
+    crq = _dct_quant_blocks(crp, qc)
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(zz: np.ndarray, comp: int) -> None:
+        diff = int(zz[0]) - pred[comp]
+        pred[comp] = int(zz[0])
+        s, raw = _mag_bits(diff)
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        bw.write(raw, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s, raw = _mag_bits(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(raw, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+
+    mcu_rows = yp.shape[0] // (16 if sub else 8)
+    mcu_cols = yp.shape[1] // (16 if sub else 8)
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if sub:
+                for by in range(2):
+                    for bx in range(2):
+                        put_block(yq[my * 2 + by, mx * 2 + bx], 0)
+            else:
+                put_block(yq[my, mx], 0)
+            put_block(cbq[my, mx], 1)
+            put_block(crq[my, mx], 2)
+    entropy = bw.flush()
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return _seg(0xDB, bytes([tid]) + bytes(int(x) for x in tab.reshape(64)[_JPEG_ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], syms: list[int]) -> bytes:
+        return _seg(0xC4, bytes([(cls << 4) | tid] + bits + syms))
+
+    hv_y = 0x22 if sub else 0x11
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + _seg(0xC0, sof)
+        + dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_SYMS)
+        + dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_SYMS)
+        + dht(0, 1, _JPEG_DC_BITS, _JPEG_DC_SYMS)
+        + dht(1, 1, _JPEG_AC_BITS, _JPEG_AC_SYMS)
+        + _seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL baseline JFIF decode -> (h, w, 3) uint8 RGB.
+
+    Generic baseline reader: quant tables, Huffman tables, dimensions and
+    sampling factors all come from the stream (DQT/DHT/SOF0/SOS), so it
+    reads files from any baseline encoder (Annex K tables included), not
+    just :func:`encode_jpeg`. Progressive (SOF2), arithmetic coding,
+    restart intervals and 12-bit precision raise loudly — baseline
+    sequential only, same honest-guard style as the PNG profile limits.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    hw = None
+    scan: list[tuple[int, int, int]] = []
+    entropy_start = None
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker framing")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        data = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            j = 0
+            while j < len(data):
+                prec, tid = data[j] >> 4, data[j] & 15
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_JPEG_ZIGZAG] = np.frombuffer(data[j + 1 : j + 65], dtype=np.uint8)
+                qtabs[tid] = tab.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            j = 0
+            while j < len(data):
+                cls, tid = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
+                n = sum(bits)
+                syms = list(data[j + 17 : j + 17 + n])
+                htabs[(cls, tid)] = _huff_decoder(bits, syms)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if data[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            hh = int.from_bytes(data[1:3], "big")
+            ww = int.from_bytes(data[3:5], "big")
+            hw = (hh, ww)
+            n = data[5]
+            for c in range(n):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            for c in range(ns):
+                cid, t = data[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, t >> 4, t & 15))
+            entropy_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if hw is None or entropy_start is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w = hw
+
+    # entropy data runs to the next real marker (FF followed by non-00);
+    # unstuff FF00 -> FF as we copy
+    raw = bytearray()
+    j = entropy_start
+    while j < len(payload):
+        b = payload[j]
+        if b == 0xFF:
+            nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("restart markers unsupported")
+            break
+        raw.append(b)
+        j += 1
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcu_cols = (w + mcu_w - 1) // mcu_w
+    mcu_rows = (h + mcu_h - 1) // mcu_h
+
+    order = []  # (comp index, blocks per MCU) in scan order
+    for cid, dct_id, act_id in scan:
+        ci = next(k for k, c in enumerate(comps) if c["id"] == cid)
+        comps[ci]["dc"] = htabs[(0, dct_id)]
+        comps[ci]["ac"] = htabs[(1, act_id)]
+        order.append(ci)
+
+    per_comp_blocks: list[list[np.ndarray]] = [[] for _ in comps]
+    reader = _BitReader(bytes(raw))
+    pred = [0] * len(comps)
+    for _ in range(mcu_rows * mcu_cols):
+        for ci in order:
+            c = comps[ci]
+            for _ in range(c["h"] * c["v"]):
+                s = reader.read_symbol(c["dc"])
+                diff = _mag_extend(reader.read(s), s) if s else 0
+                pred[ci] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(c["ac"])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _mag_extend(reader.read(size), size)
+                    k += 1
+                per_comp_blocks[ci].append(zz)
+
+    planes = []
+    for ci, c in enumerate(comps):
+        zzs = np.stack(per_comp_blocks[ci])
+        pix = _idct_blocks(zzs, qtabs[c["tq"]])
+        bw_, bh_ = c["h"], c["v"]
+        pw, ph = mcu_cols * 8 * bw_, mcu_rows * 8 * bh_
+        plane = np.zeros((ph, pw), dtype=np.int64)
+        bi = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        plane[
+                            (my * bh_ + by) * 8 : (my * bh_ + by + 1) * 8,
+                            (mx * bw_ + bx) * 8 : (mx * bw_ + bx + 1) * 8,
+                        ] = pix[bi]
+                        bi += 1
+        # upsample to luma grid by replication, crop to image size
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) != 3:
+        raise NotImplementedError("only 3-component YCbCr scans supported")
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def extract_jpeg_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL JPEG decode + per-channel stats (same feature
+    contract as :func:`extract_ppm_features` / :func:`extract_png_features`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_jpeg(bytes(payload)).astype(np.int64)
+                hh, ww, _ = img.shape
+                npx = hh * ww
+                out["doc_id"].append(doc_id)
+                out["width"].append(ww)
+                out["height"].append(hh)
+                out["n_pixels"].append(npx)
+                out["byte_sum"].append(int(img.sum()))
+                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)

@@ -217,6 +217,75 @@ class TestRealDecodeKernels:
         with pytest.raises(NotImplementedError):
             decode_png(payload)
 
+    def test_jpeg_zigzag_and_markers_spec_compliant(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import _JPEG_ZIGZAG, encode_jpeg
+
+        # derived zigzag must open with the T.81 figure-5 order
+        want = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+        assert [(int(z) // 8, int(z) % 8) for z in _JPEG_ZIGZAG[:10]] == want
+        p = encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in p[:24]
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in p
+
+    def test_jpeg_constant_tiles_exact_roundtrip(self):
+        # the registry-oracle contract: 16x16-piecewise-constant grayscale
+        # at quality 100 survives the LOSSY pipeline exactly (DC-only
+        # blocks, all-ones quant, exact grayscale YCbCr inverse), for
+        # both subsampling modes
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(11)
+        for h, w in [(16, 16), (32, 48), (16, 32)]:
+            tiles = rng.randint(8, 248, (h // 16, w // 16))
+            g = np.repeat(np.repeat(tiles, 16, 0), 16, 1).astype(np.uint8)
+            img = np.stack([g, g, g], axis=2)
+            for sub in ("4:2:0", "4:4:4"):
+                rt = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
+                assert (rt == img).all(), f"{h}x{w} {sub}"
+
+    def test_jpeg_random_image_bounded_error(self):
+        # full AC path (runs, ZRL, EOB, magnitude categories, byte
+        # stuffing) on dense random spectra; at quality 100 the only
+        # loss is color-convert + DCT float rounding
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+        rt = decode_jpeg(encode_jpeg(img, quality=100, subsampling="4:4:4"))
+        assert np.abs(rt.astype(int) - img.astype(int)).max() <= 4
+        # grayscale + 4:2:0 on non-multiple dims (pad/crop path)
+        g = rng.randint(0, 256, (22, 37), dtype=np.uint8)
+        img = np.stack([g, g, g], axis=2)
+        rt = decode_jpeg(encode_jpeg(img, quality=100, subsampling="4:2:0"))
+        assert rt.shape == img.shape
+        assert np.abs(rt.astype(int) - img.astype(int)).max() <= 2
+        # lossy quality still decodes and stays in the right ballpark
+        smooth = np.full((32, 32, 3), 120, dtype=np.uint8)
+        rt = decode_jpeg(encode_jpeg(smooth, quality=75))
+        assert np.abs(rt.astype(int) - 120).max() <= 3
+
+    def test_jpeg_rejects_unsupported_profiles(self):
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x00\x01")
+        p = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:4:4"))
+        # flip SOF0 -> SOF2 (progressive) — must raise, not misdecode
+        i = bytes(p).index(b"\xff\xc0")
+        p[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(bytes(p))
+
     def test_y4m_roundtrip_identity(self):
         import numpy as np
 

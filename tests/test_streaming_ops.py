@@ -160,3 +160,116 @@ class TestDriftForeachBatchSink:
         )
         want = psi_of_batch(counts, expected).collect()[0]["psi"]
         assert abs(rows[datetime(2026, 1, 1, 0, 0)] - want) < 1e-9
+
+
+class TestStreamingEval:
+    def test_windowed_auc_confusion_matches_batch(self, spark, events_src):
+        """Streamed per-window score counts + finalize must equal the
+        same formula computed batch-side on the same rows."""
+        from shifu_spark.streaming.eval import auc_confusion_per_window, streaming_score_counts
+
+        path, schema, ev = events_src
+        stream = spark.readStream.schema(schema).parquet(path)
+        score = F.floor("value").cast("long")
+        pos = F.col("event_type").isin("purchase", "signup")
+        counts = streaming_score_counts(
+            stream, score, pos, ts_col="ts", window="1 day", watermark="0 seconds"
+        )
+        q = _run(counts, "seval_t", mode="complete")
+        try:
+            got = {
+                r["window_start"]: (r["auc"], r["tp"], r["fp"], r["fn"], r["tn"])
+                for r in auc_confusion_per_window(spark.table("seval_t"), 100.0).collect()
+            }
+        finally:
+            q.stop()
+            spark.catalog.dropTempView("seval_t")
+
+        bcounts = (
+            ev.where(score.isNotNull())
+            .groupBy(
+                F.date_trunc("day", "ts").alias("window_start"), score.alias("score")
+            )
+            .agg(
+                F.sum(F.when(pos, 1).otherwise(0)).alias("pos"),
+                F.sum(F.when(pos, 0).otherwise(1)).alias("neg"),
+            )
+        )
+        want = {
+            r["window_start"]: (r["auc"], r["tp"], r["fp"], r["fn"], r["tn"])
+            for r in auc_confusion_per_window(bcounts, 100.0).collect()
+        }
+        assert got == want and len(got) > 0
+        # AUC sanity: every value in [0, 1]
+        assert all(0.0 <= v[0] <= 1.0 for v in got.values() if v[0] is not None)
+
+    def test_foreach_batch_eval_parquet_sink(self, spark, tmp_path):
+        """Production wiring: append-mode foreachBatch emits one final
+        (window, auc, confusion) parquet row once the watermark closes
+        the window; values equal the batch finalize on the same rows."""
+        import time
+        from datetime import datetime
+
+        from shifu_spark.streaming.eval import (
+            auc_confusion_per_window,
+            start_eval_monitor_foreach_batch,
+        )
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        mk = lambda h, m, s, lbl: (datetime(2026, 1, 1, h, m), float(s), lbl)
+        # hour-0 window: scores 0..19, label correlates with score
+        early = [mk(0, i % 60, i % 20, i % 20 >= 10 and i % 3 > 0) for i in range(60)]
+        late = [mk(6, i % 60, 5.0, False) for i in range(8)]  # watermark mover
+        schema = "ts timestamp, score double, lbl boolean"
+        spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = start_eval_monitor_foreach_batch(
+            stream,
+            score=F.col("score"),
+            pos=F.col("lbl"),
+            threshold=10.0,
+            output_path=out,
+            checkpoint_path=ckpt,
+            window="1 hour",
+            watermark="2 hours",
+        )
+
+        def _out_ready():
+            try:
+                return len(spark.read.parquet(out).take(1)) > 0
+            except Exception:
+                return False
+
+        deadline = time.time() + 120
+        while time.time() < deadline and not _out_ready():
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+        assert _out_ready(), "no eval rows reached the sink before timeout"
+
+        got = spark.read.parquet(out).collect()
+        # only the hour-0 window closed
+        assert {r["window_start"] for r in got} == {datetime(2026, 1, 1, 0, 0)}
+        row = got[0]
+
+        bcounts = (
+            spark.createDataFrame(early, schema)
+            .select(
+                F.lit(datetime(2026, 1, 1, 0, 0)).alias("window_start"),
+                F.col("score"),
+                F.col("lbl"),
+            )
+            .groupBy("window_start", "score")
+            .agg(
+                F.sum(F.when(F.col("lbl"), 1).otherwise(0)).alias("pos"),
+                F.sum(F.when(F.col("lbl"), 0).otherwise(1)).alias("neg"),
+            )
+        )
+        want = auc_confusion_per_window(bcounts, 10.0).collect()[0]
+        assert (row["auc"], row["tp"], row["fp"], row["fn"], row["tn"]) == (
+            want["auc"], want["tp"], want["fp"], want["fn"], want["tn"],
+        )
