@@ -75,8 +75,6 @@ _PRIORITY = [
     "score_rescale",
     "multiclass_tag_recode",
     "rf_train",
-    "kfold_cv",
-    "grid_search",
     "embedding_topk",
     "embedding_neardup_pairs",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
@@ -88,6 +86,11 @@ _PRIORITY = [
     "nn_forward_pinned",
     "streaming_eval_metrics",
     "image_jpeg_features",
+    # PQ takes the kfold_cv/grid_search slots (rows-only sentinels whose
+    # re-run carries less information than a first hash-checked proof;
+    # both stay in the registry after the window)
+    "pq_encode",
+    "pq_adc_topk",
     # -- sentinels for the paths round 4 touched (localCheckpoint
     # finalize in the dedup family, stream-sink try/finally, wide-plane
     # LSH near-zero snap) + the flagship

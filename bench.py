@@ -95,6 +95,8 @@ HEADLINE_STAGES = {
     "nn_forward_pinned": "train",
     "streaming_eval_metrics": "streaming",
     "image_jpeg_features": "multimodal",
+    "pq_encode": "similarity",
+    "pq_adc_topk": "similarity",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -693,3 +693,133 @@ def kmeans_fit(
             (cell, [dims[p] for p in sorted(dims)]) for cell, dims in sorted(by_cell.items())
         ]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector half of a production
+# ANN stack (IVF above routes; PQ compresses residuals/vectors so a 100 TB
+# embedding corpus fits executor memory as 1-byte-per-subspace codes).
+# Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# IEEE TPAMI 2011. Codebooks come from k-means (kmeans_fit above) in
+# production; the pinned deterministic codebooks below exist so the
+# driver oracle can mirror the encode/ADC arithmetic literally.
+#
+# Determinism contract (same discipline as the LSH oracle): every
+# distance is an EXPLICIT left-associated sum of squared diffs built
+# term-by-term — the identical fold on the JVM and in DuckDB — and every
+# centroid/query literal is the same Python float embedded on both
+# sides, so argmin and ADC hash-match bitwise.
+# ---------------------------------------------------------------------------
+
+def pq_codebooks_pinned(
+    subspaces: int = 4, sub_dim: int = 16, k: int = 4
+) -> list[list[list[float]]]:
+    """Deterministic pinned codebooks: centroid (s, c) dim i value
+    ((s*31 + c*17 + i*7) % 19 - 9) / 45 — spread over [-0.2, 0.2], the
+    range of the unit-normalized test embeddings."""
+    return [
+        [[((s * 31 + c * 17 + i * 7) % 19 - 9) / 45.0 for i in range(sub_dim)] for c in range(k)]
+        for s in range(subspaces)
+    ]
+
+
+def pq_query_pinned(dim: int = 64) -> list[float]:
+    """Deterministic pinned ADC query vector: dim j -> ((j*13) % 17 - 8) / 40."""
+    return [((j * 13) % 17 - 8) / 40.0 for j in range(dim)]
+
+
+def _pq_sq_dist(vec: Column, offset: int, centroid: list[float]) -> Column:
+    """Squared distance of a subvector to a literal centroid as an
+    explicit left-associated sum — fold-identical to the SQL mirror."""
+    e: Column | None = None
+    for i, cv in enumerate(centroid):
+        d = F.element_at(vec, offset + i + 1).cast("double") - F.lit(float(cv))
+        t = d * d
+        e = t if e is None else e + t
+    return e
+
+
+def _pq_argmin(dists: list[Column]) -> Column:
+    """Index of the smallest distance, ties to the lowest index —
+    mirrored CASE order in the oracle."""
+    expr = None
+    k = len(dists)
+    for c in range(k - 1):
+        cond = None
+        for other in range(c + 1, k):
+            le = dists[c] <= dists[other]
+            cond = le if cond is None else cond & le
+        expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+    return expr.otherwise(k - 1)
+
+
+def pq_encode_df(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: per subspace, argmin squared distance over the literal
+    codebook. Pure JVM expressions (codebook rides the plan as literals
+    — the expression form of a broadcast), narrow map over the scan, no
+    shuffle, no Python. Output: id + one int code per subspace."""
+    v = F.col(vec_col)
+    cols = [F.col(id_col)]
+    for s, cents in enumerate(codebooks):
+        off = s * len(cents[0])
+        dists = [_pq_sq_dist(v, off, c) for c in cents]
+        cols.append(_pq_argmin(dists).cast("int").alias(f"code{s}"))
+    return embeddings.select(*cols)
+
+
+def pq_adc_lut(
+    query: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: lut[s][c] = ||q_s - centroid||²,
+    computed once driver-side in float64 and embedded as literals on both
+    engines (so ADC sums are bitwise identical by construction)."""
+    lut = []
+    for s, cents in enumerate(codebooks):
+        sub_dim = len(cents[0])
+        qs = query[s * sub_dim : (s + 1) * sub_dim]
+        row = []
+        for c in cents:
+            acc = 0.0
+            for a, b in zip(qs, c):
+                d = a - b
+                acc += d * d
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk_df(
+    embeddings: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scan: encode, then distance(query, vec) ≈ Σ_s lut[s][code_s]
+    — 4 table lookups per row instead of a 64-dim dot product; top-k by
+    ADC distance (vec_id tiebreak). At scale the codes are precomputed
+    (pq_encode_df output stored as bytes) and this is a scan over 4-byte
+    codes + a catalog-sized LUT — the classic IVF-ADC second stage."""
+    codes = pq_encode_df(embeddings, codebooks, id_col, vec_col)
+    lut = pq_adc_lut(query, codebooks)
+    adc: Column | None = None
+    for s, row in enumerate(lut):
+        e = None
+        for c, dv in enumerate(row[:-1]):
+            w = F.when(F.col(f"code{s}") == c, F.lit(dv))
+            e = w if e is None else e.when(F.col(f"code{s}") == c, F.lit(dv))
+        e = e.otherwise(F.lit(row[-1]))
+        adc = e if adc is None else adc + e
+    return (
+        codes.withColumn("adc", adc)
+        .orderBy("adc", id_col)
+        .limit(k)
+        .select(id_col, *[f"code{s}" for s in range(len(codebooks))],
+                F.round("adc", 6).alias("adc"))
+    )

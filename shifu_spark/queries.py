@@ -3510,6 +3510,115 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def _pq_dist_sql(off: int, centroid: list[float]) -> str:
+    """Explicit left-associated squared-distance sum — the identical fold
+    to similarity._pq_sq_dist's JVM expression."""
+    terms = [
+        f"(embedding[{off + i + 1}]::DOUBLE - ({cv!r})) * (embedding[{off + i + 1}]::DOUBLE - ({cv!r}))"
+        for i, cv in enumerate(centroid)
+    ]
+    return " + ".join(terms)
+
+
+def _pq_codes_cte() -> str:
+    """CTE computing per-subspace PQ codes — the DuckDB mirror of
+    similarity.pq_encode_df over the pinned codebooks."""
+    from shifu_spark.operators.similarity import pq_codebooks_pinned
+
+    books = pq_codebooks_pinned()
+    dist_cols, code_cols = [], []
+    for s, cents in enumerate(books):
+        off = s * len(cents[0])
+        for c, cent in enumerate(cents):
+            dist_cols.append(f"{_pq_dist_sql(off, cent)} AS d{s}{c}")
+        k = len(cents)
+        whens = []
+        for c in range(k - 1):
+            cond = " AND ".join(f"d{s}{c} <= d{s}{o}" for o in range(c + 1, k))
+            whens.append(f"WHEN {cond} THEN {c}")
+        code_cols.append(f"CASE {' '.join(whens)} ELSE {k - 1} END AS code{s}")
+    return f"""
+d AS (
+  SELECT vec_id, {', '.join(dist_cols)}
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, {', '.join(code_cols)}
+  FROM d
+)"""
+
+
+@query("pq_encode", None)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011) — the
+    compressed-vector half of the production ANN stack (IVF routes, PQ
+    compresses: 64 floats -> 4 codebook codes). Pure JVM expressions
+    (codebook = plan literals, the expression form of a broadcast),
+    narrow map over the scan, zero shuffle. Every distance is an
+    explicit left-associated fold so the oracle's arithmetic is
+    bitwise identical; argmin ties break to the lowest index on both
+    engines."""
+    from shifu_spark.operators.similarity import pq_codebooks_pinned, pq_encode_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode_df(emb, pq_codebooks_pinned()).orderBy("vec_id")
+
+
+ORACLES["pq_encode"] = f"""
+WITH {_pq_codes_cte()}
+SELECT vec_id, code0::INT AS code0, code1::INT AS code1,
+       code2::INT AS code2, code3::INT AS code3
+FROM codes ORDER BY vec_id
+"""
+
+
+@query("pq_adc_topk", None)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: distance(query, vec) ≈
+    Σ_s lut[s][code_s] — four LUT lookups per row instead of a 64-dim
+    dot product. LUT values are driver-computed float64 literals
+    embedded identically on both engines, so the scan, ordering and
+    hash match bitwise. At 100 TB the codes are a stored 4-byte column
+    and this is the classic IVF-ADC second stage."""
+    from shifu_spark.operators.similarity import (
+        pq_adc_topk_df,
+        pq_codebooks_pinned,
+        pq_query_pinned,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk_df(emb, pq_query_pinned(), pq_codebooks_pinned(), k=30)
+
+
+def _pq_adc_oracle() -> str:
+    from shifu_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_codebooks_pinned,
+        pq_query_pinned,
+    )
+
+    lut = pq_adc_lut(pq_query_pinned(), pq_codebooks_pinned())
+    adc_terms = []
+    # ::DOUBLE on every LUT literal: bare decimal literals parse as
+    # DECIMAL in DuckDB, and an all-literal CASE chain then sums in
+    # exact decimal arithmetic — a different type AND different
+    # rounding than the engine's double sum
+    for s, row in enumerate(lut):
+        whens = " ".join(f"WHEN {c} THEN ({v!r})::DOUBLE" for c, v in enumerate(row[:-1]))
+        adc_terms.append(f"CASE code{s} {whens} ELSE ({row[-1]!r})::DOUBLE END")
+    adc = " + ".join(adc_terms)
+    return f"""
+WITH {_pq_codes_cte()}
+SELECT vec_id, code0::INT AS code0, code1::INT AS code1,
+       code2::INT AS code2, code3::INT AS code3,
+       round({adc}, 6) AS adc
+FROM codes ORDER BY {adc}, vec_id LIMIT 30
+"""
+
+
+ORACLES["pq_adc_topk"] = _pq_adc_oracle()
+
+
 @query("kmeans_step_centroids", None)
 def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of the IVF quantizer trainer

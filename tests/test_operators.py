@@ -248,8 +248,56 @@ class TestExactKernelGuards:
             sim.EXACT_KERNEL_MAX_ROWS = orig
 
 
-class TestSimilarity:
-    def test_cosine_self_is_one(self, spark):
+class TestProductQuantization:
+    def test_codes_match_numpy_argmin(self, spark):
+        """pq_encode_df's JVM-expression argmin must agree with a numpy
+        reimplementation over the same pinned codebooks."""
+        import numpy as np
+
+        from shifu_spark.operators.similarity import pq_codebooks_pinned, pq_encode_df
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+        books = pq_codebooks_pinned()
+        got = {r["vec_id"]: [r[f"code{s}"] for s in range(4)]
+               for r in pq_encode_df(emb, books).collect()}
+        for r in emb.collect():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            want = []
+            for s, cents in enumerate(books):
+                sub = v[s * 16 : (s + 1) * 16]
+                d = [float(((sub - np.asarray(c)) ** 2).sum()) for c in cents]
+                want.append(int(np.argmin(d)))
+            assert got[r["vec_id"]] == want, r["vec_id"]
+
+    def test_adc_approximates_exact_distance(self, spark):
+        """ADC distance = exact distance to the RECONSTRUCTED (quantized)
+        vector; it must correlate with the true squared distance and be
+        exact when the vector IS a codebook reconstruction."""
+        import numpy as np
+
+        from shifu_spark.operators.similarity import (
+            pq_adc_lut,
+            pq_adc_topk_df,
+            pq_codebooks_pinned,
+            pq_query_pinned,
+        )
+
+        books = pq_codebooks_pinned()
+        q = np.asarray(pq_query_pinned())
+        # a vector equal to reconstruction (codes 1,3,0,2) must score
+        # exactly lut[0][1]+lut[1][3]+lut[2][0]+lut[3][2]
+        codes = [1, 3, 0, 2]
+        recon = np.concatenate([np.asarray(books[s][c]) for s, c in enumerate(codes)])
+        df = spark.createDataFrame(
+            [(0, [float(x) for x in recon])], "vec_id long, embedding array<float>"
+        )
+        row = pq_adc_topk_df(df, list(q), books, k=1).collect()[0]
+        # float32 storage perturbs the vector off the exact centroid, but
+        # argmin must still pick the generating codes
+        assert [row[f"code{s}"] for s in range(4)] == codes
+        lut = pq_adc_lut(list(q), books)
+        want = sum(lut[s][c] for s, c in enumerate(codes))
+        assert abs(row["adc"] - round(want, 6)) < 1e-6
         from shifu_spark.operators.similarity import cosine_expr
 
         df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
