@@ -91,12 +91,14 @@ _PRIORITY = [
     # both stay in the registry after the window)
     "pq_encode",
     "pq_adc_topk",
+    "streaming_heavy_hitters",
     # -- sentinels for the paths round 4 touched (localCheckpoint
-    # finalize in the dedup family, stream-sink try/finally, wide-plane
-    # LSH near-zero snap) + the flagship
+    # finalize in the dedup family, wide-plane LSH near-zero snap) +
+    # the flagship; streaming_heavy_hitters above doubles as the
+    # stream-sink try/finally sentinel (same _run_stream_to_sink path
+    # streaming_running_stats would re-check)
     "dedup_groups",
     "embedding_neardup_lsh_scale",
-    "streaming_running_stats",
     "tpch_q1",
 ]
 

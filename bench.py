@@ -97,6 +97,7 @@ HEADLINE_STAGES = {
     "image_jpeg_features": "multimodal",
     "pq_encode": "similarity",
     "pq_adc_topk": "similarity",
+    "streaming_heavy_hitters": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -2347,6 +2347,43 @@ FROM agg ORDER BY window_start
 """
 
 
+@query("streaming_heavy_hitters", None)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per event-time day window, the top-3
+    user_ids by event count (streaming/ops.streaming_windowed_key_counts
+    state + top_k_per_window finalize). The standard training-data
+    pipeline op for spotting dominant sources/spammers in an ingest
+    stream; availableNow replay makes the result equal the batch top-k
+    the oracle computes. Ranking is window-partitioned (count desc,
+    key asc) — deterministic and parallel across windows."""
+    from shifu_spark.streaming.ops import streaming_windowed_key_counts, top_k_per_window
+
+    s = _events_stream(spark, sf_dir)
+    counts = streaming_windowed_key_counts(
+        s, "user_id", ts_col="ts", window="1 day", watermark="0 seconds"
+    )
+    sink = _run_stream_to_sink(spark, counts, "hh")
+    return top_k_per_window(sink, k=3).withColumn(
+        "window_start", F.col("window_start").cast("timestamp")
+    )
+
+
+ORACLES["streaming_heavy_hitters"] = """
+WITH counts AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
+         user_id AS key, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, key, cnt,
+         row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, key ASC) AS rank
+  FROM counts
+)
+SELECT window_start, rank::INT AS rank, key, cnt::BIGINT AS cnt
+FROM ranked WHERE rank <= 3 ORDER BY window_start, rank
+"""
+
+
 @query("hybrid_column_woe", None)
 def hybrid_column_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid (ColumnType.H) column end-to-end: l_quantity with sentinel

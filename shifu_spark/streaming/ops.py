@@ -187,3 +187,37 @@ def streaming_running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_windowed_key_counts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-key counts — the state backbone of streaming top-k /
+    heavy hitters. State = (windows inside the watermark × distinct
+    keys); for an unbounded key domain, bucket or sketch the key
+    upstream (the same bounding move as streaming_score_counts)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "key", "cnt")
+    )
+
+
+def top_k_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k keys per window by count (count desc, key asc tiebreak).
+    Window functions partition by window_start — windows rank in
+    parallel, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start", F.col("rank").cast("int").alias("rank"), "key", "cnt")
+        .orderBy("window_start", "rank")
+    )

@@ -107,3 +107,50 @@ class TestJoinShapes:
 
         df = QUERIES["auto_filter"](spark, SF)
         assert has_broadcast_join(df)
+
+
+class TestRound4Shapes:
+    def test_pq_encode_no_shuffle_before_sort(self, spark):
+        # PQ encode is a narrow map: codebook literals in the plan, one
+        # scan, the only exchange is the output orderBy's range partition
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["pq_encode"](spark, SF)
+        assert count_shuffles(df) <= 1
+        assert_columns_pruned(df, table_width=3)  # embeddings has 3 cols
+
+    def test_pq_adc_uses_topk_operator(self, spark):
+        # top-k must plan as TakeOrderedAndProject (per-partition heaps,
+        # driver merge of k rows) — never a global sort of all rows
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["pq_adc_topk"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert count_shuffles(df) == 0
+
+    def test_pinned_tree_encode_single_scan(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tree_path_encoding_pinned"](spark, SF)
+        # one Arrow stage over one scan; only the output sort exchanges
+        assert count_shuffles(df) <= 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+
+    def test_streaming_eval_finalize_is_window_partitioned(self, spark):
+        # the AUC finalize must partition its window functions by
+        # window_start — no data-scale unpartitioned window
+        from shifu_spark.streaming.eval import auc_confusion_per_window
+
+        counts = spark.createDataFrame(
+            [("2024-01-01", 1.0, 3, 4), ("2024-01-01", 2.0, 1, 2)],
+            "window_start string, score double, pos long, neg long",
+        )
+        df = auc_confusion_per_window(counts, 1.5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"Window \[", plan):
+            seg = plan[m.start() : m.start() + 400]
+            assert "windowspecdefinition(window_start" in seg or "partitionBy" in seg, seg
