@@ -728,29 +728,28 @@ def pq_query_pinned(dim: int = 64) -> list[float]:
     return [((j * 13) % 17 - 8) / 40.0 for j in range(dim)]
 
 
-def _pq_sq_dist(vec: Column, offset: int, centroid: list[float]) -> Column:
+def _pq_sq_dist_sql(vec_col: str, offset: int, centroid: list[float]) -> str:
     """Squared distance of a subvector to a literal centroid as an
-    explicit left-associated sum — fold-identical to the SQL mirror."""
-    e: Column | None = None
-    for i, cv in enumerate(centroid):
-        d = F.element_at(vec, offset + i + 1).cast("double") - F.lit(float(cv))
-        t = d * d
-        e = t if e is None else e + t
-    return e
+    explicit left-associated sum — the same fold the DuckDB mirror runs.
+    Built as ONE Spark-SQL string: constructing the ~50-node tree per
+    centroid through py4j Column ops cost ~5.6s of driver chatter per
+    query build (measured); one F.expr parse is milliseconds."""
+    return " + ".join(
+        f"(CAST(element_at({vec_col}, {offset + i + 1}) AS DOUBLE) - ({cv!r}))"
+        f" * (CAST(element_at({vec_col}, {offset + i + 1}) AS DOUBLE) - ({cv!r}))"
+        for i, cv in enumerate(centroid)
+    )
 
 
-def _pq_argmin(dists: list[Column]) -> Column:
-    """Index of the smallest distance, ties to the lowest index —
-    mirrored CASE order in the oracle."""
-    expr = None
-    k = len(dists)
+def _pq_argmin_sql(dist_names: list[str]) -> str:
+    """CASE returning the index of the smallest distance, ties to the
+    lowest index — mirrored CASE order in the oracle."""
+    k = len(dist_names)
+    whens = []
     for c in range(k - 1):
-        cond = None
-        for other in range(c + 1, k):
-            le = dists[c] <= dists[other]
-            cond = le if cond is None else cond & le
-        expr = F.when(cond, c) if expr is None else expr.when(cond, c)
-    return expr.otherwise(k - 1)
+        cond = " AND ".join(f"{dist_names[c]} <= {dist_names[o]}" for o in range(c + 1, k))
+        whens.append(f"WHEN {cond} THEN {c}")
+    return f"CASE {' '.join(whens)} ELSE {k - 1} END"
 
 
 def pq_encode_df(
@@ -762,14 +761,25 @@ def pq_encode_df(
     """PQ encode: per subspace, argmin squared distance over the literal
     codebook. Pure JVM expressions (codebook rides the plan as literals
     — the expression form of a broadcast), narrow map over the scan, no
-    shuffle, no Python. Output: id + one int code per subspace."""
-    v = F.col(vec_col)
-    cols = [F.col(id_col)]
+    shuffle, no Python. Distances materialize as an intermediate
+    projection (Catalyst collapses it into one codegen stage); codes
+    come from the mirrored argmin CASE. Output: id + one int code per
+    subspace."""
+    dist_cols, dist_names = [], []
     for s, cents in enumerate(codebooks):
         off = s * len(cents[0])
-        dists = [_pq_sq_dist(v, off, c) for c in cents]
-        cols.append(_pq_argmin(dists).cast("int").alias(f"code{s}"))
-    return embeddings.select(*cols)
+        names = []
+        for c, cent in enumerate(cents):
+            nm = f"__pq_d{s}{c}"
+            dist_cols.append(F.expr(_pq_sq_dist_sql(vec_col, off, cent)).alias(nm))
+            names.append(nm)
+        dist_names.append(names)
+    with_d = embeddings.select(F.col(id_col), *dist_cols)
+    code_cols = [
+        F.expr(_pq_argmin_sql(dist_names[s])).cast("int").alias(f"code{s}")
+        for s in range(len(codebooks))
+    ]
+    return with_d.select(F.col(id_col), *code_cols)
 
 
 def pq_adc_lut(
@@ -808,16 +818,21 @@ def pq_adc_topk_df(
     codes + a catalog-sized LUT — the classic IVF-ADC second stage."""
     codes = pq_encode_df(embeddings, codebooks, id_col, vec_col)
     lut = pq_adc_lut(query, codebooks)
-    adc: Column | None = None
-    for s, row in enumerate(lut):
-        e = None
-        for c, dv in enumerate(row[:-1]):
-            w = F.when(F.col(f"code{s}") == c, F.lit(dv))
-            e = w if e is None else e.when(F.col(f"code{s}") == c, F.lit(dv))
-        e = e.otherwise(F.lit(row[-1]))
-        adc = e if adc is None else adc + e
+    # CAST every LUT literal to DOUBLE: bare decimal literals type as
+    # DECIMAL in both Spark SQL and DuckDB, and an all-literal CASE sum
+    # would then run in decimal arithmetic (different type + rounding)
+    adc_sql = " + ".join(
+        "CASE code{s} {whens} ELSE CAST({last!r} AS DOUBLE) END".format(
+            s=s,
+            whens=" ".join(
+                f"WHEN {c} THEN CAST({v!r} AS DOUBLE)" for c, v in enumerate(row[:-1])
+            ),
+            last=row[-1],
+        )
+        for s, row in enumerate(lut)
+    )
     return (
-        codes.withColumn("adc", adc)
+        codes.withColumn("adc", F.expr(adc_sql))
         .orderBy("adc", id_col)
         .limit(k)
         .select(id_col, *[f"code{s}" for s in range(len(codebooks))],

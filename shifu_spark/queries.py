@@ -3997,7 +3997,15 @@ def _synth_wav_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav_pcm16(v))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    # spread the encode AND the downstream decode stage across the
+    # session's cores — the documents table is a single parquet file at
+    # test scale, and one partition would serialize the whole codec
+    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)
+    return src_df.mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4048,7 +4056,15 @@ def _synth_ppm_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_ppm(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    # spread the encode AND the downstream decode stage across the
+    # session's cores — the documents table is a single parquet file at
+    # test scale, and one partition would serialize the whole codec
+    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)
+    return src_df.mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4095,7 +4111,15 @@ def _synth_png_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_png(img, filter_type=4))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    # spread the encode AND the downstream decode stage across the
+    # session's cores — the documents table is a single parquet file at
+    # test scale, and one partition would serialize the whole codec
+    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)
+    return src_df.mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4157,7 +4181,15 @@ def _synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    # spread the encode AND the downstream decode stage across the
+    # session's cores — the documents table is a single parquet file at
+    # test scale, and one partition would serialize the whole codec
+    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)
+    return src_df.mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4218,7 +4250,15 @@ def _synth_y4m_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_y4m(vals.astype(np.uint8)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    # spread the encode AND the downstream decode stage across the
+    # session's cores — the documents table is a single parquet file at
+    # test scale, and one partition would serialize the whole codec
+    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)
+    return src_df.mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
