@@ -3072,6 +3072,129 @@ FROM lineitem l CROSS JOIN m LEFT JOIN cate c USING (l_returnflag)
 """
 
 
+@query("categorical_index_normalize", None)
+def categorical_index_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*_INDEX NormType family (Normalizer.java:287-350 — embedding
+    inputs): categorical columns emit the RAW bin index via the
+    broadcast map expression (binning.categorical_index_expr, miss ->
+    last slot); numeric columns keep their named transform (zscore
+    here, broadcast 1-row stats). Drives the same index expression the
+    normalize.py ZSCALE_INDEX dispatch uses."""
+    from shifu_spark.operators.binning import categorical_index_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    cats = ["A", "N"]  # freq-ordered known categories; 'R' -> missing slot
+    idx = categorical_index_expr("l_returnflag", cats)
+    mm = li.agg(
+        (F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double") / F.count("l_quantity")).alias("mu"),
+        F.stddev_samp("l_quantity").alias("sd"),
+    )
+    z = (F.col("l_quantity") - F.col("mu")) / F.col("sd")
+    return li.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey",
+        "l_linenumber",
+        idx.cast("int").alias("flag_index"),
+        F.round(F.least(F.greatest(z, F.lit(-6.0)), F.lit(6.0)), 6).alias("qty_z"),
+    )
+
+
+ORACLES["categorical_index_normalize"] = """
+WITH mm AS (
+  SELECT sum(l_quantity::DECIMAL(38,10))::DOUBLE / count(l_quantity) AS mu,
+         stddev_samp(l_quantity) AS sd
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       (CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END)::INT AS flag_index,
+       round(least(greatest((l_quantity - mu) / sd, -6.0), 6.0), 6) AS qty_z
+FROM lineitem CROSS JOIN mm
+"""
+
+
+@query("asis_woe_normalize", None)
+def asis_woe_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIS_WOE NormType (Normalizer.java:353-377): numeric columns pass
+    through unchanged (try_cast double), categorical columns map to
+    their bin's count-WOE. The WOE table is computed from the data with
+    the reference's 1e-10 smoothing — same lookup the normalize.py
+    ASIS_WOE dispatch runs."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pos = F.when(F.col("l_linestatus") == "F", 1.0).otherwise(0.0)
+    woes = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum(pos).alias("p"), F.sum(F.lit(1.0) - pos).alias("n"))
+        .withColumn("tp", F.sum("p").over(Window.partitionBy()))
+        .withColumn("tn", F.sum("n").over(Window.partitionBy()))
+        .select(
+            "l_returnflag",
+            F.log((F.col("n") / F.col("tn") + 1e-10) / (F.col("p") / F.col("tp") + 1e-10)).alias("woe"),
+        )
+    )
+    return (
+        li.join(F.broadcast(woes), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").try_cast("double").alias("qty_asis"),
+            F.round("woe", 6).alias("flag_woe"),
+        )
+    )
+
+
+ORACLES["asis_woe_normalize"] = """
+WITH counts AS (
+  SELECT l_returnflag,
+         sum(CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END) AS p,
+         sum(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE 1.0 END) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+woes AS (
+  SELECT l_returnflag,
+         ln((n / sum(n) OVER () + 1e-10) / (p / sum(p) OVER () + 1e-10)) AS woe
+  FROM counts
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       l.l_quantity::DOUBLE AS qty_asis,
+       round(w.woe, 6) AS flag_woe
+FROM lineitem l JOIN woes w USING (l_returnflag)
+"""
+
+
+@query("invalid_tag_filter", None)
+def invalid_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-tag row filter (NormalizeUDF.java:262-278 via
+    normalize.filter_valid_tags): rows whose tag is outside pos∪neg are
+    DROPPED (the reference skips the record). events.event_type plays
+    the tag; purchase/signup = pos, click/view = neg, error = invalid.
+    Output: per-tag survivor counts + recoded tag sum proving both the
+    drop and the 1/0 recode (normalize.tag_expr)."""
+    from shifu_spark.operators.normalize import filter_valid_tags, tag_expr
+
+    ev = _events(spark, sf_dir)
+    pos, neg = ["purchase", "signup"], ["click", "view"]
+    kept = filter_valid_tags(ev, "event_type", pos, neg)
+    return (
+        kept.withColumn("y", tag_expr("event_type", pos, neg))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["invalid_tag_filter"] = """
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END)::BIGINT AS sum_y
+FROM events
+WHERE event_type IN ('purchase','signup','click','view')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 @query("mean_impute", None)
 def mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-value mean imputation (Normalizer.java:602-605 semantics:
