@@ -98,6 +98,10 @@ HEADLINE_STAGES = {
     "pq_encode": "similarity",
     "pq_adc_topk": "similarity",
     "streaming_heavy_hitters": "streaming",
+    # complete the multimodal family in the bench (wav/ppm were driver-
+    # proven in r03 but never benched)
+    "audio_wav_features": "multimodal",
+    "image_ppm_features": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -119,3 +119,45 @@ def text_stats_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.round(quality_score_expr(text_col), 6).alias("quality"),
         lang_id_expr(text_col).alias("lang_pred"),
     )
+
+
+# Pinned unigram "language model" for quality scoring: dyadic-rational
+# log-probs (exact multiples of 1/64) so per-doc sums are EXACT in
+# float64 and therefore independent of summation order — the driver
+# oracle can sum in any order and still hash-match. Production would
+# broadcast a fitted vocab table; the pinned one keeps the oracle
+# closed-form (same move as the pinned PQ codebooks / NN weights).
+UNIGRAM_LOGPROB = {
+    "the": -2.0, "a": -2.25, "value": -2.5, "table": -2.75, "row": -3.0,
+    "data": -3.0, "fast": -3.25, "slow": -3.25, "scan": -3.5, "hash": -3.5,
+    "join": -3.5, "part": -3.75, "key": -3.75, "agg": -4.0, "query": -4.0,
+    "column": -4.25, "filter": -4.25, "batch": -4.5, "window": -4.5,
+    "order": -4.75, "small": -4.75, "merge": -5.0, "line": -5.0,
+    "customer": -5.25, "spark": -5.25, "group": -5.5, "big": -5.5,
+}
+UNIGRAM_OOV_LOGPROB = -8.0
+
+
+def unigram_logprob_exprs(
+    text: Column | str,
+    vocab: dict[str, float] | None = None,
+    oov_logprob: float = UNIGRAM_OOV_LOGPROB,
+) -> tuple[Column, Column]:
+    """(mean token log-prob, OOV rate) under a broadcast unigram model —
+    the cheap perplexity-filter surrogate every LLM data pipeline runs
+    (Wenzek et al., "CCNet", LREC 2020 uses a 5-gram LM the same way).
+
+    Pure JVM: map-literal lookup + higher-order fold, no explode, no
+    shuffle. With dyadic-rational log-probs the sum is exact, so the
+    result is partition- and engine-order independent."""
+    v = vocab or UNIGRAM_LOGPROB
+    t = F.col(text) if isinstance(text, str) else text
+    m = F.create_map(*[F.lit(x) for kv in sorted(v.items()) for x in kv])
+    toks = F.split(t, " ")
+    lp = F.transform(toks, lambda w: F.coalesce(m.getItem(w), F.lit(float(oov_logprob))))
+    total = F.aggregate(lp, F.lit(0.0), lambda acc, x: acc + x)
+    n = F.size(toks)
+    mean_lp = F.when(n > 0, total / n).otherwise(F.lit(None))
+    oov = F.size(F.filter(toks, lambda w: m.getItem(w).isNull()))
+    oov_rate = F.when(n > 0, oov.cast("double") / n).otherwise(F.lit(None))
+    return mean_lp, oov_rate

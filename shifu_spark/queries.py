@@ -2347,6 +2347,52 @@ FROM agg ORDER BY window_start
 """
 
 
+@query("unigram_logprob_quality", None)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the perplexity-filter stage of an LLM
+    data pipeline, CCNet-style): per-doc mean unigram log-prob + OOV
+    rate under a broadcast pinned vocab (text.unigram_logprob_exprs —
+    map-literal lookup + higher-order fold, no explode, no shuffle).
+    Dyadic-rational log-probs make the fold exact, so the oracle's
+    summation order can't diverge."""
+    from shifu_spark.operators.text import unigram_logprob_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    mean_lp, oov_rate = unigram_logprob_exprs("text")
+    return docs.select(
+        "doc_id",
+        F.round(mean_lp, 6).alias("mean_logprob"),
+        F.round(oov_rate, 6).alias("oov_rate"),
+    ).orderBy("doc_id")
+
+
+def _unigram_oracle() -> str:
+    from shifu_spark.operators.text import UNIGRAM_LOGPROB, UNIGRAM_OOV_LOGPROB
+
+    whens = " ".join(
+        f"WHEN '{w}' THEN CAST({lp!r} AS DOUBLE)" for w, lp in sorted(UNIGRAM_LOGPROB.items())
+    )
+    lp_case = f"CASE w {whens} ELSE CAST({UNIGRAM_OOV_LOGPROB!r} AS DOUBLE) END"
+    in_vocab = ", ".join(f"'{w}'" for w in sorted(UNIGRAM_LOGPROB))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id,
+         list_sum(list_transform(ws, w -> {lp_case})) AS total,
+         len(ws) AS n,
+         len(list_filter(ws, w -> w NOT IN ({in_vocab}))) AS oov
+  FROM toks
+)
+SELECT doc_id,
+       round(total / n, 6) AS mean_logprob,
+       round(oov::DOUBLE / n, 6) AS oov_rate
+FROM scored ORDER BY doc_id
+"""
+
+
+ORACLES["unigram_logprob_quality"] = _unigram_oracle()
+
+
 @query("streaming_heavy_hitters", None)
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: per event-time day window, the top-3
