@@ -102,6 +102,8 @@ HEADLINE_STAGES = {
     # proven in r03 but never benched)
     "audio_wav_features": "multimodal",
     "image_ppm_features": "multimodal",
+    "chunk_dup_fraction": "dedup",
+    "unigram_logprob_quality": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -445,3 +445,60 @@ def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame, id_col: str = 
     groups = dedup_groups_df(pairs)
     losers = groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
     return docs.join(losers, docs[id_col] == losers["doc_id"], "left_anti")
+
+
+def chunk_dup_fraction_df(
+    docs: DataFrame,
+    chunk_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc fraction of non-overlapping ``chunk_tokens``-token chunks
+    that also occur in at least one OTHER document — the chunk-granular
+    form of exact-substring training-data dedup (Lee et al., "Dedupli-
+    cating Training Data Makes Language Models Better", ACL 2022; their
+    suffix-array pass finds arbitrary spans, the fixed-chunk form is the
+    standard scalable approximation).
+
+    Shape: chunks explode to (digest, doc) rows, ONE shuffle on the
+    digest groups them (count distinct docs per digest — the same key
+    layout as exact_dedup), then a candidate-keyed join marks each doc's
+    duplicated chunks. Trailing sub-chunk tokens are dropped (standard
+    crop, mirrored in the oracle).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    nch = (F.size("toks") / chunk_tokens).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        nch.alias("n_chunks"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    # distinct per (doc, chunk): a chunk repeated WITHIN one doc counts
+    # once for the cross-doc test (the oracle mirrors this)
+    per_doc = chunks.select("doc_id", "n_chunks", F.md5("chunk").alias("digest")).distinct()
+    cross = per_doc.groupBy("digest").agg(F.count_distinct("doc_id").alias("n_docs"))
+    flagged = per_doc.join(cross, "digest").withColumn(
+        "is_dup", (F.col("n_docs") > 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            F.col("n_dup_chunks").cast("int").alias("n_dup_chunks"),
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_fraction"),
+        )
+    )

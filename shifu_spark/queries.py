@@ -2347,6 +2347,43 @@ FROM agg ORDER BY window_start
 """
 
 
+@query("chunk_dup_fraction", None)
+def chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact-substring dedup stats (Lee et al., ACL 2022
+    fixed-chunk approximation; operators/dedup.chunk_dup_fraction_df):
+    per doc, the fraction of its non-overlapping 8-token chunks that
+    also appear in another document. One shuffle on the chunk digest +
+    a candidate-keyed join — the doc-level complement of exact_dedup
+    (whole-text) and minhash (near-dup): this one localizes WHERE the
+    duplication lives."""
+    from shifu_spark.operators.dedup import chunk_dup_fraction_df
+
+    return chunk_dup_fraction_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLES["chunk_dup_fraction"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, len(ws) // 8 AS n_chunks,
+         unnest(list_transform(range(0, len(ws) // 8),
+                i -> array_to_string(ws[i*8+1:i*8+8], ' '))) AS chunk
+  FROM toks
+),
+per_doc AS (SELECT DISTINCT doc_id, n_chunks, chunk FROM chunks),
+cross_docs AS (
+  SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM per_doc GROUP BY chunk
+),
+flagged AS (
+  SELECT p.doc_id, p.n_chunks, CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM per_doc p JOIN cross_docs c USING (chunk)
+)
+SELECT doc_id, max(n_chunks)::INT AS n_chunks,
+       sum(is_dup)::INT AS n_dup_chunks,
+       round(sum(is_dup)::DOUBLE / max(n_chunks), 6) AS dup_fraction
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 @query("unigram_logprob_quality", None)
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring (the perplexity-filter stage of an LLM
