@@ -4175,10 +4175,11 @@ ORACLES["simhash_neardup_pairs"] = _simhash_oracle()
 #
 # Payloads are synthesized from arithmetic on doc_id (so the oracle can
 # recompute every feature in closed form), encoded into REAL containers
-# (RIFF/WAVE via stdlib `wave`; binary P6 PPM), then decoded by the real
-# kernels in operators/multimodal.py. A wrong header offset, endianness,
-# or channel interleave in the decoder breaks the driver hash — this is
-# decode *coverage*, not plumbing-only. jpeg/png stay declared stubs.
+# (RIFF/WAVE via stdlib `wave`; binary P6 PPM; PNG; y4m; baseline JFIF
+# JPEG), then decoded by the real kernels in operators/multimodal.py. A
+# wrong header offset, endianness, or channel interleave in the decoder
+# breaks the driver hash — this is decode *coverage*, not plumbing-only.
+# Only compressed audio/video (mp3/h264) stay declared stubs.
 #
 # Determinism: every feature is an exact integer or ONE IEEE op on exact
 # integers (sqrt(sumsq/n), sum/npx) — bitwise identical in numpy/DuckDB.
