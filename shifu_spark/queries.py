@@ -1210,6 +1210,20 @@ def ksiv_equal_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ksiv_equal_positive"] = _ksiv_quantile_oracle("l_returnflag = 'R'")
 
 
+@query("ksiv_equal_negative", None)
+def ksiv_equal_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualNegative binning (BinningMethod.EqualNegative,
+    ModelStatsConf.java:34-36): boundaries are exact quantiles over the
+    NEGATIVE rows only, then KS/IV over the full population with those
+    edges — the mirror of ksiv_equal_positive, driver-proving the last
+    unproven BinningMethod variant (EqualTotal coincides with
+    EqualPopulation, already green)."""
+    return _ksiv_quantile_query(spark, sf_dir, "l_returnflag <> 'R'")
+
+
+ORACLES["ksiv_equal_negative"] = _ksiv_quantile_oracle("l_returnflag <> 'R'")
+
+
 @query("ksiv_weighted", None)
 def ksiv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted KS/IV/WOE (binWeightNeg/binWeightPos, the double[] overload

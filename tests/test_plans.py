@@ -154,3 +154,36 @@ class TestRound4Shapes:
         for m in re.finditer(r"Window \[", plan):
             seg = plan[m.start() : m.start() + 400]
             assert "windowspecdefinition(window_start" in seg or "partitionBy" in seg, seg
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path):
+        """The 100 TB co-located join story: two tables bucketed on the
+        join key by the SAME bucket count must sort-merge join with ZERO
+        Exchange — bucketing replaces the shuffle for every downstream
+        join/agg on that key (SURVEY §4 optimizer notes)."""
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            a = spark.range(0, 1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+            )
+            b = spark.range(0, 1000).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+            )
+            (a.write.bucketBy(8, "k").sortBy("k")
+             .option("path", str(tmp_path / "ta")).mode("overwrite")
+             .saveAsTable("t_bucket_a"))
+            (b.write.bucketBy(8, "k").sortBy("k")
+             .option("path", str(tmp_path / "tb")).mode("overwrite")
+             .saveAsTable("t_bucket_b"))
+            j = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+            assert count_shuffles(j) == 0, j._jdf.queryExecution().executedPlan().toString()
+            assert j.count() == 1000
+            # an agg on the bucket key is exchange-free too
+            g = spark.table("t_bucket_a").groupBy("k").agg(F.sum("va"))
+            assert count_shuffles(g) == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+            spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+            spark.sql("DROP TABLE IF EXISTS t_bucket_b")
