@@ -488,23 +488,29 @@ def _curve_metrics_impl(
             .withColumn("fpr", F.try_divide(cneg, F.col(f"tot_{neg}")))
         )
         # boundary pairs: (lowest-score row of pid k) -> (highest-score row
-        # of pid k+1); one tiny agg instead of a second range shuffle
-        bounds = (
-            t.groupBy("__pid")
-            .agg(
-                F.max_by(F.struct("rec", "prec"), "score").alias("first"),
-                F.min_by(F.struct("rec", "prec"), "score").alias("last"),
-            )
-            .collect()
+        # of pid k+1). Computed IN-PLAN (per-pid first/last agg -> lag over
+        # the #pids-row table -> 1-row sum, broadcast back) instead of a
+        # driver collect: the collect was a third action over the cached
+        # points — fusing it into the final action cut pr_auc from 19 to
+        # ~8 Spark jobs at sf0.1. The lag window is catalog-scale
+        # (#buckets rows; # bounded: same class as the offsets window in
+        # prefix_sums).
+        per_pid = t.groupBy("__pid").agg(
+            F.max_by(F.struct("rec", "prec"), "score").alias("first"),
+            F.min_by(F.struct("rec", "prec"), "score").alias("last"),
         )
-        by_pid = {r["__pid"]: r for r in bounds}
-        pids = sorted(by_pid)
-        boundary_area = 0.0
-        for prev, curp in zip(pids, pids[1:]):
-            a, b = by_pid[prev]["last"], by_pid[curp]["first"]
-            if a["prec"] is None or b["prec"] is None:
-                continue
-            boundary_area += (b["rec"] - a["rec"]) * (b["prec"] + a["prec"]) / 2.0
+        wpid = Window.orderBy("__pid")
+        pair_term = F.when(
+            F.col("first.prec").isNotNull() & F.col("prev_last.prec").isNotNull(),
+            (F.col("first.rec") - F.col("prev_last.rec"))
+            * (F.col("first.prec") + F.col("prev_last.prec"))
+            / 2.0,
+        )
+        barea_df = (
+            per_pid.withColumn("prev_last", F.lag("last").over(wpid))
+            .filter(F.col("prev_last").isNotNull())
+            .agg(F.coalesce(F.sum(pair_term), F.lit(0.0)).alias("__barea"))
+        )
         # score-desc lag == (recall asc, precision desc) — the pinned tie
         # order every oracle mirrors
         wprev = Window.partitionBy("__pid").orderBy(F.desc("score"))
@@ -529,12 +535,12 @@ def _curve_metrics_impl(
             F.max(F.col("rec") - F.col("fpr")).alias("ks_raw"),
             F.first(f"tot_{pos}").alias("tp"),
             F.first(f"tot_{neg}").alias("tn"),
-        )
+        ).crossJoin(F.broadcast(barea_df))
         auc = F.try_divide(
             F.col("u2").cast("double"),
             2.0 * F.col("tp").cast("double") * F.col("tn").cast("double"),
         )
-        pr = F.coalesce(F.col("pr_inner"), F.lit(0.0)) + F.lit(boundary_area)
+        pr = F.coalesce(F.col("pr_inner"), F.lit(0.0)) + F.col("__barea")
         ks = F.col("ks_raw")
         if round_to is not None:
             auc, pr, ks = F.round(auc, round_to), F.round(pr, round_to), F.round(ks, round_to)
