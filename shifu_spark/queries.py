@@ -2046,7 +2046,11 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_stream_to_sink(
-    spark: SparkSession, df: DataFrame, prefix: str, output_mode: str = "complete"
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Run a bounded (availableNow) streaming query into a uuid-named
     memory sink, snapshot the sink's rows eagerly, DROP the sink table,
@@ -2055,30 +2059,42 @@ def _run_stream_to_sink(
     Memory-sink tables pin their full result in the session for its
     lifetime; without the drop, every invocation leaks one (the same
     slow-leak class as an unreleased persist). Sink contents here are
-    summary-sized (windows × bins / sessions / distinct keys)."""
+    summary-sized (windows × bins / sessions / distinct keys).
+
+    ``shuffle_partitions`` scales the STATE STORE instance count for the
+    bounded replay: each stateful shuffle partition pays provider setup
+    per micro-batch, which dominates these summary-sized replays (~20%
+    of wall at sf0.1 under the session's 32). Results are partition-
+    count independent; a production (unbounded) stream should size this
+    to its key cardinality instead — the conf is restored afterwards."""
     import uuid
 
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
-        sink = spark.table(name)
-        rows = sink.collect()
-        return spark.createDataFrame(rows, sink.schema)
-    finally:
-        # drop even on failure — otherwise a failed replay leaks the
-        # session-lifetime sink table this helper exists to prevent
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
         try:
-            q.stop()
-        except Exception:
-            pass
-        spark.catalog.dropTempView(name)
+            q.awaitTermination()
+            sink = spark.table(name)
+            rows = sink.collect()
+            return spark.createDataFrame(rows, sink.schema)
+        finally:
+            # drop even on failure — otherwise a failed replay leaks the
+            # session-lifetime sink table this helper exists to prevent
+            try:
+                q.stop()
+            except Exception:
+                pass
+            spark.catalog.dropTempView(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query("streaming_drift_psi", None)
