@@ -47,17 +47,13 @@ _PRIORITY = [
     "combo_score_join",
     "nation_revenue",
     "purify_filter",
-    "unpivot_column_totals",
-    "topk_orders_per_priority",
     "exact_dedup",
     "shingleset_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "text_stats",
-    "doc_fingerprint",
     "token_count_by_source",
-    "text_roundtrip_stats",
     "ksiv_categorical",
     "ksiv_equal_population",
     "ksiv_weighted",
@@ -65,8 +61,6 @@ _PRIORITY = [
     "bin_avg_score",
     "gain_buckets",
     "weighted_gain_buckets",
-    "date_to_unix",
-    "concat_fields",
     "segment_expansion",
     "events_sessionize",
     "distinct_counts",
@@ -92,6 +86,17 @@ _PRIORITY = [
     "pq_encode",
     "pq_adc_topk",
     "streaming_heavy_hitters",
+    # late-round-4 queries (first driver row); they displace six
+    # untouched r02-proven expression queries (unpivot/topk-orders/
+    # doc_fingerprint/text_roundtrip/date_to_unix/concat_fields), whose
+    # r02 rows are exactly two rounds old at this gate — a query with
+    # NO row ever is the worse gap (the round-2 lesson)
+    "categorical_index_normalize",
+    "asis_woe_normalize",
+    "invalid_tag_filter",
+    "unigram_logprob_quality",
+    "chunk_dup_fraction",
+    "ksiv_equal_negative",
     # -- sentinels for the paths round 4 touched (localCheckpoint
     # finalize in the dedup family, wide-plane LSH near-zero snap) +
     # the flagship; streaming_heavy_hitters above doubles as the
