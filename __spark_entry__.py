@@ -53,7 +53,6 @@ _PRIORITY = [
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "text_stats",
-    "token_count_by_source",
     "ksiv_categorical",
     "ksiv_equal_population",
     "ksiv_weighted",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "unigram_logprob_quality",
     "chunk_dup_fraction",
     "ksiv_equal_negative",
+    "hash_stratified_sample",
     # -- sentinels for the paths round 4 touched (localCheckpoint
     # finalize in the dedup family, wide-plane LSH near-zero snap) +
     # the flagship; streaming_heavy_hitters above doubles as the

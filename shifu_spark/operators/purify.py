@@ -63,6 +63,48 @@ def bernoulli_sample(
     return df.sample(fraction=sample_rate, seed=seed)
 
 
+def _hex_threshold(rate: float, digits: int = 32) -> str:
+    """Lowercase-hex string h such that P[md5(x) < h] ≈ rate (within
+    16^-digits) for uniform md5 output."""
+    out = []
+    x = float(rate)
+    for _ in range(digits):
+        x *= 16
+        d = min(int(x), 15)
+        out.append("0123456789abcdef"[d])
+        x -= d
+    return "".join(out)
+
+
+def hash_bernoulli_sample(
+    df: DataFrame,
+    sample_rate: float,
+    key_cols: list[str],
+    sample_negative_only: bool = False,
+    tag_col: str | None = None,
+    pos_tags: list[str] | None = None,
+    salt: str = "0",
+) -> DataFrame:
+    """Deterministic content-keyed Bernoulli sample: keep a row iff
+    md5(salt|key) < the hex threshold for ``sample_rate``.
+
+    The production-scale complement of :func:`bernoulli_sample`:
+    ``F.rand(seed)`` draws depend on the PHYSICAL partition layout, so a
+    repartition (or an engine change) silently yields a different
+    sample; hash membership is a pure function of the row key — stable
+    across reruns, partitionings and engines (and therefore
+    oracle-checkable). Same keep-all-positives switch as the reference
+    sampler (DataSampler.java:112-160)."""
+    if sample_rate >= 1.0:
+        return df
+    thr = _hex_threshold(sample_rate)
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in key_cols]))
+    keep = h < F.lit(thr)
+    if sample_negative_only and tag_col:
+        keep = F.col(tag_col).isin(pos_tags or []) | keep
+    return df.filter(keep)
+
+
 def bagging_subsample(df: DataFrame, bag_index: int, fraction: float, with_replacement: bool, seed: int = 42) -> DataFrame:
     """Per-bag resample (BaggingSubsampleUDF): seed offset by bag index."""
     return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed + bag_index)

@@ -1698,6 +1698,50 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("l_returnflag")
 
 
+@query("hash_stratified_sample", None)
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed Bernoulli sample with
+    keep-all-positives (purify.hash_bernoulli_sample) — the
+    at-scale/reproducible form of the reference sampler: membership is
+    a pure function of the row key, so the sample is identical across
+    reruns, partitionings and engines (F.rand-based sampling is none of
+    those), which is what makes this one hash-checkable where the
+    seeded-RNG twin stays rows-only. Output: per-tag survivor counts +
+    an exact decimal sum over the sampled rows."""
+    from shifu_spark.operators.purify import hash_bernoulli_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = hash_bernoulli_sample(
+        li, 0.1, ["l_orderkey", "l_linenumber"],
+        sample_negative_only=True, tag_col="l_returnflag", pos_tags=["R"],
+    )
+    return (
+        s.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double"), 4).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _hash_sample_oracle() -> str:
+    from shifu_spark.operators.purify import _hex_threshold
+
+    thr = _hex_threshold(0.1)
+    return f"""
+SELECT l_returnflag, count(*) AS n,
+       round(sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+   OR md5('0' || '|' || l_orderkey || '|' || l_linenumber) < '{thr}'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+ORACLES["hash_stratified_sample"] = _hash_sample_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Posttrain / varselect operators (SURVEY §2.10)
 # ---------------------------------------------------------------------------
