@@ -61,7 +61,6 @@ _PRIORITY = [
     "gain_buckets",
     "weighted_gain_buckets",
     "segment_expansion",
-    "events_sessionize",
     "distinct_counts",
     "sensitivity_se",
     "sensitivity_st",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "chunk_dup_fraction",
     "ksiv_equal_negative",
     "hash_stratified_sample",
+    "kfold_assignment",
     # -- sentinels for the paths round 4 touched (localCheckpoint
     # finalize in the dedup family, wide-plane LSH near-zero snap) +
     # the flagship; streaming_heavy_hitters above doubles as the

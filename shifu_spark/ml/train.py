@@ -202,8 +202,11 @@ def grid_search(
 
 def kfold_cv(assembled: DataFrame, params: TrainParams, n_features: int, k: int = 5) -> list[float]:
     """K-fold cross validation with deterministic fold assignment
-    (crc32(cast of monotonically-increasing id) % k — seeded, stable
-    across runs unlike randomSplit chains). Returns per-fold AUC."""
+    (crc32 of the monotonically-increasing id % k — stable for a FIXED
+    physical layout, unlike randomSplit chains, but layout-dependent
+    like any id-based scheme; for folds that survive repartitioning key
+    them on a business key via purify.hash_fold_expr instead). Returns
+    per-fold AUC."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     folded = assembled.withColumn(

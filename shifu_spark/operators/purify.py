@@ -17,7 +17,7 @@ seeded equivalents for testability).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from shifu_spark.functions.jexl import jexl_filter
@@ -103,6 +103,21 @@ def hash_bernoulli_sample(
     if sample_negative_only and tag_col:
         keep = F.col(tag_col).isin(pos_tags or []) | keep
     return df.filter(keep)
+
+
+def hash_fold_expr(key_cols: list[str], k: int, salt: str = "fold") -> Column:
+    """Content-keyed k-fold index: fold = #{hex thresholds <= md5(salt|key)}.
+
+    Same machinery as :func:`hash_bernoulli_sample` — the fold a row
+    lands in is a pure function of its key, so CV splits are identical
+    across reruns, partitionings and engines (monotonically_increasing_id
+    or rand-based folds are layout-dependent), and the assignment is
+    oracle-checkable with plain string comparisons."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in key_cols]))
+    fold = F.lit(0)
+    for i in range(1, k):
+        fold = fold + F.when(h >= F.lit(_hex_threshold(i / k)), 1).otherwise(0)
+    return fold
 
 
 def bagging_subsample(df: DataFrame, bag_index: int, fraction: float, with_replacement: bool, seed: int = 42) -> DataFrame:

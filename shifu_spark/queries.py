@@ -1742,6 +1742,45 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 ORACLES["hash_stratified_sample"] = _hash_sample_oracle()
 
 
+@query("kfold_assignment", None)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed k-fold split (purify.hash_fold_expr) — the
+    hash-checkable half of k-fold CV (the fit stays rows-only): fold =
+    #{hex thresholds <= md5(key)}, a pure function of the row key, so
+    the split is identical across reruns/partitionings/engines.
+    Output: per-fold counts + exact decimal sums proving the assignment
+    and that every row lands in exactly one fold."""
+    from shifu_spark.operators.purify import hash_fold_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("fold", hash_fold_expr(["l_orderkey", "l_linenumber"], 5).cast("int"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast("double"), 4).alias("sum_price"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _kfold_assignment_oracle() -> str:
+    from shifu_spark.operators.purify import _hex_threshold
+
+    terms = " + ".join(
+        f"CASE WHEN md5('fold' || '|' || l_orderkey || '|' || l_linenumber) >= '{_hex_threshold(i / 5)}' THEN 1 ELSE 0 END"
+        for i in range(1, 5)
+    )
+    return f"""
+SELECT ({terms})::INT AS fold, count(*) AS n,
+       round(sum(cast(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_price
+FROM lineitem GROUP BY 1 ORDER BY fold
+"""
+
+
+ORACLES["kfold_assignment"] = _kfold_assignment_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Posttrain / varselect operators (SURVEY §2.10)
 # ---------------------------------------------------------------------------
