@@ -104,6 +104,8 @@ HEADLINE_STAGES = {
     "image_ppm_features": "multimodal",
     "chunk_dup_fraction": "dedup",
     "unigram_logprob_quality": "text",
+    "hash_stratified_sample": "stats",
+    "kfold_assignment": "train",
 }
 HEADLINE = list(HEADLINE_STAGES)
 
