@@ -88,21 +88,25 @@ def ngram_jaccard_pairs_df(
     n: int = 3,
     threshold: float = 0.5,
     cache_out: list[DataFrame] | None = None,
-    max_docs: int = EXACT_PAIRS_MAX_DOCS,
+    max_docs: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
 
     (doc_a, doc_b, jaccard): jaccard = |∩| / (|A| + |B| − |∩|), exact
     integer arithmetic. Quadratic in the worst case — the correctness
     verifier; use :func:`minhash_lsh_pairs_df` at scale (the guard
-    raises above ``max_docs`` instead of shuffling O(N²) pairs).
+    raises above ``max_docs``, default the module's
+    ``EXACT_PAIRS_MAX_DOCS``, instead of shuffling O(N²) pairs).
     The shingle cache is appended to ``cache_out`` for the caller to
     release once the result is consumed.
     """
-    n_docs = docs.count()
-    if n_docs > max_docs:
+    if max_docs is None:
+        max_docs = EXACT_PAIRS_MAX_DOCS  # read at call time (tunable)
+    # bounded probe: scanning stops at cap+1 rows instead of counting
+    # the whole (possibly filtered/computed) input twice
+    if docs.limit(max_docs + 1).count() > max_docs:
         raise ValueError(
-            f"exact all-pairs Jaccard refused: {n_docs} docs > {max_docs} cap. "
+            f"exact all-pairs Jaccard refused: > {max_docs} docs. "
             "This is the quadratic exact verifier; use minhash_lsh_pairs_df "
             "(banded LSH, shuffle = docs x bands) for data-scale corpora, or "
             "raise max_docs explicitly."
@@ -470,7 +474,11 @@ def chunk_dup_fraction_df(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
     )
     nch = (F.size("toks") / chunk_tokens).cast("int")
-    chunks = toks.select(
+    # docs shorter than one chunk are OMITTED (the oracle's range(0, 0)
+    # does the same) — without the filter, Spark's sequence(0, -1)
+    # counts DOWN to [0, -1] (default step -1), emitting garbage chunks
+    # and then dividing by n_chunks = 0
+    chunks = toks.where(nch >= 1).select(
         "doc_id",
         nch.alias("n_chunks"),
         F.explode(

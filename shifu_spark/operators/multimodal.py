@@ -973,9 +973,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad marker framing")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: standalone
+            i += 2
+            continue
         ln = int.from_bytes(payload[i + 2 : i + 4], "big")
         data = payload[i + 4 : i + 2 + ln]
         if marker == 0xDB:  # DQT (may hold several tables)

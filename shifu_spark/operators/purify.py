@@ -94,15 +94,30 @@ def hash_bernoulli_sample(
     sample; hash membership is a pure function of the row key — stable
     across reruns, partitionings and engines (and therefore
     oracle-checkable). Same keep-all-positives switch as the reference
-    sampler (DataSampler.java:112-160)."""
+    sampler (DataSampler.java:112-160).
+
+    Key contract: a NULL key column NULLs the whole hash (NULL-
+    propagating concat, matching SQL ``||``), so NULL-keyed negatives
+    are dropped rather than silently correlated; string keys containing
+    the ``|`` delimiter can collide composite keys — escape them or use
+    fixed-width/numeric keys."""
     if sample_rate >= 1.0:
         return df
     thr = _hex_threshold(sample_rate)
-    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in key_cols]))
-    keep = h < F.lit(thr)
+    keep = _hash_key(key_cols, salt) < F.lit(thr)
     if sample_negative_only and tag_col:
         keep = F.col(tag_col).isin(pos_tags or []) | keep
     return df.filter(keep)
+
+
+def _hash_key(key_cols: list[str], salt: str) -> Column:
+    """md5(salt|k1|k2|...) via NULL-PROPAGATING concat — concat_ws would
+    silently skip NULL columns, collapsing distinct keys (('x', NULL)
+    and ('x',) hash alike) and diverging from the oracle's ``||``."""
+    parts: list[Column] = [F.lit(salt)]
+    for c in key_cols:
+        parts.extend([F.lit("|"), F.col(c).cast("string")])
+    return F.md5(F.concat(*parts))
 
 
 def hash_fold_expr(key_cols: list[str], k: int, salt: str = "fold") -> Column:
@@ -112,8 +127,10 @@ def hash_fold_expr(key_cols: list[str], k: int, salt: str = "fold") -> Column:
     lands in is a pure function of its key, so CV splits are identical
     across reruns, partitionings and engines (monotonically_increasing_id
     or rand-based folds are layout-dependent), and the assignment is
-    oracle-checkable with plain string comparisons."""
-    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in key_cols]))
+    oracle-checkable with plain string comparisons. Same key contract
+    as :func:`hash_bernoulli_sample` (NULL key -> fold 0 on both
+    engines; escape ``|`` in string keys)."""
+    h = _hash_key(key_cols, salt)
     fold = F.lit(0)
     for i in range(1, k):
         fold = fold + F.when(h >= F.lit(_hex_threshold(i / k)), 1).otherwise(0)

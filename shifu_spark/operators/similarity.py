@@ -243,10 +243,11 @@ def _broadcast_matrix(embeddings: DataFrame, id_col: str, vec_col: str,
     driver."""
     if max_rows is None:
         max_rows = EXACT_KERNEL_MAX_ROWS  # read at call time (testable)
-    n = embeddings.count()
-    if n > max_rows:
+    # bounded probe: stops scanning at cap+1 rows instead of counting
+    # the whole (possibly filtered/computed) input before the collect
+    if embeddings.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
-            f"exact all-pairs kernel refused: {n} vectors > {max_rows} cap. "
+            f"exact all-pairs kernel refused: > {max_rows} vectors cap. "
             "This is the quarantined exact verifier (driver-collected, O(N²)); "
             "use embedding_neardup_lsh_pairs (banded LSH) or the IVF top-k "
             "path for data-scale inputs, or raise max_rows explicitly."

@@ -4299,6 +4299,19 @@ ORACLES["simhash_neardup_pairs"] = _simhash_oracle()
 # ---------------------------------------------------------------------------
 
 
+def _spread_doc_ids(docs: DataFrame) -> DataFrame:
+    """doc_id frame spread across the session's cores — shared by every
+    media synth helper: the documents table is a single parquet file at
+    test scale, and one partition would serialize the whole
+    encode+decode codec pipeline (measured: image_jpeg_features
+    8.5s -> ~1.5s at sf0.1)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src_df = docs.select("doc_id")
+    if src_df.rdd.getNumPartitions() < par:
+        src_df = src_df.repartition(par)
+    return src_df
+
+
 def _synth_wav_payloads(docs: DataFrame) -> DataFrame:
     """payload(doc d) = 16-bit PCM mono WAV @8kHz, n=160+d%97 samples,
     sample[i] = ((d*31 + i*17) % 2003) - 1001."""
@@ -4317,15 +4330,7 @@ def _synth_wav_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav_pcm16(v))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # spread the encode AND the downstream decode stage across the
-    # session's cores — the documents table is a single parquet file at
-    # test scale, and one partition would serialize the whole codec
-    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src_df = docs.select("doc_id")
-    if src_df.rdd.getNumPartitions() < par:
-        src_df = src_df.repartition(par)
-    return src_df.mapInPandas(gen, "doc_id long, payload binary")
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4376,15 +4381,7 @@ def _synth_ppm_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_ppm(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # spread the encode AND the downstream decode stage across the
-    # session's cores — the documents table is a single parquet file at
-    # test scale, and one partition would serialize the whole codec
-    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src_df = docs.select("doc_id")
-    if src_df.rdd.getNumPartitions() < par:
-        src_df = src_df.repartition(par)
-    return src_df.mapInPandas(gen, "doc_id long, payload binary")
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4431,15 +4428,7 @@ def _synth_png_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_png(img, filter_type=4))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # spread the encode AND the downstream decode stage across the
-    # session's cores — the documents table is a single parquet file at
-    # test scale, and one partition would serialize the whole codec
-    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src_df = docs.select("doc_id")
-    if src_df.rdd.getNumPartitions() < par:
-        src_df = src_df.repartition(par)
-    return src_df.mapInPandas(gen, "doc_id long, payload binary")
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4501,15 +4490,7 @@ def _synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # spread the encode AND the downstream decode stage across the
-    # session's cores — the documents table is a single parquet file at
-    # test scale, and one partition would serialize the whole codec
-    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src_df = docs.select("doc_id")
-    if src_df.rdd.getNumPartitions() < par:
-        src_df = src_df.repartition(par)
-    return src_df.mapInPandas(gen, "doc_id long, payload binary")
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(
@@ -4570,15 +4551,7 @@ def _synth_y4m_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_y4m(vals.astype(np.uint8)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # spread the encode AND the downstream decode stage across the
-    # session's cores — the documents table is a single parquet file at
-    # test scale, and one partition would serialize the whole codec
-    # pipeline (measured: image_jpeg_features 8.5s -> ~1s at sf0.1)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src_df = docs.select("doc_id")
-    if src_df.rdd.getNumPartitions() < par:
-        src_df = src_df.repartition(par)
-    return src_df.mapInPandas(gen, "doc_id long, payload binary")
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
 
 
 @query(

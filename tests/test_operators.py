@@ -214,6 +214,25 @@ class TestText:
         assert q[1] > q[0] - 0.3  # length term saturates; diversity max in both
 
 
+class TestChunkDup:
+    def test_short_docs_omitted_not_crashed(self, spark):
+        """Docs shorter than one chunk must be OMITTED (the oracle's
+        range(0,0) behavior) — Spark's sequence(0,-1) counts DOWN, so an
+        unguarded plan emitted garbage chunks then divided by zero."""
+        from shifu_spark.operators.dedup import chunk_dup_fraction_df
+
+        docs = spark.createDataFrame(
+            [(0, "a b c"),                        # 3 tokens -> omitted
+             (1, " ".join(["w%d" % i for i in range(16)])),
+             (2, " ".join(["w%d" % i for i in range(16)]))],  # dup of 1
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in chunk_dup_fraction_df(docs).collect()}
+        assert 0 not in rows
+        assert rows[1]["n_chunks"] == 2 and rows[1]["dup_fraction"] == 1.0
+        assert rows[2]["dup_fraction"] == 1.0
+
+
 class TestHashSample:
     def test_stable_under_repartition_and_keeps_positives(self, spark):
         """The content-keyed sampler's membership must be a pure function
@@ -328,6 +347,10 @@ class TestProductQuantization:
         lut = pq_adc_lut(list(q), books)
         want = sum(lut[s][c] for s, c in enumerate(codes))
         assert abs(row["adc"] - round(want, 6)) < 1e-6
+
+
+class TestSimilarity:
+    def test_cosine_self_is_one(self, spark):
         from shifu_spark.operators.similarity import cosine_expr
 
         df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
