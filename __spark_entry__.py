@@ -57,7 +57,6 @@ _PRIORITY = [
     "ksiv_equal_population",
     "ksiv_weighted",
     "varselect_top_iv",
-    "bin_avg_score",
     "gain_buckets",
     "weighted_gain_buckets",
     "segment_expansion",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "ksiv_equal_negative",
     "hash_stratified_sample",
     "kfold_assignment",
+    "streaming_dim_enrichment",
     # -- sentinels for the paths round 4 touched (localCheckpoint
     # finalize in the dedup family, wide-plane LSH near-zero snap) +
     # the flagship; streaming_heavy_hitters above doubles as the

@@ -106,6 +106,7 @@ HEADLINE_STAGES = {
     "unigram_logprob_quality": "text",
     "hash_stratified_sample": "stats",
     "kfold_assignment": "train",
+    "streaming_dim_enrichment": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -2543,6 +2543,43 @@ FROM scored ORDER BY doc_id
 ORACLES["unigram_logprob_quality"] = _unigram_oracle()
 
 
+@query("streaming_dim_enrichment", None)
+def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining core Structured
+    Streaming pattern (stream joined to a broadcast dimension BEFORE the
+    stateful agg; Spark replans the static side per micro-batch, no join
+    state is kept): events stream x customer dim on user_id, then
+    windowed per-(day, mktsegment) counts + exact decimal value sums.
+    availableNow replay makes it equal the batch join the oracle runs."""
+    s = _events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = s.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )
+    sink = _run_stream_to_sink(spark, agg, "enrich")
+    return sink.withColumn("window_start", F.col("window_start").cast("timestamp")).orderBy(
+        "window_start", "segment"
+    )
+
+
+ORACLES["streaming_dim_enrichment"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
+       c_mktsegment AS segment, count(*) AS n,
+       round(sum(cast(value AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 @query("streaming_heavy_hitters", None)
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: per event-time day window, the top-3
