@@ -58,7 +58,6 @@ _PRIORITY = [
     "ksiv_weighted",
     "varselect_top_iv",
     "gain_buckets",
-    "weighted_gain_buckets",
     "segment_expansion",
     "distinct_counts",
     "sensitivity_se",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "hash_stratified_sample",
     "kfold_assignment",
     "streaming_dim_enrichment",
+    "streaming_attribution_join",
     # -- sentinels for the paths round 4 touched (localCheckpoint
     # finalize in the dedup family, wide-plane LSH near-zero snap) +
     # the flagship; streaming_heavy_hitters above doubles as the

@@ -107,6 +107,7 @@ HEADLINE_STAGES = {
     "hash_stratified_sample": "stats",
     "kfold_assignment": "train",
     "streaming_dim_enrichment": "streaming",
+    "streaming_attribution_join": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

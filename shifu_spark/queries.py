@@ -2580,6 +2580,63 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+@query("streaming_attribution_join", None)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the canonical
+    attribution pattern and the last core Structured Streaming join
+    shape (state on BOTH sides, bounded by the watermark + the time
+    range): each purchase event joins the same user's click events in
+    the preceding 30 minutes; the append-mode pair stream lands in the
+    sink and a batch rollup counts attributed pairs per user. Bounded
+    availableNow replay equals the batch interval self-join the oracle
+    runs."""
+    s = _events_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+    ).select("p_user", "purchase_id", "click_id")
+    sink = _run_stream_to_sink(spark, pairs, "attr", output_mode="append")
+    return (
+        sink.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("purchase_id").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES["streaming_attribution_join"] = """
+SELECT p.user_id AS user_id, count(*) AS n_pairs,
+       count(DISTINCT p.event_id) AS n_purchases
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY 1 ORDER BY user_id
+"""
+
+
 @query("streaming_heavy_hitters", None)
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: per event-time day window, the top-3
