@@ -49,7 +49,6 @@ _PRIORITY = [
     "purify_filter",
     "exact_dedup",
     "shingleset_dedup",
-    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "text_stats",
@@ -64,7 +63,6 @@ _PRIORITY = [
     "sensitivity_st",
     "score_rescale",
     "multiclass_tag_recode",
-    "rf_train",
     "embedding_topk",
     "embedding_neardup_pairs",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
@@ -97,14 +95,18 @@ _PRIORITY = [
     "kfold_assignment",
     "streaming_dim_enrichment",
     "streaming_attribution_join",
-    # -- sentinels for the paths round 4 touched (localCheckpoint
-    # finalize in the dedup family, wide-plane LSH near-zero snap) +
-    # the flagship; streaming_heavy_hitters above doubles as the
-    # stream-sink try/finally sentinel (same _run_stream_to_sink path
-    # streaming_running_stats would re-check)
-    "dedup_groups",
-    "embedding_neardup_lsh_scale",
-    "tpch_q1",
+    # -- continuation-session round-4 queries (first driver row): the
+    # compressed-codec family (mu-law, IMA ADPCM, MJPEG/AVI) and the
+    # retrieval/decontamination text pair. They take the slots of the
+    # r03-proven sentinels (dedup_groups / embedding_neardup_lsh_scale /
+    # tpch_q1 — all fresh at 1 round old), the rows-only rf_train
+    # sentinel, and ngram_jaccard_pairs (r02; goes to the FRONT of the
+    # r5 window with the other displaced r02 queries — see NOTES.md).
+    "audio_mulaw_features",
+    "audio_adpcm_features",
+    "video_mjpeg_features",
+    "bm25_topk",
+    "decontamination_overlap",
 ]
 
 

@@ -108,6 +108,13 @@ HEADLINE_STAGES = {
     "kfold_assignment": "train",
     "streaming_dim_enrichment": "streaming",
     "streaming_attribution_join": "streaming",
+    # continuation-session round-4 additions: compressed codecs + the
+    # retrieval/decontamination text pair
+    "audio_mulaw_features": "multimodal",
+    "audio_adpcm_features": "multimodal",
+    "video_mjpeg_features": "multimodal",
+    "bm25_topk": "text",
+    "decontamination_overlap": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

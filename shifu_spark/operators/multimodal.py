@@ -1138,3 +1138,459 @@ def extract_jpeg_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed audio — G.711 mu-law (WAVE_FORMAT_MULAW = 7) and
+# IMA/DVI4 ADPCM (WAVE_FORMAT_IMA_ADPCM = 0x11), both in genuine RIFF
+# containers written and parsed here chunk-by-chunk (stdlib `wave` only
+# handles PCM, so the non-PCM container plumbing is hand-rolled from the
+# public RIFF/WAVE layout). These close the "compressed audio stays a
+# stub" gap with formats that are implementable exactly from their
+# public specs: mu-law is the G.711 telephony companding (memoryless
+# per-sample, 2:1), IMA ADPCM is the classic 4-bit adaptive-delta
+# codec (4:1) used by the WAV/AIFF ecosystems. mp3 (perceptual,
+# patent-era bitstream) remains the one strict audio stub.
+# ---------------------------------------------------------------------------
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_MULAW = 7
+WAVE_FORMAT_IMA_ADPCM = 0x11
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def _riff_wave_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """Generic RIFF/WAVE walker: [(fourcc, chunk_data), ...] in file
+    order, honoring the spec's word alignment (odd-size chunks are
+    followed by a pad byte that is not part of the data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    out = []
+    i = 12
+    while i + 8 <= len(payload):
+        cc = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        out.append((cc, payload[i + 8 : i + 8 + size]))
+        i += 8 + size + (size & 1)
+    return out
+
+
+def _riff_wave(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = bytearray(b"WAVE")
+    for cc, data in chunks:
+        body += cc + len(data).to_bytes(4, "little") + data
+        if len(data) & 1:
+            body += b"\x00"  # word alignment pad
+    return b"RIFF" + len(body).to_bytes(4, "little") + bytes(body)
+
+
+def mulaw_compress(x: np.ndarray) -> np.ndarray:
+    """G.711 mu-law encode: int16-range samples -> uint8 codes.
+
+    Pure-integer formulation (segment via threshold search, no float
+    log): m = min(|x|, 32635) + 132; e = segment 0..7; mantissa = 4 bits
+    under the segment; code = bitwise-NOT(sign|e|mantissa) per G.711.
+    """
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    m = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    e = np.digitize(m, [256, 512, 1024, 2048, 4096, 8192, 16384])
+    mant = (m >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law decode: uint8 codes -> int64 samples (exact inverse
+    of the quantized magnitude: ((mant<<3)+132)<<e - 132, signed)."""
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    e = (u >> 4) & 7
+    mant = u & 0x0F
+    t = (((mant << 3) + _MULAW_BIAS) << e) - _MULAW_BIAS
+    return np.where(u & 0x80, -t, t)
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16-range mono samples as a real G.711 mu-law WAV
+    (format tag 7, 8 bits/sample, fact chunk carrying the frame count)."""
+    codes = mulaw_compress(samples)
+    n = len(codes)
+    fmt = (
+        WAVE_FORMAT_MULAW.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # channels
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")  # byte rate = rate * 1 ch * 1 byte
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits per sample
+        + (0).to_bytes(2, "little")  # cbSize
+    )
+    return _riff_wave(
+        [(b"fmt ", fmt), (b"fact", n.to_bytes(4, "little")), (b"data", codes.tobytes())]
+    )
+
+
+# IMA ADPCM step-size and index-adaptation tables (public IMA spec).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]  # indexed by nibble & 7
+
+
+def ima_adpcm_decode_nibbles(pred: int, idx: int, nibbles) -> list[int]:
+    """Core IMA ADPCM decoder recurrence. ``pred`` is the block-header
+    predictor (it IS the first output sample per the WAV block layout);
+    each 4-bit code then advances (pred, step index) exactly per spec:
+    diffq = step/8 + b4*step + b2*step/2 + b1*step/4, sign from b8,
+    predictor clamped to int16, index adapted and clamped to [0, 88]."""
+    out = [pred]
+    for nib in nibbles:
+        nib = int(nib)
+        step = int(_IMA_STEPS[idx])
+        diffq = step >> 3
+        if nib & 4:
+            diffq += step
+        if nib & 2:
+            diffq += step >> 1
+        if nib & 1:
+            diffq += step >> 2
+        pred = pred - diffq if nib & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+        out.append(pred)
+    return out
+
+
+def ima_adpcm_encode(samples: np.ndarray) -> tuple[int, int, list[int]]:
+    """Real IMA ADPCM encoder: returns (header predictor, final-unused
+    initial index 0 convention, nibble list). The first sample becomes
+    the block-header predictor verbatim; each following sample is
+    quantized against the decoder's own reconstruction (closed loop), so
+    error never accumulates beyond one step size."""
+    x = np.asarray(samples, dtype=np.int64)
+    if len(x) == 0:
+        raise ValueError("need at least one sample")
+    pred, idx = int(x[0]), 0
+    nibbles: list[int] = []
+    for v in x[1:]:
+        step = int(_IMA_STEPS[idx])
+        diff = int(v) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # advance state with the DECODER's arithmetic (closed loop)
+        pred, idx = _ima_step(pred, idx, nib)
+        nibbles.append(nib)
+    return int(x[0]), 0, nibbles
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    step = int(_IMA_STEPS[idx])
+    diffq = step >> 3
+    if nib & 4:
+        diffq += step
+    if nib & 2:
+        diffq += step >> 1
+    if nib & 1:
+        diffq += step >> 2
+    pred = pred - diffq if nib & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, idx
+
+
+def encode_wav_ima_adpcm_state(
+    pred0: int, idx0: int, nibbles: list[int], sample_rate: int = 8000
+) -> bytes:
+    """Assemble a real single-block IMA ADPCM WAV from decoder state:
+    fmt (tag 0x11, cbSize=2 wSamplesPerBlock), fact (total samples),
+    data = 4-byte block header (int16 predictor, uint8 step index,
+    reserved) + packed nibbles, LOW nibble first per the WAV layout."""
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (2 per data byte)")
+    n_samples = len(nibbles) + 1  # header predictor is sample 0
+    block_align = 4 + len(nibbles) // 2
+    samples_per_block = n_samples
+    fmt = (
+        WAVE_FORMAT_IMA_ADPCM.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + max(1, sample_rate * block_align // samples_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")  # bits per (coded) sample
+        + (2).to_bytes(2, "little")  # cbSize
+        + samples_per_block.to_bytes(2, "little")
+    )
+    packed = bytearray()
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        packed.append((int(hi) & 0xF) << 4 | (int(lo) & 0xF))
+    block = (
+        int(pred0).to_bytes(2, "little", signed=True)
+        + int(idx0).to_bytes(1, "little")
+        + b"\x00"
+        + bytes(packed)
+    )
+    return _riff_wave([(b"fmt ", fmt), (b"fact", n_samples.to_bytes(4, "little")), (b"data", block)])
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Real compressed-audio encode path: PCM -> IMA ADPCM WAV (single
+    block; multi-block writing would just repeat the header+nibble
+    layout per `block_align` samples)."""
+    pred0, idx0, nibbles = ima_adpcm_encode(samples)
+    if len(nibbles) % 2:  # pad to a whole byte with a 0 delta code
+        nibbles = nibbles + [0]
+    return encode_wav_ima_adpcm_state(pred0, idx0, nibbles, sample_rate)
+
+
+def decode_wav_compressed(payload: bytes) -> tuple[np.ndarray, int, int, str]:
+    """REAL decode for non-PCM WAV: parse the RIFF chunks by hand, read
+    the fmt tag, and route to the mu-law or IMA ADPCM kernel. Returns
+    (samples int64, sample_rate, n_channels, codec_name). PCM payloads
+    are routed to the stdlib-`wave` path for uniformity."""
+    chunks = dict(_riff_wave_chunks(payload))
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("WAV missing fmt/data chunks")
+    fmt = chunks[b"fmt "]
+    tag = int.from_bytes(fmt[0:2], "little")
+    nch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    data = chunks[b"data"]
+    n_declared = (
+        int.from_bytes(chunks[b"fact"][:4], "little") if b"fact" in chunks else None
+    )
+    if tag == WAVE_FORMAT_PCM:
+        x, r, c = decode_wav(payload)
+        return x, r, c, "pcm16"
+    if tag == WAVE_FORMAT_MULAW:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        if n_declared is not None:
+            codes = codes[:n_declared]
+        return mulaw_expand(codes), rate, nch, "mulaw"
+    if tag == WAVE_FORMAT_IMA_ADPCM:
+        if nch != 1:
+            raise NotImplementedError("only mono IMA ADPCM supported")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        samples_per_block = (
+            int.from_bytes(fmt[18:20], "little") if len(fmt) >= 20 else (block_align - 4) * 2 + 1
+        )
+        out: list[int] = []
+        remaining = n_declared
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < 4:
+                break
+            pred = int.from_bytes(block[0:2], "little", signed=True)
+            idx = block[2]
+            if idx > 88:
+                raise ValueError("corrupt IMA block: step index > 88")
+            want = samples_per_block if remaining is None else min(samples_per_block, remaining)
+            nibs: list[int] = []
+            for b in block[4:]:
+                nibs.append(b & 0xF)  # LOW nibble first
+                nibs.append(b >> 4)
+            decoded = ima_adpcm_decode_nibbles(pred, idx, nibs[: max(0, want - 1)])
+            out.extend(decoded[:want])
+            if remaining is not None:
+                remaining -= want
+                if remaining <= 0:
+                    break
+        return np.asarray(out, dtype=np.int64), rate, nch, "ima_adpcm"
+    raise NotImplementedError(f"unsupported WAV format tag {tag:#x}")
+
+
+def extract_compressed_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL compressed-audio decode (mu-law / IMA ADPCM /
+    PCM16 by format tag) + the same exact-integer feature family as
+    :func:`extract_audio_features` — the codec column reports which
+    decoder actually ran, so the oracle pins the dispatch too.
+
+    rms is deliberately UNROUNDED: it is one correctly-rounded IEEE
+    sqrt of (exact int sum / exact count), bit-identical on both
+    engines — a round(·, 6) here would CREATE 9-sig-digit formatting
+    boundaries at the ~3e4 magnitudes these codecs produce."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, rate, nch, codec = decode_wav_compressed(bytes(payload))
+                n = len(x)
+                sumsq = int((x * x).sum())
+                out["doc_id"].append(doc_id)
+                out["codec"].append(codec)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+                out["rms"].append(float(np.sqrt(sumsq / n)) if n else 0.0)
+                out["zero_crossings"].append(int(np.count_nonzero(x[:-1] * x[1:] < 0)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed video — Motion JPEG in an AVI (RIFF) container. Each
+# '00dc' chunk in the 'movi' LIST is a complete baseline JFIF frame,
+# decoded by the in-repo JPEG codec above — so this is a genuine
+# compressed-video path (DCT + Huffman per frame) with real container
+# framing (RIFF LIST tree: hdrl[avih, strl[strh,strf]], movi, idx1),
+# written and parsed from the public AVI layout. Inter-frame-predicted
+# codecs (h264 etc.) remain the one strict video stub.
+# ---------------------------------------------------------------------------
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + (len(body) + 4).to_bytes(4, "little") + list_type + body
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    out = fourcc + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_avi_mjpeg(frames_jpeg: list[bytes], width: int, height: int, fps: int = 25) -> bytes:
+    """Assemble a real AVI: avih main header, one 'vids'/'MJPG' stream
+    (strh + BITMAPINFOHEADER strf), movi LIST of '00dc' JPEG chunks,
+    and an idx1 index — the exact layout ffmpeg's avi muxer emits for
+    -c:v mjpeg."""
+    n = len(frames_jpeg)
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max((len(f) for f in frames_jpeg), default=0)
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [
+            us_per_frame, max_bytes * fps, 0, 0x10,  # dwFlags: AVIF_HASINDEX
+            n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+        ]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + b"".join(v.to_bytes(4, "little") for v in [0, 0, 0, 1, fps, 0, n, max_bytes])
+        + (0).to_bytes(4, "little", signed=True)  # dwQuality = 0
+        + (0).to_bytes(4, "little")  # dwSampleSize (video: 0)
+        + (0).to_bytes(8, "little")  # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")  # biSize
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # biPlanes
+        + (24).to_bytes(2, "little")  # biBitCount
+        + b"MJPG"  # biCompression
+        + (width * height * 3).to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    idx1 = bytearray()
+    for f in frames_jpeg:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx1 += b"00dc" + (0x10).to_bytes(4, "little")  # AVIIF_KEYFRAME
+        idx1 += (4 + len(movi_body)).to_bytes(4, "little") + len(f).to_bytes(4, "little")
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", bytes(movi_body))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx1))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL AVI/MJPEG decode: walk the RIFF LIST tree, validate the
+    stream is 'vids'/'MJPG', pull every '00dc'/'00db' chunk out of the
+    movi LIST, and decode each frame with the in-repo baseline JPEG
+    decoder. Returns ((n, h, w, 3) uint8 frames, fps)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    frames_raw: list[bytes] = []
+    fps = 0
+    handler_ok = False
+
+    def walk(buf: bytes, in_movi: bool) -> None:
+        nonlocal fps, handler_ok
+        i = 0
+        while i + 8 <= len(buf):
+            cc = buf[i : i + 4]
+            size = int.from_bytes(buf[i + 4 : i + 8], "little")
+            data = buf[i + 8 : i + 8 + size]
+            if cc == b"LIST":
+                walk(data[4:], in_movi or data[:4] == b"movi")
+            elif cc == b"strh" and data[:4] == b"vids":
+                if data[4:8] != b"MJPG":
+                    raise NotImplementedError(
+                        f"only MJPG video streams supported, got {data[4:8]!r}"
+                    )
+                handler_ok = True
+                scale = int.from_bytes(data[20:24], "little")
+                rate = int.from_bytes(data[24:28], "little")
+                fps = rate // scale if scale else 0
+            elif in_movi and cc[2:4] in (b"dc", b"db"):
+                frames_raw.append(data)
+            i += 8 + size + (size & 1)
+
+    walk(payload[12:], False)
+    if not handler_ok:
+        raise ValueError("no vids/MJPG stream header found")
+    frames = [decode_jpeg(f) for f in frames_raw]
+    if not frames:
+        return np.empty((0, 0, 0, 3), np.uint8), fps
+    return np.stack(frames), fps
+
+
+def extract_mjpeg_video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sample_every: int = 2,
+) -> DataFrame:
+    """Arrow-batched REAL compressed-video decode (AVI container walk +
+    per-frame baseline-JPEG Huffman/IDCT) with the same frame-sampled
+    stat family as :func:`extract_video_features`; mean_y here is the
+    mean of decoded channel 0 over the sampled frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in VIDEO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, _fps = decode_avi_mjpeg(bytes(payload))
+                sampled = frames[::sample_every].astype(np.int64)
+                npx = sampled.shape[0] * sampled.shape[1] * sampled.shape[2]
+                out["doc_id"].append(doc_id)
+                out["codec"].append("mjpeg")
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["n_frames"].append(frames.shape[0])
+                out["n_sampled"].append(sampled.shape[0])
+                out["byte_sum"].append(int(sampled.sum()))
+                out["mean_y"].append(round(int(sampled[:, :, :, 0].sum()) / npx, 6) if npx else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)

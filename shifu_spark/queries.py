@@ -4684,3 +4684,395 @@ def video_y4m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_video_features(_synth_y4m_payloads(docs), sample_every=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio/video (round-4 continuation): G.711 mu-law, IMA ADPCM
+# and MJPEG-in-AVI close the "compressed codecs stay stubs" line with
+# formats implementable exactly from public specs. Oracle strategy per
+# codec: mu-law decode is MEMORYLESS, so the companding round trip has a
+# closed integer form the oracle states directly; IMA ADPCM is adaptive,
+# so the payload synthesizes the 4-bit CODE stream from doc_id
+# arithmetic and the oracle re-runs the full decoder recurrence as a
+# DuckDB recursive CTE (an independent second implementation of the
+# decoder); MJPEG reuses the proven q=100 16x16-piecewise-constant
+# exactness window of the in-repo JPEG codec, so sampled-frame pixel
+# stats are closed-form.
+# ---------------------------------------------------------------------------
+
+
+def _synth_mulaw_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = G.711 mu-law WAV (format tag 7) of n=120+d%81
+    samples, sample[i] = ((d*37 + i*23) % 60001) - 30000."""
+    from shifu_spark.operators.multimodal import encode_wav_mulaw
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 120 + int(d) % 81
+                i = np.arange(n, dtype=np.int64)
+                x = (int(d) * 37 + i * 23) % 60001 - 30000
+                payloads.append(encode_wav_mulaw(x))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "audio_mulaw_features",
+    """
+WITH d AS (SELECT doc_id, 120 + doc_id % 81 AS n FROM documents),
+idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+s AS (SELECT doc_id, i, ((doc_id*37 + i*23) % 60001) - 30000 AS x FROM idx),
+m AS (SELECT doc_id, i, x, least(abs(x), 32635) + 132 AS mag FROM s),
+e AS (SELECT doc_id, i, x, mag,
+        CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1 WHEN mag < 1024 THEN 2
+             WHEN mag < 2048 THEN 3 WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+             WHEN mag < 16384 THEN 6 ELSE 7 END AS ex FROM m),
+dv AS (SELECT doc_id, i,
+        (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+        * (((((mag >> (ex+3)) % 16) * 8 + 132) << ex) - 132) AS v
+       FROM e),
+sl AS (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM dv)
+SELECT doc_id,
+  'mulaw' AS codec,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(max(abs(v)) AS INT) AS peak,
+  sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)) AS rms,
+  CAST(count(*) FILTER (WHERE pv * v < 0) AS BIGINT) AS zero_crossings
+FROM sl GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def audio_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(REAL G.711 mu-law: integer segment/mantissa
+    companding in a hand-rolled RIFF container, format tag 7)→decode
+    (generic chunk walk + expand)→features. The oracle states the
+    companding round trip in closed integer form — a wrong bias, clip,
+    segment threshold, or bitwise-NOT breaks the driver hash. First of
+    the COMPRESSED audio codecs (2:1) proven end-to-end (beyond-
+    reference multimodal lane; reference has no media path)."""
+    from shifu_spark.operators.multimodal import extract_compressed_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_compressed_audio_features(_synth_mulaw_payloads(docs)).orderBy("doc_id")
+
+
+def _synth_adpcm_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = single-block IMA ADPCM WAV (format tag 0x11)
+    built from decoder state: pred0 = (d*31)%1001 - 500, idx0 = d%89,
+    nibble[i] = (d*11 + i*5) % 16 for i < 64 + 2*(d%17)."""
+    from shifu_spark.operators.multimodal import encode_wav_ima_adpcm_state
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_nib = 64 + 2 * (d % 17)
+                nibs = [(d * 11 + i * 5) % 16 for i in range(n_nib)]
+                payloads.append(
+                    encode_wav_ima_adpcm_state(d * 31 % 1001 - 500, d % 89, nibs)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
+
+
+from shifu_spark.operators.multimodal import _IMA_STEPS as _IMA_STEPS_TBL  # noqa: E402
+
+_IMA_STEP_CASE = (
+    "CASE dec.idx "
+    + " ".join(f"WHEN {i} THEN {int(v)}" for i, v in enumerate(_IMA_STEPS_TBL))
+    + " END"
+)
+
+# The oracle is an INDEPENDENT second implementation of the IMA decoder:
+# a recursive CTE advances (pred, idx) per nibble with the step table
+# inlined as a generated 89-branch CASE — any drift in the quantized
+# difference, clamping, or index adaptation of the Python kernel breaks
+# the driver hash. Recursion depth = max nibble count (96), levels run
+# all docs in lockstep (500 rows/level at sf0.01).
+_ADPCM_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         64 + 2*(doc_id % 17) AS n,
+         (doc_id*31) % 1001 - 500 AS pred0,
+         doc_id % 89 AS idx0
+  FROM documents),
+dec(doc_id, i, pred, idx) AS (
+  SELECT doc_id, 0, pred0, idx0 FROM d
+  UNION ALL
+  SELECT q.doc_id, q.i + 1,
+         greatest(-32768, least(32767,
+           q.pred + (CASE WHEN q.nib >= 8 THEN -1 ELSE 1 END) * q.diffq)),
+         greatest(0, least(88, q.idx +
+           CASE WHEN q.nib % 8 < 4 THEN -1 WHEN q.nib % 8 = 4 THEN 2
+                WHEN q.nib % 8 = 5 THEN 4 WHEN q.nib % 8 = 6 THEN 6 ELSE 8 END))
+  FROM (
+    SELECT s.*,
+           (s.step // 8) + ((s.nib // 4) % 2) * s.step
+           + ((s.nib // 2) % 2) * (s.step // 2) + (s.nib % 2) * (s.step // 4) AS diffq
+    FROM (
+      SELECT dec.doc_id, dec.i, dec.pred, dec.idx, d.n,
+             (dec.doc_id*11 + dec.i*5) % 16 AS nib,
+             {_IMA_STEP_CASE} AS step
+      FROM dec JOIN d USING (doc_id)
+      WHERE dec.i < d.n
+    ) s
+  ) q
+),
+sl AS (SELECT doc_id, pred AS v, lag(pred) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+       FROM dec)
+SELECT doc_id,
+  'ima_adpcm' AS codec,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(max(abs(v)) AS INT) AS peak,
+  sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)) AS rms,
+  CAST(count(*) FILTER (WHERE pv * v < 0) AS BIGINT) AS zero_crossings
+FROM sl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("audio_adpcm_features", _ADPCM_ORACLE)
+def audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the 4-bit CODE stream→assemble a real single-block IMA
+    ADPCM WAV (block header predictor/index + packed low-nibble-first
+    data)→decode(generic RIFF walk + adaptive-delta recurrence)→
+    features. The oracle re-runs the decoder as a recursive CTE with a
+    generated step-table CASE — a genuinely independent implementation,
+    so the adaptive state machine (not just the container) is proven.
+    Second compressed audio codec (4:1)."""
+    from shifu_spark.operators.multimodal import extract_compressed_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_compressed_audio_features(_synth_adpcm_payloads(docs)).orderBy("doc_id")
+
+
+def _synth_mjpeg_avi_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = real AVI with nf=3+d%4 MJPG frames of
+    16*(1+d%3) x 16*(1+d%2); frame f is 16x16-piecewise-constant
+    grayscale with tile (ti, tj) value (d*13 + f*29 + ti*7 + tj*3) % 240
+    + 8 — inside the q=100 exactness window of the JPEG codec."""
+    from shifu_spark.operators.multimodal import encode_avi_mjpeg, encode_jpeg
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf, w, h = 3 + d % 4, 16 * (1 + d % 3), 16 * (1 + d % 2)
+                frames = []
+                ti = np.arange(h // 16, dtype=np.int64)[:, None]
+                tj = np.arange(w // 16, dtype=np.int64)[None, :]
+                for f in range(nf):
+                    tiles = (d * 13 + f * 29 + ti * 7 + tj * 3) % 240 + 8
+                    g = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1).astype(np.uint8)
+                    frames.append(
+                        encode_jpeg(np.stack([g, g, g], axis=2), quality=100, subsampling="4:2:0")
+                    )
+                payloads.append(encode_avi_mjpeg(frames, w, h, fps=25))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "video_mjpeg_features",
+    """
+WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 16*(1 + doc_id % 3) AS w,
+                  16*(1 + doc_id % 2) AS h FROM documents),
+fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM d),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+t AS (SELECT doc_id, nf, w, h, f, unnest(range(0, (w//16)*(h//16))) AS t FROM sampled),
+v AS (SELECT doc_id, nf, w, h, f,
+        (doc_id*13 + f*29 + (t // (w//16))*7 + (t % (w//16))*3) % 240 + 8 AS val
+      FROM t)
+SELECT doc_id,
+  'mjpeg' AS codec,
+  CAST(max(w) AS INT) AS width,
+  CAST(max(h) AS INT) AS height,
+  CAST(max(nf) AS INT) AS n_frames,
+  CAST(count(DISTINCT f) AS INT) AS n_sampled,
+  CAST(3 * 256 * sum(val) AS BIGINT) AS byte_sum,
+  round(CAST(256 * sum(val) AS DOUBLE)
+        / (count(DISTINCT f) * max(w) * max(h)), 6) AS mean_y
+FROM v GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def video_mjpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(per-frame REAL baseline JPEG + REAL AVI RIFF
+    muxing: avih/strl headers, movi '00dc' chunks, idx1)→decode(RIFF
+    LIST walk, MJPG handler check, per-frame Huffman+IDCT)→frame-sample
+    →stats. Frames sit in the proven q=100 piecewise-constant exactness
+    window, so the oracle recomputes sampled-frame pixel sums in closed
+    form — COMPRESSED video (DCT+Huffman per frame) is now proven
+    end-to-end; inter-frame codecs (h264) remain the honest stub."""
+    from shifu_spark.operators.multimodal import extract_mjpeg_video_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_mjpeg_video_features(
+        _synth_mjpeg_avi_payloads(docs), sample_every=2
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text retrieval/decontamination (round-4 continuation):
+# BM25 ranking (the classic keyword-retrieval scorer — the lexical half
+# of a training-data search/filter stack) and benchmark decontamination
+# (n-gram overlap of candidate training docs against an eval/benchmark
+# set — the standard pretraining hygiene pass, cf. GPT-3 appendix /
+# Dolma dedup tooling; both beyond-reference training-data ops).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+@query(
+    "bm25_topk",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(CAST(1 AS DOUBLE) + (stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                                  / (dfreq.df + CAST(0.5 AS DOUBLE)))
+           * (tf.tf * (CAST({_BM25_K1} AS DOUBLE) + CAST(1 AS DOUBLE)))
+           / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+              * (CAST(1 AS DOUBLE) - CAST({_BM25_B} AS DOUBLE)
+                 + CAST({_BM25_B} AS DOUBLE) * dl.dl
+                   / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+           * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq USING (term)
+)
+SELECT doc_id, sum(c_micro) / CAST(1000000 AS DOUBLE) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) top-20 docs for a pinned 3-term query.
+
+    Plan shape (the one that survives 100 TB): ONE explode+filter
+    corpus scan builds per-(doc, term) tf for the QUERY TERMS ONLY
+    (filter pushed before the groupBy, so shuffle volume is matches,
+    not tokens) with the doc length folded into the same aggregate;
+    the matches-sized tf frame is then locally checkpointed so the
+    document-frequency aggregate reuses it instead of re-scanning the
+    corpus (the naive form re-computed the whole tf subtree twice).
+    The only other corpus scan is the unavoidable corpus-level avgdl
+    reduce (one row out). dfreq/stats are metric-sized frames
+    broadcast back; final top-k is TakeOrderedAndProject, no global
+    sort. Per-term contributions are rounded to integer micro-units
+    before the per-doc sum so the fold is exact and order-independent
+    (the dyadic trick from unigram_logprob_quality, adapted)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = toks.select(F.size("toks").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        # dl is functionally dependent on doc_id; max() carries it
+        # through so tf+dl come out of the single corpus scan
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    one = F.lit(1.0)
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.log(one + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * (k1 + one))
+                / (
+                    F.col("tf")
+                    + k1 * (one - b + b * F.col("dl") / (F.col("sum_dl").cast("double") / F.col("n_docs")))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg((F.sum("c_micro") / F.lit(1000000.0)).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+@query(
+    "decontamination_overlap",
+    """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+SELECT train.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(bench.s) AS BIGINT) AS n_contaminated,
+       round(CAST(count(bench.s) AS DOUBLE) / count(*), 6) AS contamination_frac
+FROM train LEFT JOIN bench ON train.s = bench.s
+GROUP BY train.doc_id ORDER BY train.doc_id
+""",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct word 5-grams that appear anywhere in the benchmark set
+    (docs with doc_id % 50 == 0 stand in for the eval suite). The
+    benchmark shingle set is broadcast — eval suites are small by
+    nature, so at 100 TB this is one scan of the training corpus with a
+    map-side semi-join, no shuffle of the big side. Composes
+    dedup.shingles_df (same tokenizer the dedup family proves)."""
+    from shifu_spark.operators.dedup import shingles_df
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=5)
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -371,3 +371,148 @@ class TestRealDecodeKernels:
         assert row["n_samples"] == 4 and row["peak"] == 40
         assert row["zero_crossings"] == 3
         assert row["rms"] == round(float(np.sqrt((v * v).sum() / 4)), 6)
+
+
+class TestCompressedCodecs:
+    """mu-law / IMA ADPCM / MJPEG-AVI — the compressed-codec kernels."""
+
+    def test_mulaw_matches_scalar_spec(self):
+        import numpy as np
+        from shifu_spark.operators.multimodal import mulaw_compress, mulaw_expand
+
+        def spec(v):  # independent per-sample G.711 mirror
+            sign = -1 if v < 0 else 1
+            m = min(abs(int(v)), 32635) + 132
+            e = sum(m >= th for th in [256, 512, 1024, 2048, 4096, 8192, 16384])
+            return sign * ((((((m >> (e + 3)) & 15) << 3) + 132) << e) - 132)
+
+        x = np.concatenate(
+            [
+                np.array([0, 1, -1, 131, 132, 255, 256, 32635, 32767, -32768]),
+                np.random.default_rng(3).integers(-32768, 32768, 4000),
+            ]
+        )
+        dec = mulaw_expand(mulaw_compress(x))
+        assert all(int(a) == spec(b) for a, b in zip(dec, x))
+        # companding error is bounded by half the widest segment + bias
+        assert int(np.abs(dec - x).max()) <= 512 + 132
+
+    def test_mulaw_wav_container_roundtrip(self):
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            decode_wav_compressed,
+            encode_wav_mulaw,
+            mulaw_compress,
+            mulaw_expand,
+        )
+
+        x = np.random.default_rng(5).integers(-32768, 32768, 777)
+        samples, rate, nch, codec = decode_wav_compressed(encode_wav_mulaw(x, 16000))
+        assert (codec, rate, nch) == ("mulaw", 16000, 1)
+        assert (samples == mulaw_expand(mulaw_compress(x))).all()
+
+    def test_ima_adpcm_state_container_roundtrip(self):
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            decode_wav_compressed,
+            encode_wav_ima_adpcm_state,
+            ima_adpcm_decode_nibbles,
+        )
+
+        nibs = [(7 * i + 3) % 16 for i in range(90)]
+        ref = ima_adpcm_decode_nibbles(-321, 17, nibs)
+        samples, rate, nch, codec = decode_wav_compressed(
+            encode_wav_ima_adpcm_state(-321, 17, nibs)
+        )
+        assert (codec, nch) == ("ima_adpcm", 1)
+        assert samples.tolist() == ref
+        assert len(samples) == 91  # header predictor is sample 0
+
+    def test_ima_adpcm_encoder_closed_loop(self):
+        """Closed-loop properties: once the step index has adapted past
+        the initial slope-overload transient (a REAL ADPCM artifact —
+        the quantizer can move at most ~1.9x step per sample, so a fast
+        attack outruns it until the index climbs; here that takes ~6
+        samples), per-sample reconstruction error is bounded by 2x the
+        step size active at that sample and cannot accumulate. And
+        re-encoding the decoded signal is exactly lossless (decoded
+        signals are fixed points of the codec)."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            _IMA_STEPS,
+            decode_wav_compressed,
+            encode_wav_ima_adpcm,
+            ima_adpcm_encode,
+        )
+
+        t = np.arange(1500)
+        sig = (9000 * np.sin(t / 25) + 700 * np.sin(t / 4)).astype(np.int64)
+        dec, rate, nch, codec = decode_wav_compressed(encode_wav_ima_adpcm(sig))
+        assert codec == "ima_adpcm" and len(dec) >= len(sig)
+        # track the step sequence to bound per-sample error post-warmup
+        pred0, idx0, nibs = ima_adpcm_encode(sig)
+        idx = idx0
+        for i, nib in enumerate(nibs):
+            step = int(_IMA_STEPS[idx])
+            if i >= 16:
+                assert abs(int(dec[i + 1]) - int(sig[i + 1])) <= 2 * step
+            idx = max(0, min(88, idx + [-1, -1, -1, -1, 2, 4, 6, 8][nib & 7]))
+        # idempotence: encoding the decoded signal reproduces it exactly
+        dec2, *_ = decode_wav_compressed(encode_wav_ima_adpcm(dec[: len(sig)]))
+        assert (dec2[: len(sig)] == dec[: len(sig)]).all()
+
+    def test_wav_compressed_rejects(self):
+        import numpy as np
+        import pytest
+        from shifu_spark.operators.multimodal import (
+            _riff_wave,
+            decode_wav_compressed,
+            encode_wav_ima_adpcm_state,
+        )
+
+        with pytest.raises(ValueError):
+            decode_wav_compressed(b"RIFF\x00\x00\x00\x00JUNK")
+        # unsupported format tag (e.g. 0x55 = mp3-in-wav) raises loudly
+        fmt = (0x55).to_bytes(2, "little") + bytes(14)
+        with pytest.raises(NotImplementedError):
+            decode_wav_compressed(_riff_wave([(b"fmt ", fmt), (b"data", b"\x00\x00")]))
+        # corrupt ADPCM block header (step index > 88)
+        p = bytearray(encode_wav_ima_adpcm_state(0, 0, [0, 0]))
+        chunks_off = p.rindex(b"data") + 8
+        p[chunks_off + 2] = 120  # step index byte
+        with pytest.raises(ValueError):
+            decode_wav_compressed(bytes(p))
+
+    def test_avi_mjpeg_exact_roundtrip_and_fps(self):
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+            encode_jpeg,
+        )
+
+        frames, expect = [], []
+        w, h = 48, 32
+        for f in range(5):
+            ti = np.arange(h // 16, dtype=np.int64)[:, None]
+            tj = np.arange(w // 16, dtype=np.int64)[None, :]
+            tiles = (f * 29 + ti * 7 + tj * 3) % 240 + 8
+            g = np.repeat(np.repeat(tiles, 16, 0), 16, 1).astype(np.uint8)
+            img = np.stack([g, g, g], 2)
+            expect.append(img)
+            frames.append(encode_jpeg(img, quality=100, subsampling="4:2:0"))
+        dec, fps = decode_avi_mjpeg(encode_avi_mjpeg(frames, w, h, fps=30))
+        assert fps == 30 and dec.shape == (5, h, w, 3)
+        assert (dec == np.stack(expect)).all()
+
+    def test_avi_rejects_non_mjpg(self):
+        import pytest
+        from shifu_spark.operators.multimodal import decode_avi_mjpeg, encode_avi_mjpeg
+
+        avi = bytearray(encode_avi_mjpeg([b"\xff\xd8\xff\xd9"], 16, 16))
+        i = avi.index(b"vids") + 4
+        avi[i : i + 4] = b"H264"
+        with pytest.raises(NotImplementedError):
+            decode_avi_mjpeg(bytes(avi))
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")

@@ -187,3 +187,37 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
             spark.sql("DROP TABLE IF EXISTS t_bucket_a")
             spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+class TestContinuationRound4Shapes:
+    def test_bm25_single_corpus_scan_and_topk(self, spark):
+        # tf (+doc length) comes out of ONE corpus scan and is locally
+        # checkpointed so the dfreq aggregate reuses it; the only other
+        # FileScan is the corpus-level avgdl reduce. Top-k must be
+        # TakeOrderedAndProject, never a global sort.
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["bm25_topk"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+        assert "TakeOrderedAndProject" in plan
+
+    def test_decontamination_benchmark_side_broadcast(self, spark):
+        # the eval-suite shingle set must broadcast (map-side semi-join
+        # against the training corpus); the % 50 split must be pushed to
+        # both parquet scans so each side reads only its slice
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["decontamination_overlap"](spark, SF)
+        assert has_broadcast_join(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("(doc_id#") >= 2 and "% 50)" in plan  # pushed residuals
+
+    def test_media_synth_spread_across_cores(self, spark):
+        # codec pipelines must not serialize on the single test-scale
+        # parquet file: the synth path repartitions to defaultParallelism
+        from shifu_spark.queries import _synth_adpcm_payloads, _t
+
+        docs = _t(spark, SF, "documents")
+        pay = _synth_adpcm_payloads(docs)
+        assert pay.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
