@@ -50,7 +50,6 @@ _PRIORITY = [
     "exact_dedup",
     "shingleset_dedup",
     "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
     "text_stats",
     "ksiv_categorical",
     "ksiv_equal_population",
@@ -64,7 +63,6 @@ _PRIORITY = [
     "score_rescale",
     "multiclass_tag_recode",
     "embedding_topk",
-    "embedding_neardup_pairs",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
     # -- new round-4 queries (first driver row). nn_forward_pinned takes
@@ -107,6 +105,12 @@ _PRIORITY = [
     "video_mjpeg_features",
     "bm25_topk",
     "decontamination_overlap",
+    # quality-filter pair (first driver row); displaces the r02-proven
+    # simhash_neardup_pairs / embedding_neardup_pairs sentinels (their
+    # family siblings minhash_lsh_pairs / embedding_topk stay in-window;
+    # both displaced names join the r5 front list in NOTES.md)
+    "gopher_quality_flags",
+    "quality_classifier_score",
 ]
 
 

@@ -115,6 +115,8 @@ HEADLINE_STAGES = {
     "video_mjpeg_features": "multimodal",
     "bm25_topk": "text",
     "decontamination_overlap": "text",
+    "gopher_quality_flags": "text",
+    "quality_classifier_score": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

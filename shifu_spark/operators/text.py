@@ -161,3 +161,102 @@ def unigram_logprob_exprs(
     oov = F.size(F.filter(toks, lambda w: m.getItem(w).isNull()))
     oov_rate = F.when(n > 0, oov.cast("double") / n).otherwise(F.lit(None))
     return mean_lp, oov_rate
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style document quality rules + a fastText-style hashed-bucket
+# quality classifier — the two standard pretrain-corpus filters beyond
+# the cheap ratio heuristics above. Both are PURE IN-ROW expressions
+# (higher-order functions over the token array): zero shuffle, one scan,
+# fully JVM-side — the shape that survives 100 TB trivially.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "value", "data", "row")
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 10, 100000
+GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN = 2.0, 10.0
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.20
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1, re-derived):
+    token count bounds, mean word length bounds, most-common-bigram
+    mass, minimum stopword hits — and the conjunctive keep flag.
+
+    The top-bigram fraction is computed IN-ROW: sort the bigram array,
+    then a single aggregate() pass tracks the longest equal-adjacent
+    run — no explode, no per-doc groupBy shuffle. At 100 TB this whole
+    operator is a narrow map over the corpus scan."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    sum_len = F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+    mean_wl = sum_len / n
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stop = F.expr(f"size(filter(toks, x -> x in ({stop_list})))")
+    # longest run of equal adjacent elements in the SORTED bigram array
+    # == max bigram multiplicity; state = (prev, run, best)
+    top_big = F.expr(
+        "aggregate("
+        "  array_sort(transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        "    i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1)))),"
+        "  struct(cast(null as string) as prev, 0 as run, 0 as best),"
+        "  (acc, x) -> struct(x as prev,"
+        "    if(acc.prev is not null and x = acc.prev, acc.run + 1, 1) as run,"
+        "    greatest(acc.best, if(acc.prev is not null and x = acc.prev, acc.run + 1, 1)) as best),"
+        "  acc -> acc.best)"
+    )
+    out = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(top_big / F.greatest(n - 1, F.lit(1)), 6).alias("top_bigram_frac"),
+        n_stop.alias("n_stopwords"),
+        (
+            n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+            & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (top_big / F.greatest(n - 1, F.lit(1)) <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+        ).alias("keep"),
+    )
+    return out
+
+
+# fastText-style classifier with PINNED weights: each token hashes to
+# one of 16 buckets via its first md5 hex digit (portable to the oracle:
+# strpos over the hex alphabet); the doc representation is the MEAN of
+# bucket weights. Weights are dyadic rationals (multiples of 1/64), so
+# the per-doc weight sum is EXACT in float64 and order-independent —
+# the same determinism move as UNIGRAM_LOGPROB above. Production would
+# broadcast fitted weights; pinning keeps the oracle closed-form.
+QUALITY_CLF_WEIGHTS = [
+    0.5, -0.25, 0.75, -0.5, 0.25, -0.75, 1.0, -1.0,
+    0.125, -0.125, 0.375, -0.375, 0.625, -0.625, 0.875, -0.875,
+]
+QUALITY_CLF_BIAS = 0.25
+
+
+def quality_classifier_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, clf_score, keep): sigmoid(bias + mean bucket
+    weight), keep = score >= 0.5 decided on the UNROUNDED score (both
+    engines compute the identical double, so the flag is stable)."""
+    w_arr = ", ".join(f"cast({w} as double)" for w in QUALITY_CLF_WEIGHTS)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    wsum = F.expr(
+        f"aggregate(toks, cast(0 as double), (acc, x) -> acc + "
+        f"element_at(array({w_arr}), "
+        f"instr('0123456789abcdef', substring(md5(cast(x as binary)), 1, 1))))"
+    )
+    logit = F.lit(QUALITY_CLF_BIAS) + wsum / F.size("toks")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(score, 6).alias("clf_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -5076,3 +5076,84 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+from shifu_spark.operators.text import (  # noqa: E402
+    GOPHER_STOPWORDS as _GQ_STOP,
+    QUALITY_CLF_BIAS as _QC_BIAS,
+    QUALITY_CLF_WEIGHTS as _QC_W,
+)
+
+_GQ_STOP_SQL = ", ".join(f"'{s}'" for s in _GQ_STOP)
+_QC_W_SQL = ", ".join(f"CAST({w} AS DOUBLE)" for w in _QC_W)
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+         len(list_filter(toks, x -> list_contains([{_GQ_STOP_SQL}], x))) AS n_stop
+  FROM t),
+bg AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM t) GROUP BY doc_id, g),
+top AS (SELECT doc_id, max(c) AS top_c FROM bg GROUP BY doc_id)
+SELECT base.doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  round(sum_len / n_tokens, 6) AS mean_word_len,
+  round(top_c / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+  CAST(n_stop AS INT) AS n_stopwords,
+  (n_tokens BETWEEN 10 AND 100000
+   AND sum_len / n_tokens >= CAST(2.0 AS DOUBLE)
+   AND sum_len / n_tokens <= CAST(10.0 AS DOUBLE)
+   AND top_c / greatest(n_tokens - 1, 1) <= CAST(0.20 AS DOUBLE)
+   AND n_stop >= 2) AS keep
+FROM base JOIN top ON base.doc_id = top.doc_id
+ORDER BY base.doc_id
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus filters (token-count / mean-word-length /
+    top-bigram-mass / stopword floor) as ONE narrow in-row map: the
+    bigram multiplicity comes from an aggregate() run-length pass over
+    the sorted in-row bigram array, so the whole operator is
+    shuffle-free on the corpus side (the oracle mirrors it relationally
+    with an unnest+groupBy). Signals + conjunctive keep flag per doc."""
+    from shifu_spark.operators.text import gopher_quality_df
+
+    return gopher_quality_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "quality_classifier_score",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_aggregate(list_transform(toks, x ->
+           (list_value({_QC_W_SQL}))[strpos('0123456789abcdef', substr(md5(x), 1, 1))]
+         ), 'sum') AS wsum
+  FROM t)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST({_QC_BIAS} AS DOUBLE) + wsum / n_tokens))), 6) AS clf_score,
+  (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST({_QC_BIAS} AS DOUBLE) + wsum / n_tokens))) >= CAST(0.5 AS DOUBLE)) AS keep
+FROM s ORDER BY doc_id
+""",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier with pinned dyadic weights:
+    token -> md5-hex bucket -> mean bucket weight -> sigmoid. In-row
+    aggregate over the token array (zero shuffle); the dyadic weights
+    make the per-doc sum exact and order-independent, so the sigmoid
+    input is the identical double on both engines."""
+    from shifu_spark.operators.text import quality_classifier_df
+
+    return quality_classifier_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -221,3 +221,15 @@ class TestContinuationRound4Shapes:
         docs = _t(spark, SF, "documents")
         pay = _synth_adpcm_payloads(docs)
         assert pay.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    def test_quality_filters_are_shuffle_free_maps(self, spark):
+        # Gopher rules + hashed-bucket classifier are in-row HOFs: the
+        # only exchange either plan may have is the output orderBy's
+        # range partition — nothing data-scale shuffles
+        from shifu_spark.queries import QUERIES
+
+        for name in ("gopher_quality_flags", "quality_classifier_score"):
+            df = QUERIES[name](spark, SF)
+            assert count_shuffles(df) <= 1, name
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("FileScan parquet") == 1, name
