@@ -4977,55 +4977,51 @@ ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25(k1=1.2, b=0.75) top-20 docs for a pinned 3-term query.
 
-    Plan shape (the one that survives 100 TB): ONE explode+filter
-    corpus scan builds per-(doc, term) tf for the QUERY TERMS ONLY
-    (filter pushed before the groupBy, so shuffle volume is matches,
-    not tokens) with the doc length folded into the same aggregate;
-    the matches-sized tf frame is then locally checkpointed so the
-    document-frequency aggregate reuses it instead of re-scanning the
-    corpus (the naive form re-computed the whole tf subtree twice).
-    The only other corpus scan is the unavoidable corpus-level avgdl
-    reduce (one row out). dfreq/stats are metric-sized frames
-    broadcast back; final top-k is TakeOrderedAndProject, no global
-    sort. Per-term contributions are rounded to integer micro-units
-    before the per-doc sum so the fold is exact and order-independent
-    (the dyadic trick from unigram_logprob_quality, adapted)."""
+    Plan shape (the one that survives 100 TB): per-term tf and doc
+    length are computed IN-ROW (size(filter(toks, ...)) per query
+    term — no token explode, no (doc, term) shuffle at all) in ONE
+    corpus scan, locally checkpointed; corpus stats AND per-term
+    document frequencies then come out of a single 1-row aggregate
+    over that checkpoint (broadcast back), and the score is one more
+    narrow in-row expression. The only exchanges in the whole query
+    are the 1-row aggregate and the TakeOrderedAndProject top-k —
+    zero data-scale shuffles. Per-term contributions are rounded to
+    integer micro-units and summed in fixed column order so the score
+    is exact and order-independent (the dyadic trick from
+    unigram_logprob_quality, adapted)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    stats = toks.select(F.size("toks").alias("dl")).agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        # dl is functionally dependent on doc_id; max() carries it
-        # through so tf+dl come out of the single corpus scan
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-        .localCheckpoint(eager=True)
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf_cols = [
+        F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    wide = toks.select(
+        "doc_id", F.size("toks").alias("dl"), *tf_cols
+    ).localCheckpoint(eager=True)
+    aggs = [F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(_BM25_TERMS))
+    ]
+    glob = wide.agg(*aggs)
     one = F.lit(1.0)
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
-    contrib = (
-        tf.crossJoin(F.broadcast(stats))
-        .join(F.broadcast(dfreq), "term")
-        .withColumn(
-            "c_micro",
-            F.round(
-                F.log(one + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-                * (F.col("tf") * (k1 + one))
-                / (
-                    F.col("tf")
-                    + k1 * (one - b + b * F.col("dl") / (F.col("sum_dl").cast("double") / F.col("n_docs")))
-                )
-                * F.lit(1000000.0)
-            ).cast("long"),
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    c_micro = []
+    for i in range(len(_BM25_TERMS)):
+        tf_i, df_i = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(one + (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5)))
+        contrib = (
+            idf
+            * (tf_i * (k1 + one))
+            / (tf_i + k1 * (one - b + b * F.col("dl") / avgdl))
+            * F.lit(1000000.0)
         )
-    )
+        c_micro.append(F.when(tf_i > 0, F.round(contrib).cast("long")).otherwise(F.lit(0)))
+    score = sum(c_micro[1:], c_micro[0]) / F.lit(1000000.0)
     return (
-        contrib.groupBy("doc_id")
-        .agg((F.sum("c_micro") / F.lit(1000000.0)).alias("score"))
+        wide.crossJoin(F.broadcast(glob))
+        .filter(sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0)
+        .select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )

@@ -34,7 +34,10 @@ def test_curve_metrics_releases_cache(spark, scored):
     out = curve_metrics_df(scored, "score", F.col("label") == 1)
     row = out.collect()[0]
     assert row["auc"] is not None
-    assert _persistent_rdd_count(spark) == before
+    # <= (not ==): an earlier test's GC-pending localCheckpoint may be
+    # cleaner-released DURING this test, dropping the count below `before`;
+    # the contract here is only that the curve pass adds nothing persistent
+    assert _persistent_rdd_count(spark) <= before
 
 
 def test_weighted_curve_metrics_releases_cache(spark, scored):
@@ -44,7 +47,10 @@ def test_weighted_curve_metrics_releases_cache(spark, scored):
     out = weighted_curve_metrics_df(scored, "score", F.col("label") == 1, "w")
     row = out.collect()[0]
     assert row["weighted_auc"] is not None
-    assert _persistent_rdd_count(spark) == before
+    # <= (not ==): an earlier test's GC-pending localCheckpoint may be
+    # cleaner-released DURING this test, dropping the count below `before`;
+    # the contract here is only that the curve pass adds nothing persistent
+    assert _persistent_rdd_count(spark) <= before
 
 
 def test_pr_auc_trapezoid_releases_cache(spark, scored):
@@ -54,7 +60,10 @@ def test_pr_auc_trapezoid_releases_cache(spark, scored):
     pts = confusion_points_df(scored, "score", F.col("label") == 1)
     row = pr_auc_trapezoid(pts).collect()[0]
     assert row["pr_auc"] is not None
-    assert _persistent_rdd_count(spark) == before
+    # <= (not ==): an earlier test's GC-pending localCheckpoint may be
+    # cleaner-released DURING this test, dropping the count below `before`;
+    # the contract here is only that the curve pass adds nothing persistent
+    assert _persistent_rdd_count(spark) <= before
 
 
 def test_dedup_queries_release_caches(spark):

@@ -191,15 +191,18 @@ class TestBucketedJoin:
 
 class TestContinuationRound4Shapes:
     def test_bm25_single_corpus_scan_and_topk(self, spark):
-        # tf (+doc length) comes out of ONE corpus scan and is locally
-        # checkpointed so the dfreq aggregate reuses it; the only other
-        # FileScan is the corpus-level avgdl reduce. Top-k must be
-        # TakeOrderedAndProject, never a global sort.
+        # per-term tf + doc length are in-row (no token explode); the
+        # single corpus scan happens once at checkpoint time, and the
+        # final plan reads only the checkpoint: zero FileScans, zero
+        # data-scale shuffles, TakeOrderedAndProject top-k (never a
+        # global sort)
         from shifu_spark.queries import QUERIES
 
         df = QUERIES["bm25_topk"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("FileScan parquet") == 1
+        assert plan.count("FileScan parquet") == 0  # reads the checkpoint
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert plan.count("Exchange rangepartitioning") == 0
         assert "TakeOrderedAndProject" in plan
 
     def test_decontamination_benchmark_side_broadcast(self, spark):
