@@ -57,7 +57,6 @@ _PRIORITY = [
     "varselect_top_iv",
     "gain_buckets",
     "segment_expansion",
-    "distinct_counts",
     "sensitivity_se",
     "sensitivity_st",
     "score_rescale",
@@ -111,6 +110,10 @@ _PRIORITY = [
     # both displaced names join the r5 front list in NOTES.md)
     "gopher_quality_flags",
     "quality_classifier_score",
+    # sequence packing (first driver row); displaces the r02-proven
+    # distinct_counts sentinel (trivial agg; the stats family keeps
+    # column_stats + freq_items in-window) — r5 front list in NOTES.md
+    "sequence_packing",
 ]
 
 

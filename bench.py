@@ -117,6 +117,7 @@ HEADLINE_STAGES = {
     "decontamination_overlap": "text",
     "gopher_quality_flags": "text",
     "quality_classifier_score": "text",
+    "sequence_packing": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

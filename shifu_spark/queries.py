@@ -5153,3 +5153,68 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.text import quality_classifier_df
 
     return quality_classifier_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 16
+
+
+@query(
+    "sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM t)
+SELECT doc_id,
+  CAST(shard AS INT) AS shard,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(tok_offset AS BIGINT) AS tok_offset,
+  CAST(tok_offset // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+  CAST((tok_offset + n_tokens - 1) // {_PACK_BUDGET} - tok_offset // {_PACK_BUDGET} + 1 AS BIGINT)
+    AS n_seqs
+FROM c ORDER BY doc_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate docs in a
+    deterministic order and chop into fixed {budget}-token training
+    sequences. Docs are first hashed into shards (md5 of the doc id —
+    engine-portable and layout-independent); within a shard a window
+    prefix-sum assigns each doc its token offset, first sequence index
+    and spanned-sequence count. The per-shard window is the one
+    sequential piece packing fundamentally needs; at 100 TB you scale
+    the SHARD COUNT with the corpus (shard ~ output file) so each
+    window partition stays bounded — 16 here at test scale. No other
+    shuffle: one scan + one window exchange on shard."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shard = (
+        F.expr("instr('0123456789abcdef', substring(md5(cast(cast(doc_id as string) as binary)), 1, 1))")
+        - 1
+    )
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        shard.cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.col("tok_offset").cast("long").alias("tok_offset"),
+        F.expr(f"tok_offset div {_PACK_BUDGET}").cast("long").alias("first_seq"),
+        (
+            F.expr(f"(tok_offset + n_tokens - 1) div {_PACK_BUDGET}")
+            - F.expr(f"tok_offset div {_PACK_BUDGET}")
+            + F.lit(1)
+        ).cast("long").alias("n_seqs"),
+    ).orderBy("doc_id")

@@ -236,3 +236,15 @@ class TestContinuationRound4Shapes:
             assert count_shuffles(df) <= 1, name
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert plan.count("FileScan parquet") == 1, name
+
+    def test_sequence_packing_windows_by_shard(self, spark):
+        # the packing prefix-sum must partition its window by shard
+        # (bounded partitions — shard count scales with the corpus);
+        # exactly one hash exchange (the window) + the output sort
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["sequence_packing"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition(shard" in plan
+        import re
+        assert len(re.findall(r"\+- Exchange hashpartitioning", plan)) == 1
