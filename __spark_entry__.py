@@ -61,7 +61,6 @@ _PRIORITY = [
     "sensitivity_st",
     "score_rescale",
     "multiclass_tag_recode",
-    "embedding_topk",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
     # -- new round-4 queries (first driver row). nn_forward_pinned takes
@@ -114,6 +113,10 @@ _PRIORITY = [
     # distinct_counts sentinel (trivial agg; the stats family keeps
     # column_stats + freq_items in-window) — r5 front list in NOTES.md
     "sequence_packing",
+    # IVF-ADC (first driver row); displaces the r02-proven brute-force
+    # embedding_topk baseline (the ANN family keeps pq_encode /
+    # pq_adc_topk in-window) — r5 front list in NOTES.md
+    "embedding_ivfpq_topk",
 ]
 
 

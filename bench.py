@@ -118,6 +118,7 @@ HEADLINE_STAGES = {
     "gopher_quality_flags": "text",
     "quality_classifier_score": "text",
     "sequence_packing": "text",
+    "embedding_ivfpq_topk": "similarity",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -839,3 +839,74 @@ def pq_adc_topk_df(
         .select(id_col, *[f"code{s}" for s in range(len(codebooks))],
                 F.round("adc", 6).alias("adc"))
     )
+
+
+def ivf_pq_topk_df(
+    embeddings: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    centroid_filter: Column,
+    k: int = 10,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC (Jégou et al. 2011 §IV): the canonical production ANN
+    layout — coarse quantizer prunes the corpus to the query's top-p
+    cells, then PQ asymmetric distance ranks only those candidates.
+
+    Plan: cell assignment (broadcast centroids, one narrow pass) joins
+    the PQ codes (at scale: precomputed, stored as bytes); the query's
+    probed cells are computed driver-side from the catalog-sized
+    centroid set (sequential float64 fold — the same arithmetic the
+    oracle's list_dot_product runs) and pushed down as an isin filter,
+    so the ADC scan touches ~probes/#cells of the corpus; top-k is
+    TakeOrderedAndProject. This variant encodes RAW vectors (not
+    residuals) — the residual refinement changes only the codebook
+    training, not the plan shape."""
+    cents_rows = (
+        embeddings.filter(centroid_filter)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()  # catalog-sized: #cells rows
+    )
+
+    def dot1(a: list[float], b: list[float]) -> float:
+        # sequential float64 fold == duckdb list_dot_product == dot_expr
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qnorm = dot1(query, query) ** 0.5
+    scored_cells = []
+    for r in cents_rows:
+        cv = [float(x) for x in r["cvec"]]
+        scored_cells.append((dot1(query, cv) / (qnorm * dot1(cv, cv) ** 0.5), r["cid"]))
+    # higher cosine first, centroid id tie-break (mirrors the SQL sort)
+    scored_cells.sort(key=lambda t: (-t[0], t[1]))
+    probed = [cid for _, cid in scored_cells[:probes]]
+
+    cells = ivf_assign_cells(embeddings, centroid_filter, id_col, vec_col)
+    codes = pq_encode_df(embeddings, codebooks, id_col, vec_col)
+    cand = (
+        cells.select("vec_id", "cell")  # ivf_assign_cells aliases the id
+        .filter(F.col("cell").isin(probed))
+        .join(codes.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    )
+    lut = pq_adc_lut(query, codebooks)
+    adc_sql = " + ".join(
+        "CASE code{s} {whens} ELSE CAST({last!r} AS DOUBLE) END".format(
+            s=s,
+            whens=" ".join(
+                f"WHEN {c} THEN CAST({v!r} AS DOUBLE)" for c, v in enumerate(row[:-1])
+            ),
+            last=row[-1],
+        )
+        for s, row in enumerate(lut)
+    )
+    return (
+        cand.withColumn("adc", F.expr(adc_sql))
+        .orderBy("adc", "vec_id")
+        .limit(k)
+        .select("vec_id", "cell", F.round("adc", 6).alias("adc"))
+    )

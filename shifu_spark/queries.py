@@ -5218,3 +5218,77 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).cast("long").alias("n_seqs"),
     ).orderBy("doc_id")
+
+
+@query("embedding_ivfpq_topk", None)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC: the canonical production ANN (coarse IVF cells prune the
+    corpus to the query's top-2 probed cells, PQ asymmetric distance
+    ranks only those candidates — operators/similarity.ivf_pq_topk_df).
+    Seed centroids (vec_id < 8) + pinned query/codebooks keep the oracle
+    deterministic; the oracle re-derives the probed cells INDEPENDENTLY
+    in SQL (window over centroid cosines), so the driver-side probe
+    computation is cross-checked, not copied."""
+    from shifu_spark.operators.similarity import (
+        ivf_pq_topk_df,
+        pq_codebooks_pinned,
+        pq_query_pinned,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_df(
+        emb, pq_query_pinned(), pq_codebooks_pinned(), F.col("vec_id") < 8,
+        k=20, probes=2,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from shifu_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_codebooks_pinned,
+        pq_query_pinned,
+    )
+
+    q = pq_query_pinned()
+    lut = pq_adc_lut(q, pq_codebooks_pinned())
+    qv = "list_value(" + ", ".join(f"({v!r})::DOUBLE" for v in q) + ")"
+    adc_terms = []
+    for s, row in enumerate(lut):
+        whens = " ".join(f"WHEN {c} THEN ({v!r})::DOUBLE" for c, v in enumerate(row[:-1]))
+        adc_terms.append(f"CASE code{s} {whens} ELSE ({row[-1]!r})::DOUBLE END")
+    adc = " + ".join(adc_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vnorm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cvec, vnorm AS cnorm FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT cid, row_number() OVER (
+    ORDER BY list_dot_product({qv}, cvec)
+             / (sqrt(list_dot_product({qv}, {qv})) * cnorm) DESC, cid ASC) AS prn
+  FROM cents),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cvec) / (e.vnorm * c.cnorm) AS ccos
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM scored
+),
+cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rn = 1),
+{_pq_codes_cte().lstrip()},
+cand AS (
+  SELECT cells.vec_id, cells.cell,
+         codes.code0, codes.code1, codes.code2, codes.code3
+  FROM cells JOIN codes USING (vec_id)
+  WHERE cells.cell IN (SELECT cid FROM probe WHERE prn <= 2)
+)
+SELECT vec_id, cell, round({adc}, 6) AS adc
+FROM cand ORDER BY {adc}, vec_id LIMIT 20
+"""
+
+
+ORACLES["embedding_ivfpq_topk"] = _ivfpq_oracle()

@@ -248,3 +248,17 @@ class TestContinuationRound4Shapes:
         assert "windowspecdefinition(shard" in plan
         import re
         assert len(re.findall(r"\+- Exchange hashpartitioning", plan)) == 1
+
+    def test_ivfpq_prunes_cells_and_uses_topk(self, spark):
+        # the probed-cell filter must prune candidates BEFORE the code
+        # join (cell isin pushed into the assignment branch), and the
+        # final top-k must be TakeOrderedAndProject
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["embedding_ivfpq_topk"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        import re
+        # the probed-cell literal IN-filter is fused into the cell
+        # assignment's own Filter (Catalyst pushes it under the project)
+        assert re.search(r"Filter .*cid#\d+L? IN \(", plan), plan[:2000]
