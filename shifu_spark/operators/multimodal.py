@@ -1254,18 +1254,11 @@ def ima_adpcm_decode_nibbles(pred: int, idx: int, nibbles) -> list[int]:
     predictor clamped to int16, index adapted and clamped to [0, 88]."""
     out = [pred]
     for nib in nibbles:
-        nib = int(nib)
-        step = int(_IMA_STEPS[idx])
-        diffq = step >> 3
-        if nib & 4:
-            diffq += step
-        if nib & 2:
-            diffq += step >> 1
-        if nib & 1:
-            diffq += step >> 2
-        pred = pred - diffq if nib & 8 else pred + diffq
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+        # ONE recurrence implementation for encoder and decoder:
+        # _ima_step is the closed-loop state advance both sides share,
+        # so they can never diverge (the lossless re-encode invariant
+        # in tests depends on that)
+        pred, idx = _ima_step(pred, idx, int(nib))
         out.append(pred)
     return out
 

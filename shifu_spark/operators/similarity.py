@@ -804,6 +804,59 @@ def pq_adc_lut(
     return lut
 
 
+def pq_adc_case_sql(lut: list[list[float]], cast_fmt: str = "CAST({v!r} AS DOUBLE)") -> str:
+    """ADC distance as one SQL expression: Σ_s CASE code_s ... END.
+
+    THE single LUT-to-CASE generator for every ADC consumer (Spark exprs
+    AND DuckDB oracles — pass cast_fmt="({v!r})::DOUBLE" for the duckdb
+    spelling). Every LUT literal is cast to DOUBLE: bare decimal
+    literals type as DECIMAL in both Spark SQL and DuckDB, and an
+    all-literal CASE sum would then run in decimal arithmetic
+    (different type AND different rounding than the engines' double
+    sum)."""
+    terms = []
+    for s, row in enumerate(lut):
+        whens = " ".join(
+            f"WHEN {c} THEN " + cast_fmt.format(v=v) for c, v in enumerate(row[:-1])
+        )
+        terms.append(f"CASE code{s} {whens} ELSE " + cast_fmt.format(v=row[-1]) + " END")
+    return " + ".join(terms)
+
+
+def _dot1(a, b) -> float:
+    """Scalar sequential float64 fold — bit-identical to dot_expr's SQL
+    fold and duckdb's list_dot_product (same accumulation order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def probed_cells(
+    embeddings: DataFrame,
+    query: list[float],
+    centroid_filter: Column,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The query's top-``probes`` coarse cells, computed driver-side from
+    the catalog-sized centroid set with the sequential fold the oracles
+    mirror. Ranking: cosine desc, centroid id asc (ties)."""
+    cents_rows = (
+        embeddings.filter(centroid_filter)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()  # catalog-sized: #cells rows
+    )
+    qnorm = _dot1(query, query) ** 0.5
+    ranked = []
+    for r in cents_rows:
+        cv = [float(x) for x in r["cvec"]]
+        ranked.append((-(_dot1(query, cv) / (qnorm * _dot1(cv, cv) ** 0.5)), r["cid"]))
+    ranked.sort()
+    return [cid for _, cid in ranked[:probes]]
+
+
 def pq_adc_topk_df(
     embeddings: DataFrame,
     query: list[float],
@@ -818,20 +871,7 @@ def pq_adc_topk_df(
     (pq_encode_df output stored as bytes) and this is a scan over 4-byte
     codes + a catalog-sized LUT — the classic IVF-ADC second stage."""
     codes = pq_encode_df(embeddings, codebooks, id_col, vec_col)
-    lut = pq_adc_lut(query, codebooks)
-    # CAST every LUT literal to DOUBLE: bare decimal literals type as
-    # DECIMAL in both Spark SQL and DuckDB, and an all-literal CASE sum
-    # would then run in decimal arithmetic (different type + rounding)
-    adc_sql = " + ".join(
-        "CASE code{s} {whens} ELSE CAST({last!r} AS DOUBLE) END".format(
-            s=s,
-            whens=" ".join(
-                f"WHEN {c} THEN CAST({v!r} AS DOUBLE)" for c, v in enumerate(row[:-1])
-            ),
-            last=row[-1],
-        )
-        for s, row in enumerate(lut)
-    )
+    adc_sql = pq_adc_case_sql(pq_adc_lut(query, codebooks))
     return (
         codes.withColumn("adc", F.expr(adc_sql))
         .orderBy("adc", id_col)
@@ -864,27 +904,7 @@ def ivf_pq_topk_df(
     TakeOrderedAndProject. This variant encodes RAW vectors (not
     residuals) — the residual refinement changes only the codebook
     training, not the plan shape."""
-    cents_rows = (
-        embeddings.filter(centroid_filter)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()  # catalog-sized: #cells rows
-    )
-
-    def dot1(a: list[float], b: list[float]) -> float:
-        # sequential float64 fold == duckdb list_dot_product == dot_expr
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    qnorm = dot1(query, query) ** 0.5
-    scored_cells = []
-    for r in cents_rows:
-        cv = [float(x) for x in r["cvec"]]
-        scored_cells.append((dot1(query, cv) / (qnorm * dot1(cv, cv) ** 0.5), r["cid"]))
-    # higher cosine first, centroid id tie-break (mirrors the SQL sort)
-    scored_cells.sort(key=lambda t: (-t[0], t[1]))
-    probed = [cid for _, cid in scored_cells[:probes]]
+    probed = probed_cells(embeddings, query, centroid_filter, probes, id_col, vec_col)
 
     cells = ivf_assign_cells(embeddings, centroid_filter, id_col, vec_col)
     codes = pq_encode_df(embeddings, codebooks, id_col, vec_col)
@@ -893,17 +913,7 @@ def ivf_pq_topk_df(
         .filter(F.col("cell").isin(probed))
         .join(codes.withColumnRenamed(id_col, "vec_id"), "vec_id")
     )
-    lut = pq_adc_lut(query, codebooks)
-    adc_sql = " + ".join(
-        "CASE code{s} {whens} ELSE CAST({last!r} AS DOUBLE) END".format(
-            s=s,
-            whens=" ".join(
-                f"WHEN {c} THEN CAST({v!r} AS DOUBLE)" for c, v in enumerate(row[:-1])
-            ),
-            last=row[-1],
-        )
-        for s, row in enumerate(lut)
-    )
+    adc_sql = pq_adc_case_sql(pq_adc_lut(query, codebooks))
     return (
         cand.withColumn("adc", F.expr(adc_sql))
         .orderBy("adc", "vec_id")
@@ -941,3 +951,39 @@ def pq_train_codebooks(
                     C[c] = X[m].mean(0)
         books.append([[float(v) for v in row] for row in C])
     return books
+
+
+def pq_encode_arrow(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched PQ encode — the BULK path for large codebooks.
+
+    The expression form (:func:`pq_encode_df`) is the oracle-mirrored
+    mechanism proof, but its codegen cost grows with k (k=16 -> ~5s of
+    plan compile per run); this kernel computes the same codes in numpy
+    with the distance accumulated SEQUENTIALLY over dims (the same
+    left-associated fold as the SQL expression — np.argmin shares the
+    CASE chain's lowest-index tie rule), verified code-identical against
+    the expression form in tests. Same output schema."""
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = B[0].shape[1]
+
+    def run(batches):
+        for pdf in batches:
+            M = np.asarray([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
+            out = {id_col: pdf[id_col]}
+            for s, C in enumerate(B):
+                X = M[:, s * sub : (s + 1) * sub]
+                d = np.zeros((len(X), len(C)))
+                for j in range(sub):  # sequential over dims == SQL fold
+                    diff = X[:, j][:, None] - C[:, j][None, :]
+                    d = d + diff * diff
+                out[f"code{s}"] = d.argmin(1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"code{s} int" for s in range(len(B)))
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema)

@@ -5252,11 +5252,9 @@ def _ivfpq_oracle() -> str:
     q = pq_query_pinned()
     lut = pq_adc_lut(q, pq_codebooks_pinned())
     qv = "list_value(" + ", ".join(f"({v!r})::DOUBLE" for v in q) + ")"
-    adc_terms = []
-    for s, row in enumerate(lut):
-        whens = " ".join(f"WHEN {c} THEN ({v!r})::DOUBLE" for c, v in enumerate(row[:-1]))
-        adc_terms.append(f"CASE code{s} {whens} ELSE ({row[-1]!r})::DOUBLE END")
-    adc = " + ".join(adc_terms)
+    from shifu_spark.operators.similarity import pq_adc_case_sql
+
+    adc = pq_adc_case_sql(lut)
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -5307,14 +5305,6 @@ def _ann_sq_expr(vec_sql: str, q: list[float]) -> str:
     )
 
 
-def _ann_adc_sql(lut: list[list[float]]) -> str:
-    terms = []
-    for s, row in enumerate(lut):
-        whens = " ".join(f"WHEN {c} THEN CAST({v!r} AS DOUBLE)" for c, v in enumerate(row[:-1]))
-        terms.append(f"CASE code{s} {whens} ELSE CAST({row[-1]!r} AS DOUBLE) END")
-    return " + ".join(terms)
-
-
 @query("ann_recall_report", None)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality ladder: recall@20 against the EXACT answer for three
@@ -5335,13 +5325,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same deterministic Lloyd fit on the same rows read through
     DuckDB, so every count is cross-engine-checked. Measured honestly:
     on THIS corpus (uniform random embeddings — the hard case for ANN,
-    no cluster structure) the ladder is ~0.70 / ~0.20 / ~0.70."""
+    no cluster structure) the ladder is ~0.70 / ~0.20 / ~0.70.
+
+    Cost shape: the wide literal expressions (64-term d2 fold, k=16
+    ADC CASEs) are evaluated ONCE into localCheckpoints, and all three
+    method counts come from a single tagged-union action — the naive
+    five-action form re-ran the big exprs per count."""
     from shifu_spark.operators.similarity import (
         ivf_assign_cells,
+        pq_adc_case_sql,
         pq_adc_lut,
-        pq_encode_df,
+        pq_encode_arrow,
         pq_query_pinned,
         pq_train_codebooks,
+        probed_cells,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5352,35 +5349,42 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     books = pq_train_codebooks(sample, subspaces=4, k=_ANN_PQ_K, iters=10)
 
-    sq = _ann_sq_expr("CAST(element_at(embedding, {i}) AS DOUBLE)", q)
-    d2f = emb.select("vec_id", F.expr(sq).alias("d2"))
-    codes = pq_encode_df(emb, books)
-    adcf = codes.withColumn("adc", F.expr(_ann_adc_sql(pq_adc_lut(q, books)))).select(
-        "vec_id", "adc"
+    # Arrow kernels for the two wide computations (exact-d2 fold and
+    # k=16 PQ encode): the expression forms pay ~5s of codegen compile
+    # per run at this expression width; both kernels accumulate
+    # sequentially over dims, so floats (and therefore argmin codes)
+    # are bit-identical to the SQL folds the oracle runs — pinned by
+    # the differential test in tests/test_operators.py.
+    def _d2_arrow(batches):
+        import numpy as np
+        import pandas as pd
+
+        qa = np.asarray(q, dtype=np.float64)
+        for pdf in batches:
+            M = np.asarray([list(map(float, v)) for v in pdf["embedding"]], dtype=np.float64)
+            d = np.zeros(len(M))
+            for j in range(len(qa)):  # sequential over dims == SQL fold
+                diff = M[:, j] - qa[j]
+                d = d + diff * diff
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "d2": d})
+
+    d2f = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_d2_arrow, "vec_id long, d2 double")
+        .localCheckpoint(eager=True)
     )
-
-    cents_rows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
-
-    def dot1(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    qn = dot1(q, q) ** 0.5
-    ranked = sorted(
-        (
-            (-dot1(q, [float(x) for x in r["embedding"]])
-             / (qn * dot1([float(x) for x in r["embedding"]],
-                          [float(x) for x in r["embedding"]]) ** 0.5), r["vec_id"])
-            for r in cents_rows
-        )
+    adcf = (
+        pq_encode_arrow(emb, books)
+        .withColumn("adc", F.expr(pq_adc_case_sql(pq_adc_lut(q, books))))
+        .select("vec_id", "adc")
+        .localCheckpoint(eager=True)
     )
-    probed = [cid for _, cid in ranked[:_ANN_PROBES]]
+    probed = probed_cells(emb, q, F.col("vec_id") < 8, _ANN_PROBES)
     cand = (
         ivf_assign_cells(emb, F.col("vec_id") < 8)
         .filter(F.col("cell").isin(probed))
         .select("vec_id")
+        .localCheckpoint(eager=True)
     )
 
     exact = d2f.orderBy("d2", "vec_id").limit(_ANN_K).select("vec_id")
@@ -5389,10 +5393,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = cand.join(adcf, "vec_id").orderBy("adc", "vec_id").limit(_ANN_R).select("vec_id")
     rerank = short.join(d2f, "vec_id").orderBy("d2", "vec_id").limit(_ANN_K).select("vec_id")
 
-    out = []
-    for method, ids in (("ivf_flat", flat), ("ivfpq_adc", adc_only), ("ivfpq_rerank", rerank)):
-        h = ids.join(exact, "vec_id").count()
-        out.append((method, _ANN_K, int(h), round(h / _ANN_K, 6)))
+    tagged = (
+        flat.withColumn("method", F.lit("ivf_flat"))
+        .union(adc_only.withColumn("method", F.lit("ivfpq_adc")))
+        .union(rerank.withColumn("method", F.lit("ivfpq_rerank")))
+    )
+    counts = {
+        r["method"]: r["h"]
+        for r in tagged.join(exact, "vec_id")
+        .groupBy("method")
+        .agg(F.count("*").alias("h"))
+        .collect()
+    }
+    out = [
+        (m, _ANN_K, int(counts.get(m, 0)), round(counts.get(m, 0) / _ANN_K, 6))
+        for m in ("ivf_flat", "ivfpq_adc", "ivfpq_rerank")
+    ]
     return spark.createDataFrame(out, "method string, k int, hits int, recall double")
 
 
@@ -5404,6 +5420,7 @@ def _ann_recall_oracle() -> str:
     import duckdb
 
     from shifu_spark.operators.similarity import (
+        pq_adc_case_sql,
         pq_adc_lut,
         pq_query_pinned,
         pq_train_codebooks,
@@ -5460,7 +5477,7 @@ cand AS (
   WHERE rn = 1 AND cid IN (SELECT cid FROM probe WHERE prn <= {_ANN_PROBES})),
 d AS (SELECT vec_id, {', '.join(dist_cols)} FROM embeddings),
 codes AS (SELECT vec_id, {', '.join(code_cols)} FROM d),
-adcf AS (SELECT vec_id, {_ann_adc_sql(lut)} AS adc FROM codes),
+adcf AS (SELECT vec_id, {pq_adc_case_sql(lut)} AS adc FROM codes),
 d2f AS (SELECT vec_id, {sq} AS d2 FROM embeddings),
 exact20 AS (SELECT vec_id FROM d2f ORDER BY d2, vec_id LIMIT {_ANN_K}),
 flat20 AS (SELECT vec_id FROM cand JOIN d2f USING (vec_id) ORDER BY d2, vec_id LIMIT {_ANN_K}),
@@ -5479,7 +5496,12 @@ SELECT 'ivfpq_rerank', CAST({_ANN_K} AS INT),
 """
 
 
-try:
+# Guarded by an explicit existence check (NOT a bare except): a missing
+# canonical gate dataset legitimately degrades to rows-only, but any
+# real failure in the oracle builder must raise loudly at import rather
+# than silently weaken the correctness gate. The build cost is bounded
+# (500-row read + a 4x16-centroid Lloyd fit, ~100ms).
+import os as _os  # noqa: E402
+
+if _os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
     ORACLES["ann_recall_report"] = _ann_recall_oracle()
-except Exception:  # canonical gate data missing -> rows-only fallback
-    pass

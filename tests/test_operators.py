@@ -763,3 +763,27 @@ class TestScoreRescale:
         assert mm == [0.0, 0.5, 1.0]
         degenerate = [r[0] for r in df.select(rescale_maxmin_expr("s", F.lit(1.0), F.lit(1.0)).alias("v")).collect()]
         assert degenerate == [0.5, 0.5, 0.5]
+
+
+class TestPQArrowDifferential:
+    def test_arrow_encode_matches_expression_form(self, spark):
+        """pq_encode_arrow (bulk kernel) must produce byte-identical
+        codes to pq_encode_df (the oracle-mirrored expression form) —
+        the sequential-over-dims fold and argmin lowest-index tie rule
+        are the load-bearing equivalences."""
+        from shifu_spark.operators.similarity import (
+            pq_encode_arrow,
+            pq_encode_df,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        sample = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(256).select("embedding").collect()
+        ]
+        for k in (4, 16):
+            books = pq_train_codebooks(sample, subspaces=4, k=k, iters=5)
+            a = [tuple(r) for r in pq_encode_df(emb, books).orderBy("vec_id").collect()]
+            b = [tuple(r) for r in pq_encode_arrow(emb, books).orderBy("vec_id").collect()]
+            assert a == b, f"k={k}: arrow/expression code divergence"
