@@ -55,11 +55,9 @@ _PRIORITY = [
     "ksiv_equal_population",
     "ksiv_weighted",
     "varselect_top_iv",
-    "gain_buckets",
     "segment_expansion",
     "sensitivity_st",
     "score_rescale",
-    "multiclass_tag_recode",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
     # -- new round-4 queries (first driver row). nn_forward_pinned takes
@@ -119,6 +117,12 @@ _PRIORITY = [
     # ANN recall ladder (first driver row); displaces sensitivity_se
     # (sibling sensitivity_st stays in-window) — r5 front list
     "ann_recall_report",
+    # mixture sampling + streaming decontamination (first driver rows);
+    # displace the r02-proven gain_buckets and multiclass_tag_recode
+    # (the eval/normalize families keep many in-window greens) — both
+    # displaced names join the r5 front list in NOTES.md
+    "source_mixture_sample",
+    "streaming_decontamination",
 ]
 
 

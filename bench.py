@@ -120,6 +120,8 @@ HEADLINE_STAGES = {
     "sequence_packing": "text",
     "embedding_ivfpq_topk": "similarity",
     "ann_recall_report": "similarity",
+    "source_mixture_sample": "stats",
+    "streaming_decontamination": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

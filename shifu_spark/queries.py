@@ -5505,3 +5505,111 @@ import os as _os  # noqa: E402
 
 if _os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
     ORACLES["ann_recall_report"] = _ann_recall_oracle()
+
+
+def _mixture_oracle() -> str:
+    from shifu_spark.operators.purify import _hex_threshold
+
+    whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
+    return f"""
+WITH d AS (
+  SELECT source, doc_id,
+         (CAST(substr(source, 4) AS INT) * 7) % 9 + 1 AS bucket
+  FROM documents),
+k AS (
+  SELECT source, bucket,
+         md5('mix' || '|' || doc_id) < (CASE bucket {whens} END) AS keep
+  FROM d)
+SELECT source,
+  count(*) AS n_docs,
+  count(*) FILTER (WHERE keep) AS n_kept,
+  round(max(bucket) / CAST(10 AS DOUBLE), 6) AS target_rate,
+  round(count(*) FILTER (WHERE keep) / count(*), 6) AS kept_frac
+FROM k GROUP BY source ORDER BY source
+"""
+
+
+@query("source_mixture_sample", None)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixture sampling: each source is down-sampled at
+    its own target rate (the mixture-weights step of corpus assembly —
+    e.g. upweight curated sources, downweight crawl). Rates here are a
+    pinned function of the source index (((idx*7) % 9 + 1)/10); row
+    membership is the content-keyed md5-threshold test from
+    purify.hash_bernoulli_sample, so the sampled corpus is identical
+    across reruns, partitionings and engines — reproducible mixtures
+    are what make ablations comparable. One narrow scan + one
+    per-source agg; no shuffle of kept rows needed to decide
+    membership."""
+    from shifu_spark.operators.purify import _hex_threshold
+
+    whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.expr("(CAST(substring(source, 4) AS INT) * 7) % 9 + 1").alias("bucket"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            "md5(cast(concat('mix', '|', cast(doc_id as string)) as binary))"
+            f" < (CASE bucket {whens} END)"
+        ),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.max("bucket") / F.lit(10.0), 6).alias("target_rate"),
+            F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["source_mixture_sample"] = _mixture_oracle()
+
+
+@query("streaming_decontamination", None)
+def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of decontamination_overlap (9th streaming
+    pattern): documents arrive as a stream, the benchmark shingle set is
+    a STATIC broadcast side (eval suites are small and change rarely —
+    at scale you'd rebuild the broadcast per release, not per batch),
+    and the per-doc overlap aggregate is the stream's one stateful
+    operator. A doc's shingles explode inside its own input row, so the
+    per-doc group completes within a micro-batch and the bounded
+    availableNow replay equals the batch result the oracle computes."""
+    from shifu_spark.operators.dedup import shingles_df
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = (
+        shingles_df(batch.filter(F.col("doc_id") % 50 == 0), n=5)
+        .select("shingle").distinct().withColumn("hit", F.lit(1))
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tsh = shingles_df(stream.filter(F.col("doc_id") % 50 != 0), n=5)
+    agg = (
+        tsh.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    sink = _run_stream_to_sink(spark, agg, "sdecon", output_mode="update")
+    return sink.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias("contamination_frac"),
+    ).orderBy("doc_id")
+
+
+# identical result contract to the batch twin -> identical oracle
+ORACLES["streaming_decontamination"] = ORACLES["decontamination_overlap"]
