@@ -96,10 +96,11 @@ def test_streaming_queries_drop_memory_sinks(spark):
 
     sf = "/root/testdata/sf0.001"
     QUERIES["streaming_running_stats"](spark, sf).count()
+    QUERIES["streaming_decontamination"](spark, sf).count()
     leftovers = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith(("drift_", "sess_", "mhdedup_", "rstats_"))
+        if t.name.startswith(("drift_", "sess_", "mhdedup_", "rstats_", "sdecon_"))
     ]
     assert leftovers == []
 
