@@ -121,3 +121,85 @@ class TestSeqDotExactness:
             for d in range(dim):
                 acc = acc + a[r, d] * b[r, d]
             assert got[r] == acc  # bitwise equality, not isclose
+
+
+class TestMulawProperties:
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_companding_laws(self, xs):
+        """∀ int16 inputs: (1) idempotence — decode is a fixed point of
+        the codec; (2) bounded error — |x - dec(x)| ≤ half the widest
+        quantization cell (512) + the clip loss (132); (3) sign and
+        order preservation on the decoded magnitudes."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import mulaw_compress, mulaw_expand
+
+        x = np.array(xs, dtype=np.int64)
+        dec = mulaw_expand(mulaw_compress(x))
+        # idempotence: decoded values re-encode to the same code
+        assert (mulaw_compress(dec) == mulaw_compress(x)).all()
+        assert int(np.abs(dec - x).max()) <= 512 + 132
+        assert ((dec == 0) | (np.sign(dec) == np.sign(x)) | (np.abs(x) < 4)).all()
+
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+           st.sampled_from([8000, 16000, 44100]))
+    @settings(max_examples=50, deadline=None)
+    def test_container_roundtrip(self, xs, rate):
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            decode_wav_compressed,
+            encode_wav_mulaw,
+            mulaw_compress,
+            mulaw_expand,
+        )
+
+        x = np.array(xs, dtype=np.int64)
+        s, r, nch, codec = decode_wav_compressed(encode_wav_mulaw(x, rate))
+        assert (codec, r, nch, len(s)) == ("mulaw", rate, 1, len(x))
+        assert (s == mulaw_expand(mulaw_compress(x))).all()
+
+
+class TestImaAdpcmProperties:
+    @given(
+        st.integers(-32768, 32767),
+        st.integers(0, 88),
+        st.lists(st.integers(0, 15), min_size=2, max_size=200).map(
+            lambda n: n if len(n) % 2 == 0 else n + [0]
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_container_bit_exact_for_any_state(self, pred0, idx0, nibs):
+        """∀ (predictor, index, nibble stream): container pack/unpack is
+        bit-exact (low-nibble-first layout, header predictor = sample 0)
+        and decoded samples stay inside int16."""
+        from shifu_spark.operators.multimodal import (
+            decode_wav_compressed,
+            encode_wav_ima_adpcm_state,
+            ima_adpcm_decode_nibbles,
+        )
+
+        ref = ima_adpcm_decode_nibbles(pred0, idx0, nibs)
+        s, _r, _nch, codec = decode_wav_compressed(
+            encode_wav_ima_adpcm_state(pred0, idx0, nibs)
+        )
+        assert codec == "ima_adpcm"
+        assert s.tolist() == ref
+        assert all(-32768 <= v <= 32767 for v in ref)
+
+    @given(st.lists(st.integers(-30000, 30000), min_size=2, max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_encoder_decoded_signals_are_fixed_points(self, xs):
+        """encode(decode(encode(x))) == encode(x): once a signal has
+        passed through the codec, re-encoding is lossless."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            decode_wav_compressed,
+            encode_wav_ima_adpcm,
+        )
+
+        x = np.array(xs, dtype=np.int64)
+        d1, *_ = decode_wav_compressed(encode_wav_ima_adpcm(x))
+        d2, *_ = decode_wav_compressed(encode_wav_ima_adpcm(d1))
+        # d2 may carry one extra sample (odd nibble counts pad with a
+        # zero-delta code); the original span must be reproduced exactly
+        assert (d2[: len(d1)] == d1).all()
