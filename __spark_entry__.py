@@ -57,7 +57,6 @@ _PRIORITY = [
     "varselect_top_iv",
     "segment_expansion",
     "sensitivity_st",
-    "score_rescale",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
     # -- new round-4 queries (first driver row). nn_forward_pinned takes
@@ -123,6 +122,9 @@ _PRIORITY = [
     # displaced names join the r5 front list in NOTES.md
     "source_mixture_sample",
     "streaming_decontamination",
+    # WARC archive ingest (first driver row); displaces the r02-proven
+    # score_rescale expression map — r5 front list in NOTES.md
+    "warc_extract_stats",
 ]
 
 

@@ -122,6 +122,7 @@ HEADLINE_STAGES = {
     "ann_recall_report": "similarity",
     "source_mixture_sample": "stats",
     "streaming_decontamination": "streaming",
+    "warc_extract_stats": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -1,0 +1,107 @@
+"""WARC (Web ARChive, ISO 28500) writer/reader — the container Common
+Crawl ships, i.e. THE ingest format of a web-scale pretraining pipeline.
+
+Layout implemented from the public spec: each record is a WARC/1.0
+header block (CRLF-separated ``Name: value`` lines, terminated by a
+blank line), ``Content-Length`` octets of body, and a CRLF CRLF record
+separator. Files are stored as CONCATENATED PER-RECORD GZIP MEMBERS —
+the exact layout crawl archives use so readers can seek to a record and
+inflate just that member; the reader here walks members with
+``zlib.decompressobj(wbits=31)`` (preserving member boundaries rather
+than flattening the stream) and parses one record per member.
+
+At 100 TB: WARC payloads travel as binary columns (one file or one
+record-group per row); both synth and extract stages run as
+Arrow-batched ``mapInPandas`` over payload-sized partitions — the same
+multimodal plumbing contract as operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+_CRLF = b"\r\n"
+
+
+def write_warc_record(
+    warc_type: str,
+    uri: str | None,
+    body: bytes,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """One uncompressed WARC/1.0 record with the mandatory framing."""
+    lines = [b"WARC/1.0", f"WARC-Type: {warc_type}".encode()]
+    if uri is not None:
+        lines.append(f"WARC-Target-URI: {uri}".encode())
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(body)}".encode())
+    return _CRLF.join(lines) + _CRLF + _CRLF + body + _CRLF + _CRLF
+
+
+def encode_warc(
+    records: list[tuple[str, str | None, bytes, dict[str, str] | None]],
+    per_record_gzip: bool = True,
+) -> bytes:
+    """Assemble a WARC file from (type, uri, body, extra_headers)
+    tuples. ``per_record_gzip=True`` emits one gzip member per record
+    (the crawl-archive layout; mtime pinned to 0 so payloads are
+    byte-deterministic), else a plain concatenation."""
+    out = bytearray()
+    for warc_type, uri, body, extra in records:
+        raw = write_warc_record(warc_type, uri, body, extra)
+        out += gzip.compress(raw, mtime=0) if per_record_gzip else raw
+    return bytes(out)
+
+
+def _parse_records(raw: bytes) -> list[dict]:
+    """Parse concatenated uncompressed records via Content-Length."""
+    out = []
+    i = 0
+    while i < len(raw):
+        he = raw.find(_CRLF + _CRLF, i)
+        if he < 0:
+            raise ValueError("truncated WARC header block")
+        lines = raw[i:he].split(_CRLF)
+        if lines[0] != b"WARC/1.0":
+            raise ValueError(f"unsupported WARC version line {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.decode().strip()] = v.decode().strip()
+        if "Content-Length" not in headers:
+            raise ValueError("record missing Content-Length")
+        n = int(headers["Content-Length"])
+        body = raw[he + 4 : he + 4 + n]
+        if len(body) != n:
+            raise ValueError("truncated WARC body")
+        out.append({"headers": headers, "body": body})
+        i = he + 4 + n
+        if raw[i : i + 4] != _CRLF + _CRLF:
+            raise ValueError("missing record separator")
+        i += 4
+    return out
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """REAL WARC decode. Gzip files are walked MEMBER BY MEMBER (each
+    inflated with its own decompressobj; ``unused_data`` marks the next
+    member's offset) — one record per member, as crawl archives store
+    them; plain files are split by Content-Length. Returns
+    [{"headers": {...}, "body": bytes}, ...]."""
+    if payload[:2] == b"\x1f\x8b":
+        records = []
+        rest = payload
+        while rest:
+            d = zlib.decompressobj(wbits=31)
+            raw = d.decompress(rest)
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            member = _parse_records(raw)
+            if len(member) != 1:
+                raise ValueError(f"expected 1 record per gzip member, got {len(member)}")
+            records.extend(member)
+            rest = d.unused_data
+        return records
+    return _parse_records(payload)

@@ -99,3 +99,40 @@ class TestSinksAndSplits:
         out = shuffle_dataset(df, num_partitions=8)
         assert out.rdd.getNumPartitions() == 8
         assert sorted(r["id"] for r in out.collect()) == list(range(500))
+
+
+class TestWarc:
+    def test_roundtrip_gzip_members_and_plain(self):
+        from shifu_spark.sources.warc import encode_warc, parse_warc
+
+        recs = [
+            ("response", "http://a.example/1", b"hello \x00 binary", {"X-N": "7"}),
+            ("metadata", None, b"lang: de\r\n", None),
+        ]
+        for gz in (True, False):
+            out = parse_warc(encode_warc(recs, per_record_gzip=gz))
+            assert [r["headers"]["WARC-Type"] for r in out] == ["response", "metadata"]
+            assert out[0]["body"] == b"hello \x00 binary"
+            assert out[0]["headers"]["X-N"] == "7"
+            assert "WARC-Target-URI" not in out[1]["headers"]
+
+    def test_determinism_and_member_boundaries(self):
+        from shifu_spark.sources.warc import encode_warc, parse_warc
+
+        recs = [("response", "http://x/1", bytes(range(256)) * 10, None)] * 3
+        a, b = encode_warc(recs), encode_warc(recs)
+        assert a == b  # mtime pinned -> byte-deterministic payloads
+        assert len(parse_warc(a)) == 3
+
+    def test_corruption_raises(self):
+        import pytest
+        from shifu_spark.sources.warc import encode_warc, parse_warc, write_warc_record
+
+        blob = encode_warc([("response", "http://x/1", b"abc", None)])
+        with pytest.raises(ValueError):
+            parse_warc(blob[: len(blob) - 4])  # truncated gzip member
+        raw = write_warc_record("response", "http://x/1", b"abc")
+        with pytest.raises(ValueError):
+            parse_warc(raw[:-2])  # missing record separator
+        with pytest.raises(ValueError):
+            parse_warc(b"WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
