@@ -48,7 +48,6 @@ _PRIORITY = [
     "nation_revenue",
     "purify_filter",
     "exact_dedup",
-    "shingleset_dedup",
     "minhash_lsh_pairs",
     "text_stats",
     "ksiv_categorical",
@@ -125,6 +124,10 @@ _PRIORITY = [
     # WARC archive ingest (first driver row); displaces the r02-proven
     # score_rescale expression map — r5 front list in NOTES.md
     "warc_extract_stats",
+    # quality-aware dedup representative (first driver row); displaces
+    # the r02-proven shingleset_dedup (exact_dedup + minhash_lsh_pairs
+    # keep the family in-window) — r5 front list in NOTES.md
+    "dedup_rep_by_quality",
 ]
 
 

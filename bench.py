@@ -123,6 +123,7 @@ HEADLINE_STAGES = {
     "source_mixture_sample": "stats",
     "streaming_decontamination": "streaming",
     "warc_extract_stats": "multimodal",
+    "dedup_rep_by_quality": "dedup",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

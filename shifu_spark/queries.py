@@ -5705,3 +5705,82 @@ def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ("doc_id long, n_records int, uri string, host string, "
               "response_bytes long, meta_lang string")
     return _synth_warc_payloads(docs).mapInPandas(run, schema).orderBy("doc_id")
+
+
+@query("dedup_rep_by_quality", None)
+def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection — the production
+    form of keep-one-per-cluster: instead of min doc_id, each near-dup
+    group keeps its HIGHEST-QUALITY member (classifier score desc, doc
+    id asc on rounded-6 score ties — exact dups score identically, so
+    the tie rule is load-bearing and mirrored in the oracle). Composes
+    the banded-LSH group resolution with the hashed-bucket classifier;
+    the per-group window partitions by group_id (bounded by cluster
+    size — scale-safe)."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
+    from shifu_spark.operators.text import quality_classifier_df
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
+        "doc_a", "doc_b"
+    )
+    try:
+        groups = dedup_groups_df(pairs)
+    except BaseException:
+        for c in caches:
+            c.unpersist()
+        raise
+    groups = _materialize_release(groups, caches)
+    sc = quality_classifier_df(docs).select("doc_id", "clf_score")
+    j = groups.join(sc, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("clf_score"), F.asc("doc_id"))
+    reps = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("rep_id"),
+            F.col("clf_score").alias("rep_score"),
+        )
+    )
+    sizes = j.groupBy("group_id").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.join(reps, "group_id")
+        .select("group_id", "n_members", "rep_id", "rep_score")
+        .orderBy("group_id")
+    )
+
+
+# Oracle: the dedup_groups CTE chain is REUSED BY CONSTRUCTION (string
+# prefix up to its final SELECT), extended with the classifier-score
+# CTE (same _QC_W_SQL/_QC_BIAS constants as quality_classifier_score's
+# oracle — both oracles being green against the same Spark operator
+# pins the formula) and the same rounded-score/doc-id window rule.
+_DG_CTE_PREFIX = ORACLES["dedup_groups"].rsplit("SELECT src AS doc_id", 1)[0].rstrip()
+assert _DG_CTE_PREFIX.endswith(")"), "dedup_groups oracle shape changed"
+ORACLES["dedup_rep_by_quality"] = (
+    _DG_CTE_PREFIX
+    + f""",
+g AS (SELECT src AS doc_id, min(lbl) AS group_id FROM reach GROUP BY src),
+qsc AS (
+  SELECT doc_id,
+         round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+               + exp(-(CAST({_QC_BIAS} AS DOUBLE) + wsum / n_tokens))), 6) AS clf_score
+  FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+           list_aggregate(list_transform(toks, x ->
+             (list_value({_QC_W_SQL}))[strpos('0123456789abcdef', substr(md5(x), 1, 1))]
+           ), 'sum') AS wsum
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+j AS (SELECT g.doc_id, g.group_id, qsc.clf_score FROM g JOIN qsc USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+        ORDER BY clf_score DESC, doc_id ASC) AS rn FROM j),
+sizes AS (SELECT group_id, count(*) AS n_members FROM j GROUP BY group_id)
+SELECT sizes.group_id, sizes.n_members, r.doc_id AS rep_id, r.clf_score AS rep_score
+FROM sizes JOIN r ON sizes.group_id = r.group_id AND r.rn = 1
+ORDER BY sizes.group_id
+"""
+)
