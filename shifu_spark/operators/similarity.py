@@ -804,22 +804,22 @@ def pq_adc_lut(
     return lut
 
 
-def pq_adc_case_sql(lut: list[list[float]], cast_fmt: str = "CAST({v!r} AS DOUBLE)") -> str:
+def pq_adc_case_sql(lut: list[list[float]]) -> str:
     """ADC distance as one SQL expression: Σ_s CASE code_s ... END.
 
-    THE single LUT-to-CASE generator for every ADC consumer (Spark exprs
-    AND DuckDB oracles — pass cast_fmt="({v!r})::DOUBLE" for the duckdb
-    spelling). Every LUT literal is cast to DOUBLE: bare decimal
-    literals type as DECIMAL in both Spark SQL and DuckDB, and an
-    all-literal CASE sum would then run in decimal arithmetic
+    THE single LUT-to-CASE generator for every ADC consumer — Spark
+    exprs AND DuckDB oracles share it verbatim (CAST ... AS DOUBLE is
+    valid SQL on both engines). Every LUT literal is cast to DOUBLE:
+    bare decimal literals type as DECIMAL in both Spark SQL and DuckDB,
+    and an all-literal CASE sum would then run in decimal arithmetic
     (different type AND different rounding than the engines' double
     sum)."""
     terms = []
     for s, row in enumerate(lut):
         whens = " ".join(
-            f"WHEN {c} THEN " + cast_fmt.format(v=v) for c, v in enumerate(row[:-1])
+            f"WHEN {c} THEN CAST({v!r} AS DOUBLE)" for c, v in enumerate(row[:-1])
         )
-        terms.append(f"CASE code{s} {whens} ELSE " + cast_fmt.format(v=row[-1]) + " END")
+        terms.append(f"CASE code{s} {whens} ELSE CAST({row[-1]!r} AS DOUBLE) END")
     return " + ".join(terms)
 
 

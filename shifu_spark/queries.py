@@ -4399,11 +4399,7 @@ def _spread_doc_ids(docs: DataFrame) -> DataFrame:
     test scale, and one partition would serialize the whole
     encode+decode codec pipeline (measured: image_jpeg_features
     8.5s -> ~1.5s at sf0.1)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src_df = docs.select("doc_id")
-    if src_df.rdd.getNumPartitions() < par:
-        src_df = src_df.repartition(par)
-    return src_df
+    return _spread_doc_ids_cols(docs, ["doc_id"])
 
 
 def _synth_wav_payloads(docs: DataFrame) -> DataFrame:
@@ -5544,17 +5540,18 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.purify import _hex_threshold
 
     whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
+    from shifu_spark.operators.purify import _hash_key
+
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "source",
         "doc_id",
         F.expr("(CAST(substring(source, 4) AS INT) * 7) % 9 + 1").alias("bucket"),
     ).withColumn(
+        # the canonical salted key from purify (one spelling for every
+        # hash-membership op; its NULL/delimiter contract applies here)
         "keep",
-        F.expr(
-            "md5(cast(concat('mix', '|', cast(doc_id as string)) as binary))"
-            f" < (CASE bucket {whens} END)"
-        ),
+        _hash_key(["doc_id"], "mix") < F.expr(f"CASE bucket {whens} END"),
     )
     return (
         d.groupBy("source")
@@ -5760,7 +5757,8 @@ def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle — both oracles being green against the same Spark operator
 # pins the formula) and the same rounded-score/doc-id window rule.
 _DG_CTE_PREFIX = ORACLES["dedup_groups"].rsplit("SELECT src AS doc_id", 1)[0].rstrip()
-assert _DG_CTE_PREFIX.endswith(")"), "dedup_groups oracle shape changed"
+if not _DG_CTE_PREFIX.endswith(")"):  # explicit raise: assert compiles out under -O
+    raise RuntimeError("dedup_groups oracle shape changed; fix the CTE-prefix split")
 ORACLES["dedup_rep_by_quality"] = (
     _DG_CTE_PREFIX
     + f""",

@@ -95,7 +95,10 @@ def parse_warc(payload: bytes) -> list[dict]:
         rest = payload
         while rest:
             d = zlib.decompressobj(wbits=31)
-            raw = d.decompress(rest)
+            try:
+                raw = d.decompress(rest)
+            except zlib.error as e:  # corruption contract is ValueError
+                raise ValueError(f"corrupt gzip member: {e}") from e
             if not d.eof:
                 raise ValueError("truncated gzip member")
             member = _parse_records(raw)

@@ -131,6 +131,10 @@ class TestWarc:
         blob = encode_warc([("response", "http://x/1", b"abc", None)])
         with pytest.raises(ValueError):
             parse_warc(blob[: len(blob) - 4])  # truncated gzip member
+        corrupt = bytearray(blob)
+        corrupt[len(corrupt) // 2] ^= 0xFF  # bit-flipped member body
+        with pytest.raises(ValueError):  # zlib.error wrapped per contract
+            parse_warc(bytes(corrupt))
         raw = write_warc_record("response", "http://x/1", b"abc")
         with pytest.raises(ValueError):
             parse_warc(raw[:-2])  # missing record separator
