@@ -262,3 +262,28 @@ class TestContinuationRound4Shapes:
         # the probed-cell literal IN-filter is fused into the cell
         # assignment's own Filter (Catalyst pushes it under the project)
         assert re.search(r"Filter .*cid#\d+L? IN \(", plan), plan[:2000]
+
+
+class TestPartitionPruning:
+    def test_partitioned_sink_scan_prunes_partitions(self, spark, tmp_path):
+        """The 100 TB date-partitioned-lake story: writing
+        partitionBy(day) and filtering on day must produce a scan whose
+        PartitionFilters carry the predicate, reading only the matching
+        directories — partition pruning is what turns a full-lake scan
+        into a one-day scan (SURVEY §4 optimizer notes)."""
+        ev = spark.createDataFrame(
+            [(d, i, float(i)) for d in range(5) for i in range(200)],
+            "day int, user_id int, value double",
+        )
+        path = str(tmp_path / "pev")
+        ev.write.partitionBy("day").mode("overwrite").parquet(path)
+        df = spark.read.parquet(path).filter(F.col("day") == 3).groupBy().sum("value")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [(day" in plan, plan
+        # the pruned scan must expose only the day=3 slice
+        assert df.collect()[0][0] == sum(float(i) for i in range(200))
+        n_files = spark.read.parquet(path).filter(F.col("day") == 3).select(
+            F.input_file_name()
+        ).distinct().count()
+        all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+        assert n_files < all_files  # strictly fewer files touched
