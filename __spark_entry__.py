@@ -49,7 +49,6 @@ _PRIORITY = [
     "purify_filter",
     "exact_dedup",
     "minhash_lsh_pairs",
-    "text_stats",
     "ksiv_categorical",
     "ksiv_equal_population",
     "ksiv_weighted",
@@ -128,6 +127,10 @@ _PRIORITY = [
     # the r02-proven shingleset_dedup (exact_dedup + minhash_lsh_pairs
     # keep the family in-window) — r5 front list in NOTES.md
     "dedup_rep_by_quality",
+    # GIF/LZW codec (first driver row); displaces the r02-proven
+    # text_stats (the text family holds many r4 in-window greens) —
+    # r5 front list in NOTES.md
+    "video_gif_features",
 ]
 
 

@@ -124,6 +124,7 @@ HEADLINE_STAGES = {
     "streaming_decontamination": "streaming",
     "warc_extract_stats": "multimodal",
     "dedup_rep_by_quality": "dedup",
+    "video_gif_features": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -1587,3 +1587,234 @@ def extract_mjpeg_video_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec (GIF87a/89a, variable-width LZW) — the third
+# compression family in the media lane (DCT+Huffman = JPEG/MJPEG,
+# DEFLATE = PNG, LZW = GIF), written from the public spec: logical
+# screen descriptor, global color table, per-frame image descriptors,
+# LSB-first variable-width LZW codes in length-prefixed sub-blocks,
+# 0x3B trailer. Multi-frame files are the animation form (frame
+# sampling applies as for y4m/MJPEG). Lossless, so registry oracles
+# are exact closed forms.
+# ---------------------------------------------------------------------------
+
+
+class _LsbBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real variable-width GIF-LZW: dictionary-building encoder with
+    CLEAR emitted up front and on dictionary overflow (4096 codes)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    w = _LsbBitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(1 << min_code_size)}, end + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    w.write(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        w.write(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            w.write(clear, width)
+            table, next_code, width = reset()
+        buf = bytes([b])
+    if buf:
+        w.write(table[buf], width)
+    w.write(end, width)
+    return w.finish()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Real variable-width GIF-LZW decoder (LSB-first codes, dictionary
+    rebuild on CLEAR, the KwKwK first-entry special case)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    pos = 0  # bit position
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        if (pos + width) > len(data) * 8:
+            raise ValueError("truncated LZW stream")
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(f"LZW decoded {len(out)} pixels, expected {n_expected}")
+    return bytes(out)
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(payload):
+        n = payload[i]
+        if n == 0:
+            break
+        out += payload[i + 1 : i + 1 + n]
+        i += 1 + n
+    return bytes(out)
+
+
+def encode_gif(
+    frames: np.ndarray, palette: np.ndarray, min_code_size: int = 6
+) -> bytes:
+    """Encode (n, h, w) uint8 palette-index frames + (k, 3) palette as a
+    real multi-frame GIF89a (global color table, one image descriptor +
+    LZW stream per frame)."""
+    n, h, wdt = frames.shape
+    k = 1 << min_code_size
+    if palette.shape[0] != k:
+        raise ValueError("palette size must be 2^min_code_size")
+    out = bytearray(b"GIF89a")
+    out += wdt.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | ((min_code_size - 1) << 4) | (min_code_size - 1), 0, 0])
+    out += np.ascontiguousarray(palette, dtype=np.uint8).tobytes()
+    for f in frames:
+        out += b"\x2c" + bytes(4)  # separator, left=0, top=0
+        out += wdt.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out.append(min_code_size)
+        lzw = _gif_lzw_encode(np.ascontiguousarray(f, dtype=np.uint8).tobytes(), min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """REAL GIF decode: header + logical screen descriptor + global
+    color table, then every image descriptor's LZW stream. Returns
+    ((n, h, w) uint8 index frames, (k, 3) palette). Interlace and local
+    color tables raise rather than misread."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    wdt = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without global color table unsupported")
+    k = 2 << (packed & 7)
+    i = 13
+    palette = np.frombuffer(payload, np.uint8, k * 3, i).reshape(k, 3).copy()
+    i += k * 3
+    frames = []
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            i += 2
+            while payload[i]:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block {b:#x}")
+        fw = int.from_bytes(payload[i + 5 : i + 7], "little")
+        fh = int.from_bytes(payload[i + 7 : i + 9], "little")
+        fpacked = payload[i + 9]
+        if fpacked & 0x80:
+            raise NotImplementedError("local color tables unsupported")
+        if fpacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        mcs = payload[i + 10]
+        i += 11
+        start = i
+        while payload[i]:
+            i += 1 + payload[i]
+        i += 1
+        idx = _gif_lzw_decode(_sub_blocks(payload[start:i]), mcs, fw * fh)
+        frames.append(np.frombuffer(idx, np.uint8).reshape(fh, fw))
+    return (np.stack(frames) if frames else np.empty((0, h, wdt), np.uint8)), palette
+
+
+def extract_gif_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sample_every: int = 2,
+) -> DataFrame:
+    """Arrow-batched REAL GIF decode (LZW + palette) with the same
+    frame-sampled stat family as the other video codecs; pixels are
+    palette-mapped to RGB before the stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in VIDEO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, palette = decode_gif(bytes(payload))
+                rgb = palette[frames]  # (n, h, w, 3) uint8
+                sampled = rgb[::sample_every].astype(np.int64)
+                npx = sampled.shape[0] * sampled.shape[1] * sampled.shape[2]
+                out["doc_id"].append(doc_id)
+                out["codec"].append("gif")
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["n_frames"].append(frames.shape[0])
+                out["n_sampled"].append(sampled.shape[0])
+                out["byte_sum"].append(int(sampled.sum()))
+                out["mean_y"].append(round(int(sampled[:, :, :, 0].sum()) / npx, 6) if npx else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)

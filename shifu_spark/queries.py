@@ -5782,3 +5782,69 @@ FROM sizes JOIN r ON sizes.group_id = r.group_id AND r.rn = 1
 ORDER BY sizes.group_id
 """
 )
+
+
+def _synth_gif_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = real multi-frame GIF89a: nf=2+d%3 frames of
+    (10+d%7) x (8+d%5), 64-color global palette with color i =
+    ((i*3)%256, (i*5)%256, (i*7)%256), pixel index (f, p) =
+    (d*11 + f*29 + p*3) % 64."""
+    from shifu_spark.operators.multimodal import encode_gif
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(64, dtype=np.int64)
+        pal = np.stack([(i * 3) % 256, (i * 5) % 256, (i * 7) % 256], 1).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf, w, h = 2 + d % 3, 10 + d % 7, 8 + d % 5
+                f = np.arange(nf, dtype=np.int64)[:, None]
+                p = np.arange(w * h, dtype=np.int64)[None, :]
+                idx = ((d * 11 + f * 29 + p * 3) % 64).astype(np.uint8).reshape(nf, h, w)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "video_gif_features",
+    """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 10 + doc_id % 7 AS w,
+                  8 + doc_id % 5 AS h FROM documents),
+fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM d),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+px AS (SELECT doc_id, nf, w, h, f, unnest(range(0, w*h)) AS p FROM sampled),
+v AS (SELECT doc_id, nf, w, h, f, (doc_id*11 + f*29 + p*3) % 64 AS idx FROM px),
+c AS (SELECT doc_id, nf, w, h, f,
+             (idx*3) % 256 AS r, (idx*5) % 256 AS g, (idx*7) % 256 AS b FROM v)
+SELECT doc_id,
+  'gif' AS codec,
+  CAST(max(w) AS INT) AS width,
+  CAST(max(h) AS INT) AS height,
+  CAST(max(nf) AS INT) AS n_frames,
+  CAST(count(DISTINCT f) AS INT) AS n_sampled,
+  CAST(sum(r + g + b) AS BIGINT) AS byte_sum,
+  round(CAST(sum(r) AS DOUBLE) / (count(DISTINCT f) * max(w) * max(h)), 6) AS mean_y
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def video_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(REAL GIF89a: global color table + per-frame
+    variable-width LZW in length-prefixed sub-blocks)→decode(LSB-first
+    LZW with dictionary rebuild + KwKwK case, palette mapping)→
+    frame-sample→stats. GIF is lossless, so the oracle is an exact
+    closed form over the synthesized indices — a wrong code width
+    schedule, sub-block split, palette stride or frame offset breaks
+    the driver hash. Third compression family proven in the media lane
+    (DCT+Huffman, DEFLATE, now LZW); multi-frame = the animation form
+    (spec independence pinned by a hand-built byte stream in
+    tests/test_multimodal_streaming.py::TestGifCodec)."""
+    from shifu_spark.operators.multimodal import extract_gif_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_gif_features(_synth_gif_payloads(docs), sample_every=2).orderBy("doc_id")

@@ -516,3 +516,72 @@ class TestCompressedCodecs:
             decode_avi_mjpeg(bytes(avi))
         with pytest.raises(ValueError):
             decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+class TestGifCodec:
+    def test_lossless_roundtrip_multiframe(self):
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+        frames = rng.integers(0, 64, (5, 11, 23)).astype(np.uint8)
+        dec, dpal = decode_gif(encode_gif(frames, pal))
+        assert (dec == frames).all() and (dpal == pal).all()
+
+    def test_dictionary_overflow_clear_paths(self):
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_gif, encode_gif
+
+        pal = np.zeros((64, 3), np.uint8)
+        # highly repetitive data drives the dictionary to 4096 and
+        # forces mid-stream CLEAR codes
+        big = np.tile(np.arange(64, dtype=np.uint8).repeat(53), 30)[:90000]
+        frames = big[: 90000 // 300 * 300].reshape(1, 300, 300)
+        dec, _ = decode_gif(encode_gif(frames, pal))
+        assert (dec == frames).all()
+
+    def test_decoder_reads_hand_built_spec_stream(self):
+        """Spec independence: a GIF byte stream assembled BY HAND from
+        the published format (pixel-per-code LZW, explicit width
+        schedule) — an encoding path our encoder never produces — must
+        decode to the intended pixels."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_gif
+
+        # 2x2 image, 4-color palette, min_code_size=2:
+        # clear=4, end=5; codes (4,1,2,3 @3 bits, then 0,5 @4 bits —
+        # width bumps to 4 after the decoder's table reaches 8 entries)
+        acc = 0
+        pos = 0
+        for code, width in [(4, 3), (1, 3), (2, 3), (3, 3), (0, 4), (5, 4)]:
+            acc |= code << pos
+            pos += width
+        lzw = acc.to_bytes((pos + 7) // 8, "little")
+        payload = bytearray()
+        payload += b"GIF89a"
+        payload += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        payload += bytes([0x80 | 0x01, 0, 0])  # GCT present, 4 entries
+        payload += bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+        payload += b"\x2c" + bytes(4) + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00"
+        payload += bytes([2])  # min code size
+        payload += bytes([len(lzw)]) + lzw + b"\x00"
+        payload += b"\x3b"
+        frames, pal = decode_gif(bytes(payload))
+        assert frames.shape == (1, 2, 2)
+        assert frames[0].tolist() == [[1, 2], [3, 0]]
+        assert pal.tolist()[1] == [40, 50, 60]
+
+    def test_rejects_unsupported_profiles(self):
+        import numpy as np
+        import pytest
+        from shifu_spark.operators.multimodal import decode_gif, encode_gif
+
+        pal = np.zeros((64, 3), np.uint8)
+        blob = bytearray(encode_gif(np.zeros((1, 4, 4), np.uint8), pal))
+        with pytest.raises(ValueError):
+            decode_gif(b"JIF89a" + bytes(20))
+        i = blob.index(0x2C)
+        blob[i + 9] |= 0x40  # interlace flag
+        with pytest.raises(NotImplementedError):
+            decode_gif(bytes(blob))
