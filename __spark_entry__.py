@@ -51,7 +51,6 @@ _PRIORITY = [
     "minhash_lsh_pairs",
     "ksiv_categorical",
     "ksiv_equal_population",
-    "ksiv_weighted",
     "varselect_top_iv",
     "segment_expansion",
     "sensitivity_st",
@@ -131,6 +130,10 @@ _PRIORITY = [
     # text_stats (the text family holds many r4 in-window greens) —
     # r5 front list in NOTES.md
     "video_gif_features",
+    # webdataset shard ingest (first driver row); displaces the
+    # r02-proven ksiv_weighted (categorical/equal_population keep the
+    # family in-window) — r5 front list in NOTES.md
+    "wds_shard_stats",
 ]
 
 

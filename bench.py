@@ -125,6 +125,7 @@ HEADLINE_STAGES = {
     "warc_extract_stats": "multimodal",
     "dedup_rep_by_quality": "dedup",
     "video_gif_features": "multimodal",
+    "wds_shard_stats": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

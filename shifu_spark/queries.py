@@ -5848,3 +5848,77 @@ def video_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_gif_features(_synth_gif_payloads(docs), sample_every=2).orderBy("doc_id")
+
+
+def _synth_wds_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = a webdataset tar shard with two samples:
+    key 'a' -> a.txt (the doc text) + a.cls (lang); key 'b' ->
+    b.txt (the source name) + b.cls ('und')."""
+    from shifu_spark.sources.webdataset import encode_wds_shard
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for text, lang, source in zip(pdf["text"], pdf["lang"], pdf["source"]):
+                payloads.append(
+                    encode_wds_shard(
+                        [
+                            ("a", [("txt", str(text).encode()), ("cls", str(lang).encode())]),
+                            ("b", [("txt", str(source).encode()), ("cls", b"und")]),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        _spread_doc_ids_cols(docs, ["doc_id", "text", "lang", "source"])
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+
+
+@query(
+    "wds_shard_stats",
+    """
+SELECT doc_id, 'a' AS sample_key, CAST(2 AS INT) AS n_parts,
+       CAST(n_chars AS BIGINT) AS txt_bytes, lang AS cls
+FROM documents
+UNION ALL
+SELECT doc_id, 'b', CAST(2 AS INT), CAST(length(source) AS BIGINT), 'und'
+FROM documents
+ORDER BY doc_id, sample_key
+""",
+)
+def wds_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingest end-to-end: synthesize real tar shards
+    (USTAR members named {key}.{ext}, samples contiguous), parse them
+    back with the grouping/contiguity contract, and emit one row per
+    SAMPLE with its part count, text payload size and class label. The
+    oracle recomputes every field from the documents table, so a wrong
+    member split, key grouping or payload read breaks the driver hash —
+    this is the de-facto sharded-multimodal-training-data layout
+    (beyond-reference ingest, same lane as WARC)."""
+    from shifu_spark.sources.webdataset import parse_wds_shard
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_key", "n_parts", "txt_bytes", "cls")}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for key, parts in parse_wds_shard(bytes(payload)):
+                    out["doc_id"].append(d)
+                    out["sample_key"].append(key)
+                    out["n_parts"].append(len(parts))
+                    out["txt_bytes"].append(len(parts["txt"]))
+                    out["cls"].append(parts["cls"].decode())
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    schema = "doc_id long, sample_key string, n_parts int, txt_bytes long, cls string"
+    return (
+        _synth_wds_payloads(docs)
+        .mapInPandas(run, schema)
+        .orderBy("doc_id", "sample_key")
+    )

@@ -1,0 +1,60 @@
+"""WebDataset-style tar shards — the de-facto layout for sharded
+multimodal training data: a POSIX tar whose members are named
+``{key}.{ext}``; all members sharing a key form one SAMPLE (e.g.
+``000123.jpg`` + ``000123.txt`` + ``000123.json``), and samples are
+stored contiguously so a shard streams sequentially.
+
+Container correctness is delegated to stdlib ``tarfile`` (USTAR
+format); what this module owns is the webdataset GROUPING contract:
+members split on the FIRST dot (keys may not contain dots, extensions
+may — ``a.seg.png`` is sample ``a``, part ``seg.png``), sample order =
+first-appearance order, non-contiguous members of the same key raise
+(the sequential-streaming contract a shard reader relies on).
+
+At 100 TB: one shard file per row (binary column), Arrow-batched
+encode/extract like every media kernel here.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+
+def encode_wds_shard(samples: list[tuple[str, list[tuple[str, bytes]]]]) -> bytes:
+    """Assemble a shard from [(key, [(ext, payload), ...]), ...].
+    Member metadata is pinned (mtime 0, root ownership) so shard bytes
+    are deterministic."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for key, parts in samples:
+            if "." in key:
+                raise ValueError(f"webdataset keys may not contain '.': {key!r}")
+            for ext, payload in parts:
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def parse_wds_shard(payload: bytes) -> list[tuple[str, dict[str, bytes]]]:
+    """Read a shard back into [(key, {ext: payload})] in first-appearance
+    order, enforcing the contiguity contract."""
+    out: list[tuple[str, dict[str, bytes]]] = []
+    seen: set[str] = set()
+    with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            key, dot, ext = m.name.partition(".")
+            if not dot:
+                raise ValueError(f"member without extension: {m.name!r}")
+            if out and out[-1][0] == key:
+                out[-1][1][ext] = tf.extractfile(m).read()
+                continue
+            if key in seen:
+                raise ValueError(f"non-contiguous sample {key!r} (shard not streamable)")
+            seen.add(key)
+            out.append((key, {ext: tf.extractfile(m).read()}))
+    return out

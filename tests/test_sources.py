@@ -140,3 +140,41 @@ class TestWarc:
             parse_warc(raw[:-2])  # missing record separator
         with pytest.raises(ValueError):
             parse_warc(b"WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+class TestWebdatasetShards:
+    def test_roundtrip_grouping_and_multidot_exts(self):
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        shard = encode_wds_shard([
+            ("s0", [("txt", b"hello"), ("json", b'{"a":1}')]),
+            ("s1", [("seg.png", b"\x89PNG..."), ("txt", b"x")]),
+        ])
+        out = parse_wds_shard(shard)
+        assert [k for k, _ in out] == ["s0", "s1"]
+        assert out[0][1]["txt"] == b"hello"
+        assert "seg.png" in out[1][1]  # split on FIRST dot only
+
+    def test_deterministic_bytes(self):
+        from shifu_spark.sources.webdataset import encode_wds_shard
+
+        s = [("a", [("txt", b"z" * 600)])]
+        assert encode_wds_shard(s) == encode_wds_shard(s)
+
+    def test_contiguity_and_key_contracts(self):
+        import io
+        import tarfile
+
+        import pytest
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        with pytest.raises(ValueError):
+            encode_wds_shard([("bad.key", [("txt", b"")])])
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in [("a.txt", b"1"), ("b.txt", b"2"), ("a.cls", b"3")]:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        with pytest.raises(ValueError):  # interleaved sample breaks streaming
+            parse_wds_shard(buf.getvalue())
