@@ -40,9 +40,7 @@ _PRIORITY = [
     # registry with every proof at most two rounds old.
     "column_stats",
     "zscore_normalize",
-    "woe_normalize",
     "psi_events_by_day",
-    "psi_by_column",
     "correlation_matrix",
     "combo_score_join",
     "nation_revenue",
@@ -134,6 +132,11 @@ _PRIORITY = [
     # r02-proven ksiv_weighted (categorical/equal_population keep the
     # family in-window) — r5 front list in NOTES.md
     "wds_shard_stats",
+    # calibration/Brier eval pair (first driver rows); displace the
+    # r02-proven psi_by_column and woe_normalize (each family keeps
+    # fresher siblings in-window) — r5 front list in NOTES.md
+    "calibration_buckets",
+    "brier_score",
 ]
 
 

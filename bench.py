@@ -126,6 +126,8 @@ HEADLINE_STAGES = {
     "dedup_rep_by_quality": "dedup",
     "video_gif_features": "multimodal",
     "wds_shard_stats": "multimodal",
+    "calibration_buckets": "eval",
+    "brier_score": "eval",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -5922,3 +5922,80 @@ def wds_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(run, schema)
         .orderBy("doc_id", "sample_key")
     )
+
+
+@query(
+    "calibration_buckets",
+    """
+WITH s AS (
+  SELECT cast(l_discount * 10 AS DECIMAL(38,10)) AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bucket, score, y FROM s)
+SELECT bucket,
+  count(*) AS n,
+  round(sum(score)::DOUBLE / count(*), 6) AS mean_score,
+  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+  round(abs(sum(score)::DOUBLE / count(*) - sum(y)::DOUBLE / count(*)), 6) AS calib_gap
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table (the model-monitoring staple the
+    eval family lacked): scores bucketed into 10 equal-width bins, per
+    bin the mean predicted score vs the observed positive rate and
+    their gap. Scores here are the exact-decimal l_discount*10 (pinned
+    deterministic stand-in, same convention as the ROC family's
+    l_extendedprice scores); sums run in DECIMAL so bucket means are
+    partition-order independent. One groupBy — catalog-sized output."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_discount") * 10).cast("decimal(38,10)").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    b = s.withColumn(
+        "bucket", F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    )
+    n = F.count(F.lit(1))
+    mean_s = F.sum("score").cast("double") / n
+    pos = F.sum("y").cast("double") / n
+    return (
+        b.groupBy("bucket")
+        .agg(
+            n.alias("n"),
+            F.round(mean_s, 6).alias("mean_score"),
+            F.round(pos, 6).alias("pos_rate"),
+            F.round(F.abs(mean_s - pos), 6).alias("calib_gap"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "brier_score",
+    """
+WITH s AS (
+  SELECT cast(l_discount * 10 AS DECIMAL(38,10)) AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem)
+SELECT round(sum((score - y) * (score - y))::DOUBLE / count(*), 6) AS brier,
+       CAST(count(*) AS BIGINT) AS n
+FROM s
+""",
+)
+def brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared error of the probabilistic forecast)
+    over the same pinned decimal scores as calibration_buckets — the
+    squared residuals are exact decimals, so the sum is
+    partition-order independent and the rounded mean is bit-identical
+    cross-engine. One aggregate, one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_discount") * 10).cast("decimal(38,10)").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    resid = F.col("score") - F.col("y")
+    return s.agg(
+        F.round((F.sum(resid * resid)).cast("double") / F.count(F.lit(1)), 6).alias("brier"),
+        F.count(F.lit(1)).alias("n"),
+    )
