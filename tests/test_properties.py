@@ -203,3 +203,34 @@ class TestImaAdpcmProperties:
         # d2 may carry one extra sample (odd nibble counts pad with a
         # zero-delta code); the original span must be reproduced exactly
         assert (d2[: len(d1)] == d1).all()
+
+
+class TestGifLzwProperties:
+    @given(
+        st.integers(1, 3),
+        st.integers(2, 24),
+        st.integers(2, 24),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_lossless_roundtrip_any_frames(self, nf, h, w, seed):
+        """∀ frame shapes and pixel contents: GIF encode/decode is the
+        identity on indices and palette (LZW is lossless)."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+        frames = rng.integers(0, 64, (nf, h, w)).astype(np.uint8)
+        dec, dpal = decode_gif(encode_gif(frames, pal))
+        assert (dec == frames).all() and (dpal == pal).all()
+
+    @given(st.binary(min_size=1, max_size=2000))
+    @settings(max_examples=100, deadline=None)
+    def test_lzw_stream_roundtrip_any_bytes(self, raw):
+        """The LZW kernel itself round-trips arbitrary 8-bit data
+        (min_code_size=8, the GIF maximum)."""
+        from shifu_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+        enc = _gif_lzw_encode(raw, 8)
+        assert _gif_lzw_decode(enc, 8, len(raw)) == raw
