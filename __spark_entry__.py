@@ -50,7 +50,6 @@ _PRIORITY = [
     "ksiv_categorical",
     "ksiv_equal_population",
     "varselect_top_iv",
-    "segment_expansion",
     "sensitivity_st",
     # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
@@ -137,6 +136,11 @@ _PRIORITY = [
     # fresher siblings in-window) — r5 front list in NOTES.md
     "calibration_buckets",
     "brier_score",
+    # the end-to-end curation funnel (first driver row) — every LLM
+    # pipeline stage composed and cross-checked in one query; displaces
+    # the r02-proven segment_expansion (purify_filter keeps the family
+    # in-window) — r5 front list in NOTES.md
+    "corpus_curation_funnel",
 ]
 
 

@@ -128,6 +128,7 @@ HEADLINE_STAGES = {
     "wds_shard_stats": "multimodal",
     "calibration_buckets": "eval",
     "brier_score": "eval",
+    "corpus_curation_funnel": "dedup",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -5999,3 +5999,197 @@ def brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.sum(resid * resid)).cast("double") / F.count(F.lit(1)), 6).alias("brier"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("corpus_curation_funnel", None)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pretraining-corpus curation pipeline as one
+    cross-checked funnel — every LLM-data stage this engine implements,
+    composed: benchmark split -> Gopher rules -> quality classifier ->
+    exact dedup (canonical doc per content hash) -> near-dup resolution
+    (keep each LSH group's best-quality rep) -> benchmark
+    decontamination (5-gram overlap <= 0.5) -> per-source mixture
+    sampling. Output: survivors after each cumulative stage.
+
+    Semantics note: stage flags are computed on the FULL corpus and
+    conjoined cumulatively (deterministic and oracle-mirrorable);
+    a production run would sequence the stages so later ones see only
+    survivors — same operators, cheaper inputs, but data-dependent
+    intermediate corpora that a static oracle can't restate. Every
+    flag reuses an operator whose standalone registry query is
+    oracle-green, and the funnel oracle re-derives ALL of them
+    relationally, so the composition itself is the thing proven here."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df, shingles_df
+    from shifu_spark.operators.purify import _hash_key, _hex_threshold
+    from shifu_spark.operators.text import gopher_quality_df, quality_classifier_df
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "text")
+
+    g = gopher_quality_df(docs).select("doc_id", F.col("keep").alias("f_gopher"))
+    c = quality_classifier_df(docs).select(
+        "doc_id", F.col("keep").alias("f_clf"), "clf_score"
+    )
+    exact = base.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    ).withColumn(
+        "f_exact",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("digest")),
+    ).select("doc_id", "f_exact")
+
+    caches: list[DataFrame] = []
+    pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
+        "doc_a", "doc_b"
+    )
+    try:
+        groups = dedup_groups_df(pairs)
+    except BaseException:
+        for cc in caches:
+            cc.unpersist()
+        raise
+    groups = _materialize_release(groups, caches)
+    gw = Window.partitionBy("group_id").orderBy(F.desc("clf_score"), F.asc("doc_id"))
+    grouped = groups.join(c.select("doc_id", "clf_score"), "doc_id").withColumn(
+        "is_rep", F.row_number().over(gw) == 1
+    )
+    nd = grouped.select("doc_id", F.col("is_rep").alias("f_neardup"))
+
+    sh = shingles_df(docs, n=5)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    decon = (
+        sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") / F.count(F.lit(1))).alias("frac"))
+        .select("doc_id", (F.col("frac") <= 0.5).alias("f_decon"))
+    )
+
+    whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
+    mix = base.select(
+        "doc_id",
+        (
+            _hash_key(["doc_id"], "mix")
+            < F.expr(
+                f"CASE (CAST(substring(source, 4) AS INT) * 7) % 9 + 1 {whens} END"
+            )
+        ).alias("f_mix"),
+    )
+
+    flags = (
+        base.select("doc_id", (F.col("doc_id") % 50 != 0).alias("f_bench"))
+        .join(g, "doc_id")
+        .join(c.select("doc_id", "f_clf"), "doc_id")
+        .join(exact, "doc_id")
+        .join(nd, "doc_id", "left")
+        .join(decon, "doc_id")
+        .join(mix, "doc_id")
+        .withColumn("f_neardup", F.coalesce("f_neardup", F.lit(True)))
+    )
+    stages = [
+        ("0_total", F.lit(True)),
+        ("1_not_benchmark", F.col("f_bench")),
+        ("2_gopher", F.col("f_bench") & F.col("f_gopher")),
+        ("3_classifier", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf")),
+        ("4_exact_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact")),
+        ("5_near_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup")),
+        ("6_decontaminated", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon")),
+        ("7_mixture_sampled", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon") & F.col("f_mix")),
+    ]
+    one = flags.agg(
+        *[F.sum(cond.cast("long")).alias(name) for name, cond in stages]
+    )
+    stack = ", ".join(f"'{name}', `{name}`" for name, _ in stages)
+    return (
+        one.selectExpr(f"stack({len(stages)}, {stack}) as (stage, n)")
+        .orderBy("stage")
+    )
+
+
+def _funnel_oracle() -> str:
+    """Composed relational mirror of the curation funnel. Reuses the
+    dedup_groups CTE chain by construction and restates the gopher /
+    classifier / decontamination / mixture formulas from the SAME
+    module constants their standalone (green) oracles use — the
+    reps ranking uses round(score, 6) exactly as the Spark side ranks
+    the rounded classifier column, while the keep flag compares the
+    UNROUNDED score, mirroring quality_classifier_df."""
+    from shifu_spark.operators.purify import _hex_threshold
+
+    mix_whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
+    return f"""{_DG_CTE_PREFIX},
+g AS (SELECT src AS doc_id, min(lbl) AS group_id FROM reach GROUP BY src),
+gt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+qsc AS (
+  SELECT doc_id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(CAST({_QC_BIAS} AS DOUBLE) + wsum / n_tokens))) AS score
+  FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+           list_aggregate(list_transform(toks, x ->
+             (list_value({_QC_W_SQL}))[strpos('0123456789abcdef', substr(md5(x), 1, 1))]
+           ), 'sum') AS wsum FROM gt)),
+reps AS (
+  SELECT doc_id FROM (
+    SELECT g.doc_id, row_number() OVER (PARTITION BY group_id
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+    FROM g JOIN qsc USING (doc_id)) WHERE rn = 1),
+gbase AS (
+  SELECT doc_id, len(toks) AS gn,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS gsum_len,
+         len(list_filter(toks, x -> list_contains([{_GQ_STOP_SQL}], x))) AS gn_stop
+  FROM gt),
+gbg AS (
+  SELECT doc_id, gg2, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> toks[i] || ' ' || toks[i+1])) AS gg2 FROM gt) GROUP BY doc_id, gg2),
+gtop AS (SELECT doc_id, max(c) AS top_c FROM gbg GROUP BY doc_id),
+exact_f AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS f_exact
+  FROM documents),
+sh5 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS s
+  FROM gt),
+bench5 AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 50 = 0),
+dec AS (
+  SELECT sh5.doc_id,
+         (count(bench5.s)::DOUBLE / count(*)) <= CAST(0.5 AS DOUBLE) AS f_decon
+  FROM sh5 LEFT JOIN bench5 ON sh5.s = bench5.s GROUP BY sh5.doc_id),
+mixf AS (
+  SELECT doc_id,
+         md5('mix' || '|' || doc_id)
+           < (CASE (CAST(substr(source, 4) AS INT) * 7) % 9 + 1 {mix_whens} END) AS f_mix
+  FROM documents),
+flags AS (
+  SELECT d.doc_id,
+    d.doc_id % 50 <> 0 AS f_bench,
+    (gbase.gn BETWEEN 10 AND 100000
+     AND gbase.gsum_len / gbase.gn >= CAST(2.0 AS DOUBLE)
+     AND gbase.gsum_len / gbase.gn <= CAST(10.0 AS DOUBLE)
+     AND gtop.top_c / greatest(gbase.gn - 1, 1) <= CAST(0.20 AS DOUBLE)
+     AND gbase.gn_stop >= 2) AS f_gopher,
+    qsc.score >= CAST(0.5 AS DOUBLE) AS f_clf,
+    exact_f.f_exact,
+    (g.doc_id IS NULL OR reps.doc_id IS NOT NULL) AS f_neardup,
+    dec.f_decon,
+    mixf.f_mix
+  FROM documents d
+  JOIN gbase USING (doc_id) JOIN gtop USING (doc_id) JOIN qsc USING (doc_id)
+  JOIN exact_f USING (doc_id) JOIN dec USING (doc_id) JOIN mixf USING (doc_id)
+  LEFT JOIN g ON d.doc_id = g.doc_id LEFT JOIN reps ON d.doc_id = reps.doc_id)
+SELECT '0_total' AS stage, count(*)::BIGINT AS n FROM flags
+UNION ALL SELECT '1_not_benchmark', count(*) FILTER (WHERE f_bench)::BIGINT FROM flags
+UNION ALL SELECT '2_gopher', count(*) FILTER (WHERE f_bench AND f_gopher)::BIGINT FROM flags
+UNION ALL SELECT '3_classifier', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf)::BIGINT FROM flags
+UNION ALL SELECT '4_exact_dedup', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact)::BIGINT FROM flags
+UNION ALL SELECT '5_near_dedup', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact AND f_neardup)::BIGINT FROM flags
+UNION ALL SELECT '6_decontaminated', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact AND f_neardup AND f_decon)::BIGINT FROM flags
+UNION ALL SELECT '7_mixture_sampled', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact AND f_neardup AND f_decon AND f_mix)::BIGINT FROM flags
+ORDER BY stage
+"""
+
+
+ORACLES["corpus_curation_funnel"] = _funnel_oracle()
