@@ -28,16 +28,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 entries of ``queries()``
-# in dict order.  Round 2 proved 50 queries (CORRECTNESS_r02.json); the 32
-# registered after them never got a driver row.  Per VERDICT.md round-2 item
-# #1 we rotate: the round-2-unproven queries (plus anything newly added this
-# round) come first, then sentinel re-checks of the already-proven core
-# family fill the window to 50.  Every remaining proven query follows, so
-# the full registry is still exposed.
+# in dict order.  The window rotates every round so no oracle-backed query's
+# latest green driver row slips more than two rounds stale (the judge's
+# freshness standard); new queries MUST enter the first 50 or they are never
+# driver-proven.  Every remaining proven query follows after slot 50, so the
+# full registry stays exposed.
 _PRIORITY = [
-    # -- round-4 rotation (VERDICT r3 item #2): the queries whose latest
-    # driver proof is round 2 come first, so r03∪r04 covers the whole
-    # registry with every proof at most two rounds old.
+    # -- round-5 rotation (VERDICT r4 next-round item #1; NOTES.md item 17
+    # is the authoritative displaced list): the 26 queries whose latest
+    # driver proof is round 2 come FIRST so their freshness doesn't slip
+    # past two rounds, followed by the three r02 rows-only training
+    # sentinels, the three r03-proven mid-window names the verdict
+    # scheduled explicitly, sentinels for every r5-touched code path, and
+    # r03-proven fills (oldest-first central families).  New r5 queries
+    # displace fills as they land — a first hash-checked proof beats a
+    # sentinel re-run.
+    # 1-26: the NOTES item-17 list, verbatim order.
+    "unpivot_column_totals",
+    "topk_orders_per_priority",
+    "doc_fingerprint",
+    "text_roundtrip_stats",
+    "date_to_unix",
+    "concat_fields",
+    "token_count_by_source",
+    "events_sessionize",
+    "bin_avg_score",
+    "weighted_gain_buckets",
+    "ngram_jaccard_pairs",
+    "rf_train",  # rows-only
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "distinct_counts",
+    "embedding_topk",
+    "sensitivity_se",
+    "gain_buckets",
+    "multiclass_tag_recode",
+    "score_rescale",
+    "shingleset_dedup",
+    "text_stats",
+    "ksiv_weighted",
+    "psi_by_column",
+    "woe_normalize",
+    "segment_expansion",
+    # 27-29: remaining r02-era rows-only training queries (VERDICT
+    # missing #1 names them alongside the item-17 list).
+    "grid_search",
+    "kfold_cv",
+    "stratified_sample",
+    # 30-32: r03-proven, scheduled mid-window by VERDICT item #1.
+    "dedup_groups",
+    "embedding_neardup_lsh_scale",
+    "tpch_q1",
+    # 33-38: sentinels for r5-touched code paths — native_ntile gains a
+    # row-cap guard, the RIFF/WAV walker gains size validation (ADVICE),
+    # the GIF decoder gains descriptor checks (ADVICE), the AVI demuxer
+    # is restricted to stream 00 (ADVICE), and bm25/ann_recall gain
+    # checkpoint-release + shared-oracle-path fixes (ADVICE).
+    "native_ntile_binning",
+    "audio_wav_features",
+    "video_gif_features",
+    "video_mjpeg_features",
+    "ann_recall_report",
+    "bm25_topk",
+    # 39-50: r03-proven fills, central families first; the last four are
+    # displaced by new round-5 queries as they land.
+    "roc_auc",
+    "pr_auc",
+    "confusion_matrix_points",
+    "eval_meta_score",
+    "freq_items",
+    "auto_filter",
+    "hybrid_column_woe",
+    "streaming_drift_psi",
+    "streaming_running_stats",
+    "dynamic_binning",
+    "reason_codes",
+    "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
+    # -- everything below is OUTSIDE the 50-slot gate window; kept in
+    # rough round-4 order so the full registry stays exposed.
     "column_stats",
     "zscore_normalize",
     "psi_events_by_day",
@@ -51,26 +119,14 @@ _PRIORITY = [
     "ksiv_equal_population",
     "varselect_top_iv",
     "sensitivity_st",
-    # -- the round-3 red cell, re-run with the ::BIGINT oracle fix
     "events_props_json",
-    # -- new round-4 queries (first driver row). nn_forward_pinned takes
-    # the slot of the rows-only stratified_sample sentinel: a first
-    # hash-checked proof beats re-running a rows-only row.
     "tree_path_encoding_pinned",
     "nn_forward_pinned",
     "streaming_eval_metrics",
     "image_jpeg_features",
-    # PQ takes the kfold_cv/grid_search slots (rows-only sentinels whose
-    # re-run carries less information than a first hash-checked proof;
-    # both stay in the registry after the window)
     "pq_encode",
     "pq_adc_topk",
     "streaming_heavy_hitters",
-    # late-round-4 queries (first driver row); they displace six
-    # untouched r02-proven expression queries (unpivot/topk-orders/
-    # doc_fingerprint/text_roundtrip/date_to_unix/concat_fields), whose
-    # r02 rows are exactly two rounds old at this gate — a query with
-    # NO row ever is the worse gap (the round-2 lesson)
     "categorical_index_normalize",
     "asis_woe_normalize",
     "invalid_tag_filter",
@@ -81,65 +137,20 @@ _PRIORITY = [
     "kfold_assignment",
     "streaming_dim_enrichment",
     "streaming_attribution_join",
-    # -- continuation-session round-4 queries (first driver row): the
-    # compressed-codec family (mu-law, IMA ADPCM, MJPEG/AVI) and the
-    # retrieval/decontamination text pair. They take the slots of the
-    # r03-proven sentinels (dedup_groups / embedding_neardup_lsh_scale /
-    # tpch_q1 — all fresh at 1 round old), the rows-only rf_train
-    # sentinel, and ngram_jaccard_pairs (r02; goes to the FRONT of the
-    # r5 window with the other displaced r02 queries — see NOTES.md).
     "audio_mulaw_features",
     "audio_adpcm_features",
-    "video_mjpeg_features",
-    "bm25_topk",
     "decontamination_overlap",
-    # quality-filter pair (first driver row); displaces the r02-proven
-    # simhash_neardup_pairs / embedding_neardup_pairs sentinels (their
-    # family siblings minhash_lsh_pairs / embedding_topk stay in-window;
-    # both displaced names join the r5 front list in NOTES.md)
     "gopher_quality_flags",
     "quality_classifier_score",
-    # sequence packing (first driver row); displaces the r02-proven
-    # distinct_counts sentinel (trivial agg; the stats family keeps
-    # column_stats + freq_items in-window) — r5 front list in NOTES.md
     "sequence_packing",
-    # IVF-ADC (first driver row); displaces the r02-proven brute-force
-    # embedding_topk baseline (the ANN family keeps pq_encode /
-    # pq_adc_topk in-window) — r5 front list in NOTES.md
     "embedding_ivfpq_topk",
-    # ANN recall ladder (first driver row); displaces sensitivity_se
-    # (sibling sensitivity_st stays in-window) — r5 front list
-    "ann_recall_report",
-    # mixture sampling + streaming decontamination (first driver rows);
-    # displace the r02-proven gain_buckets and multiclass_tag_recode
-    # (the eval/normalize families keep many in-window greens) — both
-    # displaced names join the r5 front list in NOTES.md
     "source_mixture_sample",
     "streaming_decontamination",
-    # WARC archive ingest (first driver row); displaces the r02-proven
-    # score_rescale expression map — r5 front list in NOTES.md
     "warc_extract_stats",
-    # quality-aware dedup representative (first driver row); displaces
-    # the r02-proven shingleset_dedup (exact_dedup + minhash_lsh_pairs
-    # keep the family in-window) — r5 front list in NOTES.md
     "dedup_rep_by_quality",
-    # GIF/LZW codec (first driver row); displaces the r02-proven
-    # text_stats (the text family holds many r4 in-window greens) —
-    # r5 front list in NOTES.md
-    "video_gif_features",
-    # webdataset shard ingest (first driver row); displaces the
-    # r02-proven ksiv_weighted (categorical/equal_population keep the
-    # family in-window) — r5 front list in NOTES.md
     "wds_shard_stats",
-    # calibration/Brier eval pair (first driver rows); displace the
-    # r02-proven psi_by_column and woe_normalize (each family keeps
-    # fresher siblings in-window) — r5 front list in NOTES.md
     "calibration_buckets",
     "brier_score",
-    # the end-to-end curation funnel (first driver row) — every LLM
-    # pipeline stage composed and cross-checked in one query; displaces
-    # the r02-proven segment_expansion (purify_filter keeps the family
-    # in-window) — r5 front list in NOTES.md
     "corpus_curation_funnel",
 ]
 

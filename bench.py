@@ -226,6 +226,30 @@ def main() -> None:
             }
         )
     )
+    # VERDICT r4 "What's wrong #1": with ~80 per-query entries the full
+    # JSON line outgrew the driver's 2000-char stdout tail, truncating
+    # mid-dict and leaving the headline unrecoverable from the artifact.
+    # Emit a compact, self-contained metric line LAST so the tail always
+    # captures the gate numbers; it is valid on its own (metric/value/
+    # unit/sf) if a consumer parses only the final line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "baseline_comparable_value": round(
+                    sum(sec for name, sec in timings.items() if name in R01_HEADLINE), 3
+                ),
+                "core_value": round(
+                    sum(s for n, s in timings.items() if HEADLINE_STAGES.get(n) != "train"), 3
+                ),
+                "stages": stages,
+                "sf": sf_val,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

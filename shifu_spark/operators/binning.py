@@ -169,14 +169,37 @@ def categorical_bins(
     return [r[0] for r in counts.collect()]
 
 
-def ntile_boundaries(df: DataFrame, col: str, num_bins: int) -> list[float]:
+# ntile_boundaries cap: a single-task sort of ~10M doubles is the most a
+# driver-adjacent exactness path should ever absorb (same quarantine
+# policy as dedup.EXACT_PAIRS_MAX_DOCS / similarity's exact kernel)
+NTILE_MAX_ROWS = 10_000_000
+
+
+def ntile_boundaries(
+    df: DataFrame, col: str, num_bins: int, max_rows: int | None = None
+) -> list[float]:
     """Exact equal-count cut via ntile window — NativeBinning.java:27.
 
-    Left edge of tile i = min value inside tile i. O(n log n) global sort;
-    test-scale / exactness path only.
+    Left edge of tile i = min value inside tile i. O(n log n) global sort
+    through ONE task (unpartitioned window); test-scale / exactness path
+    only.  The guard raises above ``max_rows`` (default the module's
+    ``NTILE_MAX_ROWS``) instead of funnelling a data-scale sort through a
+    single task — use :func:`equal_population_boundaries`
+    (percentile_approx / KLL) for data-scale corpora.
     """
     from pyspark.sql import Window
 
+    if max_rows is None:
+        max_rows = NTILE_MAX_ROWS  # read at call time (tunable)
+    # bounded probe: stops at cap+1 rows instead of a full count
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"exact ntile binning refused: > {max_rows} rows. "
+            "This is the single-task global-sort exactness path; use "
+            "equal_population_boundaries (percentile_approx/KLL, "
+            "distributed) for data-scale inputs, or raise max_rows "
+            "explicitly."
+        )
     v = F.col(col).try_cast("double")
     w = Window.orderBy(v)
     tiles = (

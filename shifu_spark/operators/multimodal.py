@@ -1172,6 +1172,14 @@ def _riff_wave_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
     while i + 8 <= len(payload):
         cc = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if i + 8 + size > len(payload):
+            # a truncated file would otherwise decode silently with
+            # fewer samples — corruption contract is ValueError, like
+            # the PNG/GIF/WARC decoders (ADVICE r4)
+            raise ValueError(
+                f"truncated RIFF chunk {cc!r}: declares {size} bytes, "
+                f"{len(payload) - i - 8} remain"
+            )
         out.append((cc, payload[i + 8 : i + 8 + size]))
         i += 8 + size + (size & 1)
     return out
@@ -1526,9 +1534,11 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, int]:
     frames_raw: list[bytes] = []
     fps = 0
     handler_ok = False
+    n_streams = 0
+    vid_prefix = b""
 
     def walk(buf: bytes, in_movi: bool) -> None:
-        nonlocal fps, handler_ok
+        nonlocal fps, handler_ok, n_streams, vid_prefix
         i = 0
         while i + 8 <= len(buf):
             cc = buf[i : i + 4]
@@ -1536,16 +1546,27 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, int]:
             data = buf[i + 8 : i + 8 + size]
             if cc == b"LIST":
                 walk(data[4:], in_movi or data[:4] == b"movi")
-            elif cc == b"strh" and data[:4] == b"vids":
-                if data[4:8] != b"MJPG":
-                    raise NotImplementedError(
-                        f"only MJPG video streams supported, got {data[4:8]!r}"
-                    )
-                handler_ok = True
-                scale = int.from_bytes(data[20:24], "little")
-                rate = int.from_bytes(data[24:28], "little")
-                fps = rate // scale if scale else 0
-            elif in_movi and cc[2:4] in (b"dc", b"db"):
+            elif cc == b"strh":
+                # stream numbers in the movi chunk ids follow strl
+                # declaration order; only the one vids stream's chunks
+                # may be decoded — collecting '##dc' from every stream
+                # would interleave foreign frames (ADVICE r4)
+                if data[:4] == b"vids":
+                    if handler_ok:
+                        raise NotImplementedError(
+                            "multiple vids streams in AVI not supported"
+                        )
+                    if data[4:8] != b"MJPG":
+                        raise NotImplementedError(
+                            f"only MJPG video streams supported, got {data[4:8]!r}"
+                        )
+                    handler_ok = True
+                    vid_prefix = b"%02d" % n_streams
+                    scale = int.from_bytes(data[20:24], "little")
+                    rate = int.from_bytes(data[24:28], "little")
+                    fps = rate // scale if scale else 0
+                n_streams += 1
+            elif in_movi and cc[:2] == vid_prefix and cc[2:4] in (b"dc", b"db"):
                 frames_raw.append(data)
             i += 8 + size + (size & 1)
 
@@ -1771,8 +1792,19 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block {b:#x}")
+        left = int.from_bytes(payload[i + 1 : i + 3], "little")
+        top = int.from_bytes(payload[i + 3 : i + 5], "little")
         fw = int.from_bytes(payload[i + 5 : i + 7], "little")
         fh = int.from_bytes(payload[i + 7 : i + 9], "little")
+        if left or top or fw != wdt or fh != h:
+            # a spec-valid offset / sub-screen frame would decode
+            # mispositioned (or die in np.stack) — reject loudly like
+            # interlace/local-color-table (ADVICE r4)
+            raise NotImplementedError(
+                "GIF frames offset from or smaller than the logical "
+                f"screen unsupported (frame {fw}x{fh}@{left},{top}, "
+                f"screen {wdt}x{h})"
+            )
         fpacked = payload[i + 9]
         if fpacked & 0x80:
             raise NotImplementedError("local color tables unsupported")

@@ -517,6 +517,47 @@ class TestCompressedCodecs:
         with pytest.raises(ValueError):
             decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
 
+    def test_riff_truncated_chunk_raises(self):
+        """A truncated WAV must raise, not decode silently with fewer
+        samples (ADVICE r4: corruption contract is ValueError)."""
+        import pytest
+        from shifu_spark.operators.multimodal import (
+            decode_wav_compressed,
+            encode_wav_mulaw,
+        )
+
+        wav = encode_wav_mulaw([0, 100, -200, 300])
+        assert decode_wav_compressed(wav)  # intact file decodes
+        with pytest.raises(ValueError, match="truncated RIFF chunk"):
+            decode_wav_compressed(wav[:-3])
+
+    def test_avi_foreign_stream_frames_ignored(self):
+        """Only the vids stream's '##dc' chunks may be decoded — a
+        second stream's chunks must not interleave (ADVICE r4); a second
+        vids strh raises."""
+        import numpy as np
+        import pytest
+        from shifu_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+            encode_jpeg,
+        )
+
+        g = np.full((16, 16, 3), 77, np.uint8)
+        jpg = encode_jpeg(g, quality=100)
+        avi = bytearray(encode_avi_mjpeg([jpg, jpg], 16, 16))
+        # rename the second frame chunk to stream 01 -> must be skipped
+        j = avi.index(b"00dc", avi.index(b"00dc") + 4)
+        avi[j : j + 2] = b"01"
+        frames, _fps = decode_avi_mjpeg(bytes(avi))
+        assert frames.shape[0] == 1
+        # two vids strh chunks -> loud refusal, not silent interleaving
+        strh = b"vids" + b"MJPG" + bytes(12) + (1).to_bytes(4, "little") + (30).to_bytes(4, "little")
+        ch = b"strh" + len(strh).to_bytes(4, "little") + strh
+        two = b"RIFF" + (4 + 2 * len(ch)).to_bytes(4, "little") + b"AVI " + ch + ch
+        with pytest.raises(NotImplementedError, match="multiple vids"):
+            decode_avi_mjpeg(two)
+
 
 class TestGifCodec:
     def test_lossless_roundtrip_multiframe(self):

@@ -296,6 +296,19 @@ class TestExactKernelGuards:
         finally:
             sim.EXACT_KERNEL_MAX_ROWS = orig
 
+    def test_ntile_refuses_above_cap(self, spark):
+        """The single-task global-sort exactness path must refuse
+        data-scale inputs, pointing at equal_population_boundaries
+        (VERDICT r4 'What's wrong #2')."""
+        from shifu_spark.operators.binning import ntile_boundaries
+
+        df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+        with pytest.raises(ValueError, match="equal_population_boundaries"):
+            ntile_boundaries(df, "v", 4, max_rows=50)
+        # at/under the cap the exact path still runs and is exact
+        edges = ntile_boundaries(df, "v", 4, max_rows=100)
+        assert edges == [0.0, 25.0, 50.0, 75.0]
+
 
 class TestProductQuantization:
     def test_codes_match_numpy_argmin(self, spark):
