@@ -26,6 +26,13 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The canonical dataset the driver's correctness gate compares at.  Any
+# oracle that must read data at registration time (e.g. to fit the same
+# bounded training sample the Spark side fits) derives its path from
+# THIS symbol so the coupling is explicit in one place (ADVICE r4).
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -4984,16 +4991,26 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero data-scale shuffles. Per-term contributions are rounded to
     integer micro-units and summed in fixed column order so the score
     is exact and order-independent (the dyadic trick from
-    unigram_logprob_quality, adapted)."""
+    unigram_logprob_quality, adapted).
+
+    The top-k result is finalized through ``_materialize_release`` so
+    the persisted corpus projection is released deterministically when
+    the query returns (ADVICE r4), not left to the ContextCleaner."""
+    out, caches = _bm25_plan(spark, sf_dir)
+    return _materialize_release(out, caches)
+
+
+def _bm25_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Lazy BM25 plan + the caches it persists — split out so the plan
+    shape stays inspectable (tests/test_plans.py) after the registry
+    query started finalizing eagerly."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     tf_cols = [
         F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf_{i}")
         for i, t in enumerate(_BM25_TERMS)
     ]
-    wide = toks.select(
-        "doc_id", F.size("toks").alias("dl"), *tf_cols
-    ).localCheckpoint(eager=True)
+    wide = toks.select("doc_id", F.size("toks").alias("dl"), *tf_cols).persist()
     aggs = [F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")] + [
         F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
         for i in range(len(_BM25_TERMS))
@@ -5014,13 +5031,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         c_micro.append(F.when(tf_i > 0, F.round(contrib).cast("long")).otherwise(F.lit(0)))
     score = sum(c_micro[1:], c_micro[0]) / F.lit(1000000.0)
-    return (
+    out = (
         wide.crossJoin(F.broadcast(glob))
         .filter(sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0)
         .select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+    return out, [wide]
 
 
 @query(
@@ -5367,20 +5385,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2f = (
         emb.select("vec_id", "embedding")
         .mapInPandas(_d2_arrow, "vec_id long, d2 double")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     adcf = (
         pq_encode_arrow(emb, books)
         .withColumn("adc", F.expr(pq_adc_case_sql(pq_adc_lut(q, books))))
         .select("vec_id", "adc")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     probed = probed_cells(emb, q, F.col("vec_id") < 8, _ANN_PROBES)
     cand = (
         ivf_assign_cells(emb, F.col("vec_id") < 8)
         .filter(F.col("cell").isin(probed))
         .select("vec_id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
 
     exact = d2f.orderBy("d2", "vec_id").limit(_ANN_K).select("vec_id")
@@ -5394,13 +5412,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(adc_only.withColumn("method", F.lit("ivfpq_adc")))
         .union(rerank.withColumn("method", F.lit("ivfpq_rerank")))
     )
-    counts = {
-        r["method"]: r["h"]
-        for r in tagged.join(exact, "vec_id")
-        .groupBy("method")
-        .agg(F.count("*").alias("h"))
-        .collect()
-    }
+    try:
+        counts = {
+            r["method"]: r["h"]
+            for r in tagged.join(exact, "vec_id")
+            .groupBy("method")
+            .agg(F.count("*").alias("h"))
+            .collect()
+        }
+    finally:
+        # metric-sized counts are on the driver now; release the wide
+        # intermediates deterministically (ADVICE r4) instead of leaving
+        # them to the ContextCleaner
+        for c in (d2f, adcf, cand):
+            c.unpersist()
     out = [
         (m, _ANN_K, int(counts.get(m, 0)), round(counts.get(m, 0) / _ANN_K, 6))
         for m in ("ivf_flat", "ivfpq_adc", "ivfpq_rerank")
@@ -5410,9 +5435,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall_oracle() -> str:
     """Generated at registration from the CANONICAL gate dataset
-    (sf0.01) — the correctness gate always compares there, and reading
-    the same 2048 training rows through DuckDB guarantees the oracle's
-    codebooks are fitted to byte-identical inputs."""
+    (``GATE_SF_DIR``) — the correctness gate always compares there, and
+    reading the same ``_ANN_TRAIN_N`` training rows through DuckDB
+    guarantees the oracle's codebooks are fitted to byte-identical
+    inputs.  The Spark side trains on the first ``_ANN_TRAIN_N`` rows of
+    whatever ``sf_dir`` it runs against, so this oracle is only valid at
+    ``GATE_SF_DIR`` (where the gate compares); verifying at another
+    scale needs a rebuilt oracle."""
     import duckdb
 
     from shifu_spark.operators.similarity import (
@@ -5426,7 +5455,7 @@ def _ann_recall_oracle() -> str:
     sample = [
         list(map(float, r[0]))
         for r in con.sql(
-            "SELECT embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            f"SELECT embedding FROM read_parquet('{GATE_SF_DIR}/embeddings.parquet') "
             f"ORDER BY vec_id LIMIT {_ANN_TRAIN_N}"
         ).fetchall()
     ]
@@ -5496,10 +5525,10 @@ SELECT 'ivfpq_rerank', CAST({_ANN_K} AS INT),
 # canonical gate dataset legitimately degrades to rows-only, but any
 # real failure in the oracle builder must raise loudly at import rather
 # than silently weaken the correctness gate. The build cost is bounded
-# (500-row read + a 4x16-centroid Lloyd fit, ~100ms).
+# (a {_ANN_TRAIN_N}=2048-row read + a 4x16-centroid Lloyd fit, ~100ms).
 import os as _os  # noqa: E402
 
-if _os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+if _os.path.exists(f"{GATE_SF_DIR}/embeddings.parquet"):
     ORACLES["ann_recall_report"] = _ann_recall_oracle()
 
 

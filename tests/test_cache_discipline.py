@@ -88,6 +88,26 @@ def test_dedup_queries_release_caches(spark):
         assert _persistent_rdd_count(spark) <= before + i + 1, name
 
 
+def test_bm25_and_ann_release_caches(spark):
+    """ADVICE r4: bm25_topk / ann_recall_report created construction-time
+    localCheckpoints and left release to the ContextCleaner. They now
+    persist + release deterministically: ann adds NOTHING persistent
+    (its result is driver-side), bm25 adds at most its own finalized
+    result checkpoint per run (same contract as the dedup queries)."""
+    from shifu_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    before = _persistent_rdd_count(spark)
+    out = QUERIES["ann_recall_report"](spark, sf)
+    assert out.count() == 3
+    assert _persistent_rdd_count(spark) <= before
+    for i in range(2):  # repeated invocation must not accumulate caches
+        out = QUERIES["bm25_topk"](spark, sf)
+        assert out.count() >= 0
+        # one pending GC-cleanup checkpoint per completed run
+        assert _persistent_rdd_count(spark) <= before + i + 1
+
+
 def test_streaming_queries_drop_memory_sinks(spark):
     """Memory-sink tables pin their results for the session's lifetime;
     the streaming registry queries must drop their uuid-named sinks

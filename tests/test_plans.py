@@ -191,19 +191,28 @@ class TestBucketedJoin:
 
 class TestContinuationRound4Shapes:
     def test_bm25_single_corpus_scan_and_topk(self, spark):
-        # per-term tf + doc length are in-row (no token explode); the
-        # single corpus scan happens once at checkpoint time, and the
-        # final plan reads only the checkpoint: zero FileScans, zero
-        # data-scale shuffles, TakeOrderedAndProject top-k (never a
-        # global sort)
-        from shifu_spark.queries import QUERIES
+        # per-term tf + doc length are in-row (no token explode) and
+        # persisted, so the whole query makes ONE pass over the corpus;
+        # zero data-scale shuffles, TakeOrderedAndProject top-k (never a
+        # global sort). Inspects the lazy plan (the registry query
+        # finalizes eagerly via _materialize_release since ADVICE r4).
+        from shifu_spark.queries import _bm25_plan
 
-        df = QUERIES["bm25_topk"](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("FileScan parquet") == 0  # reads the checkpoint
-        assert plan.count("Exchange hashpartitioning") == 0
-        assert plan.count("Exchange rangepartitioning") == 0
-        assert "TakeOrderedAndProject" in plan
+        df, caches = _bm25_plan(spark, SF)
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # every FileScan in the printed tree sits under an
+            # InMemoryRelation (the printer repeats the cached subtree
+            # per consumer) — i.e. ONE physical corpus scan at cache
+            # fill, zero scans outside the cache
+            assert "InMemoryTableScan" in plan
+            assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+            assert plan.count("Exchange hashpartitioning") == 0
+            assert plan.count("Exchange rangepartitioning") == 0
+            assert "TakeOrderedAndProject" in plan
+        finally:
+            for c in caches:
+                c.unpersist()
 
     def test_decontamination_benchmark_side_broadcast(self, spark):
         # the eval-suite shingle set must broadcast (map-side semi-join
