@@ -101,9 +101,13 @@ _PRIORITY = [
     "hybrid_column_woe",
     "streaming_drift_psi",
     "streaming_running_stats",
-    "dynamic_binning",
-    "reason_codes",
     "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
+    # new round-5 queries (first driver row): the deterministic scoring
+    # halves of the LR and RF training families (VERDICT item #5),
+    # displacing the dynamic_binning / reason_codes fills (both
+    # r03-proven, binning/posttrain families keep siblings in-window).
+    "lr_forward_pinned",
+    "rf_forward_pinned",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

@@ -129,6 +129,9 @@ HEADLINE_STAGES = {
     "calibration_buckets": "eval",
     "brier_score": "eval",
     "corpus_curation_funnel": "dedup",
+    # round-5 additions: pinned scoring halves of the LR/RF families
+    "lr_forward_pinned": "train",
+    "rf_forward_pinned": "train",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

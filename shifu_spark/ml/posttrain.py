@@ -242,6 +242,41 @@ def tree_path_encode_trees(
     return sel.mapInPandas(run, schema)
 
 
+def tree_forward_score(
+    trees: list[dict[str, list]],
+    leaves_col: str = "tree_leaves",
+    weights: list[float] | None = None,
+    mode: str = "rf",
+):
+    """Ensemble forward score from per-tree leaf indices — the scoring
+    half of IndependentTreeModel.compute (IndependentTreeModel.java:
+    390-445: RF = weighted AVERAGE of per-tree leaf predictions,
+    GBT = weighted SUM; predictNode:516 is the traversal half, driven
+    here by :func:`tree_path_encode_trees`).
+
+    Pure JVM column expression: each tree's prediction array becomes an
+    array literal, ``element_at`` looks up the leaf, and the weighted
+    terms fold sequentially in tree order (matching the reference's
+    accumulation order, so doubles are bit-identical to a SQL mirror).
+    """
+    if mode not in ("rf", "gbt"):
+        raise ValueError(f"mode must be 'rf' or 'gbt', got {mode!r}")
+    if weights is None:
+        weights = [1.0] * len(trees)
+    leaf = F.col(leaves_col)
+    acc = None
+    for t_i, (t, w) in enumerate(zip(trees, weights)):
+        pred = F.element_at(
+            F.array(*[F.lit(float(p)) for p in t["prediction"]]),
+            leaf.getItem(t_i) + 1,
+        )
+        term = pred * float(w)
+        acc = term if acc is None else acc + term
+    if mode == "gbt":
+        return acc
+    return acc / float(sum(weights))
+
+
 def tree_path_encode(df: DataFrame, feature_cols: list[str], tree_model) -> DataFrame:
     """Per-tree leaf index per row (EncodeDataUDF / TreeModel.encode).
 

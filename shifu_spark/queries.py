@@ -2963,6 +2963,114 @@ FROM h ORDER BY l_orderkey, l_linenumber
 """
 
 
+@query("lr_forward_pinned", None)
+def lr_forward_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LR scoring with PINNED weights — the hash-checkable half of the
+    LR family (the SGD fit stays rows-only; scoring is the reference's
+    LR.compute / EvalScoreUDF path: sigmoid(w·x + b)). Drives the REAL
+    scoring expression — ml/sgd's ``lr_score_expr`` over the
+    [w..., b] weight layout train_lr_sgd produces — against literal
+    weights; the oracle is the same closed-form sigmoid in SQL.
+    One scan, pure JVM expression, no shuffle."""
+    from shifu_spark.ml.sgd import lr_score_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        (F.col("l_tax") * 10.0).alias("x3"),
+    )
+    weights = [0.8, -1.3, 0.45, 0.2]  # [w1, w2, w3, bias]
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(lr_score_expr(["x1", "x2", "x3"], weights), 6).alias("score"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["lr_forward_pinned"] = """
+WITH x AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, l_tax * 10.0 AS x3
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(1.0 / (1.0 + exp(-(0.2 + x1*0.8 + x2*-1.3 + x3*0.45))), 6) AS score
+FROM x ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# Fixture trees WITH leaf predictions (same preorder parallel-array
+# layout as _PINNED_TREES): the operator under test is the ensemble
+# forward (traversal + leaf-prediction weighted average,
+# IndependentTreeModel.java:390-445 + predictNode:516), not the fit.
+_PINNED_RF_TREES = [
+    {
+        "feature": [0, 1, -1, -1, 0, -1, -1],
+        "threshold": [25.0, 0.05, 0.0, 0.0, 40.0, 0.0, 0.0],
+        "left": [1, 2, -1, -1, 5, -1, -1],
+        "right": [4, 3, -1, -1, 6, -1, -1],
+        "prediction": [0.0, 0.0, 0.1, 0.9, 0.0, 0.4, 0.7],
+    },
+    {
+        "feature": [1, -1, 0, -1, -1],
+        "threshold": [0.03, 0.0, 30.0, 0.0, 0.0],
+        "left": [1, -1, 3, -1, -1],
+        "right": [2, -1, 4, -1, -1],
+        "prediction": [0.0, 0.2, 0.0, 0.8, 0.5],
+    },
+]
+
+
+@query("rf_forward_pinned", None)
+def rf_forward_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RF scoring with PINNED fixture trees — the hash-checkable half of
+    the RF family (the fit stays rows-only). Drives the REAL paths:
+    ``tree_path_encode_trees`` (the vectorized predictNode traversal)
+    then ``tree_forward_score`` (IndependentTreeModel.java:429-441
+    weighted-average combine, here with unequal tree weights 0.6/0.4 to
+    exercise the weight path). The oracle mirrors each tree as a CASE
+    chain and the same left-to-right weighted fold."""
+    from shifu_spark.ml.posttrain import tree_forward_score, tree_path_encode_trees
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("f1"),
+        F.col("l_discount").cast("double").alias("f2"),
+    )
+    enc = tree_path_encode_trees(
+        df, ["f1", "f2"], _PINNED_RF_TREES, keep_cols=["l_orderkey", "l_linenumber"]
+    )
+    score = tree_forward_score(_PINNED_RF_TREES, weights=[0.6, 0.4], mode="rf")
+    return enc.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(score, 6).alias("score"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["rf_forward_pinned"] = """
+WITH p AS (
+  SELECT l_orderkey, l_linenumber,
+         (CASE WHEN l_quantity <= 25.0
+               THEN CASE WHEN l_discount <= 0.05 THEN 0.1 ELSE 0.9 END
+               ELSE CASE WHEN l_quantity <= 40.0 THEN 0.4 ELSE 0.7 END
+          END)::DOUBLE AS p0,
+         (CASE WHEN l_discount <= 0.03 THEN 0.2
+               ELSE CASE WHEN l_quantity <= 30.0 THEN 0.8 ELSE 0.5 END
+          END)::DOUBLE AS p1
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((p0 * 0.6::DOUBLE + p1 * 0.4::DOUBLE) / 1.0::DOUBLE, 6) AS score
+FROM p ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # ---------------------------------------------------------------------------
 # Normalize variants (SURVEY §2.8 — the remaining NormTypes as queries)
 # ---------------------------------------------------------------------------
