@@ -6155,7 +6155,60 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate corpora that a static oracle can't restate. Every
     flag reuses an operator whose standalone registry query is
     oracle-green, and the funnel oracle re-derives ALL of them
-    relationally, so the composition itself is the thing proven here."""
+    relationally, so the composition itself is the thing proven here.
+
+    Relation to the staged (production) form — proven by
+    tests/test_funnel_staged.py against
+    :func:`corpus_curation_funnel_staged`:
+
+    * bench / gopher / classifier / mixture are PER-DOC pure functions,
+      so they commute with sequencing: stages 0-3 (and the mixture
+      predicate) are identical in both forms.
+    * exact dedup commutes as long as every digest group that has
+      stage-3 survivors keeps its full-corpus min-doc_id canonical
+      among them. Gopher/classifier preserve this automatically
+      (identical text => identical flags, so a digest group passes or
+      fails together); only the doc_id-keyed benchmark split can break
+      it, and the test asserts the no-cross-split precondition on the
+      gate data before asserting stage-4 equality.
+    * near-dup does NOT commute in general: restricting the pair graph
+      to survivors can split LSH components, and a full-corpus rep
+      that died upstream orphans its cluster in the flag form. What IS
+      provable (and asserted as SET inclusion, not just counts): every
+      flag-form survivor is a staged-form survivor at every stage — a
+      full-corpus rep is its component's max-clf doc, hence also the
+      max of its (sub)component among survivors, so sequencing only
+      ever keeps MORE near-dup representatives, never fewer."""
+    flags = _funnel_flags(spark, sf_dir)
+    stages = _funnel_stages()
+    one = flags.agg(
+        *[F.sum(cond.cast("long")).alias(name) for name, cond in stages]
+    )
+    stack = ", ".join(f"'{name}', `{name}`" for name, _ in stages)
+    return (
+        one.selectExpr(f"stack({len(stages)}, {stack}) as (stage, n)")
+        .orderBy("stage")
+    )
+
+
+def _funnel_stages() -> list:
+    """(stage name, cumulative flag-conjunction predicate) pairs."""
+    return [
+        ("0_total", F.lit(True)),
+        ("1_not_benchmark", F.col("f_bench")),
+        ("2_gopher", F.col("f_bench") & F.col("f_gopher")),
+        ("3_classifier", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf")),
+        ("4_exact_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact")),
+        ("5_near_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup")),
+        ("6_decontaminated", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon")),
+        ("7_mixture_sampled", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon") & F.col("f_mix")),
+    ]
+
+
+def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stage flags over the FULL corpus (the flag-conjunction
+    funnel form) — shared by the registered query and the staged-form
+    equivalence tests."""
     from pyspark.sql import Window
 
     from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df, shingles_df
@@ -6216,7 +6269,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_mix"),
     )
 
-    flags = (
+    return (
         base.select("doc_id", (F.col("doc_id") % 50 != 0).alias("f_bench"))
         .join(g, "doc_id")
         .join(c.select("doc_id", "f_clf"), "doc_id")
@@ -6225,24 +6278,6 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(decon, "doc_id")
         .join(mix, "doc_id")
         .withColumn("f_neardup", F.coalesce("f_neardup", F.lit(True)))
-    )
-    stages = [
-        ("0_total", F.lit(True)),
-        ("1_not_benchmark", F.col("f_bench")),
-        ("2_gopher", F.col("f_bench") & F.col("f_gopher")),
-        ("3_classifier", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf")),
-        ("4_exact_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact")),
-        ("5_near_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup")),
-        ("6_decontaminated", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon")),
-        ("7_mixture_sampled", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon") & F.col("f_mix")),
-    ]
-    one = flags.agg(
-        *[F.sum(cond.cast("long")).alias(name) for name, cond in stages]
-    )
-    stack = ", ".join(f"'{name}', `{name}`" for name, _ in stages)
-    return (
-        one.selectExpr(f"stack({len(stages)}, {stack}) as (stage, n)")
-        .orderBy("stage")
     )
 
 
@@ -6330,3 +6365,100 @@ ORDER BY stage
 
 
 ORACLES["corpus_curation_funnel"] = _funnel_oracle()
+
+
+def corpus_curation_funnel_staged(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The PRODUCTION-sequenced curation funnel: each stage recomputes
+    on the previous stage's survivors (near-dup groups and the exact
+    canonical doc are re-derived over the shrinking corpus), exactly as
+    a real pipeline would run it. Returns ``{stage: DataFrame[doc_id]}``
+    so tests can assert SET relations against the flag-conjunction form
+    of :func:`corpus_curation_funnel`, not just counts (see that
+    docstring for the commutation argument). The decontamination
+    reference set is the FULL corpus's benchmark slice in both forms —
+    the eval suite is fixed, not a function of curation survivors."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.dedup import (
+        dedup_groups_df,
+        minhash_lsh_pairs_df,
+        shingles_df,
+    )
+    from shifu_spark.operators.purify import _hash_key, _hex_threshold
+    from shifu_spark.operators.text import gopher_quality_df, quality_classifier_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out: dict[str, DataFrame] = {"0_total": docs.select("doc_id")}
+
+    s1 = docs.filter(F.col("doc_id") % 50 != 0)
+    out["1_not_benchmark"] = s1.select("doc_id")
+
+    s2 = s1.join(
+        gopher_quality_df(s1).filter("keep").select("doc_id"), "doc_id"
+    )
+    out["2_gopher"] = s2.select("doc_id")
+
+    clf = quality_classifier_df(s2).select("doc_id", "clf_score", "keep")
+    s3 = s2.join(clf.filter("keep").select("doc_id", "clf_score"), "doc_id")
+    out["3_classifier"] = s3.select("doc_id")
+
+    s4 = (
+        s3.withColumn("digest", F.md5(F.col("text").cast("binary")))
+        .withColumn(
+            "is_min",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("digest")),
+        )
+        .filter("is_min")
+        .drop("digest", "is_min")
+    )
+    out["4_exact_dedup"] = s4.select("doc_id")
+
+    caches: list[DataFrame] = []
+    pairs = minhash_lsh_pairs_df(s4, 3, threshold=0.5, cache_out=caches).select(
+        "doc_a", "doc_b"
+    )
+    try:
+        groups = dedup_groups_df(pairs)
+    except BaseException:
+        for cc in caches:
+            cc.unpersist()
+        raise
+    groups = _materialize_release(groups, caches)
+    gw = Window.partitionBy("group_id").orderBy(F.desc("clf_score"), F.asc("doc_id"))
+    reps = (
+        groups.join(s4.select("doc_id", "clf_score"), "doc_id")
+        .withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    s5 = s4.join(groups.select("doc_id"), "doc_id", "left_anti").unionByName(
+        s4.join(reps, "doc_id")
+    )
+    out["5_near_dedup"] = s5.select("doc_id")
+
+    # fixed eval-suite reference: the FULL corpus's benchmark slice
+    bench_sh = (
+        shingles_df(docs, n=5)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    frac = (
+        shingles_df(s5, n=5)
+        .join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") / F.count(F.lit(1))).alias("frac"))
+    )
+    s6 = s5.join(frac.filter(F.col("frac") <= 0.5).select("doc_id"), "doc_id")
+    out["6_decontaminated"] = s6.select("doc_id")
+
+    whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
+    s7 = s6.filter(
+        _hash_key(["doc_id"], "mix")
+        < F.expr(f"CASE (CAST(substring(source, 4) AS INT) * 7) % 9 + 1 {whens} END")
+    )
+    out["7_mixture_sampled"] = s7.select("doc_id")
+    return out
