@@ -95,7 +95,6 @@ _PRIORITY = [
     "roc_auc",
     "pr_auc",
     "confusion_matrix_points",
-    "eval_meta_score",
     "freq_items",
     "auto_filter",
     "hybrid_column_woe",
@@ -108,6 +107,10 @@ _PRIORITY = [
     # r03-proven, binning/posttrain families keep siblings in-window).
     "lr_forward_pinned",
     "rf_forward_pinned",
+    # REAL FLAC codec (first driver row); displaces the r03-proven
+    # eval_meta_score fill (the eval family keeps roc/pr/confusion
+    # in-window).
+    "audio_flac_features",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

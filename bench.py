@@ -129,9 +129,11 @@ HEADLINE_STAGES = {
     "calibration_buckets": "eval",
     "brier_score": "eval",
     "corpus_curation_funnel": "dedup",
-    # round-5 additions: pinned scoring halves of the LR/RF families
+    # round-5 additions: pinned scoring halves of the LR/RF families +
+    # the REAL FLAC codec
     "lr_forward_pinned": "train",
     "rf_forward_pinned": "train",
+    "audio_flac_features": "multimodal",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

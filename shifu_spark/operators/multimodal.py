@@ -1850,3 +1850,460 @@ def extract_gif_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL FLAC codec (free lossless audio) — the fourth compression family
+# in the media lane (DCT+Huffman = JPEG/MJPEG, DEFLATE = PNG, LZW = GIF,
+# linear prediction + Rice coding = FLAC), written from the public
+# format spec (xiph.org / RFC 9639): fLaC marker + STREAMINFO metadata
+# block, frames of per-channel subframes (CONSTANT / VERBATIM / FIXED
+# predictors order 0-4) with partitioned Rice-coded residuals, CRC-8
+# frame headers, CRC-16 frame trailers, and the STREAMINFO MD5 of the
+# unencoded audio verified at decode. LPC subframes, mid/side stereo
+# and wasted bits are loud NotImplementedError guards (the encoder
+# never emits them); perceptual codecs (mp3) remain the strict stub.
+# ---------------------------------------------------------------------------
+
+FLAC_BLOCK = 4096
+_FLAC_FIXED_COEFS = {  # x[i] = res[i] + coefs · x[i-1..i-o]
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) & mask if r & top else (r << 1) & mask
+        table.append(r)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)       # x^8 + x^2 + x + 1 (frame header)
+_CRC16_TABLE = _crc_table(0x8005, 16)   # x^16 + x^15 + x^2 + 1 (frame)
+
+
+def _flac_crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC8_TABLE[r ^ b]
+    return r
+
+
+def _flac_crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFF) ^ _CRC16_TABLE[(r >> 8) ^ b]
+    return r
+
+
+class _FlacBitWriter:
+    """MSB-first bit accumulator (FLAC is big-endian at the bit level)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then a one bit
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, bits: int) -> int:
+        end = self.bitpos + bits
+        if end > len(self.data) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        out = 0
+        p = self.bitpos
+        while bits:
+            byte = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, bits)
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            p += take
+            bits -= take
+        self.bitpos = p
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bitpos & 7:
+            self.bitpos += 8 - (self.bitpos & 7)
+
+    def bytepos(self) -> int:
+        assert self.bitpos % 8 == 0
+        return self.bitpos // 8
+
+
+def _flac_utf8(value: int) -> bytes:
+    """UTF-8-style coded frame number (the spec's extended form)."""
+    if value < 0x80:
+        return bytes([value])
+    out = []
+    n = value
+    extra = 0
+    while n >= (1 << (6 - extra)) and extra < 6:
+        out.append(0x80 | (n & 0x3F))
+        n >>= 6
+        extra += 1
+    lead_prefix = (0xFF << (7 - extra)) & 0xFF  # extra+1 high one bits
+    out.append(lead_prefix | n)
+    return bytes(reversed(out))
+
+
+def _flac_read_utf8(br: _FlacBitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow == 0:
+        raise ValueError("invalid FLAC UTF-8 coded number")
+    value = first & (mask - 1)
+    for _ in range(n_follow):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC UTF-8 continuation")
+        value = (value << 6) | (b & 0x3F)
+    return value
+
+
+def _flac_rice_cost(u: np.ndarray, k: int) -> int:
+    return int((u >> k).sum()) + len(u) * (k + 1)
+
+
+def _flac_write_residual(bw: _FlacBitWriter, res: np.ndarray) -> None:
+    """Rice residual, partition order 0 (one partition), 4-bit parameter
+    with the 0b1111 escape to raw when Rice would blow up."""
+    bw.write(0b00, 2)  # residual method: Rice, 4-bit parameter
+    bw.write(0, 4)  # partition order 0
+    u = (res << 1) ^ (res >> 63)  # zigzag, int64 arithmetic shift
+    best_k, best_cost = 0, _flac_rice_cost(u, 0)
+    for k in range(1, 15):
+        c = _flac_rice_cost(u, k)
+        if c < best_cost:
+            best_k, best_cost = k, c
+    raw_bits = int(u.max()).bit_length() + 1 if len(u) else 2
+    if best_cost > len(u) * raw_bits:  # escape: raw two's complement
+        bw.write(0b1111, 4)
+        bw.write(raw_bits, 5)
+        for v in res:
+            bw.write(int(v), raw_bits)
+        return
+    bw.write(best_k, 4)
+    for uu in u:
+        bw.write_unary(int(uu) >> best_k)
+        if best_k:
+            bw.write(int(uu), best_k)
+
+
+def _flac_subframe(bw: _FlacBitWriter, x: np.ndarray, bps: int) -> None:
+    """CONSTANT if flat, else the best FIXED predictor of order 0-2 with
+    a VERBATIM fallback when Rice can't beat raw samples."""
+    n = len(x)
+    if n and (x == x[0]).all():
+        bw.write(0b000000, 6 + 1)  # pad bit + type CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]), bps)
+        return
+    best_o, best_res, best_cost = 0, x, int(np.abs(x).sum())
+    cur = x
+    for o in range(1, 3):
+        if n <= o:
+            break
+        cur = np.diff(cur)
+        cost = int(np.abs(cur).sum())
+        if cost < best_cost:
+            best_o, best_res, best_cost = o, cur, cost
+    # verbatim fallback if the residual is hopeless (e.g. white noise at
+    # full scale where order-0 Rice > 16 bits/sample on average)
+    u = (best_res << 1) ^ (best_res >> 63)
+    rice_cost = min(_flac_rice_cost(u, k) for k in range(15))
+    if rice_cost >= n * bps:
+        bw.write(0b000001, 6 + 1)
+        bw.write(0, 1)
+        for v in x:
+            bw.write(int(v), bps)
+        return
+    bw.write(0b001000 | best_o, 6 + 1)  # FIXED, order best_o
+    bw.write(0, 1)
+    for v in x[:best_o]:  # warmup samples
+        bw.write(int(v), bps)
+    _flac_write_residual(bw, best_res)
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16-range samples ((n,) mono or (n, 2) stereo) as a real
+    FLAC stream: STREAMINFO (with the spec's MD5 of the unencoded
+    little-endian interleaved audio), fixed-blocksize frames, per-channel
+    CONSTANT/FIXED/VERBATIM subframes, Rice residuals, CRC-8 + CRC-16."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if nch not in (1, 2):
+        raise ValueError("encode_flac supports 1 or 2 channels")
+    if n == 0:
+        raise ValueError("empty input")
+    if x.min() < -32768 or x.max() > 32767:
+        raise ValueError("samples exceed 16-bit range")
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    si = _FlacBitWriter()
+    si.write(FLAC_BLOCK, 16)  # min block size
+    si.write(FLAC_BLOCK, 16)  # max block size
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(16 - 1, 5)
+    si.write(n, 36)
+    streaminfo = si.getvalue() + md5
+
+    out = bytearray(b"fLaC")
+    out += bytes([0x80 | 0x00]) + len(streaminfo).to_bytes(3, "big")  # last, STREAMINFO
+    out += streaminfo
+
+    for f_idx, start in enumerate(range(0, n, FLAC_BLOCK)):
+        blk = x[start : start + FLAC_BLOCK]
+        bs = len(blk)
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)  # sync
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed-blocksize strategy (frame number follows)
+        hdr.write(0b0111, 4)  # blocksize-1 as 16 bits at header end
+        hdr.write(0b0000, 4)  # sample rate from STREAMINFO
+        hdr.write(nch - 1, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        head = hdr.getvalue() + _flac_utf8(f_idx) + (bs - 1).to_bytes(2, "big")
+        head += bytes([_flac_crc8(head)])
+        bw = _FlacBitWriter()
+        for c in range(nch):
+            _flac_subframe(bw, blk[:, c], 16)
+        bw.align()
+        frame = head + bw.getvalue()
+        out += frame + _flac_crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _flac_read_residual(br: _FlacBitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method not in (0b00, 0b01):
+        raise ValueError(f"reserved FLAC residual method {method}")
+    plen = 4 if method == 0b00 else 5
+    escape = (1 << plen) - 1
+    po = br.read(4)
+    if bs % (1 << po):
+        raise ValueError("FLAC partition order does not divide block size")
+    out: list[int] = []
+    for p in range(1 << po):
+        cnt = bs // (1 << po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = br.read(plen)
+        if param == escape:
+            width = br.read(5)
+            for _ in range(cnt):
+                out.append(br.read_signed(width) if width else 0)
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _flac_subframe_decode(br: _FlacBitReader, bs: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("FLAC subframe pad bit set")
+    stype = br.read(6)
+    if br.read(1):
+        raise NotImplementedError("FLAC wasted bits unsupported")
+    if stype == 0b000000:  # CONSTANT
+        return np.full(bs, br.read_signed(bps), dtype=np.int64)
+    if stype == 0b000001:  # VERBATIM
+        return np.asarray([br.read_signed(bps) for _ in range(bs)], dtype=np.int64)
+    if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype & 0b000111
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _flac_read_residual(br, bs, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        for i in range(order, bs):
+            acc = int(res[i - order])
+            for j, c in enumerate(coefs):
+                acc += c * int(x[i - 1 - j])
+            x[i] = acc
+        return x
+    if stype & 0b100000:
+        raise NotImplementedError("FLAC LPC subframes unsupported")
+    raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
+
+
+_FLAC_BLOCKSIZE_CODE = {
+    0b0001: 192, **{c: 576 << (c - 2) for c in range(0b0010, 0b0110)},
+    **{c: 256 << (c - 8) for c in range(0b1000, 0b10000)},
+}
+_FLAC_SAMPLE_SIZE_CODE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL FLAC decode -> ((n, nch) int64 samples, sample_rate, nch).
+    Verifies frame-header CRC-8, frame CRC-16, the total-sample count
+    and the STREAMINFO MD5 of the decoded audio (corruption contract is
+    ValueError, like the other in-repo decoders)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        hdr = payload[pos]
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if hdr & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("missing/invalid FLAC STREAMINFO")
+    sib = _FlacBitReader(streaminfo)
+    sib.read(16), sib.read(16), sib.read(24), sib.read(24)
+    sample_rate = sib.read(20)
+    nch = sib.read(3) + 1
+    bps = sib.read(5) + 1
+    total = sib.read(36)
+    md5_expect = streaminfo[18:34]
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    while pos < len(payload):
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _flac_read_utf8(br)  # frame/sample number
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZE_CODE:
+            bs = _FLAC_BLOCKSIZE_CODE[bs_code]
+        else:
+            raise ValueError(f"reserved FLAC blocksize code {bs_code:#06b}")
+        if sr_code != 0b0000:
+            raise NotImplementedError("in-frame FLAC sample rate codes unsupported")
+        if ch_code >= 0b1000:
+            raise NotImplementedError("FLAC mid/side stereo unsupported")
+        if ch_code + 1 != nch:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        fbps = _FLAC_SAMPLE_SIZE_CODE.get(ss_code)
+        if fbps is None:
+            raise ValueError("FLAC sample size from STREAMINFO unsupported here")
+        if fbps != bps:
+            raise ValueError("FLAC frame sample size != STREAMINFO")
+        hdr_end = br.bytepos()
+        if _flac_crc8(payload[frame_start:hdr_end]) != payload[hdr_end]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        br.bitpos = (hdr_end + 1) * 8
+        for c in range(nch):
+            chans[c].append(_flac_subframe_decode(br, bs, bps))
+        br.align()
+        body_end = br.bytepos()
+        crc = int.from_bytes(payload[body_end : body_end + 2], "big")
+        if _flac_crc16(payload[frame_start:body_end]) != crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = body_end + 2
+
+    x = np.stack([np.concatenate(ch) for ch in chans], axis=1) if chans[0] else np.empty((0, nch), np.int64)
+    if len(x) != total:
+        raise ValueError(f"FLAC sample count {len(x)} != STREAMINFO {total}")
+    if hashlib.md5(x.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("FLAC decoded-audio MD5 mismatch")
+    return x, sample_rate, nch
+
+
+def extract_flac_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL FLAC decode + the exact-integer feature family
+    of :func:`extract_compressed_audio_features` (rms deliberately
+    UNROUNDED — one correctly-rounded IEEE sqrt, bit-identical on both
+    engines). Stats are over channel 0."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                xs, rate, nch = decode_flac(bytes(payload))
+                x = xs[:, 0]
+                n = len(x)
+                sumsq = int((x * x).sum())
+                out["doc_id"].append(doc_id)
+                out["codec"].append("flac")
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+                out["rms"].append(float(np.sqrt(sumsq / n)) if n else 0.0)
+                out["zero_crossings"].append(int(np.count_nonzero(x[:-1] * x[1:] < 0)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -4971,6 +4971,63 @@ def audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_compressed_audio_features(_synth_adpcm_payloads(docs)).orderBy("doc_id")
 
 
+def _synth_flac_payloads(docs: DataFrame) -> DataFrame:
+    """payload(doc d) = FLAC stream of n=150+d%101 mono samples,
+    sample[i] = ((d*37 + i*29) % 64001) - 32000 (a wrapping ramp:
+    constant first difference except at wraps, so the fixed-predictor +
+    Rice path genuinely compresses)."""
+    from shifu_spark.operators.multimodal import encode_flac
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 150 + int(d) % 101
+                i = np.arange(n, dtype=np.int64)
+                x = (int(d) * 37 + i * 29) % 64001 - 32000
+                payloads.append(encode_flac(x))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_doc_ids(docs).mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "audio_flac_features",
+    """
+WITH d AS (SELECT doc_id, 150 + doc_id % 101 AS n FROM documents),
+idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+s AS (SELECT doc_id, i, ((doc_id*37 + i*29) % 64001) - 32000 AS x FROM idx),
+sl AS (SELECT doc_id, x, lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+SELECT doc_id,
+  'flac' AS codec,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(max(abs(x)) AS INT) AS peak,
+  sqrt(CAST(sum(x*x) AS DOUBLE) / count(*)) AS rms,
+  CAST(count(*) FILTER (WHERE pv * x < 0) AS BIGINT) AS zero_crossings
+FROM sl GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def audio_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode(REAL FLAC: fixed linear predictors + Rice-coded
+    residuals, STREAMINFO MD5 + CRC-8/CRC-16 framing, written from the
+    public spec)→decode(full parse, every integrity check)→features.
+    FLAC is LOSSLESS, so the oracle restates the features directly from
+    the synthesis formula — any codec bug that perturbs even one sample
+    breaks the MD5/CRC (loud) or the hash (value). Fourth compression
+    family in the media lane (DCT+Huffman, DEFLATE, LZW, LPC+Rice);
+    beyond-reference — the reference has no media path."""
+    from shifu_spark.operators.multimodal import extract_flac_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_flac_features(_synth_flac_payloads(docs)).orderBy("doc_id")
+
+
 def _synth_mjpeg_avi_payloads(docs: DataFrame) -> DataFrame:
     """payload(doc d) = real AVI with nf=3+d%4 MJPG frames of
     16*(1+d%3) x 16*(1+d%2); frame f is 16x16-piecewise-constant

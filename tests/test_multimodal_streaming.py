@@ -626,3 +626,77 @@ class TestGifCodec:
         blob[i + 9] |= 0x40  # interlace flag
         with pytest.raises(NotImplementedError):
             decode_gif(bytes(blob))
+
+
+class TestFlacCodec:
+    def test_decoder_reads_hand_built_spec_stream(self):
+        """Spec independence: a FLAC stream assembled BY HAND from the
+        published format (verbatim subframe, explicit bit layout our
+        encoder never chooses for compressible input) must decode to the
+        intended samples."""
+        import hashlib
+
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            _flac_crc8,
+            _flac_crc16,
+            decode_flac,
+        )
+
+        samples = np.array([1, -2, 3, -4], dtype=np.int64)
+        md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+        # STREAMINFO: min/max block 4096, frame sizes 0, rate 8000,
+        # 1 channel, 16 bps, 4 total samples — packed by hand
+        si = bytearray()
+        si += (4096).to_bytes(2, "big") * 2
+        si += b"\x00\x00\x00" * 2
+        # 20 bits rate | 3 bits ch-1 | 5 bits bps-1 | 36 bits total = 64 bits
+        packed = (8000 << 44) | (0 << 41) | (15 << 36) | 4
+        si += packed.to_bytes(8, "big")
+        si += md5
+        head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+        # frame header: sync(14) 0 0 | bs=0b0111 sr=0b0000 | ch=0b0000 ss=0b100 0
+        fh = bytes([0xFF, 0xF8, 0x70, 0x08]) + b"\x00" + (3).to_bytes(2, "big")
+        fh += bytes([_flac_crc8(fh)])
+        # subframe: 0 000001 0 (VERBATIM) then 4 x 16-bit samples
+        body = bytes([0x02]) + b"".join(
+            int(v & 0xFFFF).to_bytes(2, "big") for v in samples
+        )
+        frame = fh + body
+        frame += _flac_crc16(frame).to_bytes(2, "big")
+        dec, rate, nch = decode_flac(head + frame)
+        assert rate == 8000 and nch == 1
+        assert dec[:, 0].tolist() == [1, -2, 3, -4]
+
+    def test_rejects_unsupported_and_corrupt(self):
+        import numpy as np
+        import pytest
+        from shifu_spark.operators.multimodal import decode_flac, encode_flac
+
+        x = np.arange(0, 500, dtype=np.int64) * 13 % 2000 - 1000
+        blob = bytearray(encode_flac(x))
+        with pytest.raises(ValueError, match="not a FLAC"):
+            decode_flac(b"fLaK" + bytes(blob[4:]))
+        # tamper an audio byte deep in the frame -> CRC-16 catches it
+        bad = bytearray(blob)
+        bad[-10] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+        # truncation -> loud
+        with pytest.raises(ValueError):
+            decode_flac(bytes(blob[: len(blob) - 3]))
+        # encoder refuses >16-bit input and >2 channels
+        with pytest.raises(ValueError):
+            encode_flac(np.array([70000]))
+        with pytest.raises(ValueError):
+            encode_flac(np.zeros((4, 3)))
+
+    def test_compresses_predictable_signals(self):
+        """The point of LPC+Rice: a smooth ramp must come out well under
+        raw PCM size (and a constant signal near-nothing)."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import encode_flac
+
+        ramp = (np.arange(8000, dtype=np.int64) * 3) % 24001 - 12000
+        assert len(encode_flac(ramp)) < 0.55 * ramp.size * 2
+        assert len(encode_flac(np.full(8000, 77))) < 200

@@ -234,3 +234,66 @@ class TestGifLzwProperties:
 
         enc = _gif_lzw_encode(raw, 8)
         assert _gif_lzw_decode(enc, 8, len(raw)) == raw
+
+
+class TestFlacProperties:
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_lossless_roundtrip_mono(self, xs, rate):
+        """∀ sample contents: FLAC encode/decode is the identity
+        (fixed-predictor + Rice coding is lossless; verbatim fallback
+        covers incompressible noise)."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_flac, encode_flac
+
+        x = np.asarray(xs, dtype=np.int64)
+        dec, drate, nch = decode_flac(encode_flac(x, rate))
+        assert drate == rate and nch == 1
+        assert (dec[:, 0] == x).all()
+
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_lossless_roundtrip_stereo_and_multiframe(self, xs, seed):
+        """Stereo independent channels and multi-frame streams (length
+        crossing the 4096-sample block boundary) round-trip exactly."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import FLAC_BLOCK, decode_flac, encode_flac
+
+        rng = np.random.default_rng(seed)
+        base = np.asarray(xs, dtype=np.int64)
+        # tile past one block boundary so at least two frames are cut
+        reps = FLAC_BLOCK // len(base) + 2
+        left = np.tile(base, reps)
+        right = rng.integers(-32768, 32768, len(left))
+        x = np.stack([left, right], axis=1)
+        dec, _rate, nch = decode_flac(encode_flac(x))
+        assert nch == 2 and (dec == x).all()
+
+    @given(st.lists(st.integers(-32768, 32767), min_size=4, max_size=200),
+           st.integers(0, 10_000))
+    @settings(max_examples=60, deadline=None)
+    def test_any_single_byte_corruption_detected(self, xs, pos_seed):
+        """Flipping any payload byte is caught by one of the integrity
+        layers (sync / CRC-8 / CRC-16 / MD5 / structural checks) — never
+        a silent wrong decode."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_flac, encode_flac
+
+        x = np.asarray(xs, dtype=np.int64)
+        blob = bytearray(encode_flac(x))
+        pos = pos_seed % len(blob)
+        blob[pos] ^= 0x55
+        try:
+            dec, _r, _n = decode_flac(bytes(blob))
+        except (ValueError, NotImplementedError):
+            return  # loud rejection is the contract
+        # the only acceptable silent outcome is a decode identical to
+        # the original (the flipped byte was outside any checked field —
+        # cannot happen in this layout, so assert equality to fail loudly)
+        assert (dec[:, 0] == x).all()
