@@ -99,7 +99,6 @@ _PRIORITY = [
     "auto_filter",
     "hybrid_column_woe",
     "streaming_drift_psi",
-    "streaming_running_stats",
     "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
     # new round-5 queries (first driver row): the deterministic scoring
     # halves of the LR and RF training families (VERDICT item #5),
@@ -111,6 +110,10 @@ _PRIORITY = [
     # eval_meta_score fill (the eval family keeps roc/pr/confusion
     # in-window).
     "audio_flac_features",
+    # streaming packing twin (first driver row; 10th streaming
+    # pattern); displaces the r03-proven streaming_running_stats fill
+    # (the streaming family keeps drift_psi + four r04 greens).
+    "streaming_sequence_packing",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

@@ -134,6 +134,7 @@ HEADLINE_STAGES = {
     "lr_forward_pinned": "train",
     "rf_forward_pinned": "train",
     "audio_flac_features": "multimodal",
+    "streaming_sequence_packing": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

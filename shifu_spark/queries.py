@@ -5337,6 +5337,21 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET, _PACK_SHARDS = 512, 16
 
 
+def _packing_inputs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, shard) — the packing plan's input projection,
+    shared verbatim by the batch and streaming twins so their shard
+    hash and token count can never drift apart."""
+    shard = (
+        F.expr("instr('0123456789abcdef', substring(md5(cast(cast(doc_id as string) as binary)), 1, 1))")
+        - 1
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        shard.cast("int").alias("shard"),
+    )
+
+
 @query(
     "sequence_packing",
     f"""
@@ -5374,15 +5389,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    shard = (
-        F.expr("instr('0123456789abcdef', substring(md5(cast(cast(doc_id as string) as binary)), 1, 1))")
-        - 1
-    )
-    t = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        shard.cast("int").alias("shard"),
-    )
+    t = _packing_inputs(docs)
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     c = t.withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
     return c.select(
@@ -5804,6 +5811,34 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # identical result contract to the batch twin -> identical oracle
 ORACLES["streaming_decontamination"] = ORACLES["decontamination_overlap"]
+
+
+@query("streaming_sequence_packing", None)
+def streaming_sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sequence_packing (10th streaming pattern):
+    documents arrive as a stream and each md5 shard carries ONE long of
+    state — its running token total — in ``applyInPandasWithState``;
+    every doc is emitted exactly once (append) with its final
+    (tok_offset, first_seq, n_seqs). Packing is arrival-order-defined;
+    the bounded replay arrives in doc_id order, so the result equals
+    the batch plan and shares its oracle. Cross-batch state carry is
+    pinned separately by a 2-micro-batch replay test
+    (tests/test_streaming_ops.py)."""
+    from shifu_spark.streaming.ops import streaming_sequence_packing
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    packed = streaming_sequence_packing(_packing_inputs(stream), budget=_PACK_BUDGET)
+    sink = _run_stream_to_sink(spark, packed, "spack", output_mode="append")
+    return sink.orderBy("doc_id")
+
+
+# identical result contract to the batch twin -> identical oracle
+ORACLES["streaming_sequence_packing"] = ORACLES["sequence_packing"]
 
 
 def _synth_warc_payloads(docs: DataFrame) -> DataFrame:

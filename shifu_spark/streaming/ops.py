@@ -221,3 +221,60 @@ def top_k_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
         .select("window_start", F.col("rank").cast("int").alias("rank"), "key", "cnt")
         .orderBy("window_start", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+PACKING_SCHEMA = (
+    "doc_id long, shard int, n_tokens int, tok_offset long, first_seq long, n_seqs long"
+)
+_PACK_STATE_SCHEMA = "total long"
+
+
+def streaming_sequence_packing(src: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-shard running token-offset assignment over a document stream —
+    the streaming twin of the batch sequence-packing plan (GPT-style
+    concat-and-chop into fixed ``budget``-token sequences).
+
+    ``src`` must provide (doc_id, n_tokens, shard). State per shard is a
+    single long: the shard's cumulative token count. Each micro-batch's
+    docs are packed in doc_id order continuing from the carried offset,
+    so offsets are exact across any batch boundary (pinned by
+    tests/test_streaming_ops.py against the batch plan over a 2-batch
+    replay). Packing is inherently arrival-order-defined; a bounded
+    replay whose arrival order is doc_id order reproduces the batch
+    result exactly. Scale shape: state is O(shards) longs, each output
+    row is emitted exactly once (append mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        frames = [p[["doc_id", "n_tokens"]] for p in pdfs]
+        rows = pd.concat(frames).sort_values("doc_id")
+        n_tok = rows["n_tokens"].astype("int64")
+        tok_offset = n_tok.cumsum() - n_tok + total
+        first_seq = tok_offset // budget
+        n_seqs = (tok_offset + n_tok - 1) // budget - first_seq + 1
+        state.update((int(total + int(n_tok.sum())),))
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "shard": int(key[0]),
+                "n_tokens": rows["n_tokens"],
+                "tok_offset": tok_offset,
+                "first_seq": first_seq,
+                "n_seqs": n_seqs,
+            }
+        )
+
+    return src.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=PACKING_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -273,3 +273,53 @@ class TestStreamingEval:
         assert (row["auc"], row["tp"], row["fp"], row["fn"], row["tn"]) == (
             want["auc"], want["tp"], want["fp"], want["fn"], want["tn"],
         )
+
+
+class TestStreamingSequencePacking:
+    def test_state_carries_offsets_across_micro_batches(self, spark, tmp_path):
+        """Two micro-batches (maxFilesPerTrigger=1, doc_id-ordered file
+        arrival): per-shard token offsets must continue exactly where
+        the previous batch left off — the streamed plan equals the batch
+        window plan over the union."""
+        from shifu_spark.queries import QUERIES, _packing_inputs, _PACK_BUDGET
+        from shifu_spark.streaming.ops import streaming_sequence_packing
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        # arrival order must be doc_id order (packing is arrival-order-
+        # defined): file 1 = low ids, file 2 = high ids, written in turn
+        docs.filter(F.col("doc_id") < 25).coalesce(1).write.parquet(src)
+        import time
+
+        time.sleep(1.1)  # file-source ordering is by modification time
+        docs.filter(F.col("doc_id") >= 25).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_sequence_packing(_packing_inputs(stream), budget=_PACK_BUDGET)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1, (
+            "replay did not split into multiple micro-batches"
+        )
+        got = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"], r["first_seq"], r["n_seqs"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"], r["first_seq"], r["n_seqs"])
+            for r in QUERIES["sequence_packing"](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want
