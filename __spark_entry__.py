@@ -97,7 +97,6 @@ _PRIORITY = [
     "confusion_matrix_points",
     "freq_items",
     "auto_filter",
-    "hybrid_column_woe",
     "streaming_drift_psi",
     "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
     # new round-5 queries (first driver row): the deterministic scoring
@@ -114,6 +113,10 @@ _PRIORITY = [
     # pattern); displaces the r03-proven streaming_running_stats fill
     # (the streaming family keeps drift_psi + four r04 greens).
     "streaming_sequence_packing",
+    # streaming mixture twin (first driver row; 11th pattern);
+    # displaces the r03-proven hybrid_column_woe fill (the normalize
+    # family holds several front-of-window r02 re-proofs).
+    "streaming_source_mixture",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

@@ -135,6 +135,7 @@ HEADLINE_STAGES = {
     "rf_forward_pinned": "train",
     "audio_flac_features": "multimodal",
     "streaming_sequence_packing": "streaming",
+    "streaming_source_mixture": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 
@@ -146,6 +147,9 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional comma-separated subset (e.g. the sf1 scale-proof families)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
     from shifu_spark.queries import QUERIES
     from shifu_spark.session import get_spark
 
@@ -155,7 +159,7 @@ def main() -> None:
     # runs) — recorded numbers then measure the engine, not first-call
     # JIT noise. Skipped if the warmup dir is the bench dir.
     if os.path.isdir(WARMUP_SF_DIR) and os.path.realpath(WARMUP_SF_DIR) != os.path.realpath(sf_dir):
-        for name in HEADLINE:
+        for name in headline:
             fn = QUERIES.get(name)
             if fn is not None:
                 try:
@@ -167,7 +171,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES.get(name)
         if fn is None:
             continue

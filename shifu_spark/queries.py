@@ -5738,13 +5738,17 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     are what make ablations comparable. One narrow scan + one
     per-source agg; no shuffle of kept rows needed to decide
     membership."""
-    from shifu_spark.operators.purify import _hex_threshold
+    docs = _t(spark, sf_dir, "documents")
+    return _mixture_rollup(_mixture_flags(docs)).orderBy("source")
+
+
+def _mixture_flags(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, bucket, keep) — the mixture membership
+    projection, shared verbatim by the batch and streaming twins."""
+    from shifu_spark.operators.purify import _hash_key, _hex_threshold
 
     whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
-    from shifu_spark.operators.purify import _hash_key
-
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
+    return docs.select(
         "source",
         "doc_id",
         F.expr("(CAST(substring(source, 4) AS INT) * 7) % 9 + 1").alias("bucket"),
@@ -5754,19 +5758,41 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         _hash_key(["doc_id"], "mix") < F.expr(f"CASE bucket {whens} END"),
     )
-    return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.round(F.max("bucket") / F.lit(10.0), 6).alias("target_rate"),
-            F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6).alias("kept_frac"),
-        )
-        .orderBy("source")
+
+
+def _mixture_rollup(d: DataFrame) -> DataFrame:
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(F.max("bucket") / F.lit(10.0), 6).alias("target_rate"),
+        F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6).alias("kept_frac"),
     )
 
 
 ORACLES["source_mixture_sample"] = _mixture_oracle()
+
+
+@query("streaming_source_mixture", None)
+def streaming_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of source_mixture_sample (11th streaming pattern):
+    the md5-threshold membership test is STATELESS (content-keyed, so a
+    doc's fate never depends on arrival order or batch boundaries —
+    exactly why reproducible mixtures stream trivially), and the only
+    state is the per-source rollup counters. Bounded availableNow replay
+    equals the batch rollup; shares the batch twin's oracle."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = _mixture_rollup(_mixture_flags(stream))
+    sink = _run_stream_to_sink(spark, agg, "smix", output_mode="complete")
+    return sink.orderBy("source")
+
+
+# identical result contract to the batch twin -> identical oracle
+ORACLES["streaming_source_mixture"] = ORACLES["source_mixture_sample"]
 
 
 @query("streaming_decontamination", None)
