@@ -93,8 +93,6 @@ _PRIORITY = [
     # 39-50: r03-proven fills, central families first; the last four are
     # displaced by new round-5 queries as they land.
     "roc_auc",
-    "pr_auc",
-    "confusion_matrix_points",
     "freq_items",
     "auto_filter",
     "streaming_drift_psi",
@@ -117,6 +115,12 @@ _PRIORITY = [
     # displaces the r03-proven hybrid_column_woe fill (the normalize
     # family holds several front-of-window r02 re-proofs).
     "streaming_source_mixture",
+    # PII scrubbing + in-doc repetition filter (first driver rows);
+    # displace the r03-proven pr_auc / confusion_matrix_points fills
+    # (roc_auc keeps the curve family in-window; both displaced names
+    # join the r6 front list in NOTES.md).
+    "pii_redaction",
+    "repetition_signals",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

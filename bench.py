@@ -136,6 +136,8 @@ HEADLINE_STAGES = {
     "audio_flac_features": "multimodal",
     "streaming_sequence_packing": "streaming",
     "streaming_source_mixture": "streaming",
+    "pii_redaction": "text",
+    "repetition_signals": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -260,3 +260,85 @@ def quality_classifier_df(
         F.round(score, 6).alias("clf_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pretraining-corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): literal classes, bounded repeats,
+# greedy quantifiers — no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"555-\d{4}",
+}
+
+
+def pii_redact_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub PII from a text corpus: count and replace emails / IPv4
+    addresses / (NANP test-prefix) phone numbers with typed placeholder
+    tags. The standard pre-tokenization scrubbing pass of an LLM data
+    pipeline (C4/Dolma-style), kept entirely JVM-side: regexp_extract_all
+    for the counts, chained regexp_replace for the redaction — one
+    narrow map over the corpus scan, no shuffle, no UDF.
+
+    Redaction order is email -> ip -> phone (fixed, so overlapping
+    matches resolve identically on every engine). Output:
+    (doc_id, n_emails, n_ips, n_phones, redacted_digest) — the digest
+    (md5 of the redacted text) proves the replacement byte-for-byte
+    without hauling full text through the result."""
+    t = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+    red = t
+    for k in ("email", "ip", "phone"):
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.md5(red.cast("binary")).alias("redacted_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-document repetition signals (Rae et al. 2021 repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_signals_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_dup_frac: float = 0.30,
+) -> DataFrame:
+    """Duplicate word-n-gram fraction WITHIN each document (the Gopher
+    'repetition' filter family — complement of the corpus-level
+    chunk_dup_fraction): dup_frac = 1 − distinct/total over the doc's
+    word n-grams, computed IN-ROW (transform + array_distinct over the
+    token array — zero corpus-side shuffle), with the conjunctive keep
+    at ``max_dup_frac``. Decided on the UNROUNDED fraction; the emitted
+    column is rounded for the hash."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"), grams.alias("grams"))
+    total = F.size("grams")
+    distinct = F.size(F.array_distinct("grams"))
+    dup = F.lit(1.0) - distinct / total
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.round(dup, 6).alias("dup_frac"),
+        (dup <= max_dup_frac).alias("keep"),
+    )

@@ -5253,6 +5253,94 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII synth: the corpus has no natural PII (word-salad text), so the
+# query injects it deterministically from doc_id — the proven codec
+# pattern (synthesize -> operate -> verify). ONE formula string, spelled
+# per engine, keeps the Spark side and the oracle injection identical.
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@example.com from host ',"
+    " cast(doc_id % 256 as string), '.17.', cast(doc_id % 64 as string),"
+    " '.9 or call 555-01', lpad(cast(doc_id % 100 as string), 2, '0'),"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' cc admin', cast(doc_id as string), '@test.org') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' and 10.0.', cast(doc_id % 32 as string), '.1') ELSE '' END)"
+)
+_PII_AUG_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from host '"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.17.' || CAST(doc_id % 64 AS VARCHAR)"
+    " || '.9 or call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || (CASE WHEN doc_id % 5 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN ' and 10.0.' || CAST(doc_id % 32 AS VARCHAR) || '.1' ELSE '' END)"
+)
+
+
+def _pii_oracle() -> str:
+    from shifu_spark.operators.text import PII_PATTERNS
+
+    e, i, p = PII_PATTERNS["email"], PII_PATTERNS["ip"], PII_PATTERNS["phone"]
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g') AS r
+  FROM aug)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{e}'))::INT AS n_emails,
+  len(regexp_extract_all(t, '{i}'))::INT AS n_ips,
+  len(regexp_extract_all(t, '{p}'))::INT AS n_phones,
+  md5(r) AS redacted_digest
+FROM red ORDER BY doc_id
+"""
+
+
+@query("pii_redaction", None)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-tokenization pass of an LLM data
+    pipeline (C4/Dolma-style): count + redact emails / IPv4s / phone
+    numbers with typed tags, entirely JVM-side (regexp_extract_all +
+    chained regexp_replace over one narrow scan; patterns restricted to
+    the Java-regex ∩ RE2 common subset so the oracle's engine agrees).
+    PII is injected deterministically from doc_id (the corpus text has
+    none); the md5 digest of the redacted text proves the replacement
+    byte-for-byte on both engines."""
+    from shifu_spark.operators.text import pii_redact_df
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG_SPARK).alias("text"))
+    return pii_redact_df(aug).orderBy("doc_id")
+
+
+ORACLES["pii_redaction"] = _pii_oracle()
+
+
+@query(
+    "repetition_signals",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS grams
+      FROM t)
+SELECT doc_id,
+  len(grams)::INT AS n_grams,
+  len(list_distinct(grams))::INT AS n_distinct,
+  round(1.0::DOUBLE - len(list_distinct(grams)) / len(grams), 6) AS dup_frac,
+  (1.0::DOUBLE - len(list_distinct(grams)) / len(grams)) <= CAST(0.30 AS DOUBLE) AS keep
+FROM g ORDER BY doc_id
+""",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repetition filter (Rae et al. 2021 repetition family;
+    complement of the corpus-level chunk_dup_fraction): duplicate
+    word-3-gram fraction per doc, computed IN-ROW — transform +
+    array_distinct over the token array, zero corpus-side shuffle. The
+    keep flag is decided on the unrounded fraction on both engines."""
+    from shifu_spark.operators.text import repetition_signals_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals_df(docs).orderBy("doc_id")
+
+
 from shifu_spark.operators.text import (  # noqa: E402
     GOPHER_STOPWORDS as _GQ_STOP,
     QUALITY_CLF_BIAS as _QC_BIAS,

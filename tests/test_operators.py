@@ -815,3 +815,43 @@ def test_notes_totals_not_stale():
     assert totals_line() in notes, (
         "NOTES.md totals are stale — run tools/gen_notes_totals.py"
     )
+
+
+class TestPiiAndRepetition:
+    def test_pii_redaction_semantics(self, spark):
+        from shifu_spark.operators.text import PII_PATTERNS, pii_redact_df
+        import re
+
+        rows = [
+            (0, "mail me at jane.doe+x@sub.example.co.uk or call 555-0199 now"),
+            (1, "server 10.20.30.40 talked to 192.168.1.1 twice 192.168.1.1"),
+            (2, "no pii here at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_redact_df(df).collect()}
+        assert (got[0]["n_emails"], got[0]["n_phones"]) == (1, 1)
+        assert got[1]["n_ips"] == 3
+        assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+        # digest must equal md5 of the python re reference redaction
+        import hashlib
+
+        for d, text in rows:
+            red = text
+            for k in ("email", "ip", "phone"):
+                red = re.sub(PII_PATTERNS[k], f"<{k.upper()}>", red)
+            assert got[d]["redacted_digest"] == hashlib.md5(red.encode()).hexdigest(), d
+
+    def test_repetition_signals_semantics(self, spark):
+        from shifu_spark.operators.text import repetition_signals_df
+
+        rows = [
+            (0, "a b c a b c a b c"),      # 7 trigrams, 3 distinct
+            (1, "one two three four five"),  # all distinct
+            (2, "x y"),                    # shorter than n -> 1 gram
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_signals_df(df).collect()}
+        assert (got[0]["n_grams"], got[0]["n_distinct"]) == (7, 3)
+        assert not got[0]["keep"]  # dup_frac = 4/7 > 0.30
+        assert got[1]["dup_frac"] == 0.0 and got[1]["keep"]
+        assert got[2]["n_grams"] == 1 and got[2]["n_distinct"] == 1
