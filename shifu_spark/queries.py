@@ -5148,9 +5148,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (the one that survives 100 TB): per-term tf and doc
     length are computed IN-ROW (size(filter(toks, ...)) per query
     term — no token explode, no (doc, term) shuffle at all) in ONE
-    corpus scan, locally checkpointed; corpus stats AND per-term
+    corpus scan, persisted; corpus stats AND per-term
     document frequencies then come out of a single 1-row aggregate
-    over that checkpoint (broadcast back), and the score is one more
+    over that cache (broadcast back), and the score is one more
     narrow in-row expression. The only exchanges in the whole query
     are the 1-row aggregate and the TakeOrderedAndProject top-k —
     zero data-scale shuffles. Per-term contributions are rounded to
