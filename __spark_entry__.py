@@ -93,7 +93,6 @@ _PRIORITY = [
     # 39-50: r03-proven fills, central families first; the last four are
     # displaced by new round-5 queries as they land.
     "roc_auc",
-    "freq_items",
     "auto_filter",
     "streaming_drift_psi",
     "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
@@ -121,6 +120,11 @@ _PRIORITY = [
     # join the r6 front list in NOTES.md).
     "pii_redaction",
     "repetition_signals",
+    # GBT combine half (first driver row; completes the pinned scoring
+    # halves of the training family); displaces the r03-proven
+    # freq_items fill (column_stats-era stats family is well covered) —
+    # freq_items joins the r6 front list in NOTES.md.
+    "gbt_forward_pinned",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

@@ -138,6 +138,7 @@ HEADLINE_STAGES = {
     "streaming_source_mixture": "streaming",
     "pii_redaction": "text",
     "repetition_signals": "text",
+    "gbt_forward_pinned": "train",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

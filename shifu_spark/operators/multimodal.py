@@ -2181,8 +2181,32 @@ def _flac_subframe_decode(br: _FlacBitReader, bs: int, bps: int) -> np.ndarray:
                 acc += c * int(x[i - 1 - j])
             x[i] = acc
         return x
-    if stype & 0b100000:
-        raise NotImplementedError("FLAC LPC subframes unsupported")
+    if stype & 0b100000:  # LPC, order = low 5 bits + 1
+        # our encoder emits only FIXED, but real-world FLAC is mostly
+        # LPC — decode it generally so external streams parse (spec:
+        # warmup, 4-bit precision-1, 5-bit shift, order signed QLP
+        # coefficients, then the same partitioned residual)
+        order = (stype & 0b011111) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid FLAC QLP precision code")
+        prec += 1
+        shift = br.read(5)
+        if shift & 0x10:
+            # 5-bit signed; negative shifts are spec-reserved and never
+            # emitted by real encoders — refuse rather than guess
+            raise NotImplementedError("negative FLAC QLP shift unsupported")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _flac_read_residual(br, bs, order)
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        for i in range(order, bs):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * int(x[i - 1 - j])
+            x[i] = int(res[i - order]) + (acc >> shift)
+        return x
     raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
 
 

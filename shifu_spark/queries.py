@@ -3071,6 +3071,54 @@ FROM p ORDER BY l_orderkey, l_linenumber
 """
 
 
+@query("gbt_forward_pinned", None)
+def gbt_forward_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBT scoring with PINNED fixture trees — completes the pinned
+    scoring halves of the training family (LR/NN/RF/tree-path are the
+    others). Same REAL traversal (tree_path_encode_trees) but the GBT
+    combine: weighted SUM of per-tree predictions with per-tree
+    learning-rate weights (IndependentTreeModel.java:390-417; raw-score
+    strategy, the reference default GBT_SCORE_RAW_CONVETER). Oracle
+    mirrors the same left-to-right weighted fold — no /weightSum, which
+    is exactly what distinguishes GBT from the RF combine."""
+    from shifu_spark.ml.posttrain import tree_forward_score, tree_path_encode_trees
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("f1"),
+        F.col("l_discount").cast("double").alias("f2"),
+    )
+    enc = tree_path_encode_trees(
+        df, ["f1", "f2"], _PINNED_RF_TREES, keep_cols=["l_orderkey", "l_linenumber"]
+    )
+    score = tree_forward_score(_PINNED_RF_TREES, weights=[1.0, 0.1], mode="gbt")
+    return enc.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(score, 6).alias("score"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["gbt_forward_pinned"] = """
+WITH p AS (
+  SELECT l_orderkey, l_linenumber,
+         (CASE WHEN l_quantity <= 25.0
+               THEN CASE WHEN l_discount <= 0.05 THEN 0.1 ELSE 0.9 END
+               ELSE CASE WHEN l_quantity <= 40.0 THEN 0.4 ELSE 0.7 END
+          END)::DOUBLE AS p0,
+         (CASE WHEN l_discount <= 0.03 THEN 0.2
+               ELSE CASE WHEN l_quantity <= 30.0 THEN 0.8 ELSE 0.5 END
+          END)::DOUBLE AS p1
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(p0 * 1.0::DOUBLE + p1 * 0.1::DOUBLE, 6) AS score
+FROM p ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # ---------------------------------------------------------------------------
 # Normalize variants (SURVEY §2.8 — the remaining NormTypes as queries)
 # ---------------------------------------------------------------------------

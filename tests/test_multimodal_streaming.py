@@ -700,3 +700,53 @@ class TestFlacCodec:
         ramp = (np.arange(8000, dtype=np.int64) * 3) % 24001 - 12000
         assert len(encode_flac(ramp)) < 0.55 * ramp.size * 2
         assert len(encode_flac(np.full(8000, 77))) < 200
+
+    def test_lpc_subframe_decodes(self):
+        """Decoder generality: an LPC subframe (the type real-world
+        encoders mostly emit; our encoder writes only FIXED),
+        hand-assembled from the spec bit layout, must decode to the
+        closed-form recurrence x[i] = res[i] + (3*x[i-1] - x[i-2]) >> 1."""
+        import hashlib
+
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            _FlacBitWriter,
+            _flac_crc8,
+            _flac_crc16,
+            decode_flac,
+        )
+
+        warm = [100, 103]
+        res = [5, -3, 2, 0, 7, -2]
+        bs = len(warm) + len(res)
+        x = list(warm)
+        for r in res:
+            x.append(r + ((3 * x[-1] - x[-2]) >> 1))
+        samples = np.array(x, dtype=np.int64)
+
+        si = _FlacBitWriter()
+        si.write(4096, 16); si.write(4096, 16); si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(bs, 36)
+        md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+        head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si.getvalue() + md5
+
+        fh = bytes([0xFF, 0xF8, 0x70, 0x08]) + b"\x00" + (bs - 1).to_bytes(2, "big")
+        fh += bytes([_flac_crc8(fh)])
+        bw = _FlacBitWriter()
+        bw.write(0, 1); bw.write(0b100001, 6); bw.write(0, 1)  # LPC, order 2
+        for w in warm:
+            bw.write(w, 16)
+        bw.write(4 - 1, 4)  # QLP precision 4 bits
+        bw.write(1, 5)  # shift 1
+        bw.write(3, 4); bw.write(-1, 4)  # coefs [3, -1]
+        bw.write(0b00, 2); bw.write(0, 4); bw.write(4, 4)  # rice k=4, 1 partition
+        for r in res:
+            u = (r << 1) ^ (r >> 63)
+            bw.write(1, (u >> 4) + 1)  # unary quotient
+            bw.write(u, 4)
+        bw.align()
+        frame = fh + bw.getvalue()
+        frame += _flac_crc16(frame).to_bytes(2, "big")
+        dec, rate, nch = decode_flac(head + frame)
+        assert rate == 8000 and nch == 1
+        assert dec[:, 0].tolist() == x
