@@ -296,3 +296,37 @@ class TestPartitionPruning:
         ).distinct().count()
         all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
         assert n_files < all_files  # strictly fewer files touched
+
+
+class TestRound5Shapes:
+    def test_pii_redaction_narrow_map(self, spark):
+        # PII scrub is ONE narrow projection over the scan: no exchange,
+        # no UDF, and only (doc_id, text) read from the parquet
+        from shifu_spark.operators.text import pii_redact_df
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = pii_redact_df(docs)
+        assert count_shuffles(df) == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    def test_repetition_signals_narrow_map(self, spark):
+        from shifu_spark.operators.text import repetition_signals_df
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = repetition_signals_df(docs)
+        assert count_shuffles(df) == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+    def test_pinned_forward_queries_single_pass(self, spark):
+        # the pinned scoring halves are one scan + (for trees) one Arrow
+        # stage — the only exchange allowed is the final order-by sort
+        from shifu_spark.queries import QUERIES
+
+        for name in ("lr_forward_pinned", "rf_forward_pinned", "gbt_forward_pinned"):
+            df = QUERIES[name](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange hashpartitioning") == 0, name
+            assert plan.count("FileScan parquet") == 1, name
