@@ -750,3 +750,16 @@ class TestFlacCodec:
         dec, rate, nch = decode_flac(head + frame)
         assert rate == 8000 and nch == 1
         assert dec[:, 0].tolist() == x
+
+    def test_utf8_frame_number_roundtrip(self):
+        """The spec's extended UTF-8 frame-number coding round-trips
+        across every byte-length class (1..7 bytes, up to 36 bits)."""
+        from shifu_spark.operators.multimodal import (
+            _FlacBitReader,
+            _flac_read_utf8,
+            _flac_utf8,
+        )
+
+        for v in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10FFFF,
+                  2**31, 2**36 - 1]:
+            assert _flac_read_utf8(_FlacBitReader(_flac_utf8(v))) == v
