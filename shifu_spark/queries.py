@@ -6396,11 +6396,12 @@ def brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end pretraining-corpus curation pipeline as one
     cross-checked funnel — every LLM-data stage this engine implements,
-    composed: benchmark split -> Gopher rules -> quality classifier ->
-    exact dedup (canonical doc per content hash) -> near-dup resolution
-    (keep each LSH group's best-quality rep) -> benchmark
-    decontamination (5-gram overlap <= 0.5) -> per-source mixture
-    sampling. Output: survivors after each cumulative stage.
+    composed: benchmark split -> Gopher rules -> in-document repetition
+    filter -> quality classifier -> exact dedup (canonical doc per
+    content hash) -> near-dup resolution (keep each LSH group's
+    best-quality rep) -> benchmark decontamination (5-gram overlap
+    <= 0.5) -> per-source mixture sampling. Output: survivors after
+    each cumulative stage.
 
     Semantics note: stage flags are computed on the FULL corpus and
     conjoined cumulatively (deterministic and oracle-mirrorable);
@@ -6415,12 +6416,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_funnel_staged.py against
     :func:`corpus_curation_funnel_staged`:
 
-    * bench / gopher / classifier / mixture are PER-DOC pure functions,
-      so they commute with sequencing: stages 0-3 (and the mixture
-      predicate) are identical in both forms.
+    * bench / gopher / repetition / classifier / mixture are PER-DOC
+      pure functions, so they commute with sequencing: stages 0-4 (and
+      the mixture predicate) are identical in both forms.
     * exact dedup commutes as long as every digest group that has
-      stage-3 survivors keeps its full-corpus min-doc_id canonical
-      among them. Gopher/classifier preserve this automatically
+      stage-4 survivors keeps its full-corpus min-doc_id canonical
+      among them. Gopher/repetition/classifier preserve this automatically
       (identical text => identical flags, so a digest group passes or
       fails together); only the doc_id-keyed benchmark split can break
       it, and the test asserts the no-cross-split precondition on the
@@ -6446,17 +6447,22 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _funnel_stages() -> list:
-    """(stage name, cumulative flag-conjunction predicate) pairs."""
-    return [
-        ("0_total", F.lit(True)),
-        ("1_not_benchmark", F.col("f_bench")),
-        ("2_gopher", F.col("f_bench") & F.col("f_gopher")),
-        ("3_classifier", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf")),
-        ("4_exact_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact")),
-        ("5_near_dedup", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup")),
-        ("6_decontaminated", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon")),
-        ("7_mixture_sampled", F.col("f_bench") & F.col("f_gopher") & F.col("f_clf") & F.col("f_exact") & F.col("f_neardup") & F.col("f_decon") & F.col("f_mix")),
+    """(stage name, cumulative flag-conjunction predicate) pairs.
+    Flag order: benchmark split -> Gopher -> in-doc repetition ->
+    classifier -> exact dedup -> near-dup rep -> decontamination ->
+    mixture (the repetition stage joined the chain in round 5 when
+    repetition_signals landed)."""
+    flags = ["f_bench", "f_gopher", "f_rep", "f_clf", "f_exact", "f_neardup", "f_decon", "f_mix"]
+    names = [
+        "1_not_benchmark", "2_gopher", "3_repetition", "4_classifier",
+        "5_exact_dedup", "6_near_dedup", "7_decontaminated", "8_mixture_sampled",
     ]
+    out = [("0_total", F.lit(True))]
+    acc = None
+    for name, flag in zip(names, flags):
+        acc = F.col(flag) if acc is None else acc & F.col(flag)
+        out.append((name, acc))
+    return out
 
 
 def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6469,10 +6475,18 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.purify import _hash_key, _hex_threshold
     from shifu_spark.operators.text import gopher_quality_df, quality_classifier_df
 
+    from shifu_spark.operators.text import repetition_signals_df
+
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source", "text")
 
     g = gopher_quality_df(docs).select("doc_id", F.col("keep").alias("f_gopher"))
+    # corpus-tuned tighter threshold than the standalone query's 0.30
+    # Gopher default: this synthetic corpus tops out at dup_frac ~0.07,
+    # so 0.02 makes the stage provably bite at gate scale
+    rep = repetition_signals_df(docs, max_dup_frac=0.02).select(
+        "doc_id", F.col("keep").alias("f_rep")
+    )
     c = quality_classifier_df(docs).select(
         "doc_id", F.col("keep").alias("f_clf"), "clf_score"
     )
@@ -6526,6 +6540,7 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.select("doc_id", (F.col("doc_id") % 50 != 0).alias("f_bench"))
         .join(g, "doc_id")
+        .join(rep, "doc_id")
         .join(c.select("doc_id", "f_clf"), "doc_id")
         .join(exact, "doc_id")
         .join(nd, "doc_id", "left")
@@ -6572,6 +6587,14 @@ gbg AS (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
            i -> toks[i] || ' ' || toks[i+1])) AS gg2 FROM gt) GROUP BY doc_id, gg2),
 gtop AS (SELECT doc_id, max(c) AS top_c FROM gbg GROUP BY doc_id),
+rep3 AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  FROM gt),
+repf AS (
+  SELECT doc_id,
+         (1.0::DOUBLE - len(list_distinct(grams)) / len(grams)) <= CAST(0.02 AS DOUBLE) AS f_rep
+  FROM rep3),
 exact_f AS (
   SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS f_exact
   FROM documents),
@@ -6597,23 +6620,26 @@ flags AS (
      AND gbase.gsum_len / gbase.gn <= CAST(10.0 AS DOUBLE)
      AND gtop.top_c / greatest(gbase.gn - 1, 1) <= CAST(0.20 AS DOUBLE)
      AND gbase.gn_stop >= 2) AS f_gopher,
+    repf.f_rep,
     qsc.score >= CAST(0.5 AS DOUBLE) AS f_clf,
     exact_f.f_exact,
     (g.doc_id IS NULL OR reps.doc_id IS NOT NULL) AS f_neardup,
     dec.f_decon,
     mixf.f_mix
   FROM documents d
-  JOIN gbase USING (doc_id) JOIN gtop USING (doc_id) JOIN qsc USING (doc_id)
+  JOIN gbase USING (doc_id) JOIN gtop USING (doc_id) JOIN repf USING (doc_id)
+  JOIN qsc USING (doc_id)
   JOIN exact_f USING (doc_id) JOIN dec USING (doc_id) JOIN mixf USING (doc_id)
   LEFT JOIN g ON d.doc_id = g.doc_id LEFT JOIN reps ON d.doc_id = reps.doc_id)
 SELECT '0_total' AS stage, count(*)::BIGINT AS n FROM flags
 UNION ALL SELECT '1_not_benchmark', count(*) FILTER (WHERE f_bench)::BIGINT FROM flags
 UNION ALL SELECT '2_gopher', count(*) FILTER (WHERE f_bench AND f_gopher)::BIGINT FROM flags
-UNION ALL SELECT '3_classifier', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf)::BIGINT FROM flags
-UNION ALL SELECT '4_exact_dedup', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact)::BIGINT FROM flags
-UNION ALL SELECT '5_near_dedup', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact AND f_neardup)::BIGINT FROM flags
-UNION ALL SELECT '6_decontaminated', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact AND f_neardup AND f_decon)::BIGINT FROM flags
-UNION ALL SELECT '7_mixture_sampled', count(*) FILTER (WHERE f_bench AND f_gopher AND f_clf AND f_exact AND f_neardup AND f_decon AND f_mix)::BIGINT FROM flags
+UNION ALL SELECT '3_repetition', count(*) FILTER (WHERE f_bench AND f_gopher AND f_rep)::BIGINT FROM flags
+UNION ALL SELECT '4_classifier', count(*) FILTER (WHERE f_bench AND f_gopher AND f_rep AND f_clf)::BIGINT FROM flags
+UNION ALL SELECT '5_exact_dedup', count(*) FILTER (WHERE f_bench AND f_gopher AND f_rep AND f_clf AND f_exact)::BIGINT FROM flags
+UNION ALL SELECT '6_near_dedup', count(*) FILTER (WHERE f_bench AND f_gopher AND f_rep AND f_clf AND f_exact AND f_neardup)::BIGINT FROM flags
+UNION ALL SELECT '7_decontaminated', count(*) FILTER (WHERE f_bench AND f_gopher AND f_rep AND f_clf AND f_exact AND f_neardup AND f_decon)::BIGINT FROM flags
+UNION ALL SELECT '8_mixture_sampled', count(*) FILTER (WHERE f_bench AND f_gopher AND f_rep AND f_clf AND f_exact AND f_neardup AND f_decon AND f_mix)::BIGINT FROM flags
 ORDER BY stage
 """
 
@@ -6641,7 +6667,11 @@ def corpus_curation_funnel_staged(
         shingles_df,
     )
     from shifu_spark.operators.purify import _hash_key, _hex_threshold
-    from shifu_spark.operators.text import gopher_quality_df, quality_classifier_df
+    from shifu_spark.operators.text import (
+        gopher_quality_df,
+        quality_classifier_df,
+        repetition_signals_df,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     out: dict[str, DataFrame] = {"0_total": docs.select("doc_id")}
@@ -6654,9 +6684,15 @@ def corpus_curation_funnel_staged(
     )
     out["2_gopher"] = s2.select("doc_id")
 
-    clf = quality_classifier_df(s2).select("doc_id", "clf_score", "keep")
-    s3 = s2.join(clf.filter("keep").select("doc_id", "clf_score"), "doc_id")
-    out["3_classifier"] = s3.select("doc_id")
+    s2r = s2.join(
+        repetition_signals_df(s2, max_dup_frac=0.02).filter("keep").select("doc_id"),
+        "doc_id",
+    )
+    out["3_repetition"] = s2r.select("doc_id")
+
+    clf = quality_classifier_df(s2r).select("doc_id", "clf_score", "keep")
+    s3 = s2r.join(clf.filter("keep").select("doc_id", "clf_score"), "doc_id")
+    out["4_classifier"] = s3.select("doc_id")
 
     s4 = (
         s3.withColumn("digest", F.md5(F.col("text").cast("binary")))
@@ -6667,7 +6703,7 @@ def corpus_curation_funnel_staged(
         .filter("is_min")
         .drop("digest", "is_min")
     )
-    out["4_exact_dedup"] = s4.select("doc_id")
+    out["5_exact_dedup"] = s4.select("doc_id")
 
     caches: list[DataFrame] = []
     pairs = minhash_lsh_pairs_df(s4, 3, threshold=0.5, cache_out=caches).select(
@@ -6690,7 +6726,7 @@ def corpus_curation_funnel_staged(
     s5 = s4.join(groups.select("doc_id"), "doc_id", "left_anti").unionByName(
         s4.join(reps, "doc_id")
     )
-    out["5_near_dedup"] = s5.select("doc_id")
+    out["6_near_dedup"] = s5.select("doc_id")
 
     # fixed eval-suite reference: the FULL corpus's benchmark slice
     bench_sh = (
@@ -6707,12 +6743,12 @@ def corpus_curation_funnel_staged(
         .agg((F.count("hit") / F.count(F.lit(1))).alias("frac"))
     )
     s6 = s5.join(frac.filter(F.col("frac") <= 0.5).select("doc_id"), "doc_id")
-    out["6_decontaminated"] = s6.select("doc_id")
+    out["7_decontaminated"] = s6.select("doc_id")
 
     whens = " ".join(f"WHEN {b} THEN '{_hex_threshold(b / 10)}'" for b in range(1, 10))
     s7 = s6.filter(
         _hash_key(["doc_id"], "mix")
         < F.expr(f"CASE (CAST(substring(source, 4) AS INT) * 7) % 9 + 1 {whens} END")
     )
-    out["7_mixture_sampled"] = s7.select("doc_id")
+    out["8_mixture_sampled"] = s7.select("doc_id")
     return out

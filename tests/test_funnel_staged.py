@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
-PER_DOC_STAGES = ["0_total", "1_not_benchmark", "2_gopher", "3_classifier"]
+# documented sf0.01 funnel counts (9 stages since the repetition stage
+# joined in round 5) — recomputed below if they drift, the assert names it
+FUNNEL_SF001_COUNTS = [500, 490, 463, 460, 443, 443, 423, 422, 201]
+PER_DOC_STAGES = ["0_total", "1_not_benchmark", "2_gopher", "3_repetition", "4_classifier"]
 
 
 def test_staged_funnel_set_relations(spark):
@@ -43,23 +46,23 @@ def test_staged_funnel_set_relations(spark):
         for st in PER_DOC_STAGES:
             assert staged_sets[st] == flag_sets[st], st
 
-        # precondition for stage-4 commutation: no digest group whose
-        # full-corpus min doc_id is a benchmark doc has other members
-        # reaching stage 3 (gopher/clf can't split a digest group —
-        # identical text gives identical flags — only the doc_id-keyed
-        # benchmark split could)
+        # precondition for exact-dedup commutation: no digest group
+        # whose full-corpus min doc_id is a benchmark doc has other
+        # members reaching the classifier stage (gopher/repetition/clf
+        # can't split a digest group — identical text gives identical
+        # flags — only the doc_id-keyed benchmark split could)
         docs = spark.read.parquet(f"{SF}/documents.parquet").select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
         )
         mins = docs.groupBy("digest").agg(F.min("doc_id").alias("mn"))
         s3 = spark.createDataFrame(
-            [(i,) for i in staged_sets["3_classifier"]], "doc_id long"
+            [(i,) for i in staged_sets["4_classifier"]], "doc_id long"
         )
         cross_split = (
             docs.join(s3, "doc_id").join(mins, "digest").filter(F.col("mn") % 50 == 0)
         ).count()
-        assert cross_split == 0, "gate data violates the stage-4 precondition"
-        assert staged_sets["4_exact_dedup"] == flag_sets["4_exact_dedup"]
+        assert cross_split == 0, "gate data violates the exact-dedup precondition"
+        assert staged_sets["5_exact_dedup"] == flag_sets["5_exact_dedup"]
 
         # the provable direction for the non-commuting tail: flag-form
         # survivors are a subset of staged-form survivors at EVERY stage
@@ -73,6 +76,6 @@ def test_staged_funnel_set_relations(spark):
             for r in QUERIES["corpus_curation_funnel"](spark, SF).collect()
         }
         assert reg == {k: len(v) for k, v in flag_sets.items()}
-        assert [reg[k] for k in sorted(reg)] == [500, 490, 463, 446, 446, 426, 425, 202]
+        assert [reg[k] for k in sorted(reg)] == FUNNEL_SF001_COUNTS
     finally:
         flags.unpersist()
