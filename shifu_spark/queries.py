@@ -5341,6 +5341,106 @@ FROM red ORDER BY doc_id
 """
 
 
+from shifu_spark.operators.text import (  # noqa: E402
+    GOPHER_STOPWORDS as _GQ_STOP,
+    QUALITY_CLF_BIAS as _QC_BIAS,
+    QUALITY_CLF_WEIGHTS as _QC_W,
+)
+
+_GQ_STOP_SQL = ", ".join(f"'{s}'" for s in _GQ_STOP)
+_QC_W_SQL = ", ".join(f"CAST({w} AS DOUBLE)" for w in _QC_W)
+
+
+@query(
+    "corpus_report_by_source",
+    f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT doc_id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(CAST({{qc_bias}} AS DOUBLE) + wsum / n_tokens))) AS score
+  FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+           list_aggregate(list_transform(toks, x ->
+             (list_value({{qc_w}}))[strpos('0123456789abcdef', substr(md5(x), 1, 1))]
+           ), 'sum') AS wsum FROM t)),
+gb AS (
+  SELECT doc_id, len(toks) AS gn,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS gsum_len,
+         len(list_filter(toks, x -> list_contains([{{gq_stop}}], x))) AS gn_stop
+  FROM t),
+gbg AS (
+  SELECT doc_id, gg2, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> toks[i] || ' ' || toks[i+1])) AS gg2 FROM t) GROUP BY doc_id, gg2),
+gtop AS (SELECT doc_id, max(c) AS top_c FROM gbg GROUP BY doc_id),
+rg AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  FROM t),
+per_doc AS (
+  SELECT t.doc_id, t.source, len(t.toks) AS n_tokens,
+         round(q.score, 6) AS clf_score,
+         (gb.gn BETWEEN 10 AND 100000
+          AND gb.gsum_len / gb.gn >= CAST(2.0 AS DOUBLE)
+          AND gb.gsum_len / gb.gn <= CAST(10.0 AS DOUBLE)
+          AND gtop.top_c / greatest(gb.gn - 1, 1) <= CAST(0.20 AS DOUBLE)
+          AND gb.gn_stop >= 2) AS gopher_keep,
+         round(1.0::DOUBLE - len(list_distinct(rg.grams)) / len(rg.grams), 6) AS dup_frac
+  FROM t JOIN q USING (doc_id) JOIN gb USING (doc_id)
+  JOIN gtop USING (doc_id) JOIN rg USING (doc_id))
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  round(sum(n_tokens)::DOUBLE / count(*), 6) AS mean_tokens,
+  round(sum(CAST(clf_score AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS mean_clf_score,
+  round(count(*) FILTER (WHERE gopher_keep)::DOUBLE / count(*), 6) AS gopher_pass_rate,
+  round(sum(CAST(dup_frac AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS mean_dup_frac
+FROM per_doc GROUP BY source ORDER BY source
+""".replace("{qc_bias}", str(_QC_BIAS)).replace("{qc_w}", _QC_W_SQL).replace("{gq_stop}", _GQ_STOP_SQL),
+)
+def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus report card — the per-source rollup a data curator
+    runs before touching mixture weights: volume (docs, tokens), mean
+    quality-classifier score, Gopher pass rate, and mean in-document
+    duplication, all from the same operators the funnel composes.
+    Per-doc signals are narrow in-row expressions; ONE groupBy(source)
+    shuffle of metric-sized rows finalizes. The rounded per-doc doubles
+    are summed through DECIMAL(38,10) so the means are partition-order
+    independent (the established determinism rule)."""
+    from shifu_spark.operators.text import (
+        gopher_quality_df,
+        quality_classifier_df,
+        repetition_signals_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source")
+    q = quality_classifier_df(docs).select("doc_id", "clf_score")
+    g = gopher_quality_df(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    r = repetition_signals_df(docs).select("doc_id", "dup_frac")
+    tok = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    per_doc = base.join(q, "doc_id").join(g, "doc_id").join(r, "doc_id").join(tok, "doc_id")
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / n, 6).alias("mean_tokens"),
+            F.round(
+                F.sum(F.col("clf_score").cast("decimal(38,10)")).cast("double") / n, 6
+            ).alias("mean_clf_score"),
+            F.round(
+                F.sum(F.col("gopher_keep").cast("long")).cast("double") / n, 6
+            ).alias("gopher_pass_rate"),
+            F.round(
+                F.sum(F.col("dup_frac").cast("decimal(38,10)")).cast("double") / n, 6
+            ).alias("mean_dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("pii_redaction", None)
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the standard pre-tokenization pass of an LLM data
@@ -5389,14 +5489,6 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals_df(docs).orderBy("doc_id")
 
 
-from shifu_spark.operators.text import (  # noqa: E402
-    GOPHER_STOPWORDS as _GQ_STOP,
-    QUALITY_CLF_BIAS as _QC_BIAS,
-    QUALITY_CLF_WEIGHTS as _QC_W,
-)
-
-_GQ_STOP_SQL = ", ".join(f"'{s}'" for s in _GQ_STOP)
-_QC_W_SQL = ", ".join(f"CAST({w} AS DOUBLE)" for w in _QC_W)
 
 
 @query(
