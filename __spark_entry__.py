@@ -93,7 +93,6 @@ _PRIORITY = [
     # 39-50: r03-proven fills, central families first; the last four are
     # displaced by new round-5 queries as they land.
     "roc_auc",
-    "auto_filter",
     "streaming_drift_psi",
     "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
     # new round-5 queries (first driver row): the deterministic scoring
@@ -125,6 +124,10 @@ _PRIORITY = [
     # freq_items fill (column_stats-era stats family is well covered) —
     # freq_items joins the r6 front list in NOTES.md.
     "gbt_forward_pinned",
+    # per-source corpus report card (first driver row); displaces the
+    # r03-proven auto_filter fill — auto_filter joins the r6 front
+    # list in NOTES.md.
+    "corpus_report_by_source",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

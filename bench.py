@@ -139,6 +139,7 @@ HEADLINE_STAGES = {
     "pii_redaction": "text",
     "repetition_signals": "text",
     "gbt_forward_pinned": "train",
+    "corpus_report_by_source": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 
