@@ -330,3 +330,46 @@ class TestRound5Shapes:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert plan.count("Exchange hashpartitioning") == 0, name
             assert plan.count("FileScan parquet") == 1, name
+
+
+class TestAdaptiveSkewJoin:
+    def test_aqe_splits_skewed_join(self, spark):
+        """The 100 TB skew story is AQE's OptimizeSkewedJoin: with one
+        hot key dominating a sort-merge join, the FINAL adaptive plan
+        must mark the join skew=true (hot partition split into
+        subpartitions) instead of one straggler task absorbing it."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            pad = "x" * 200
+            fact = spark.range(0, 60_000).select(
+                F.when(F.col("id") % 3 != 0, 0)  # key 0 takes 2/3 of all rows
+                .otherwise(F.col("id") % 97)
+                .alias("k"),
+                F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload"),
+            )
+            dim = spark.range(0, 97).select(
+                F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+            )
+            j = fact.join(dim, "k")
+            # execute THIS dataframe (count() would finalize a different
+            # query execution) so AQE finalizes j's own plan
+            assert len(j.collect()) == 60_000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
