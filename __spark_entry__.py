@@ -93,7 +93,6 @@ _PRIORITY = [
     # 39-50: r03-proven fills, central families first; the last four are
     # displaced by new round-5 queries as they land.
     "roc_auc",
-    "streaming_drift_psi",
     "salted_group_counts",  # r3→r4 1.64x jitter watch (VERDICT wrong #5)
     # new round-5 queries (first driver row): the deterministic scoring
     # halves of the LR and RF training families (VERDICT item #5),
@@ -128,6 +127,11 @@ _PRIORITY = [
     # r03-proven auto_filter fill — auto_filter joins the r6 front
     # list in NOTES.md.
     "corpus_report_by_source",
+    # Z-order layout planner (first driver row); displaces the
+    # r03-proven streaming_drift_psi fill (streaming holds two r05
+    # first-proofs + four r04 greens in recent windows) — drift_psi
+    # joins the r6 front list in NOTES.md.
+    "zorder_skipping_stats",
     # -- everything below is OUTSIDE the 50-slot gate window; kept in
     # rough round-4 order so the full registry stays exposed.
     "column_stats",

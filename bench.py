@@ -140,6 +140,7 @@ HEADLINE_STAGES = {
     "repetition_signals": "text",
     "gbt_forward_pinned": "train",
     "corpus_report_by_source": "text",
+    "zorder_skipping_stats": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

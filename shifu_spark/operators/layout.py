@@ -1,0 +1,86 @@
+"""Data-layout optimization: Z-order (Morton) clustering keys.
+
+The lakehouse data-skipping primitive (Delta ``OPTIMIZE ZORDER BY`` /
+Iceberg sort-order analog): quantize each clustering column to a
+``bits``-wide rank, interleave the bits into one Morton key, and sort /
+repartitionByRange the table by that key before writing. Files then
+carry TIGHT min/max ranges on EVERY clustering dimension, so parquet
+footer pruning skips most files for selective multi-dimensional
+predicates — at 100 TB this is the difference between scanning a few
+files and scanning the table when queries filter on two+ columns.
+
+Everything is pure JVM expressions: quantization is a broadcast 1-row
+min/max agg + arithmetic; the bit interleave is one ``F.expr`` SQL
+string of shift/mask terms (the PQ lesson: big literal expressions as a
+single SQL string, not py4j Column chains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_expr(col: str, mn: str, mx: str, bits: int) -> Column:
+    """Rank ``col`` into [0, 2^bits) given broadcast min/max columns.
+
+    NULL -> 0 (sorts first, like Delta). The max value lands on
+    2^bits - 1 exactly; a degenerate (constant) column quantizes to 0.
+    """
+    levels = (1 << bits) - 1
+    c = F.col(col).cast("double")
+    lo, hi = F.col(mn).cast("double"), F.col(mx).cast("double")
+    rank = F.floor((c - lo) / (hi - lo) * levels + 0.5)
+    return (
+        F.when(c.isNull() | (hi == lo), F.lit(0))
+        .otherwise(F.least(F.greatest(rank, F.lit(0)), F.lit(levels)))
+        .cast("long")
+    )
+
+
+def morton_interleave_sql(rank_cols: list[str], bits: int) -> str:
+    """Morton bit-interleave of quantized ranks as ONE SQL expression.
+
+    Bit b of dimension d lands at position b * n_dims + d, so the key
+    cycles through dimensions from the LSB up; sorting by it gives the
+    classic Z curve. Returns a SQL string (shiftleft/shiftright & masks)
+    valid in both Spark SQL and, with `>>`/`<<` spelling, DuckDB — the
+    oracle builder below emits the DuckDB spelling from the same terms.
+    """
+    n = len(rank_cols)
+    terms = [
+        f"shiftleft(shiftright({col}, {b}) & 1, {b * n + d})"
+        for b in range(bits)
+        for d, col in enumerate(rank_cols)
+    ]
+    return " + ".join(terms)
+
+
+def morton_interleave_duckdb(rank_cols: list[str], bits: int) -> str:
+    """The same interleave, spelled for DuckDB (>> / << / & operators)."""
+    n = len(rank_cols)
+    terms = [
+        f"((({col} >> {b}) & 1) << {b * n + d})"
+        for b in range(bits)
+        for d, col in enumerate(rank_cols)
+    ]
+    return " + ".join(terms)
+
+
+def zorder_keys(df: DataFrame, cols: list[str], bits: int = 10) -> DataFrame:
+    """Append ``zkey`` (the Morton key over ``cols``) plus the per-column
+    quantized ranks ``zr_<col>``. One broadcast 1-row min/max agg + one
+    narrow projection; zero data-scale shuffles — the caller then
+    ``repartitionByRange('zkey')``/sorts to realize the layout."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    mm = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(mm))
+    rank_names = []
+    for c in cols:
+        rn = f"zr_{c}"
+        out = out.withColumn(rn, quantize_expr(c, f"mn_{c}", f"mx_{c}", bits))
+        rank_names.append(rn)
+    out = out.withColumn("zkey", F.expr(morton_interleave_sql(rank_names, bits)))
+    return out.drop(*[f"mn_{c}" for c in cols], *[f"mx_{c}" for c in cols])

@@ -373,3 +373,43 @@ class TestAdaptiveSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestZorderLayout:
+    def test_bucket_spans_bounded_and_no_data_shuffle(self, spark):
+        """Every coarse Z-range bucket must confine BOTH dimensions to a
+        2^5-of-2^8 rank window (the data-skipping guarantee), and the
+        key computation itself must be a broadcast-agg + narrow map —
+        the only exchange is the final catalog-sized groupBy."""
+        from shifu_spark.operators.layout import zorder_keys
+        from shifu_spark.queries import QUERIES
+
+        rows = QUERIES["zorder_skipping_stats"](spark, SF).collect()
+        assert len(rows) == 64
+        for r in rows:
+            assert r["max_q"] - r["min_q"] <= 31, r
+            assert r["max_p"] - r["min_p"] <= 31, r
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_quantity", "l_extendedprice"
+        )
+        z = zorder_keys(li, ["l_quantity", "l_extendedprice"], bits=8)
+        assert has_broadcast_join(z)
+        assert count_shuffles(z) <= 1  # the 1-row min/max agg's own exchange
+
+    def test_morton_key_matches_python_reference(self, spark):
+        from shifu_spark.operators.layout import zorder_keys
+
+        df = spark.createDataFrame(
+            [(float(i), float((i * 37) % 100)) for i in range(100)], "a double, b double"
+        )
+        got = zorder_keys(df, ["a", "b"], bits=4).collect()
+
+        def interleave(x, y):
+            out = 0
+            for b in range(4):
+                out |= ((x >> b) & 1) << (2 * b)
+                out |= ((y >> b) & 1) << (2 * b + 1)
+            return out
+
+        for r in got:
+            assert r["zkey"] == interleave(r["zr_a"], r["zr_b"])
