@@ -413,3 +413,40 @@ class TestZorderLayout:
 
         for r in got:
             assert r["zkey"] == interleave(r["zr_a"], r["zr_b"])
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_join_injects_bloom_filter(self, spark, tmp_path):
+        """Catalyst's runtime-filter injection: a selective dim-side
+        predicate on a shuffle join must plant a bloom_filter_agg on the
+        dim and a might_contain pre-filter on the fact scan — at 100 TB
+        this prunes most fact rows BEFORE the join shuffle."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            spark.range(0, 200_000).select(
+                F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+            ).write.parquet(str(tmp_path / "fact"))
+            spark.range(0, 50_000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+            ).write.parquet(str(tmp_path / "dim"))
+            fact = spark.read.parquet(str(tmp_path / "fact"))
+            dim = spark.read.parquet(str(tmp_path / "dim")).filter("tag = 3")
+            j = fact.join(dim, "k")
+            assert j.count() > 0
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
