@@ -178,17 +178,11 @@ GOPHER_MAX_TOP_BIGRAM_FRAC = 0.20
 GOPHER_MIN_STOPWORDS = 2
 
 
-def gopher_quality_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Gopher-rule quality signals (Rae et al. 2021 §A1.1, re-derived):
-    token count bounds, mean word length bounds, most-common-bigram
-    mass, minimum stopword hits — and the conjunctive keep flag.
-
-    The top-bigram fraction is computed IN-ROW: sort the bigram array,
-    then a single aggregate() pass tracks the longest equal-adjacent
-    run — no explode, no per-doc groupBy shuffle. At 100 TB this whole
-    operator is a narrow map over the corpus scan."""
-    toks = F.split(F.col(text_col), " ")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+def gopher_signal_exprs():
+    """(n_tokens, mean_word_len, top_bigram_mult, n_stopwords) as pure
+    Columns over a frame carrying a ``toks`` array column — the
+    composable form, so multi-signal rollups (corpus report, funnel)
+    evaluate every quality signal in ONE projection over ONE scan."""
     n = F.size("toks")
     sum_len = F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
     mean_wl = sum_len / n
@@ -206,6 +200,33 @@ def gopher_quality_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         "    greatest(acc.best, if(acc.prev is not null and x = acc.prev, acc.run + 1, 1)) as best),"
         "  acc -> acc.best)"
     )
+    return n, mean_wl, top_big, n_stop
+
+
+def gopher_keep_expr():
+    """The conjunctive Gopher keep flag as one Column (over ``toks``)."""
+    n, mean_wl, top_big, n_stop = gopher_signal_exprs()
+    return (
+        n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (top_big / F.greatest(n - 1, F.lit(1)) <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+
+
+def gopher_quality_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1, re-derived):
+    token count bounds, mean word length bounds, most-common-bigram
+    mass, minimum stopword hits — and the conjunctive keep flag.
+
+    The top-bigram fraction is computed IN-ROW: sort the bigram array,
+    then a single aggregate() pass tracks the longest equal-adjacent
+    run — no explode, no per-doc groupBy shuffle. At 100 TB this whole
+    operator is a narrow map over the corpus scan."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n, mean_wl, top_big, n_stop = gopher_signal_exprs()
     out = d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -237,23 +258,28 @@ QUALITY_CLF_WEIGHTS = [
 QUALITY_CLF_BIAS = 0.25
 
 
-def quality_classifier_df(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, n_tokens, clf_score, keep): sigmoid(bias + mean bucket
-    weight), keep = score >= 0.5 decided on the UNROUNDED score (both
-    engines compute the identical double, so the flag is stable)."""
+def quality_clf_score_expr():
+    """The UNROUNDED classifier score as one Column over ``toks``."""
     w_arr = ", ".join(f"cast({w} as double)" for w in QUALITY_CLF_WEIGHTS)
-    d = docs.select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
-    )
     wsum = F.expr(
         f"aggregate(toks, cast(0 as double), (acc, x) -> acc + "
         f"element_at(array({w_arr}), "
         f"instr('0123456789abcdef', substring(md5(cast(x as binary)), 1, 1))))"
     )
     logit = F.lit(QUALITY_CLF_BIAS) + wsum / F.size("toks")
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def quality_classifier_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, clf_score, keep): sigmoid(bias + mean bucket
+    weight), keep = score >= 0.5 decided on the UNROUNDED score (both
+    engines compute the identical double, so the flag is stable)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    score = quality_clf_score_expr()
     return d.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -312,6 +338,19 @@ def pii_redact_df(
 # In-document repetition signals (Rae et al. 2021 repetition filters)
 # ---------------------------------------------------------------------------
 
+def ngram_array_expr(text_col: str, n: int = 3):
+    """Word n-gram array Column built from a raw text column."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    )
+
+
+def dup_frac_expr():
+    """UNROUNDED duplicate-n-gram fraction over a ``grams`` array column."""
+    return F.lit(1.0) - F.size(F.array_distinct("grams")) / F.size("grams")
+
+
 def repetition_signals_df(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -326,15 +365,14 @@ def repetition_signals_df(
     token array — zero corpus-side shuffle), with the conjunctive keep
     at ``max_dup_frac``. Decided on the UNROUNDED fraction; the emitted
     column is rounded for the hash."""
-    toks = F.split(F.col(text_col), " ")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+        ngram_array_expr(text_col, n).alias("grams"),
     )
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"), grams.alias("grams"))
     total = F.size("grams")
     distinct = F.size(F.array_distinct("grams"))
-    dup = F.lit(1.0) - distinct / total
+    dup = dup_frac_expr()
     return d.select(
         "doc_id",
         total.alias("n_grams"),

@@ -5408,18 +5408,28 @@ def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     are summed through DECIMAL(38,10) so the means are partition-order
     independent (the established determinism rule)."""
     from shifu_spark.operators.text import (
-        gopher_quality_df,
-        quality_classifier_df,
-        repetition_signals_df,
+        dup_frac_expr,
+        gopher_keep_expr,
+        ngram_array_expr,
+        quality_clf_score_expr,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "source")
-    q = quality_classifier_df(docs).select("doc_id", "clf_score")
-    g = gopher_quality_df(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
-    r = repetition_signals_df(docs).select("doc_id", "dup_frac")
-    tok = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-    per_doc = base.join(q, "doc_id").join(g, "doc_id").join(r, "doc_id").join(tok, "doc_id")
+    # ONE projection over ONE corpus scan: every signal is an in-row
+    # Column expression over the shared toks/grams arrays (the earlier
+    # join-of-derived-frames form read the corpus five times and would
+    # sort-merge-join on doc_id at scale)
+    per_doc = docs.select(
+        "source",
+        F.split("text", " ").alias("toks"),
+        ngram_array_expr("text").alias("grams"),
+    ).select(
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.round(quality_clf_score_expr(), 6).alias("clf_score"),
+        gopher_keep_expr().alias("gopher_keep"),
+        F.round(dup_frac_expr(), 6).alias("dup_frac"),
+    )
     n = F.count(F.lit(1))
     return (
         per_doc.groupBy("source")

@@ -450,3 +450,17 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestCorpusReportShape:
+    def test_single_corpus_scan(self, spark):
+        """The report card must evaluate every quality signal in ONE
+        projection over ONE corpus scan — no join-of-derived-frames
+        (which would re-read the corpus per signal and SMJ on doc_id at
+        scale)."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["corpus_report_by_source"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
