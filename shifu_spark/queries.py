@@ -6639,23 +6639,36 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df, shingles_df
     from shifu_spark.operators.purify import _hash_key, _hex_threshold
-    from shifu_spark.operators.text import gopher_quality_df, quality_classifier_df
-
-    from shifu_spark.operators.text import repetition_signals_df
+    from shifu_spark.operators.text import (
+        dup_frac_expr,
+        gopher_keep_expr,
+        ngram_array_expr,
+        quality_clf_score_expr,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source", "text")
 
-    g = gopher_quality_df(docs).select("doc_id", F.col("keep").alias("f_gopher"))
-    # corpus-tuned tighter threshold than the standalone query's 0.30
-    # Gopher default: this synthetic corpus tops out at dup_frac ~0.07,
-    # so 0.02 makes the stage provably bite at gate scale
-    rep = repetition_signals_df(docs, max_dup_frac=0.02).select(
-        "doc_id", F.col("keep").alias("f_rep")
+    # the three per-doc text signals fold into ONE projection over one
+    # corpus scan (the composable Column builders); only the stages
+    # that genuinely need shuffles (exact digest window, LSH pairs,
+    # shingle join) read the corpus again. The repetition threshold is
+    # corpus-tuned tighter than the standalone query's 0.30 Gopher
+    # default: this synthetic corpus tops out at dup_frac ~0.07, so
+    # 0.02 makes the stage provably bite at gate scale.
+    score = quality_clf_score_expr()
+    text_sig = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        ngram_array_expr("text").alias("grams"),
+    ).select(
+        "doc_id",
+        gopher_keep_expr().alias("f_gopher"),
+        (dup_frac_expr() <= 0.02).alias("f_rep"),
+        F.round(score, 6).alias("clf_score"),
+        (score >= 0.5).alias("f_clf"),
     )
-    c = quality_classifier_df(docs).select(
-        "doc_id", F.col("keep").alias("f_clf"), "clf_score"
-    )
+    c = text_sig.select("doc_id", "f_clf", "clf_score")
     exact = base.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
     ).withColumn(
@@ -6705,9 +6718,7 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         base.select("doc_id", (F.col("doc_id") % 50 != 0).alias("f_bench"))
-        .join(g, "doc_id")
-        .join(rep, "doc_id")
-        .join(c.select("doc_id", "f_clf"), "doc_id")
+        .join(text_sig.select("doc_id", "f_gopher", "f_rep", "f_clf"), "doc_id")
         .join(exact, "doc_id")
         .join(nd, "doc_id", "left")
         .join(decon, "doc_id")
