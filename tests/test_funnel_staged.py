@@ -25,7 +25,11 @@ FUNNEL_SF001_COUNTS = [500, 490, 463, 460, 443, 443, 423, 422, 201]
 PER_DOC_STAGES = ["0_total", "1_not_benchmark", "2_gopher", "3_repetition", "4_classifier"]
 
 
-def test_staged_funnel_set_relations(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.001"])
+def test_staged_funnel_set_relations(spark, sf_dir):
     from shifu_spark.queries import (
         QUERIES,
         _funnel_flags,
@@ -33,8 +37,8 @@ def test_staged_funnel_set_relations(spark):
         corpus_curation_funnel_staged,
     )
 
-    flags = _funnel_flags(spark, SF).cache()
-    staged = corpus_curation_funnel_staged(spark, SF)
+    flags = _funnel_flags(spark, sf_dir).cache()
+    staged = corpus_curation_funnel_staged(spark, sf_dir)
     try:
         flag_sets = {
             name: {r[0] for r in flags.filter(cond).select("doc_id").collect()}
@@ -51,7 +55,7 @@ def test_staged_funnel_set_relations(spark):
         # members reaching the classifier stage (gopher/repetition/clf
         # can't split a digest group — identical text gives identical
         # flags — only the doc_id-keyed benchmark split could)
-        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
         )
         mins = docs.groupBy("digest").agg(F.min("doc_id").alias("mn"))
@@ -73,9 +77,10 @@ def test_staged_funnel_set_relations(spark):
         # match the documented sf0.01 funnel
         reg = {
             r["stage"]: r["n"]
-            for r in QUERIES["corpus_curation_funnel"](spark, SF).collect()
+            for r in QUERIES["corpus_curation_funnel"](spark, sf_dir).collect()
         }
         assert reg == {k: len(v) for k, v in flag_sets.items()}
-        assert [reg[k] for k in sorted(reg)] == FUNNEL_SF001_COUNTS
+        if sf_dir == SF:  # the documented gate-scale chain
+            assert [reg[k] for k in sorted(reg)] == FUNNEL_SF001_COUNTS
     finally:
         flags.unpersist()

@@ -855,3 +855,52 @@ class TestPiiAndRepetition:
         assert not got[0]["keep"]  # dup_frac = 4/7 > 0.30
         assert got[1]["dup_frac"] == 0.0 and got[1]["keep"]
         assert got[2]["n_grams"] == 1 and got[2]["n_distinct"] == 1
+
+
+def test_pii_redaction_randomized_against_python_re(spark):
+    """Third-implementation cross-check on a seeded randomized corpus:
+    Spark's JVM-regex counts and redaction digests must equal python
+    `re` over 200 documents with randomly placed/formatted PII."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from shifu_spark.operators.text import PII_PATTERNS, pii_redact_df
+
+    rng = np.random.default_rng(123)
+    words = ["alpha", "beta", "gamma", "delta", "sum", "table", "row"]
+    rows = []
+    for i in range(200):
+        toks = list(rng.choice(words, rng.integers(3, 12)))
+        for _ in range(rng.integers(0, 4)):
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                toks.insert(
+                    int(rng.integers(0, len(toks))),
+                    f"user{rng.integers(0, 999)}@ex{rng.integers(0, 9)}.org",
+                )
+            elif kind == 1:
+                toks.insert(
+                    int(rng.integers(0, len(toks))),
+                    ".".join(str(rng.integers(0, 256)) for _ in range(4)),
+                )
+            else:
+                toks.insert(int(rng.integers(0, len(toks))), f"555-{rng.integers(0, 10000):04d}")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact_df(df).collect()}
+    n_with_pii = 0
+    for i, text in rows:
+        want = {
+            k: len(re.findall(p, text)) for k, p in PII_PATTERNS.items()
+        }
+        assert (got[i]["n_emails"], got[i]["n_ips"], got[i]["n_phones"]) == (
+            want["email"], want["ip"], want["phone"],
+        ), (i, text)
+        red = text
+        for k in ("email", "ip", "phone"):
+            red = re.sub(PII_PATTERNS[k], f"<{k.upper()}>", red)
+        assert got[i]["redacted_digest"] == hashlib.md5(red.encode()).hexdigest(), (i, text)
+        n_with_pii += any(want.values())
+    assert n_with_pii > 100  # the corpus genuinely exercised the patterns

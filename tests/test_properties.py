@@ -297,3 +297,51 @@ class TestFlacProperties:
         # the original (the flipped byte was outside any checked field —
         # cannot happen in this layout, so assert equality to fail loudly)
         assert (dec[:, 0] == x).all()
+
+
+class TestZorderProperties:
+    @given(st.integers(2, 3), st.integers(2, 6), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_interleave_bijective_and_bounded(self, ndims, bits, seed):
+        """The Morton interleave is a bijection [0,2^bits)^d -> [0,2^(d*bits))
+        — evaluated here through the same python semantics the SQL terms
+        encode (shift/mask/or), over random rank tuples."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+
+        def interleave(ranks):
+            out = 0
+            for b in range(bits):
+                for d, r in enumerate(ranks):
+                    out |= ((r >> b) & 1) << (b * ndims + d)
+            return out
+
+        tuples = {tuple(rng.integers(0, 1 << bits, ndims)) for _ in range(100)}
+        keys = {interleave(t) for t in tuples}
+        assert len(keys) == len(tuples)  # injective on the sample
+        assert all(0 <= k < (1 << (ndims * bits)) for k in keys)
+
+    @given(
+        st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=50),
+        st.integers(2, 10),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_quantize_rank_properties(self, xs, bits):
+        """Quantized ranks stay in [0, 2^bits); the min maps to 0 and the
+        max to 2^bits - 1 (degenerate constant columns map to 0) —
+        python mirror of layout.quantize_expr's formula."""
+        import math
+
+        lo, hi = min(xs), max(xs)
+        levels = (1 << bits) - 1
+
+        def rank(c):
+            if hi == lo:
+                return 0
+            return min(max(math.floor((c - lo) / (hi - lo) * levels + 0.5), 0), levels)
+
+        rs = [rank(c) for c in xs]
+        assert all(0 <= r <= levels for r in rs)
+        assert rank(lo) == 0
+        assert rank(hi) == (0 if hi == lo else levels)
