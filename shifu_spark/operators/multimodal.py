@@ -2076,11 +2076,18 @@ def _flac_subframe(bw: _FlacBitWriter, x: np.ndarray, bps: int) -> None:
     _flac_write_residual(bw, best_res)
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 8000, stereo_mode: str = "independent"
+) -> bytes:
     """Encode int16-range samples ((n,) mono or (n, 2) stereo) as a real
     FLAC stream: STREAMINFO (with the spec's MD5 of the unencoded
     little-endian interleaved audio), fixed-blocksize frames, per-channel
-    CONSTANT/FIXED/VERBATIM subframes, Rice residuals, CRC-8 + CRC-16."""
+    CONSTANT/FIXED/VERBATIM subframes, Rice residuals, CRC-8 + CRC-16.
+    ``stereo_mode='ms'`` writes mid/side decorrelated frames (channel
+    assignment 0b1010; the side subframe carries bps+1) — exactly
+    invertible, so round trips prove the decoder's reconstruction."""
+    if stereo_mode not in ("independent", "ms"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -2117,14 +2124,20 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
         hdr.write(0, 1)  # fixed-blocksize strategy (frame number follows)
         hdr.write(0b0111, 4)  # blocksize-1 as 16 bits at header end
         hdr.write(0b0000, 4)  # sample rate from STREAMINFO
-        hdr.write(nch - 1, 4)  # independent channels
+        use_ms = stereo_mode == "ms" and nch == 2
+        hdr.write(0b1010 if use_ms else nch - 1, 4)  # channel assignment
         hdr.write(0b100, 3)  # 16 bits per sample
         hdr.write(0, 1)  # reserved
         head = hdr.getvalue() + _flac_utf8(f_idx) + (bs - 1).to_bytes(2, "big")
         head += bytes([_flac_crc8(head)])
         bw = _FlacBitWriter()
-        for c in range(nch):
-            _flac_subframe(bw, blk[:, c], 16)
+        if use_ms:
+            left, right = blk[:, 0], blk[:, 1]
+            _flac_subframe(bw, (left + right) >> 1, 16)  # mid
+            _flac_subframe(bw, left - right, 17)  # side (one extra bit)
+        else:
+            for c in range(nch):
+                _flac_subframe(bw, blk[:, c], 16)
         bw.align()
         frame = head + bw.getvalue()
         out += frame + _flac_crc16(frame).to_bytes(2, "big")
@@ -2162,8 +2175,20 @@ def _flac_subframe_decode(br: _FlacBitReader, bs: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("FLAC subframe pad bit set")
     stype = br.read(6)
+    wasted = 0
     if br.read(1):
-        raise NotImplementedError("FLAC wasted bits unsupported")
+        # wasted-bits-per-sample: unary count k means k+1... per spec the
+        # flag bit is followed by (k-1) zeroes + 1 for k wasted bits;
+        # samples decode at bps-k and shift back up
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    x = _flac_subframe_payload(br, bs, bps, stype)
+    return x << wasted if wasted else x
+
+
+def _flac_subframe_payload(
+    br: _FlacBitReader, bs: int, bps: int, stype: int
+) -> np.ndarray:
     if stype == 0b000000:  # CONSTANT
         return np.full(bs, br.read_signed(bps), dtype=np.int64)
     if stype == 0b000001:  # VERBATIM
@@ -2273,10 +2298,12 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError(f"reserved FLAC blocksize code {bs_code:#06b}")
         if sr_code != 0b0000:
             raise NotImplementedError("in-frame FLAC sample rate codes unsupported")
-        if ch_code >= 0b1000:
-            raise NotImplementedError("FLAC mid/side stereo unsupported")
-        if ch_code + 1 != nch:
+        if ch_code > 0b1010:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code:#06b}")
+        if ch_code < 0b1000 and ch_code + 1 != nch:
             raise ValueError("FLAC frame channel count != STREAMINFO")
+        if ch_code >= 0b1000 and nch != 2:
+            raise ValueError("FLAC stereo decorrelation in a non-stereo stream")
         fbps = _FLAC_SAMPLE_SIZE_CODE.get(ss_code)
         if fbps is None:
             raise ValueError("FLAC sample size from STREAMINFO unsupported here")
@@ -2286,8 +2313,25 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
         if _flac_crc8(payload[frame_start:hdr_end]) != payload[hdr_end]:
             raise ValueError("FLAC frame header CRC-8 mismatch")
         br.bitpos = (hdr_end + 1) * 8
-        for c in range(nch):
-            chans[c].append(_flac_subframe_decode(br, bs, bps))
+        if ch_code >= 0b1000:
+            # left/side, right/side, mid/side: the side channel carries
+            # one extra bit; reconstruction below is exact (lossless)
+            bps_a = bps + (1 if ch_code == 0b1001 else 0)
+            bps_b = bps + (1 if ch_code in (0b1000, 0b1010) else 0)
+            a = _flac_subframe_decode(br, bs, bps_a)
+            b = _flac_subframe_decode(br, bs, bps_b)
+            if ch_code == 0b1000:  # left/side
+                left, right = a, a - b
+            elif ch_code == 0b1001:  # side/right
+                left, right = a + b, b
+            else:  # mid/side: mid was floor((L+R)/2); side parity restores the sum
+                mid2 = (a << 1) | (b & 1)
+                left, right = (mid2 + b) >> 1, (mid2 - b) >> 1
+            chans[0].append(left)
+            chans[1].append(right)
+        else:
+            for c in range(nch):
+                chans[c].append(_flac_subframe_decode(br, bs, bps))
         br.align()
         body_end = br.bytepos()
         crc = int.from_bytes(payload[body_end : body_end + 2], "big")

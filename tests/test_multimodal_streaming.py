@@ -763,3 +763,37 @@ class TestFlacCodec:
         for v in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10FFFF,
                   2**31, 2**36 - 1]:
             assert _flac_read_utf8(_FlacBitReader(_flac_utf8(v))) == v
+
+    def test_wasted_bits_subframe_decodes(self):
+        """Decoder generality: a hand-assembled CONSTANT subframe with 2
+        wasted bits (samples all multiples of 4, stored at bps-2 and
+        shifted back) decodes to the intended values."""
+        import hashlib
+
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            _FlacBitWriter,
+            _flac_crc8,
+            _flac_crc16,
+            decode_flac,
+        )
+
+        val, bs = -1024, 5  # -1024 = -256 << 2
+        samples = np.full(bs, val, dtype=np.int64)
+        si = _FlacBitWriter()
+        si.write(4096, 16); si.write(4096, 16); si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(bs, 36)
+        md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+        head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si.getvalue() + md5
+        fh = bytes([0xFF, 0xF8, 0x70, 0x08]) + b"\x00" + (bs - 1).to_bytes(2, "big")
+        fh += bytes([_flac_crc8(fh)])
+        bw = _FlacBitWriter()
+        bw.write(0, 1); bw.write(0b000000, 6)  # CONSTANT
+        bw.write(1, 1)  # wasted-bits flag
+        bw.write(0b01, 2)  # unary: one zero + one -> 2 wasted bits
+        bw.write(val >> 2, 14)  # constant at bps-2
+        bw.align()
+        frame = fh + bw.getvalue()
+        frame += _flac_crc16(frame).to_bytes(2, "big")
+        dec, _r, _n = decode_flac(head + frame)
+        assert dec[:, 0].tolist() == [val] * bs

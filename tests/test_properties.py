@@ -345,3 +345,23 @@ class TestZorderProperties:
         assert all(0 <= r <= levels for r in rs)
         assert rank(lo) == 0
         assert rank(hi) == (0 if hi == lo else levels)
+
+
+class TestFlacStereoModes:
+    @given(
+        st.lists(st.integers(-16000, 16000), min_size=2, max_size=300),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_mid_side_roundtrip_exact(self, xs, seed):
+        """Mid/side decorrelation is exactly invertible for ANY stereo
+        content (odd sums included — the side parity bit restores them)."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_flac, encode_flac
+
+        rng = np.random.default_rng(seed)
+        left = np.asarray(xs, dtype=np.int64)
+        right = (left + rng.integers(-7, 8, len(left))).clip(-32768, 32767)
+        x = np.stack([left, right], axis=1)
+        dec, _r, nch = decode_flac(encode_flac(x, stereo_mode="ms"))
+        assert nch == 2 and (dec == x).all()
