@@ -6600,16 +6600,27 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       full-corpus rep is its component's max-clf doc, hence also the
       max of its (sub)component among survivors, so sequencing only
       ever keeps MORE near-dup representatives, never fewer."""
-    flags = _funnel_flags(spark, sf_dir)
     stages = _funnel_stages()
-    one = flags.agg(
-        *[F.sum(cond.cast("long")).alias(name) for name, cond in stages]
-    )
-    stack = ", ".join(f"'{name}', `{name}`" for name, _ in stages)
-    return (
-        one.selectExpr(f"stack({len(stages)}, {stack}) as (stage, n)")
-        .orderBy("stage")
-    )
+    # Materialize the SLIM boolean frame before the 8-way cumulative
+    # aggregate: without the barrier Catalyst collapses each flag's full
+    # expression tree into every conjunction sum, re-evaluating the
+    # md5/aggregate-heavy flags up to 8x (measured 2x wall at sf1).
+    # The cached frame is ~10 bytes/row — proportional to corpus rows
+    # but minimal width, the standard trade for reuse-heavy finals.
+    flags = _funnel_flags(spark, sf_dir).persist()
+    try:
+        one = flags.agg(
+            *[F.sum(cond.cast("long")).alias(name) for name, cond in stages]
+        )
+        stack = ", ".join(f"'{name}', `{name}`" for name, _ in stages)
+        out = (
+            one.selectExpr(f"stack({len(stages)}, {stack}) as (stage, n)")
+            .orderBy("stage")
+        )
+        return _materialize_release(out, [flags])
+    except BaseException:
+        flags.unpersist()
+        raise
 
 
 def _funnel_stages() -> list:
