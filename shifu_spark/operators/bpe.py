@@ -1,0 +1,116 @@
+"""Byte-pair-encoding tokenizer: deterministic training + distributed
+application (the tokenization step of an LLM data pipeline).
+
+Shape (the production pattern, same as the PQ/ANN codebooks): the merge
+table is TRAINED once on a bounded driver-side sample (tokenizer
+training is corpus-statistics-sized, not corpus-sized), then broadcast
+and APPLIED distributed via an Arrow-batched ``mapInPandas`` — the
+per-token merge loop is genuinely iterative, so this is the documented
+Pandas-UDF case, not a built-in-expression case.
+
+Determinism: merge selection ties break on (count desc, pair lexicographic
+asc); the trained table is a pure function of the sample, so re-training
+on the same rows reproduces byte-identical merges on any engine.
+Round-trip: with the end-of-word marker every encoding concatenates back
+to the original text exactly (pinned by property tests).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+EOW = "</w>"  # end-of-word marker (classic Sennrich et al. 2016 form)
+
+
+def bpe_train(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merges from whitespace-tokenized ``texts``.
+
+    Classic BPE: start from characters (+ EOW), repeatedly merge the
+    most frequent adjacent symbol pair. Ties break deterministically on
+    (count desc, pair asc)."""
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(list(w) + [EOW])] += 1
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for word, cnt in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: Counter = Counter()
+        for word, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with the trained merge ranks (lowest rank first —
+    the exact training order, which is what makes encoding canonical)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_df(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pieces array<string>, n_pieces, n_words): distributed BPE
+    application with the merge table broadcast inside the Arrow stage.
+    Lossless: concat(pieces) with EOW mapped back to spaces reproduces
+    the input text (property-tested)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    schema = f"{id_col} long, pieces array<string>, n_pieces int, n_words int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "pieces": [], "n_pieces": [], "n_words": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).split(" ") if w]
+                pieces: list[str] = []
+                for w in words:
+                    pieces += bpe_encode_word(w, ranks)
+                out[id_col].append(doc_id)
+                out["pieces"].append(pieces)
+                out["n_pieces"].append(len(pieces))
+                out["n_words"].append(len(words))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def bpe_decode(pieces: list[str]) -> str:
+    """Inverse of encoding: concatenate and turn EOW back into spaces."""
+    return "".join(pieces).replace(EOW, " ").rstrip(" ")

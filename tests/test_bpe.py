@@ -1,0 +1,103 @@
+"""BPE tokenizer: deterministic training, canonical encoding, lossless
+round trip, and the distributed application path."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestBpeKernel:
+    def test_training_matches_hand_derivation(self):
+        """Sennrich-style worked example: corpus with a dominant pair
+        must merge it first; ties break (count desc, pair asc)."""
+        from shifu_spark.operators.bpe import EOW, bpe_train
+
+        merges = bpe_train(["low low low lower newest newest"], 4)
+        # 'lo' appears in every word of 'low'*3 + 'lower' = 4 times; 'ne'/'ew'/'es'... 
+        assert merges[0] == ("l", "o")
+        assert merges[1] == ("lo", "w")
+        assert all(isinstance(a, str) and isinstance(b, str) for a, b in merges)
+
+    def test_training_deterministic(self):
+        from shifu_spark.operators.bpe import bpe_train
+
+        corpus = ["alpha beta gamma alpha beta", "beta gamma gamma delta"]
+        assert bpe_train(corpus, 10) == bpe_train(corpus, 10)
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=8),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(0, 40),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip_lossless(self, words, n_merges):
+        """∀ corpora and merge counts: decode(encode(text)) == text."""
+        from shifu_spark.operators.bpe import bpe_decode, bpe_encode_word, bpe_train
+
+        text = " ".join(words)
+        merges = bpe_train([text], n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        pieces = []
+        for w in words:
+            pieces += bpe_encode_word(w, ranks)
+        assert bpe_decode(pieces) == text
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_more_merges_never_more_pieces(self, seed):
+        """Adding merges can only keep or shrink the piece count."""
+        import numpy as np
+
+        from shifu_spark.operators.bpe import bpe_encode_word, bpe_train
+
+        rng = np.random.default_rng(seed)
+        words = ["".join(rng.choice(list("abcd"), rng.integers(1, 7))) for _ in range(20)]
+        text = " ".join(words)
+        prev = None
+        for k in (0, 5, 15, 40):
+            merges = bpe_train([text], k)
+            ranks = {p: i for i, p in enumerate(merges)}
+            n = sum(len(bpe_encode_word(w, ranks)) for w in words)
+            if prev is not None:
+                assert n <= prev
+            prev = n
+
+
+class TestBpeDistributed:
+    def test_encode_df_matches_kernel_and_roundtrips(self, spark):
+        from shifu_spark.operators.bpe import (
+            bpe_decode,
+            bpe_encode_df,
+            bpe_encode_word,
+            bpe_train,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sample = [r["text"] for r in docs.orderBy("doc_id").limit(20).collect()]
+        merges = bpe_train(sample, 50)
+        ranks = {p: i for i, p in enumerate(merges)}
+        out = {r["doc_id"]: r for r in bpe_encode_df(docs, merges).collect()}
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert set(out) == set(rows)
+        for doc_id, text in rows.items():
+            words = [w for w in text.split(" ") if w]
+            want = []
+            for w in words:
+                want += bpe_encode_word(w, ranks)
+            got = list(out[doc_id]["pieces"])
+            assert got == want, doc_id
+            assert bpe_decode(got) == text
+            assert out[doc_id]["n_words"] == len(words)
+        # trained merges genuinely compress this corpus
+        total_pieces = sum(r["n_pieces"] for r in out.values())
+        total_chars = sum(len(t.replace(" ", "")) + len(t.split()) for t in rows.values())
+        assert total_pieces < 0.6 * total_chars
