@@ -2041,9 +2041,69 @@ def _flac_write_residual(bw: _FlacBitWriter, res: np.ndarray) -> None:
             bw.write(int(uu), best_k)
 
 
+_FLAC_LPC_ORDERS = (2, 4, 8)  # candidate LPC orders the encoder tries
+_FLAC_LPC_PRECISION = 12  # QLP coefficient precision (bits, excl. none)
+
+
+def _flac_lpc_coefs(x: np.ndarray, order: int) -> list[float] | None:
+    """Levinson-Durbin solve of the autocorrelation normal equations —
+    the textbook LPC fit every real FLAC encoder runs. Returns None for
+    degenerate input (zero energy / unstable recursion)."""
+    xf = x.astype(np.float64)
+    r = [float(np.dot(xf[: len(xf) - lag], xf[lag:])) for lag in range(order + 1)]
+    if r[0] == 0.0:
+        return None
+    err = r[0]
+    a = [0.0] * order
+    for i in range(order):
+        acc = r[i + 1]
+        for j in range(i):
+            acc -= a[j] * r[i - j]
+        if err == 0.0:
+            return None
+        k = acc / err
+        new_a = a[:]
+        new_a[i] = k
+        for j in range(i):
+            new_a[j] = a[j] - k * a[i - 1 - j]
+        a = new_a
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    return a
+
+
+def _flac_quantize_lpc(coefs: list[float], precision: int) -> tuple[list[int], int] | None:
+    """Quantize float LPC coefficients to ``precision``-bit signed ints
+    with a common shift (the spec's QLP form). None if they don't fit."""
+    cmax = max(abs(c) for c in coefs)
+    if cmax == 0.0:
+        return None
+    shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = [int(round(c * (1 << shift))) for c in coefs]
+    if any(v >= lim or v < -lim for v in q):
+        return None
+    return q, shift
+
+
+def _flac_lpc_residual(x: np.ndarray, q: list[int], shift: int) -> np.ndarray:
+    """Integer-prediction residual, bit-identical to the decoder's
+    reconstruction: res[i] = x[i] - ((sum q[j]*x[i-1-j]) >> shift)."""
+    order = len(q)
+    n = len(x)
+    acc = np.zeros(n - order, dtype=np.int64)
+    for j, c in enumerate(q):
+        acc += c * x[order - 1 - j : n - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
 def _flac_subframe(bw: _FlacBitWriter, x: np.ndarray, bps: int) -> None:
-    """CONSTANT if flat, else the best FIXED predictor of order 0-2 with
-    a VERBATIM fallback when Rice can't beat raw samples."""
+    """CONSTANT if flat, else the cheapest of FIXED order 0-2 and
+    Levinson-Durbin LPC (orders 2/4/8, 12-bit QLP), with a VERBATIM
+    fallback when Rice can't beat raw samples — the full production
+    FLAC subframe menu."""
     n = len(x)
     if n and (x == x[0]).all():
         bw.write(0b000000, 6 + 1)  # pad bit + type CONSTANT
@@ -2059,11 +2119,52 @@ def _flac_subframe(bw: _FlacBitWriter, x: np.ndarray, bps: int) -> None:
         cost = int(np.abs(cur).sum())
         if cost < best_cost:
             best_o, best_res, best_cost = o, cur, cost
+    fixed_u = (best_res << 1) ^ (best_res >> 63)
+    fixed_bits = min(_flac_rice_cost(fixed_u, k) for k in range(15)) + best_o * bps
+
+    lpc_pick = None  # (bits, order, q, shift, res)
+    for order in _FLAC_LPC_ORDERS:
+        if n <= order * 2:
+            continue
+        coefs = _flac_lpc_coefs(x, order)
+        if coefs is None:
+            continue
+        quant = _flac_quantize_lpc(coefs, _FLAC_LPC_PRECISION)
+        if quant is None:
+            continue
+        q, shift = quant
+        res = _flac_lpc_residual(x, q, shift)
+        u = (res << 1) ^ (res >> 63)
+        bits = (
+            min(_flac_rice_cost(u, k) for k in range(15))
+            + order * bps  # warmup
+            + 4 + 5 + order * _FLAC_LPC_PRECISION  # precision/shift/coefs
+        )
+        if lpc_pick is None or bits < lpc_pick[0]:
+            lpc_pick = (bits, order, q, shift, res)
+
+    if lpc_pick is not None and lpc_pick[0] < fixed_bits:
+        _bits, order, q, shift, res = lpc_pick
+        if _bits >= n * bps:  # verbatim still cheaper
+            bw.write(0b000001, 6 + 1)
+            bw.write(0, 1)
+            for v in x:
+                bw.write(int(v), bps)
+            return
+        bw.write(0b100000 | (order - 1), 6 + 1)  # pad + LPC type
+        bw.write(0, 1)  # no wasted bits
+        for v in x[:order]:
+            bw.write(int(v), bps)
+        bw.write(_FLAC_LPC_PRECISION - 1, 4)
+        bw.write(shift, 5)
+        for c in q:
+            bw.write(c, _FLAC_LPC_PRECISION)
+        _flac_write_residual(bw, res)
+        return
+
     # verbatim fallback if the residual is hopeless (e.g. white noise at
     # full scale where order-0 Rice > 16 bits/sample on average)
-    u = (best_res << 1) ^ (best_res >> 63)
-    rice_cost = min(_flac_rice_cost(u, k) for k in range(15))
-    if rice_cost >= n * bps:
+    if fixed_bits - best_o * bps >= n * bps:
         bw.write(0b000001, 6 + 1)
         bw.write(0, 1)
         for v in x:

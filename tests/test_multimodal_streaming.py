@@ -797,3 +797,27 @@ class TestFlacCodec:
         frame += _flac_crc16(frame).to_bytes(2, "big")
         dec, _r, _n = decode_flac(head + frame)
         assert dec[:, 0].tolist() == [val] * bs
+
+    def test_lpc_encoder_beats_fixed_on_tonal_content(self):
+        """The Levinson-Durbin LPC path must (a) round-trip exactly and
+        (b) genuinely out-compress the fixed predictors on sinusoids —
+        the content class LPC exists for."""
+        import numpy as np
+
+        import shifu_spark.operators.multimodal as mm
+
+        t = np.arange(12000)
+        sine = (
+            8000 * np.sin(2 * np.pi * t / 113.7)
+            + 3000 * np.sin(2 * np.pi * t / 37.3)
+        ).astype(np.int64)
+        blob = mm.encode_flac(sine)
+        dec, _r, _n = mm.decode_flac(blob)
+        assert (dec[:, 0] == sine).all()
+        orig = mm._FLAC_LPC_ORDERS
+        mm._FLAC_LPC_ORDERS = ()
+        try:
+            fixed_only = len(mm.encode_flac(sine))
+        finally:
+            mm._FLAC_LPC_ORDERS = orig
+        assert len(blob) < 0.9 * fixed_only
