@@ -380,3 +380,57 @@ def repetition_signals_df(
         F.round(dup, 6).alias("dup_frac"),
         (dup <= max_dup_frac).alias("keep"),
     )
+
+
+def lang_mixture_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Per-document LANGUAGE-MIXTURE fractions — the multilingual-
+    contamination detector that complements the argmax :func:`lang_id_expr`
+    (a 60/40 code-switched doc looks monolingual to argmax but pollutes
+    monolingual training mixes). For each language: the fraction of
+    marker-token hits attributable to it, plus the dominant language and
+    its purity. All in-row expressions over one scan; rounded to 6 like
+    the other oracle-facing fractions.
+
+    Output: (doc_id, n_marker_hits, frac_<lang>..., top_lang, purity).
+    Docs with zero marker hits report 'und' with purity 0.
+    """
+    m = markers or LANG_MARKERS
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    def _hits(vocab: list[str]) -> Column:
+        # factory closure: a two-arg lambda would be read by F.filter as
+        # the (element, index) form
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(vocab)))
+
+    counts = {lang: _hits(vocab) for lang, vocab in sorted(m.items())}
+    langs = sorted(counts)
+    total = counts[langs[0]]
+    for lang in langs[1:]:
+        total = total + counts[lang]
+    best_lang = F.lit("und")
+    best_cnt = F.lit(0)
+    for lang in sorted(langs, reverse=True):  # asc-priority under strict >
+        better = counts[lang] > best_cnt
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(better, counts[lang]).otherwise(best_cnt)
+    cols = [
+        F.round(
+            F.when(total > 0, counts[lang] / total).otherwise(F.lit(0.0)), 6
+        ).alias(f"frac_{lang}")
+        for lang in langs
+    ]
+    purity = F.round(
+        F.when(total > 0, best_cnt / total).otherwise(F.lit(0.0)), 6
+    )
+    return d.select(
+        "doc_id",
+        total.alias("n_marker_hits"),
+        *cols,
+        best_lang.alias("top_lang"),
+        purity.alias("purity"),
+    )

@@ -904,3 +904,35 @@ def test_pii_redaction_randomized_against_python_re(spark):
         assert got[i]["redacted_digest"] == hashlib.md5(red.encode()).hexdigest(), (i, text)
         n_with_pii += any(want.values())
     assert n_with_pii > 100  # the corpus genuinely exercised the patterns
+
+
+def test_lang_mixture_fractions(spark):
+    """Language-mixture semantics: fractions sum to 1 over marker hits,
+    argmax matches lang_id_expr (same tie-breaks), code-switched docs
+    report sub-1 purity, marker-free docs are 'und' with purity 0."""
+    from shifu_spark.operators.text import LANG_MARKERS, lang_id_expr, lang_mixture_df
+    from pyspark.sql import functions as F
+
+    langs = sorted(LANG_MARKERS)
+    a, b = LANG_MARKERS[langs[0]][0], LANG_MARKERS[langs[1]][0]
+    rows = [
+        (0, f"{a} {a} {a} xq"),          # monolingual
+        (1, f"{a} {a} {b} xq yq"),       # 2:1 code-switched
+        (2, "xq yq zq"),                 # no markers
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lang_mixture_df(df).collect()}
+    assert got[0]["purity"] == 1.0 and got[0]["top_lang"] == langs[0]
+    assert got[1]["n_marker_hits"] == 3
+    assert got[1][f"frac_{langs[0]}"] == round(2 / 3, 6)
+    assert got[1][f"frac_{langs[1]}"] == round(1 / 3, 6)
+    assert got[1]["purity"] == round(2 / 3, 6)
+    assert got[2]["top_lang"] == "und" and got[2]["purity"] == 0.0
+    # fraction columns sum to ~1 wherever any marker hit exists
+    for d, r in got.items():
+        if r["n_marker_hits"]:
+            assert abs(sum(r[f"frac_{lang}"] for lang in langs) - 1.0) < 1e-5, d
+    # argmax agrees with the registered lang_id expression
+    ids = {r["doc_id"]: r["lid"] for r in df.select("doc_id", lang_id_expr("text").alias("lid")).collect()}
+    for d in got:
+        assert got[d]["top_lang"] == ids[d], d
