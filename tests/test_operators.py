@@ -936,3 +936,32 @@ def test_lang_mixture_fractions(spark):
     ids = {r["doc_id"]: r["lid"] for r in df.select("doc_id", lang_id_expr("text").alias("lid")).collect()}
     for d in got:
         assert got[d]["top_lang"] == ids[d], d
+
+
+def test_rotation_generator_orders_stale_first():
+    """tools/gen_rotation.py must put never-proven queries first, then
+    stale proofs oldest-first with oracle-backed before rows-only."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "gen_rotation.py")],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip().startswith('"')]
+    assert len(lines) == 50
+    # every NEW (never-proven) entry precedes every proven entry
+    tags = ["NEW" in ln for ln in lines]
+    first_proven = tags.index(False) if False in tags else len(tags)
+    assert all(not t for t in tags[first_proven:])
+    # proven entries are non-decreasing in round number
+    rounds = []
+    for ln in lines[first_proven:]:
+        tag = ln.split("#")[1].strip().split()[0]
+        if tag.startswith("r"):
+            rounds.append(int(tag[1:]))
+    assert rounds == sorted(rounds)
