@@ -261,8 +261,12 @@ def tree_forward_score(
     """
     if mode not in ("rf", "gbt"):
         raise ValueError(f"mode must be 'rf' or 'gbt', got {mode!r}")
+    if not trees:
+        raise ValueError("tree_forward_score needs at least one tree")
     if weights is None:
         weights = [1.0] * len(trees)
+    if mode == "rf" and float(sum(weights)) == 0.0:
+        raise ValueError("rf mode needs a nonzero weight sum (weighted average)")
     leaf = F.col(leaves_col)
     acc = None
     for t_i, (t, w) in enumerate(zip(trees, weights)):

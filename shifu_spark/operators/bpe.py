@@ -12,7 +12,10 @@ Determinism: merge selection ties break on (count desc, pair lexicographic
 asc); the trained table is a pure function of the sample, so re-training
 on the same rows reproduces byte-identical merges on any engine.
 Round-trip: with the end-of-word marker every encoding concatenates back
-to the original text exactly (pinned by property tests).
+to the original text exactly — including arbitrary space runs (empty
+words are preserved as a bare EOW piece) — for any input that does not
+contain the literal EOW marker string, which the encoder rejects loudly
+(pinned by property tests).
 """
 
 from __future__ import annotations
@@ -89,8 +92,13 @@ def bpe_encode_df(
 ) -> DataFrame:
     """(doc_id, pieces array<string>, n_pieces, n_words): distributed BPE
     application with the merge table broadcast inside the Arrow stage.
-    Lossless: concat(pieces) with EOW mapped back to spaces reproduces
-    the input text (property-tested)."""
+    Lossless: :func:`bpe_decode` of the pieces reproduces the input text
+    exactly, arbitrary space runs included — empty words (consecutive /
+    leading / trailing spaces) encode as a bare EOW piece and n_words
+    counts them (``len(text.split(" "))`` semantics). Input containing
+    the literal EOW marker is rejected with ValueError (it would be
+    indistinguishable from the marker after concatenation).
+    (property-tested in tests/test_bpe.py)."""
     ranks = {p: i for i, p in enumerate(merges)}
     schema = f"{id_col} long, pieces array<string>, n_pieces int, n_words int"
 
@@ -98,7 +106,13 @@ def bpe_encode_df(
         for pdf in batches:
             out = {id_col: [], "pieces": [], "n_pieces": [], "n_words": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text).split(" ") if w]
+                s = str(text)
+                if EOW in s:
+                    raise ValueError(
+                        f"text contains the literal {EOW!r} end-of-word "
+                        f"marker; encoding would not round-trip (doc {doc_id})"
+                    )
+                words = s.split(" ")
                 pieces: list[str] = []
                 for w in words:
                     pieces += bpe_encode_word(w, ranks)
@@ -112,5 +126,10 @@ def bpe_encode_df(
 
 
 def bpe_decode(pieces: list[str]) -> str:
-    """Inverse of encoding: concatenate and turn EOW back into spaces."""
-    return "".join(pieces).replace(EOW, " ").rstrip(" ")
+    """Inverse of encoding: concatenate, turn EOW back into spaces, and
+    drop exactly ONE trailing space — ``split(" ")`` emits n_spaces+1
+    words so the final word's EOW is structural, not content. Genuine
+    trailing spaces in the input survive (they encode as extra empty
+    words)."""
+    s = "".join(pieces).replace(EOW, " ")
+    return s[:-1] if s.endswith(" ") else s

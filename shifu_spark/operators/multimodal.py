@@ -2028,6 +2028,11 @@ def _flac_write_residual(bw: _FlacBitWriter, res: np.ndarray) -> None:
         if c < best_cost:
             best_k, best_cost = k, c
     raw_bits = int(u.max()).bit_length() + 1 if len(u) else 2
+    if raw_bits > 31:
+        # The escape's width field is 5 bits (max 31); a wider residual
+        # would silently truncate and emit an undecodable frame. 16-bit
+        # input through order<=8 predictors cannot get here — fail loud.
+        raise ValueError(f"FLAC residual needs {raw_bits} bits > 31 (raw escape limit)")
     if best_cost > len(u) * raw_bits:  # escape: raw two's complement
         bw.write(0b1111, 4)
         bw.write(raw_bits, 5)

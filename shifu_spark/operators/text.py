@@ -313,18 +313,20 @@ def pii_redact_df(
     narrow map over the corpus scan, no shuffle, no UDF.
 
     Redaction order is email -> ip -> phone (fixed, so overlapping
-    matches resolve identically on every engine). Output:
-    (doc_id, n_emails, n_ips, n_phones, redacted_digest) — the digest
-    (md5 of the redacted text) proves the replacement byte-for-byte
-    without hauling full text through the result."""
-    t = F.col(text_col)
-    counts = {
-        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
-        for k, p in PII_PATTERNS.items()
-    }
-    red = t
+    matches resolve identically on every engine), and each count is
+    taken against the text AS REDACTED SO FAR — n_ips counts IP matches
+    remaining after emails were replaced, n_phones after both — so the
+    counts describe exactly what was replaced at each step (an IP
+    embedded in an already-redacted email is not double-counted).
+    Output: (doc_id, n_emails, n_ips, n_phones, redacted_digest) — the
+    digest (md5 of the redacted text) proves the replacement
+    byte-for-byte without hauling full text through the result."""
+    red = F.col(text_col)
+    counts = {}
     for k in ("email", "ip", "phone"):
-        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+        p = PII_PATTERNS[k]
+        counts[k] = F.size(F.regexp_extract_all(red, F.lit(p), F.lit(0)))
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         counts["email"].alias("n_emails"),

@@ -5327,17 +5327,14 @@ def _pii_oracle() -> str:
     e, i, p = PII_PATTERNS["email"], PII_PATTERNS["ip"], PII_PATTERNS["phone"]
     return f"""
 WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents),
-red AS (
-  SELECT doc_id, t,
-         regexp_replace(regexp_replace(regexp_replace(t,
-           '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g') AS r
-  FROM aug)
+s1 AS (SELECT doc_id, t, regexp_replace(t, '{e}', '<EMAIL>', 'g') AS t1 FROM aug),
+s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '{i}', '<IP>', 'g') AS t2 FROM s1)
 SELECT doc_id,
   len(regexp_extract_all(t, '{e}'))::INT AS n_emails,
-  len(regexp_extract_all(t, '{i}'))::INT AS n_ips,
-  len(regexp_extract_all(t, '{p}'))::INT AS n_phones,
-  md5(r) AS redacted_digest
-FROM red ORDER BY doc_id
+  len(regexp_extract_all(t1, '{i}'))::INT AS n_ips,
+  len(regexp_extract_all(t2, '{p}'))::INT AS n_phones,
+  md5(regexp_replace(t2, '{p}', '<PHONE>', 'g')) AS redacted_digest
+FROM s2 ORDER BY doc_id
 """
 
 

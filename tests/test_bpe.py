@@ -32,7 +32,9 @@ class TestBpeKernel:
 
     @given(
         st.lists(
-            st.text(alphabet="abcdef", min_size=1, max_size=8),
+            # min_size=0 words: joining yields consecutive / leading /
+            # trailing space runs, which must round-trip exactly
+            st.text(alphabet="abcdef", min_size=0, max_size=8),
             min_size=1,
             max_size=30,
         ),
@@ -40,14 +42,15 @@ class TestBpeKernel:
     )
     @settings(max_examples=100, deadline=None)
     def test_roundtrip_lossless(self, words, n_merges):
-        """∀ corpora and merge counts: decode(encode(text)) == text."""
+        """∀ corpora (arbitrary space runs included) and merge counts:
+        decode(encode(text)) == text."""
         from shifu_spark.operators.bpe import bpe_decode, bpe_encode_word, bpe_train
 
         text = " ".join(words)
         merges = bpe_train([text], n_merges)
         ranks = {p: i for i, p in enumerate(merges)}
         pieces = []
-        for w in words:
+        for w in text.split(" "):
             pieces += bpe_encode_word(w, ranks)
         assert bpe_decode(pieces) == text
 
@@ -73,6 +76,26 @@ class TestBpeKernel:
 
 
 class TestBpeDistributed:
+    def test_space_runs_roundtrip_and_eow_guard(self, spark):
+        """The distributed path preserves arbitrary space runs (empty
+        words become bare-EOW pieces) and rejects literal-marker text."""
+        import pytest
+
+        from shifu_spark.operators.bpe import bpe_decode, bpe_encode_df, bpe_train
+
+        texts = ["a  b", " lead", "trail ", "", "  ", "ab   cd"]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        merges = bpe_train(texts, 10)
+        out = {r["doc_id"]: r for r in bpe_encode_df(df, merges).collect()}
+        for i, t in enumerate(texts):
+            assert bpe_decode(list(out[i]["pieces"])) == t, (i, t)
+            assert out[i]["n_words"] == len(t.split(" ")), (i, t)
+        bad = spark.createDataFrame([(0, "has a </w> marker")], "doc_id long, text string")
+        with pytest.raises(Exception, match="end-of-word"):
+            bpe_encode_df(bad, merges).collect()
+
     def test_encode_df_matches_kernel_and_roundtrips(self, spark):
         from shifu_spark.operators.bpe import (
             bpe_decode,
@@ -89,7 +112,7 @@ class TestBpeDistributed:
         rows = {r["doc_id"]: r["text"] for r in docs.collect()}
         assert set(out) == set(rows)
         for doc_id, text in rows.items():
-            words = [w for w in text.split(" ") if w]
+            words = text.split(" ")
             want = []
             for w in words:
                 want += bpe_encode_word(w, ranks)

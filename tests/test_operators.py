@@ -309,6 +309,32 @@ class TestExactKernelGuards:
         edges = ntile_boundaries(df, "v", 4, max_rows=100)
         assert edges == [0.0, 25.0, 50.0, 75.0]
 
+    def test_flac_raw_escape_width_guard(self):
+        """A residual needing >31 raw bits must fail loudly at encode
+        time (the escape's width field is 5 bits), not emit an
+        undecodable stream (ADVICE r5)."""
+        import numpy as np
+
+        from shifu_spark.operators.multimodal import _FlacBitWriter, _flac_write_residual
+
+        bw = _FlacBitWriter()
+        huge = np.array([2**40, -(2**40)], dtype=np.int64)
+        with pytest.raises(ValueError, match="raw escape limit"):
+            _flac_write_residual(bw, huge)
+
+    def test_tree_forward_score_input_validation(self):
+        """Empty ensembles and zero rf weight sums raise instead of
+        returning None / dividing by zero (ADVICE r5)."""
+        from shifu_spark.ml.posttrain import tree_forward_score
+
+        with pytest.raises(ValueError, match="at least one tree"):
+            tree_forward_score([])
+        tree = {"prediction": [0.25, 0.75]}
+        with pytest.raises(ValueError, match="nonzero weight sum"):
+            tree_forward_score([tree], weights=[0.0], mode="rf")
+        # gbt with zero weights is well-defined (weighted SUM = 0)
+        assert tree_forward_score([tree], weights=[0.0], mode="gbt") is not None
+
 
 class TestProductQuantization:
     def test_codes_match_numpy_argmin(self, spark):
@@ -826,12 +852,17 @@ class TestPiiAndRepetition:
             (0, "mail me at jane.doe+x@sub.example.co.uk or call 555-0199 now"),
             (1, "server 10.20.30.40 talked to 192.168.1.1 twice 192.168.1.1"),
             (2, "no pii here at all"),
+            # overlap: the email match consumes the IP-looking prefix, so
+            # the staged count reports 1 email and ZERO ips (the counts
+            # describe what was replaced, not raw-text signals)
+            (3, "reach 1.2.3.4@x.com asap"),
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r["doc_id"]: r for r in pii_redact_df(df).collect()}
         assert (got[0]["n_emails"], got[0]["n_phones"]) == (1, 1)
         assert got[1]["n_ips"] == 3
         assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+        assert (got[3]["n_emails"], got[3]["n_ips"]) == (1, 0)
         # digest must equal md5 of the python re reference redaction
         import hashlib
 
@@ -892,15 +923,16 @@ def test_pii_redaction_randomized_against_python_re(spark):
     got = {r["doc_id"]: r for r in pii_redact_df(df).collect()}
     n_with_pii = 0
     for i, text in rows:
-        want = {
-            k: len(re.findall(p, text)) for k, p in PII_PATTERNS.items()
-        }
+        # staged reference: each kind counted against the text as
+        # redacted so far (mirrors the operator's replaced-what-counted
+        # contract)
+        red, want = text, {}
+        for k in ("email", "ip", "phone"):
+            want[k] = len(re.findall(PII_PATTERNS[k], red))
+            red = re.sub(PII_PATTERNS[k], f"<{k.upper()}>", red)
         assert (got[i]["n_emails"], got[i]["n_ips"], got[i]["n_phones"]) == (
             want["email"], want["ip"], want["phone"],
         ), (i, text)
-        red = text
-        for k in ("email", "ip", "phone"):
-            red = re.sub(PII_PATTERNS[k], f"<{k.upper()}>", red)
         assert got[i]["redacted_digest"] == hashlib.md5(red.encode()).hexdigest(), (i, text)
         n_with_pii += any(want.values())
     assert n_with_pii > 100  # the corpus genuinely exercised the patterns
