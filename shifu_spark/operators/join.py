@@ -26,6 +26,64 @@ def dedup_first_per_key(df: DataFrame, key: str, order_cols: list[str] | None = 
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scalable AS-OF join: for every left row, attach the most recent
+    right row with ``right_ts <= left_ts`` within the same ``on`` keys
+    (NULL payload when no right row precedes) — the event-attribution /
+    point-in-time-feature join Spark has no built-in for.
+
+    Spark-first plan (no per-row subqueries, no range cross join): tag
+    and UNION the two sides, then ONE window per key ordered by
+    (ts, side, tie_cols) carrying ``last(payload, ignorenulls=True)``
+    forward — right rows sort BEFORE left rows at equal ts, so the
+    boundary is inclusive. Cost is a single hash exchange on the keys +
+    a per-key sort, the same shape as any windowed aggregation; at 100 TB
+    the keys partition the sort so no single task sees more than one
+    key group's rows (salt high-cardinality users upstream if one key
+    dominates).
+
+    ``tie_cols`` (default: first payload column) makes the carried row
+    deterministic when several right rows share one timestamp — the
+    greatest (ts, tie) wins, matching ``max_by`` semantics.
+    """
+    ties = tie_cols or right_payload[:1]
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_pl"),
+        *[F.col(c).alias(f"_tie_{c}") for c in ties],
+    )
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pl"].dataType).alias("_pl"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_tie_{c}") for c in ties],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_side"), *[F.asc_nulls_first(f"_tie_{c}") for c in ties])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_match", F.last("_pl", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_match.{c}").alias(f"asof_{c}") for c in right_payload]
+    )
+    return out
+
+
 def combo_join(tables: list[DataFrame], uid_col: str, prefixes: list[str] | None = None) -> DataFrame:
     """N-way inner join by uid with per-table column prefixes.
 

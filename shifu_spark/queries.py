@@ -6937,3 +6937,232 @@ def corpus_curation_funnel_staged(
     )
     out["8_mixture_sampled"] = s7.select("doc_id")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 6: language mixture, as-of join, TPC-H Q3, context-length
+# histogram, Poisson bootstrap, mixture weights, semantic dedup, BPE
+# ---------------------------------------------------------------------------
+
+# deterministic code-switch augmentation (the corpus is English-only, so
+# es/fr/de marker mixtures are injected from doc_id — same CASE string
+# on both engines; the pii_redaction codec-synth pattern)
+_LM_CASE_SQL = (
+    "CASE doc_id % 4 WHEN 0 THEN ' el la que' WHEN 1 THEN ' le et les' "
+    "WHEN 2 THEN ' der die el' ELSE '' END"
+)
+
+
+def _lang_mixture_oracle() -> str:
+    from shifu_spark.operators.text import LANG_MARKERS
+
+    cnt = {
+        lang: f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in sorted(vocab))}], x)))::INT"
+        for lang, vocab in sorted(LANG_MARKERS.items())
+    }
+    cnts = ",\n  ".join(f"{e} AS c_{lang}" for lang, e in cnt.items())
+    tot = " + ".join(f"c_{lang}" for lang in sorted(cnt))
+    mx = f"greatest({', '.join('c_' + lang for lang in sorted(cnt))})"
+    fracs = ",\n  ".join(
+        f"round(CASE WHEN tot > 0 THEN c_{lang} / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS frac_{lang}"
+        for lang in sorted(cnt)
+    )
+    # the Spark loop processes languages DESC with strict '>', so an
+    # exact tie keeps the earlier-processed (lexicographically larger)
+    # language — mirror with a desc-ordered CASE over the argmax set
+    top = " ".join(
+        f"WHEN c_{lang} = mx THEN '{lang}'" for lang in sorted(cnt, reverse=True)
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, lower(text || {_LM_CASE_SQL}) AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM aug),
+c AS (SELECT doc_id,
+  {cnts}
+FROM tk),
+m AS (SELECT *, {tot} AS tot, {mx} AS mx FROM c)
+SELECT doc_id,
+  tot::INT AS n_marker_hits,
+  {fracs},
+  CASE WHEN tot = 0 THEN 'und' {top} END AS top_lang,
+  round(CASE WHEN tot > 0 THEN mx / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS purity
+FROM m ORDER BY doc_id
+"""
+
+
+@query("lang_mixture", None)
+def lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-MIXTURE fractions + dominant-language purity
+    (operators/text.lang_mixture_df) — the multilingual-contamination
+    detector the argmax lang-ID can't see: a 60/40 code-switched doc
+    looks monolingual to argmax but pollutes monolingual training mixes.
+    All in-row expressions over one scan, zero shuffle; code-switch
+    suffixes are injected deterministically from doc_id (the corpus is
+    English-only)."""
+    from shifu_spark.operators.text import lang_mixture_df
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.expr(_LM_CASE_SQL)).alias("text")
+    )
+    return lang_mixture_df(aug).orderBy("doc_id")
+
+
+ORACLES["lang_mixture"] = _lang_mixture_oracle()
+
+
+@query(
+    "asof_attribution_join",
+    """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+  epoch_us(p.ts) AS ts_us,
+  c.click_id,
+  epoch_us(c.click_ts) AS click_ts_us,
+  epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+ORDER BY p.purchase_id
+""",
+)
+def asof_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/join.asof_join): every purchase event gets
+    the most recent click by the same user at-or-before its timestamp —
+    the point-in-time attribution / feature-lookup join Spark has no
+    built-in for. Spark-first: union-tag + ONE per-user window carrying
+    last(payload, ignorenulls) — a single hash exchange, no per-row
+    subqueries, no range cross join. The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — an independent second implementation of the
+    semantics. (user_id, ts) pairs are unique in this corpus; tie_cols
+    pins determinism anyway."""
+    from shifu_spark.operators.join import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        tie_cols=["click_id"],
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_click_id").alias("click_id"),
+        F.unix_micros("asof_click_ts").alias("click_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 4) AS revenue,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  0::INT AS o_shippriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate_us, l_orderkey LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the canonical selective
+    3-way join → agg → top-k. Spark-first shape: the customer side is
+    segment-filtered THEN broadcast (catalog-scale after the filter), so
+    the only data-scale shuffle is the final l_orderkey aggregation;
+    the date filters push into both parquet scans, and the top-10 is
+    TakeOrderedAndProject (no global sort materialization). The schema
+    has no o_shippriority column, so it is carried as the literal 0 the
+    TPC-H generator emits. Revenue sums in DECIMAL(38,10) for
+    partition-order independence."""
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 4).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            F.lit(0).alias("o_shippriority"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate_us", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "doc_length_histogram",
+    """
+WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+b AS (SELECT source, n_tokens,
+  CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1 WHEN n_tokens < 64 THEN 2
+       WHEN n_tokens < 128 THEN 3 WHEN n_tokens < 256 THEN 4 WHEN n_tokens < 512 THEN 5
+       WHEN n_tokens < 1024 THEN 6 ELSE 7 END AS bucket
+  FROM t)
+SELECT source, bucket::INT AS bucket,
+  count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS n_tokens,
+  min(n_tokens)::INT AS min_tokens,
+  max(n_tokens)::INT AS max_tokens
+FROM b GROUP BY source, bucket ORDER BY source, bucket
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning histogram: per-source doc counts and token
+    mass in power-of-two token-length buckets (<16, <32, ..., >=1024) —
+    the sizing input for sequence_packing / curriculum bucketing (how
+    much of each source survives a context-length cut, how much padding
+    a given max_len costs). Exact integer CASE bucketing (no
+    transcendental log2 — engine-portable); one narrow scan + one
+    catalog-sized groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    bucket = (
+        F.when(n < 16, 0).when(n < 32, 1).when(n < 64, 2).when(n < 128, 3)
+        .when(n < 256, 4).when(n < 512, 5).when(n < 1024, 6).otherwise(7)
+    )
+    return (
+        docs.select("source", n.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -997,3 +997,50 @@ def test_rotation_generator_orders_stale_first():
         if tag.startswith("r"):
             rounds.append(int(tag[1:]))
     assert rounds == sorted(rounds)
+
+
+class TestAsofJoin:
+    def test_semantics_inclusive_boundary_and_nulls(self, spark):
+        """As-of semantics: greatest right ts <= left ts per key,
+        INCLUSIVE at equality, NULL payload when nothing precedes,
+        deterministic tie-break on tie_cols at duplicate timestamps."""
+        from shifu_spark.operators.join import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (3, 1, "d")],
+            "k int, lts int, tag string",
+        )
+        right = spark.createDataFrame(
+            # k=1: ts 5 (equal to left b) and 8; k=2: two rows TIED at
+            # ts 6 -> rid 21 must win (greatest tie col); k=3: none
+            [(1, 5, 10), (1, 8, 11), (2, 6, 20), (2, 6, 21)],
+            "k int, rts int, rid int",
+        )
+        out = {
+            (r["k"], r["lts"]): r["asof_rid"]
+            for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+        }
+        assert out[(1, 10)] == 11   # latest <= 10 is ts 8
+        assert out[(1, 5)] == 10    # inclusive boundary
+        assert out[(2, 7)] == 21    # tie at ts 6 -> greater rid
+        assert out[(3, 1)] is None  # nothing precedes
+
+    def test_matches_window_free_reference(self, spark):
+        """Randomized cross-check vs a per-row python reference."""
+        import numpy as np
+
+        from shifu_spark.operators.join import asof_join
+
+        rng = np.random.default_rng(7)
+        lrows = [(int(rng.integers(0, 10)), int(rng.integers(0, 100)), i) for i in range(200)]
+        rrows = [(int(rng.integers(0, 10)), int(rng.integers(0, 100)), i) for i in range(300)]
+        left = spark.createDataFrame(lrows, "k int, lts int, lid int")
+        right = spark.createDataFrame(rrows, "k int, rts int, rid int")
+        got = {
+            r["lid"]: r["asof_rid"]
+            for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+        }
+        for k, lts, lid in lrows:
+            cands = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts <= lts]
+            want = max(cands)[1] if cands else None
+            assert got[lid] == want, (k, lts, lid)

@@ -464,3 +464,34 @@ class TestCorpusReportShape:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") == 1
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestRound6Shapes:
+    def test_tpch_q3_broadcast_and_topk(self, spark):
+        """The segment-filtered customer side must broadcast (never a
+        data-scale shuffle of lineitem against a catalog-sized dim) and
+        the top-10 must be TakeOrderedAndProject, not a global sort."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q3_shipping_priority"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert_pushed_filters(df, ["l_shipdate"])
+
+    def test_asof_join_single_exchange(self, spark):
+        """The union-tag as-of join must cost exactly one hash exchange
+        on the join keys (the window sort), like any windowed agg — no
+        per-row subqueries, no range cross join."""
+        from shifu_spark.operators.join import asof_join
+
+        left = spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("lts"), F.col("id").alias("lid")
+        )
+        right = spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), (F.col("id") * 2).alias("rts"), F.col("id").alias("rid")
+        )
+        j = asof_join(left, right, ["k"], "lts", "rts", ["rid", "rts"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
