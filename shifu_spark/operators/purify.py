@@ -138,8 +138,50 @@ def hash_fold_expr(key_cols: list[str], k: int, salt: str = "fold") -> Column:
 
 
 def bagging_subsample(df: DataFrame, bag_index: int, fraction: float, with_replacement: bool, seed: int = 42) -> DataFrame:
-    """Per-bag resample (BaggingSubsampleUDF): seed offset by bag index."""
+    """Per-bag resample (BaggingSubsampleUDF): seed offset by bag index.
+
+    Physical-layout dependent (Spark's per-partition RNG) — use
+    :func:`poisson_copies_expr` for the reproducible, oracle-checkable
+    form of with-replacement bagging."""
     return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed + bag_index)
+
+
+def poisson_pmf_cumsums(lam: float, max_k: int) -> list[float]:
+    """CDF cut points of Poisson(lam) at k = 0..max_k-1 (pure driver-side
+    math; becomes literal hex thresholds in both engines' plans)."""
+    import math
+
+    cums, acc, pk = [], 0.0, math.exp(-lam)
+    for k in range(max_k):
+        acc += pk
+        cums.append(acc)
+        pk = pk * lam / (k + 1)
+    return cums
+
+
+def poisson_copies_expr(
+    key_cols: list[str], lam: float = 1.0, salt: str = "bag", max_k: int = 6
+) -> Column:
+    """Content-keyed Poisson(lam) copy count — the DISTRIBUTED form of
+    bootstrap/bagging resampling-with-replacement (the per-bag counts of
+    an n-draw bootstrap converge to iid Poisson(lam=fraction·n/n); every
+    production-scale bagging implementation uses this, because true
+    global sampling-with-replacement needs a global row index).
+
+    copies = #{Poisson CDF cut points <= md5(salt|key)} — the same
+    hex-threshold machinery as :func:`hash_fold_expr`, so the resample
+    is a pure function of row content: identical across reruns,
+    partitionings and engines, and oracle-checkable with plain string
+    comparisons (F.rand/sample are physical-layout dependent). The tail
+    is clamped at ``max_k`` copies (P[k > 6] < 1e-4 at lam=1).
+    Expand rows with ``F.explode(F.sequence(F.lit(1), copies))``
+    filtered to copies > 0 to materialize the bag."""
+    h = _hash_key(key_cols, salt)
+    cums = poisson_pmf_cumsums(lam, max_k)
+    copies = F.lit(0)
+    for c in cums:
+        copies = copies + F.when(h >= F.lit(_hex_threshold(c)), 1).otherwise(0)
+    return copies
 
 
 def drop_invalid_tags(df: DataFrame, tag_col: str, pos_tags: list[str], neg_tags: list[str]) -> DataFrame:

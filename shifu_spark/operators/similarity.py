@@ -987,3 +987,63 @@ def pq_encode_arrow(
 
     schema = f"{id_col} long, " + ", ".join(f"code{s} int" for s in range(len(B)))
     return embeddings.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def semantic_dedup_df(
+    embeddings: DataFrame,
+    centroid_filter: Column,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — cluster the corpus, then WITHIN each
+    cluster drop every vector whose cosine to a lower-id clustermate is
+    >= ``threshold`` (keep-first, so exactly one representative per
+    semantic duplicate set survives; the cross-modal complement of the
+    text MinHash ladder).
+
+    Scale shape: the cluster assignment is the IVF machinery
+    (broadcast centroids, one narrow pass); the pair search self-joins
+    ON THE CELL KEY ONLY — the whole point of SemDeDup's clustering is
+    that k grows with the corpus so per-cell populations stay bounded
+    and the quadratic never sees the full N (cell sizes here:
+    N/k ≈ 60; size the centroid count so cells stay ~10^3-10^4 rows at
+    100 TB). Executor-side throughout; no driver materialization.
+
+    Output: (vec_id, cell, keep) — keep=false means a kept clustermate
+    covers this vector. Cosines compare UNROUNDED: the sequential
+    JVM fold is bit-identical to the oracle's list_dot_product.
+    """
+    cells = ivf_assign_cells(embeddings, centroid_filter, id_col, vec_col)
+    a = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("vnorm").alias("a_norm"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("vnorm").alias("b_norm"),
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            dot_expr(F.col("a_vec"), F.col("b_vec"))
+            / (F.col("a_norm") * F.col("b_norm"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(drops.withColumn("_drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

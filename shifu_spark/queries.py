@@ -7166,3 +7166,160 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from shifu_spark.operators.purify import _hex_threshold, poisson_pmf_cumsums
+
+    terms = " + ".join(
+        f"CASE WHEN md5('bag' || '|' || l_orderkey || '|' || l_linenumber) >= '{_hex_threshold(c)}' THEN 1 ELSE 0 END"
+        for c in poisson_pmf_cumsums(1.0, 6)
+    )
+    return f"""
+WITH k AS (SELECT ({terms}) AS copies FROM lineitem)
+SELECT copies::INT AS copies, count(*)::BIGINT AS n_rows,
+  (copies * count(*))::BIGINT AS n_resampled
+FROM k GROUP BY copies ORDER BY copies
+"""
+
+
+@query("poisson_bootstrap_sample", None)
+def poisson_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap / bagging resample
+    (operators/purify.poisson_copies_expr): per-row Poisson(1) copy
+    counts — the standard at-scale form of sampling-with-replacement
+    (a global n-draw bootstrap needs a global row index; iid Poisson
+    counts converge to the same bag and need only row content). The
+    count is content-keyed md5-threshold arithmetic, so the bag is
+    identical across reruns, partitionings and engines — that is what
+    makes bagged-model training reproducible. Reported as the copy-count
+    histogram (≈ Poisson(1) pmf) + resampled row mass; materialize the
+    bag with explode(sequence(1, copies))."""
+    from shifu_spark.operators.purify import poisson_copies_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    copies = poisson_copies_expr(["l_orderkey", "l_linenumber"], lam=1.0, salt="bag")
+    return (
+        li.select(copies.alias("copies"))
+        .groupBy("copies")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "copies",
+            "n_rows",
+            (F.col("copies").cast("long") * F.col("n_rows")).alias("n_resampled"),
+        )
+        .orderBy("copies")
+    )
+
+
+ORACLES["poisson_bootstrap_sample"] = _poisson_bootstrap_oracle()
+
+
+@query(
+    "mixture_weights_by_source",
+    f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT doc_id, source, round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(CAST({{qc_bias}} AS DOUBLE) + wsum / n_tokens))), 6) AS s6
+  FROM (
+    SELECT doc_id, source, len(toks) AS n_tokens,
+           list_aggregate(list_transform(toks, x ->
+             (list_value({{qc_w}}))[strpos('0123456789abcdef', substr(md5(x), 1, 1))]
+           ), 'sum') AS wsum FROM t)),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         round(CAST(sum(CAST(s6 AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS mean_score
+  FROM q GROUP BY source),
+w AS (
+  SELECT source, n_docs, mean_score,
+         CAST(sqrt(CAST(n_docs AS DOUBLE)) * mean_score AS DECIMAL(38,10)) AS wdec
+  FROM agg)
+SELECT source, n_docs::BIGINT AS n_docs, mean_score,
+  round(CAST(wdec AS DOUBLE) / CAST(sum(wdec) OVER () AS DOUBLE), 6) AS weight
+FROM w ORDER BY source
+""".format(qc_bias=_QC_BIAS, qc_w=_QC_W_SQL),
+)
+def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture-weight assignment (the DoReMi-lite /
+    temperature-sampling knob): per-source doc counts and mean quality
+    score fold into a normalized sampling weight
+    w_s ∝ sqrt(n_s)·quality_s — sqrt is the classic temperature=0.5
+    upweighting of small high-quality sources, and both factors are
+    single-IEEE-op deterministic (sqrt of an exact int; one multiply).
+    Per-doc scores round to 6 then sum in DECIMAL(38,10)
+    (partition-order independence); the normalizer is a window sum over
+    the catalog-sized source rollup — the output feeds
+    source_mixture_sample's per-source rates."""
+    from pyspark.sql import Window
+
+    from shifu_spark.operators.text import quality_clf_score_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("source", F.split(F.col("text"), " ").alias("toks"))
+    per = d.select("source", F.round(quality_clf_score_expr(), 6).alias("s6"))
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("s6").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+    )
+    w = agg.withColumn(
+        "wdec",
+        (F.sqrt(F.col("n_docs").cast("double")) * F.col("mean_score")).cast(
+            "decimal(38,10)"
+        ),
+    )
+    total = F.sum("wdec").over(Window.partitionBy())
+    return w.select(
+        "source",
+        "n_docs",
+        "mean_score",
+        F.round(F.col("wdec").cast("double") / total.cast("double"), 6).alias("weight"),
+    ).orderBy("source")
+
+
+@query(
+    "semantic_dedup",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vnorm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cvec, vnorm AS cnorm FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, e.vnorm, c.cid,
+         list_dot_product(e.v, c.cvec) / (e.vnorm * c.cnorm) AS ccos
+  FROM e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, v, vnorm, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.vnorm * b.vnorm) >= CAST(0.35 AS DOUBLE)
+)
+SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
+FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+ORDER BY c.vec_id
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup_df): embedding-space
+    near-duplicate pruning — IVF-cell clustering (seed-vector centroids,
+    vec_id < 8, the oracle-deterministic quantizer) then keep-first
+    cosine dedup WITHIN cells at threshold 0.35 (drops ~15% of this
+    corpus). The within-cell self-join is the SemDeDup scale contract:
+    k scales with N so the quadratic only ever sees one cell."""
+    from shifu_spark.operators.similarity import semantic_dedup_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_df(emb, F.col("vec_id") < 8, threshold=0.35).orderBy(
+        "vec_id"
+    )

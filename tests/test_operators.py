@@ -1044,3 +1044,76 @@ class TestAsofJoin:
             cands = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts <= lts]
             want = max(cands)[1] if cands else None
             assert got[lid] == want, (k, lts, lid)
+
+
+class TestPoissonBootstrap:
+    def test_pmf_and_layout_independence(self, spark):
+        """Copy counts follow Poisson(1) (chi-square-loose bounds) and
+        are identical under repartitioning (content-keyed, not RNG)."""
+        import math
+
+        from shifu_spark.operators.purify import poisson_copies_expr, poisson_pmf_cumsums
+
+        cums = poisson_pmf_cumsums(1.0, 6)
+        assert cums[0] == pytest.approx(math.exp(-1))
+        assert cums[1] == pytest.approx(2 * math.exp(-1))
+
+        df = spark.range(0, 20000).select(F.col("id").alias("k"))
+        e = poisson_copies_expr(["k"], lam=1.0)
+        hist = {r["copies"]: r["n"] for r in df.select(e.alias("copies")).groupBy("copies").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n = 20000
+        for k in range(3):
+            want = math.exp(-1) / math.factorial(k)
+            assert abs(hist.get(k, 0) / n - want) < 0.02, (k, hist)
+        hist2 = {r["copies"]: r["n"] for r in df.repartition(17).select(e.alias("copies")).groupBy("copies").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert hist == hist2
+
+    def test_explode_materializes_bag(self, spark):
+        from shifu_spark.operators.purify import poisson_copies_expr
+
+        df = spark.range(0, 500).select(F.col("id").alias("k"))
+        c = poisson_copies_expr(["k"]).alias("copies")
+        bag = (
+            df.select("k", c)
+            .filter(F.col("copies") > 0)
+            .select("k", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+        )
+        total = df.select(F.sum(poisson_copies_expr(["k"]))).collect()[0][0]
+        assert bag.count() == total
+
+
+class TestSemanticDedup:
+    def test_keep_first_within_cluster(self, spark):
+        """Planted duplicates: identical vectors land in one cell; only
+        the lowest id survives. Orthogonal vectors all survive."""
+        from shifu_spark.operators.similarity import semantic_dedup_df
+
+        rows = [
+            # seeds are corpus members too: every non-dup sits < 0.9
+            # cosine from BOTH seeds so only the planted dup drops
+            (0, [1.0, 0.0, 0.0, 0.0]),   # centroid/seed, cell 0
+            (1, [0.0, 1.0, 0.0, 0.0]),   # centroid/seed, cell 1
+            (10, [0.6, 0.8, 0.0, 0.0]),  # cell 1 (cos .8 vs seed)
+            (11, [0.6, 0.8, 0.0, 0.0]),  # dup of 10 -> dropped (cos 1.0)
+            (12, [0.0, 0.0, 1.0, 0.0]),  # orthogonal; unique in its cell
+            (20, [0.8, 0.6, 0.0, 0.0]),  # cell 0, unique
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["vec_id"]: r for r in semantic_dedup_df(df, F.col("vec_id") < 2, 0.9).collect()}
+        assert got[10]["keep"] is True
+        assert got[11]["keep"] is False  # covered by 10
+        assert got[0]["keep"] and got[1]["keep"] and got[12]["keep"] and got[20]["keep"]
+        assert got[10]["cell"] == got[11]["cell"]
+
+    def test_threshold_monotone(self, spark):
+        """Raising the threshold can only keep MORE vectors."""
+        from shifu_spark.operators.similarity import semantic_dedup_df
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        kept = {}
+        for t in (0.3, 0.5):
+            kept[t] = semantic_dedup_df(emb, F.col("vec_id") < 4, t).filter("keep").count()
+        assert kept[0.5] >= kept[0.3]
