@@ -133,3 +133,24 @@ def bpe_decode(pieces: list[str]) -> str:
     words)."""
     s = "".join(pieces).replace(EOW, " ")
     return s[:-1] if s.endswith(" ") else s
+
+
+# Fixture corpus for the PINNED merge table (the PQ-codebook pattern:
+# trained once from literals, so both engines apply the same literal
+# ranks; bpe_train itself is pytest-pinned by a hand derivation).
+# Vocabulary overlaps the synthetic documents tables so the merges
+# genuinely fire at gate scale.
+BPE_PINNED_CORPUS = [
+    "join hash row batch scan customer column filter small slow merge",
+    "order vector line data table agg value key stream window spark group",
+    "join hash row batch scan column filter data table key stream group",
+    "the quick brown fox jumps over the lazy dog the end",
+    "merge join hash join scan filter order by group by window agg",
+]
+BPE_PINNED_NUM_MERGES = 48
+
+
+def bpe_pinned_merges() -> list[tuple[str, str]]:
+    """The pinned merge table: a pure function of the literal corpus
+    above (deterministic ties), re-derived identically on every call."""
+    return bpe_train(BPE_PINNED_CORPUS, BPE_PINNED_NUM_MERGES)

@@ -7323,3 +7323,76 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_df(emb, F.col("vec_id") < 8, threshold=0.35).orderBy(
         "vec_id"
     )
+
+
+def _bpe_oracle() -> str:
+    from shifu_spark.operators.bpe import EOW, bpe_pinned_merges
+
+    merges = bpe_pinned_merges()
+    mk = (
+        "MAP(["
+        + ",".join(f"'{a}|{b}'" for a, b in merges)
+        + "],["
+        + ",".join(str(i) for i in range(len(merges)))
+        + "])"
+    )
+    return f"""
+WITH RECURSIVE
+aug AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+w AS (
+  SELECT doc_id, wi,
+         list_concat(list_filter(string_split(words[wi], ''), x -> x <> ''), ['{EOW}']) AS syms
+  FROM aug, unnest(range(1, len(words) + 1)) AS t(wi)
+),
+rec AS (
+  SELECT doc_id, wi, syms, 0 AS it FROM w
+  UNION ALL
+  SELECT doc_id, wi,
+         syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], it + 1
+  FROM (
+    SELECT doc_id, wi, syms, it, list_min(pr) AS mr, list_position(pr, list_min(pr)) AS bi
+    FROM (
+      SELECT doc_id, wi, syms, it,
+             list_transform(range(1, len(syms)),
+               i -> coalesce(map_extract({mk}, syms[i] || '|' || syms[i+1])[1], 1000000)) AS pr
+      FROM rec WHERE len(syms) > 1
+    )
+  ) WHERE mr < 1000000
+),
+fin AS (
+  SELECT doc_id, wi, syms FROM (
+    SELECT doc_id, wi, syms, row_number() OVER (PARTITION BY doc_id, wi ORDER BY it DESC) AS rn
+    FROM rec) WHERE rn = 1
+),
+agg AS (SELECT doc_id, flatten(list(syms ORDER BY wi)) AS pieces FROM fin GROUP BY doc_id)
+SELECT a.doc_id, len(g.words)::INT AS n_words, len(a.pieces)::INT AS n_pieces,
+       md5(array_to_string(a.pieces, chr(31))) AS pieces_digest
+FROM agg a JOIN aug g USING (doc_id) ORDER BY a.doc_id
+"""
+
+
+@query("bpe_tokenize", None)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization (operators/bpe.bpe_encode_df): the
+    pinned merge table (PQ-codebook pattern) broadcast into an
+    Arrow-batched mapInPandas — the per-word merge loop is genuinely
+    iterative, the documented Pandas-UDF case. One narrow corpus pass,
+    no shuffle; pieces are proven byte-for-byte via an md5 digest
+    (unit-separator-joined). The ORACLE is a DuckDB RECURSIVE CTE that
+    re-runs the merge loop from the rank map independently (the
+    ADPCM-oracle pattern: a genuine second implementation, not a
+    restatement), so the encode semantics — lowest-rank-first, leftmost
+    at equal rank, EOW handling — are cross-checked end to end."""
+    from shifu_spark.operators.bpe import bpe_encode_df, bpe_pinned_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_df(docs, bpe_pinned_merges())
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.md5(F.concat_ws("\x1f", "pieces").cast("binary")).alias("pieces_digest"),
+    ).orderBy("doc_id")
+
+
+ORACLES["bpe_tokenize"] = _bpe_oracle()

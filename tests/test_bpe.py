@@ -10,6 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 
 class TestBpeKernel:
@@ -124,3 +125,28 @@ class TestBpeDistributed:
         total_pieces = sum(r["n_pieces"] for r in out.values())
         total_chars = sum(len(t.replace(" ", "")) + len(t.split()) for t in rows.values())
         assert total_pieces < 0.6 * total_chars
+
+
+class TestBpePinned:
+    def test_pinned_merges_stable_and_compressive(self, spark):
+        """The fixture merge table reproduces identically (pure function
+        of the literal corpus) and genuinely compresses the gate-shaped
+        corpus (merges fire: pieces << chars)."""
+        from shifu_spark.operators.bpe import (
+            BPE_PINNED_NUM_MERGES,
+            bpe_encode_df,
+            bpe_pinned_merges,
+        )
+
+        m1, m2 = bpe_pinned_merges(), bpe_pinned_merges()
+        assert m1 == m2 and len(m1) == BPE_PINNED_NUM_MERGES
+        assert all("|" not in a + b for a, b in m1)  # oracle map-key separator safety
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = bpe_encode_df(docs, m1).agg(
+            F.sum("n_pieces").alias("p"), F.sum("n_words").alias("w")
+        ).collect()[0]
+        chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+        # zero-merge baseline = non-space chars + one EOW per word
+        # = chars + n_docs; the pinned table must cut that by a third
+        assert out["p"] < 0.67 * (chars + docs.count())
