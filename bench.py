@@ -141,6 +141,15 @@ HEADLINE_STAGES = {
     "gbt_forward_pinned": "train",
     "corpus_report_by_source": "text",
     "zorder_skipping_stats": "query",
+    # round-6 additions: mixture/attribution/dedup/tokenizer surfaces
+    "lang_mixture": "text",
+    "asof_attribution_join": "query",
+    "tpch_q3_shipping_priority": "query",
+    "doc_length_histogram": "text",
+    "poisson_bootstrap_sample": "stats",
+    "mixture_weights_by_source": "text",
+    "semantic_dedup": "similarity",
+    "bpe_tokenize": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 
