@@ -1117,3 +1117,53 @@ class TestSemanticDedup:
         for t in (0.3, 0.5):
             kept[t] = semantic_dedup_df(emb, F.col("vec_id") < 4, t).filter("keep").count()
         assert kept[0.5] >= kept[0.3]
+
+
+class TestHilbertKeys:
+    def test_kernel_bijective_and_unit_step(self):
+        """Hilbert invariants at order 4: bijection over the 16x16 grid
+        and EVERY consecutive pair of distances is an adjacent cell
+        (unit L1 step) — the locality property Morton lacks."""
+        from shifu_spark.operators.layout import hilbert_xy2d
+
+        seen = {}
+        for x in range(16):
+            for y in range(16):
+                seen[hilbert_xy2d(x, y, 4)] = (x, y)
+        assert set(seen) == set(range(256))
+        for d in range(255):
+            (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    def test_spark_unroll_matches_kernel(self, spark):
+        """The chained-projection SQL unroll must equal the python
+        reference for every cell of the full order-5 grid AND on real
+        quantized lineitem data."""
+        from shifu_spark.operators.layout import hilbert_keys, hilbert_xy2d
+
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(32) for y in range(32)], "a int, b int"
+        )
+        got = hilbert_keys(grid, ["a", "b"], bits=5).collect()
+        for r in got:
+            assert r["hkey"] == hilbert_xy2d(r["hr_a"], r["hr_b"], 5), dict(r.asDict())
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(500)
+        out = hilbert_keys(
+            li.select("l_quantity", "l_extendedprice"),
+            ["l_quantity", "l_extendedprice"],
+            bits=8,
+        ).collect()
+        for r in out:
+            assert r["hkey"] == hilbert_xy2d(
+                r["hr_l_quantity"], r["hr_l_extendedprice"], 8
+            )
+
+    def test_two_columns_only(self, spark):
+        import pytest as _pytest
+
+        from shifu_spark.operators.layout import hilbert_keys
+
+        df = spark.range(3).select(F.col("id").alias("a"))
+        with _pytest.raises(ValueError, match="exactly two"):
+            hilbert_keys(df, ["a"], bits=4)
