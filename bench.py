@@ -150,6 +150,7 @@ HEADLINE_STAGES = {
     "mixture_weights_by_source": "text",
     "semantic_dedup": "similarity",
     "bpe_tokenize": "text",
+    "streaming_asof_attribution": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -7396,3 +7396,33 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bpe_tokenize"] = _bpe_oracle()
+
+
+@query(
+    "streaming_asof_attribution",
+    """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id, epoch_us(p.ts) AS ts_us,
+  c.click_id, epoch_us(c.click_ts) AS click_ts_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+ORDER BY p.purchase_id
+""",
+)
+def streaming_asof_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AS-OF join (12th streaming pattern;
+    streaming/ops.streaming_asof_attribution): per-user state is the
+    MINIMAL as-of carry — one (latest-click ts, id) pair — and each
+    purchase emits the match exactly once (append mode). The bounded
+    availableNow replay equals the batch asof_join / DuckDB native
+    ASOF oracle; cross-batch state carry is pinned by a 2-batch
+    event-time-ordered replay in tests/test_streaming_ops.py."""
+    from shifu_spark.streaming.ops import streaming_asof_attribution
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    sink = _run_stream_to_sink(
+        spark, streaming_asof_attribution(s), "asof", output_mode="append"
+    )
+    return sink.orderBy("purchase_id")

@@ -278,3 +278,63 @@ def streaming_sequence_packing(src: DataFrame, budget: int = 512) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_SCHEMA = (
+    "user_id long, purchase_id long, ts_us long, click_id long, click_ts_us long"
+)
+_ASOF_STATE_SCHEMA = "last_ts_us long, last_id long"
+
+
+def streaming_asof_attribution(src: DataFrame) -> DataFrame:
+    """Streaming AS-OF join (the stream twin of operators/join.asof_join):
+    every purchase event emits the same user's most recent click
+    at-or-before it, carried across micro-batches.
+
+    ``src`` must provide (user_id, event_id, event_type, ts_us). State
+    per user is the MINIMAL as-of state — one (last_click_ts, id) pair;
+    each micro-batch's events replay in (ts_us, event_id) order
+    continuing from the carried pair. Exact vs the batch as-of join
+    whenever micro-batches arrive in event-time order (the bounded
+    availableNow file replay, pinned by a 2-batch test); a production
+    deployment tolerates cross-batch disorder by buffering clicks
+    inside the watermark horizon before folding them into this state —
+    same output, O(horizon) instead of O(1) state.
+    Scale shape: state is one pair per user; each purchase row is
+    emitted exactly once (append mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        last_ts, last_id = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        out = {"purchase_id": [], "ts_us": [], "click_id": [], "click_ts_us": []}
+        for _, r in rows.iterrows():
+            if r["event_type"] == "click":
+                last_ts, last_id = int(r["ts_us"]), int(r["event_id"])
+            elif r["event_type"] == "purchase":
+                out["purchase_id"].append(int(r["event_id"]))
+                out["ts_us"].append(int(r["ts_us"]))
+                out["click_id"].append(last_id)
+                out["click_ts_us"].append(last_ts)
+        if last_id is not None:
+            state.update((last_ts, last_id))
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "purchase_id": pd.Series(out["purchase_id"], dtype="int64"),
+                "ts_us": pd.Series(out["ts_us"], dtype="int64"),
+                "click_id": pd.Series(out["click_id"], dtype="Int64"),
+                "click_ts_us": pd.Series(out["click_ts_us"], dtype="Int64"),
+            }
+        )
+
+    flt = src.filter(F.col("event_type").isin("click", "purchase"))
+    return flt.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ASOF_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -323,3 +323,65 @@ class TestStreamingSequencePacking:
             for r in QUERIES["sequence_packing"](spark, "/root/testdata/sf0.001").collect()
         }
         assert got == want
+
+
+class TestStreamingAsof:
+    def test_asof_state_carries_across_micro_batches(self, spark, tmp_path):
+        """Two event-time-ordered micro-batches: every purchase must get
+        the latest click at-or-before it even when that click arrived in
+        the PREVIOUS batch (the carried (ts, id) state), equal to the
+        batch as-of join over the union."""
+        import time
+
+        from shifu_spark.operators.join import asof_join
+        from shifu_spark.queries import _events
+        from shifu_spark.streaming.ops import streaming_asof_attribution
+
+        ev = _events(spark, "/root/testdata/sf0.001").select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        split = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        ev.filter(F.col("ts_us") <= split).coalesce(1).write.parquet(src)
+        time.sleep(1.1)  # file-source ordering is by modification time
+        ev.filter(F.col("ts_us") > split).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_asof_attribution(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+        got = {
+            r["purchase_id"]: (r["click_id"], r["click_ts_us"])
+            for r in spark.read.parquet(out).collect()
+        }
+        purchases = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_us")
+        )
+        clicks = ev.filter("event_type = 'click'").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_ts_us"),
+        )
+        want = {
+            r["purchase_id"]: (r["asof_click_id"], r["asof_click_ts_us"])
+            for r in asof_join(
+                purchases, clicks, ["user_id"], "ts_us", "click_ts_us",
+                ["click_id", "click_ts_us"], tie_cols=["click_id"],
+            ).collect()
+        }
+        assert got == want
