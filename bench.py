@@ -151,6 +151,7 @@ HEADLINE_STAGES = {
     "semantic_dedup": "similarity",
     "bpe_tokenize": "text",
     "streaming_asof_attribution": "streaming",
+    "hilbert_skipping_stats": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -7426,3 +7426,79 @@ def streaming_asof_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, streaming_asof_attribution(s), "asof", output_mode="append"
     )
     return sink.orderBy("purchase_id")
+
+
+_H_BITS, _H_BUCKET_SHIFT = 8, 10
+
+
+def _hilbert_oracle() -> str:
+    lv = (1 << _H_BITS) - 1
+    return f"""
+WITH RECURSIVE
+mm AS (SELECT min(l_quantity) AS mnq, max(l_quantity) AS mxq,
+              min(l_extendedprice) AS mnp, max(l_extendedprice) AS mxp
+       FROM lineitem),
+r AS (
+  SELECT least(greatest(floor((l_quantity - mnq) / (mxq - mnq) * {lv} + 0.5), 0), {lv})::BIGINT AS hx,
+         least(greatest(floor((l_extendedprice - mnp) / (mxp - mnp) * {lv} + 0.5), 0), {lv})::BIGINT AS hy
+  FROM lineitem, mm),
+cells AS (SELECT DISTINCT hx AS x0, hy AS y0 FROM r),
+rec AS (
+  SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d, {_H_BITS - 1} AS lvl FROM cells
+  UNION ALL
+  SELECT x0, y0,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) ELSE x END,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) ELSE y END,
+    d + s * s * xor(3 * rx, ry),
+    lvl - 1
+  FROM (
+    SELECT x0, y0, x, y, d, lvl, (CAST(1 AS BIGINT) << lvl) AS s,
+           CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) > 0 THEN 1 ELSE 0 END AS rx,
+           CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) > 0 THEN 1 ELSE 0 END AS ry
+    FROM rec WHERE lvl >= 0)
+),
+hk AS (SELECT x0, y0, d AS hkey FROM rec WHERE lvl = -1),
+j AS (SELECT r.hx, r.hy, hk.hkey FROM r JOIN hk ON r.hx = hk.x0 AND r.hy = hk.y0)
+SELECT (hkey >> {_H_BUCKET_SHIFT})::BIGINT AS hbucket,
+  count(*)::BIGINT AS n,
+  min(hx)::BIGINT AS min_q, max(hx)::BIGINT AS max_q,
+  min(hy)::BIGINT AS min_p, max(hy)::BIGINT AS max_p
+FROM j GROUP BY hbucket ORDER BY hbucket
+"""
+
+
+@query("hilbert_skipping_stats", None)
+def hilbert_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout planning (operators/layout.hilbert_keys) —
+    the better-locality sibling of zorder_skipping_stats: quantize
+    (l_quantity, l_extendedprice) to 8-bit ranks, walk the order-8
+    Hilbert curve, bucket by hkey >> 10 (≈ files after a
+    range-partitioned rewrite) and report per-bucket per-dimension rank
+    windows. Hilbert's unit-step adjacency (pinned in tests) gives
+    buckets with min/max windows at least as tight as the Z curve's —
+    the parquet footer-pruning payoff at 100 TB. The ORACLE re-derives
+    the curve with a DuckDB RECURSIVE CTE over the distinct quantized
+    cells (an independent second implementation of the level loop; the
+    Spark side is a chained-projection unroll)."""
+    from shifu_spark.operators.layout import hilbert_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    h = hilbert_keys(
+        li.select("l_quantity", "l_extendedprice"),
+        ["l_quantity", "l_extendedprice"],
+        bits=_H_BITS,
+    )
+    return (
+        h.groupBy(F.shiftright("hkey", _H_BUCKET_SHIFT).cast("long").alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("hr_l_quantity").alias("min_q"),
+            F.max("hr_l_quantity").alias("max_q"),
+            F.min("hr_l_extendedprice").alias("min_p"),
+            F.max("hr_l_extendedprice").alias("max_p"),
+        )
+        .orderBy("hbucket")
+    )
+
+
+ORACLES["hilbert_skipping_stats"] = _hilbert_oracle()
