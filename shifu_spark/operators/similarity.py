@@ -995,6 +995,7 @@ def semantic_dedup_df(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     semantic deduplication — cluster the corpus, then WITHIN each
@@ -1014,8 +1015,16 @@ def semantic_dedup_df(
     Output: (vec_id, cell, keep) — keep=false means a kept clustermate
     covers this vector. Cosines compare UNROUNDED: the sequential
     JVM fold is bit-identical to the oracle's list_dot_product.
+
+    The cell-assignment frame feeds THREE branches (both self-join
+    sides + the output projection); pass ``cache_out`` to persist it
+    once (appended for the caller to release — the dedup-family cache
+    contract) instead of recomputing the broadcast-assign per branch.
     """
     cells = ivf_assign_cells(embeddings, centroid_filter, id_col, vec_col)
+    if cache_out is not None:
+        cells = cells.persist()
+        cache_out.append(cells)
     a = cells.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),

@@ -7320,9 +7320,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.similarity import semantic_dedup_df
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_df(emb, F.col("vec_id") < 8, threshold=0.35).orderBy(
-        "vec_id"
-    )
+    caches: list[DataFrame] = []
+    out = semantic_dedup_df(
+        emb, F.col("vec_id") < 8, threshold=0.35, cache_out=caches
+    ).orderBy("vec_id")
+    return _materialize_release(out, caches)
 
 
 def _bpe_oracle() -> str:

@@ -79,7 +79,7 @@ def test_dedup_queries_release_caches(spark):
     sf = "/root/testdata/sf0.001"
     before = _persistent_rdd_count(spark)
     names = ("ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_groups",
-             "embedding_neardup_lsh_scale")
+             "embedding_neardup_lsh_scale", "semantic_dedup")
     for i, name in enumerate(names):
         out = QUERIES[name](spark, sf)
         assert out.count() >= 0
