@@ -152,6 +152,8 @@ HEADLINE_STAGES = {
     "bpe_tokenize": "text",
     "streaming_asof_attribution": "streaming",
     "hilbert_skipping_stats": "query",
+    "tpch_q5_local_supplier": "query",
+    "tpch_q18_large_orders": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -7504,3 +7504,126 @@ def hilbert_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["hilbert_skipping_stats"] = _hilbert_oracle()
+
+
+@query(
+    "tpch_q5_local_supplier",
+    """
+SELECT n_name,
+  round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the canonical 6-way star join
+    with a same-nation co-membership constraint. Spark-first shape: the
+    three catalog dims (region-filtered nation, supplier, customer) all
+    BROADCAST, so the only data-scale work is one pass over the
+    date-pruned orders⋈lineitem pair; the c_nationkey = s_nationkey
+    constraint rides the join condition, not a post-filter. Revenue in
+    DECIMAL(38,10)."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity AS DECIMAL(38,10))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  round(o_totalprice, 4) AS o_totalprice,
+  round(sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey LIMIT 100
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the canonical
+    semi-join-over-aggregation shape — a HAVING subquery feeds an IN
+    filter on the fact table. Spark-first: the qualifying-order set is
+    aggregation-output-sized (top ~1% of orders at qty > 250), so it
+    joins back as a BROADCAST semi-join — no second shuffle of
+    lineitem; the top-100 is TakeOrderedAndProject. Quantity sums in
+    DECIMAL(38,10); deterministic order (totalprice, date, orderkey)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "b_orderkey")),
+                li.l_orderkey == F.col("b_orderkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("sum_qty")
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate_us", "o_orderkey")
+        .limit(100)
+    )

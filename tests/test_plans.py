@@ -495,3 +495,24 @@ class TestRound6Shapes:
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_tpch_q5_broadcast_dims_single_fact_pass(self, spark):
+        """All three catalog dims must broadcast; the only data-scale
+        shuffle pair is orders⋈lineitem (no SMJ against a dim)."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q5_local_supplier"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert_pushed_filters(df, ["o_orderdate"])
+
+    def test_tpch_q18_semi_join_broadcast_topk(self, spark):
+        """The HAVING-qualified order set joins back as a broadcast (no
+        second lineitem shuffle) and the top-100 is
+        TakeOrderedAndProject."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q18_large_orders"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
