@@ -154,6 +154,9 @@ HEADLINE_STAGES = {
     "hilbert_skipping_stats": "query",
     "tpch_q5_local_supplier": "query",
     "tpch_q18_large_orders": "query",
+    "revenue_rollup_region_nation": "query",
+    "order_priority_pivot": "query",
+    "customers_without_urgent_orders": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -7627,3 +7627,131 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate_us", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "revenue_rollup_region_nation",
+    """
+SELECT coalesce(r_name, '(all)') AS region,
+  coalesce(n_name, '(all)') AS nation,
+  CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid,
+  round(sum(cast(o_totalprice AS DECIMAL(38,10)))::DOUBLE, 4) AS revenue,
+  count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY gid, region, nation
+""",
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP report (region -> nation -> grand total): the
+    OLAP grouping-sets shape the registry lacked. Spark-first:
+    ``df.rollup`` compiles to ONE Expand + partial-aggregated shuffle
+    (each input row fans to its 3 grouping sets map-side, so the
+    exchange stays aggregate-output-sized); the nation/region dims
+    broadcast onto the orders scan. grouping_id disambiguates real
+    NULL-keyed groups from subtotal rows — coalesced to '(all)' only
+    for display."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "gid",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("gid", "region", "nation")
+    )
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n  ".join(
+        f"count(*) FILTER (WHERE o_orderpriority = '{p}')::BIGINT AS \"{c}\""
+        for p, c in zip(_PIVOT_PRIORITIES, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+    return f"""
+SELECT o_orderstatus,
+  {cols}
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("order_priority_pivot", None)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide crosstab): order counts by status x priority.
+    The pivot values are PINNED literals (``pivot(col, values)``), so
+    Spark skips the extra distinct-values scan and compiles straight to
+    one partial-aggregated shuffle — same cost as a plain groupBy; the
+    oracle is conditional aggregation (the relational identity of
+    pivot). Complements the existing unpivot_column_totals."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(
+        zip(_PIVOT_PRIORITIES, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+    out = wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in renames.items()],
+    )
+    return out.orderBy("o_orderstatus")
+
+
+ORACLES["order_priority_pivot"] = _pivot_oracle()
+
+
+@query(
+    "customers_without_urgent_orders",
+    """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / anti-join (the set-difference shape the registry
+    composed inside funnels but never exposed): customers with no
+    urgent order. Spark-first: ``left_anti`` join — the filtered order
+    keys aggregate to a distinct-key set that BROADCASTS when
+    dimension-sized (pinned below via the explicit distinct before the
+    anti-join; Catalyst then needs no shuffle of the customer side)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(urgent), cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
