@@ -62,6 +62,16 @@ def read_dataset(
     """
     if data_path.endswith(".parquet") or _is_parquet_dir(data_path):
         return spark.read.parquet(data_path)
+    if data_path.endswith(".orc") or _is_format_dir(data_path, ".orc"):
+        return spark.read.orc(data_path)
+    if data_path.endswith((".jsonl", ".json")) or _is_format_dir(data_path, ".json"):
+        # JSONL ingest: sampled schema inference unless the caller pins
+        # columns (then everything reads as string, matching the
+        # delimited-text all-string contract)
+        if columns is not None:
+            schema = ", ".join(f"`{c}` string" for c in columns)
+            return spark.read.schema(schema).json(data_path)
+        return spark.read.json(data_path)
 
     if columns is None:
         if header_path is None:
@@ -97,6 +107,19 @@ def write_dataset(
         if compression:
             writer = writer.option("compression", compression)
         writer.parquet(path)
+    elif fmt == "orc":
+        # the other columnar lake format Spark carries natively — same
+        # typed round trip + predicate-pushdown contract as parquet
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.orc(path)
+    elif fmt == "json":
+        # JSONL interchange sink (one object per line) — the standard
+        # LLM-corpus exchange format; schema round-trips via read with
+        # an explicit schema (JSON itself is stringly typed)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
     elif fmt == "csv":
         writer = writer.option("sep", delimiter).option("header", "true")
         if compression:
@@ -129,8 +152,12 @@ def is_missing_str(col, missing_tokens: list[str] | None = None):
 
 
 def _is_parquet_dir(path: str) -> bool:
+    return _is_format_dir(path, ".parquet")
+
+
+def _is_format_dir(path: str, ext: str) -> bool:
     try:
-        return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+        return os.path.isdir(path) and any(f.endswith(ext) for f in os.listdir(path))
     except OSError:
         return False
 

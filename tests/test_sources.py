@@ -178,3 +178,46 @@ class TestWebdatasetShards:
                 tf.addfile(info, io.BytesIO(data))
         with pytest.raises(ValueError):  # interleaved sample breaks streaming
             parse_wds_shard(buf.getvalue())
+
+
+class TestOrcJsonlRoundtrip:
+    def test_orc_typed_roundtrip(self, spark, tmp_path):
+        """ORC sink + read_dataset autodetect: schema and values survive
+        the round trip exactly (the second native columnar format)."""
+        from shifu_spark.sources.reader import read_dataset, write_dataset
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(200)
+        path = str(tmp_path / "li_orc")
+        write_dataset(li, path, fmt="orc")
+        back = read_dataset(spark, path)
+        assert back.schema == li.schema
+        a = sorted(map(tuple, li.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b
+
+    def test_jsonl_roundtrip_inferred_and_pinned(self, spark, tmp_path):
+        """JSONL sink + ingest: inferred-schema read preserves values;
+        pinned-columns read applies the all-string contract."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.sources.reader import read_dataset, write_dataset
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+        path = str(tmp_path / "docs_json")
+        write_dataset(docs, path, fmt="json")
+        back = read_dataset(spark, path)
+        want = {r["doc_id"]: r["text"] for r in docs.collect()}
+        got = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+        assert got == want
+        pinned = read_dataset(spark, path, columns=["doc_id", "text"])
+        assert [f.dataType.typeName() for f in pinned.schema.fields] == ["string", "string"]
+        assert pinned.count() == 50
+
+    def test_unsupported_format_raises(self, spark, tmp_path):
+        import pytest
+
+        from shifu_spark.sources.reader import write_dataset
+
+        df = spark.range(3)
+        with pytest.raises(ValueError, match="unsupported sink format"):
+            write_dataset(df, str(tmp_path / "x"), fmt="avro")
