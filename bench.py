@@ -157,6 +157,8 @@ HEADLINE_STAGES = {
     "revenue_rollup_region_nation": "query",
     "order_priority_pivot": "query",
     "customers_without_urgent_orders": "query",
+    "rag_chunk_spans": "text",
+    "countmin_heavy_hitters": "stats",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

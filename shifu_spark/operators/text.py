@@ -436,3 +436,58 @@ def lang_mixture_df(
         best_lang.alias("top_lang"),
         purity.alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_spans_df(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard RAG / long-context preprocessing step (chunk size
+    ``chunk_tokens``, step ``stride``; stride < chunk_tokens overlaps
+    adjacent chunks so no answer span straddles a boundary unseen).
+
+    Chunk starts are 0, stride, 2·stride, ... while start < n_tokens
+    (so every token lands in ≥1 chunk; the final chunk may be short).
+    All IN-ROW JVM expressions — sequence → transform → explode; the
+    corpus never shuffles, and the chunk digest (md5 of the
+    space-joined slice) proves the chunk text byte-for-byte without
+    materializing it.
+
+    Output: (doc_id, chunk_id, tok_start, n_chunk_tokens, chunk_digest).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    n_chunks = F.floor((F.col("n_tokens") - 1) / stride) + 1
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("tok_start"),
+            F.least(F.lit(chunk_tokens), F.col("n_tokens") - i * stride).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    ex = d.select("doc_id", "toks", F.explode(spans).alias("s"))
+    chunk = F.slice(
+        F.col("toks"), F.col("s.tok_start") + 1, F.col("s.n_chunk_tokens")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("s.chunk_id").cast("int").alias("chunk_id"),
+        F.col("s.tok_start").cast("int").alias("tok_start"),
+        F.col("s.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_digest"),
+    )

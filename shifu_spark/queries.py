@@ -7755,3 +7755,104 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
         .select("c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal"))
         .orderBy("c_custkey")
     )
+
+
+_CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
+
+
+@query(
+    "rag_chunk_spans",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n,
+        unnest(range(0, (len(toks) - 1) // {_CHUNK_STRIDE} + 1)) AS cid
+      FROM t)
+SELECT doc_id, cid::INT AS chunk_id,
+  (cid * {_CHUNK_STRIDE})::INT AS tok_start,
+  least({_CHUNK_TOKENS}, n - cid * {_CHUNK_STRIDE})::INT AS n_chunk_tokens,
+  md5(array_to_string(
+    toks[cid * {_CHUNK_STRIDE} + 1 : cid * {_CHUNK_STRIDE} + least({_CHUNK_TOKENS}, n - cid * {_CHUNK_STRIDE})],
+    ' ')) AS chunk_digest
+FROM s ORDER BY doc_id, chunk_id
+""",
+)
+def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking (operators/text.chunk_spans_df): 64-token
+    windows at stride 48 — the RAG / long-context preprocessing step
+    (16-token overlap so no span straddles a boundary unseen). All
+    in-row (sequence → transform → explode), zero corpus shuffle; the
+    md5 chunk digest proves every chunk's text byte-for-byte."""
+    from shifu_spark.operators.text import chunk_spans_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_spans_df(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _cms_oracle() -> str:
+    from shifu_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket_sql
+
+    build = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row_i, {cms_bucket_sql('user_id', i, CMS_WIDTH)} AS bucket FROM e"
+        for i in range(CMS_DEPTH)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT user_id, exact_count, {i} AS row_i, {cms_bucket_sql('user_id', i, CMS_WIDTH)} AS bucket FROM exact"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH e AS (SELECT user_id FROM events),
+cms AS (
+  SELECT row_i, bucket, count(*)::BIGINT AS cnt FROM (
+    {build})
+  GROUP BY row_i, bucket),
+exact AS (
+  SELECT user_id, count(*)::BIGINT AS exact_count FROM e GROUP BY user_id
+  ORDER BY exact_count DESC, user_id LIMIT 10),
+probes AS (
+    {probes}),
+est AS (
+  SELECT user_id, exact_count, min(coalesce(cnt, 0))::BIGINT AS cms_estimate
+  FROM probes LEFT JOIN cms USING (row_i, bucket) GROUP BY user_id, exact_count)
+SELECT user_id, exact_count, cms_estimate,
+  (cms_estimate - exact_count)::BIGINT AS overestimate
+FROM est ORDER BY exact_count DESC, user_id
+"""
+
+
+@query("countmin_heavy_hitters", None)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/sketch): build a 4x32
+    frequency sketch of event user_ids in ONE pass (the shuffle carries
+    at most depth·width·n_tasks partial counters — CONSTANT in data
+    size, the whole point at 100 TB where an exact per-key groupBy's
+    state is unbounded), then point-estimate the true top-10 users and
+    report the collision overestimate (CMS guarantees estimate >=
+    exact; equality when no collision). Hashing is the md5 nibble-fold,
+    so sketch contents are engine/layout-independent and the oracle
+    rebuilds the identical sketch relationally."""
+    from shifu_spark.operators.sketch import cms_build_df, cms_estimate_df
+
+    ev = _events(spark, sf_dir).select("user_id")
+    cms = cms_build_df(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate_df(cms, exact.select("user_id"), "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
+
+
+ORACLES["countmin_heavy_hitters"] = _cms_oracle()

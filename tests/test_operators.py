@@ -1167,3 +1167,72 @@ class TestHilbertKeys:
         df = spark.range(3).select(F.col("id").alias("a"))
         with _pytest.raises(ValueError, match="exactly two"):
             hilbert_keys(df, ["a"], bits=4)
+
+
+class TestChunkSpans:
+    def test_coverage_overlap_and_edges(self, spark):
+        """Every token is covered, consecutive chunks overlap by
+        chunk-stride tokens, the tail chunk may be short, and a doc
+        shorter than one chunk yields exactly one chunk."""
+        import hashlib
+
+        from shifu_spark.operators.text import chunk_spans_df
+
+        texts = {
+            0: " ".join(f"w{i}" for i in range(10)),   # 10 toks, chunk 4, stride 3
+            1: "a b",                                   # shorter than chunk
+            2: " ".join(f"x{i}" for i in range(9)),     # exact multiple edge
+        }
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        rows = chunk_spans_df(df, chunk_tokens=4, stride=3).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, text in texts.items():
+            toks = text.split(" ")
+            chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+            covered = set()
+            for c in chunks:
+                covered.update(range(c["tok_start"], c["tok_start"] + c["n_chunk_tokens"]))
+                want = " ".join(toks[c["tok_start"]: c["tok_start"] + c["n_chunk_tokens"]])
+                assert c["chunk_digest"] == hashlib.md5(want.encode()).hexdigest()
+            assert covered == set(range(len(toks))), doc_id
+        assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 2
+        # starts are 0, stride, 2*stride, ... while start < n
+        assert [c["tok_start"] for c in sorted(by_doc[0], key=lambda r: r["chunk_id"])] == [0, 3, 6, 9]
+
+    def test_invalid_params_raise(self, spark):
+        from shifu_spark.operators.text import chunk_spans_df
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="positive"):
+            chunk_spans_df(df, chunk_tokens=0)
+        with pytest.raises(ValueError, match="positive"):
+            chunk_spans_df(df, stride=-1)
+
+
+class TestCountMinSketch:
+    def test_never_underestimates_and_exact_when_sparse(self, spark):
+        """CMS invariants: estimate >= exact count for EVERY key; with
+        few keys vs width, most estimates are exact."""
+        from shifu_spark.operators.sketch import cms_build_df, cms_estimate_df
+
+        rows = [(k,) for k in range(20) for _ in range(k + 1)]  # key k appears k+1 times
+        df = spark.createDataFrame(rows, "user_id long")
+        cms = cms_build_df(df, "user_id")
+        keys = df.select("user_id").distinct()
+        est = {r["user_id"]: r["cms_estimate"] for r in cms_estimate_df(cms, keys, "user_id").collect()}
+        for k in range(20):
+            assert est[k] >= k + 1, k
+        assert sum(1 for k in range(20) if est[k] == k + 1) >= 14  # mostly collision-free
+
+    def test_sketch_size_bounded_and_mass_conserved(self, spark):
+        """The sketch never exceeds depth x width rows and each row's
+        counters sum to the total row count (mass conservation)."""
+        from shifu_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_build_df
+
+        df = spark.range(0, 5000).select((F.col("id") % 137).alias("user_id"))
+        cms = cms_build_df(df, "user_id")
+        assert cms.count() <= CMS_DEPTH * CMS_WIDTH
+        per_row = {r["row_i"]: r["s"] for r in cms.groupBy("row_i").agg(F.sum("cnt").alias("s")).collect()}
+        assert all(v == 5000 for v in per_row.values())
