@@ -159,6 +159,8 @@ HEADLINE_STAGES = {
     "customers_without_urgent_orders": "query",
     "rag_chunk_spans": "text",
     "countmin_heavy_hitters": "stats",
+    "bloom_membership_report": "stats",
+    "hll_distinct_report": "stats",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -7856,3 +7856,129 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["countmin_heavy_hitters"] = _cms_oracle()
+
+
+def _bloom_oracle() -> str:
+    from shifu_spark.operators.sketch import BLOOM_BITS, BLOOM_K, bloom_pos_sql
+
+    build = "\n    UNION ALL ".join(
+        f"SELECT {bloom_pos_sql('user_id', i, BLOOM_BITS)} AS pos FROM members"
+        for i in range(BLOOM_K)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT user_id, {bloom_pos_sql('user_id', i, BLOOM_BITS)} AS pos FROM probe_keys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 200),
+bloom AS (SELECT DISTINCT pos FROM (
+    {build})),
+probe_keys AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+    {probes}),
+hits AS (
+  SELECT p.user_id,
+         (count(*) = count(b.pos))::BOOLEAN AS bloom_hit
+  FROM probes p LEFT JOIN bloom b ON p.pos = b.pos GROUP BY p.user_id)
+SELECT h.user_id, h.bloom_hit,
+  (m.user_id IS NOT NULL) AS is_member,
+  (h.bloom_hit AND m.user_id IS NULL) AS false_positive
+FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
+ORDER BY h.user_id
+"""
+
+
+@query("bloom_membership_report", None)
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketch.bloom_build_df): build
+    a 256-bit/k=3 filter over high-value purchasers (~32 of 150 users)
+    and probe every user. The Bloom contract the oracle re-derives
+    bit-for-bit: NO false negatives ever, false positives only from
+    hash collisions (reported per probe). The filter is its set-bit
+    POSITIONS as a bounded relation (<= 256 rows — same constant-size
+    build shuffle as the packed-longs form, which is a physical layout
+    detail); at 100 TB this is the semi-join pre-filter that spares the
+    big side a shuffle — Spark's runtime bloom pushdown
+    (bloom_filter_agg, pinned in test_plans) is this same structure
+    with engine-private hashing."""
+    from shifu_spark.operators.sketch import bloom_build_df, bloom_probe_df
+
+    ev = _events(spark, sf_dir)
+    members = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+    )
+    bloom = bloom_build_df(members, "user_id")
+    probes = ev.select("user_id").distinct()
+    hits = bloom_probe_df(bloom, probes, "user_id")
+    return (
+        hits.join(
+            members.withColumn("_m", F.lit(1)), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            "bloom_hit",
+            F.col("_m").isNotNull().alias("is_member"),
+            (F.col("bloom_hit") & F.col("_m").isNull()).alias("false_positive"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _hll_oracle() -> str:
+    from shifu_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_register_sql,
+        hll_rho_sql,
+    )
+
+    inv = " ".join(f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, 35))
+    return f"""
+WITH k AS (SELECT {hll_register_sql('l_orderkey')} AS reg, {hll_rho_sql('l_orderkey')} AS rho
+           FROM lineitem),
+regs AS (SELECT reg, max(rho) AS max_rho FROM k GROUP BY reg),
+s AS (SELECT sum(CASE max_rho {inv} END) AS present_sum, count(*) AS n_regs FROM regs),
+e AS (SELECT round({HLL_ALPHA} * {HLL_M} * {HLL_M} / (present_sum + ({HLL_M} - n_regs)), 4) AS hll_estimate,
+             n_regs::BIGINT AS n_registers_hit
+      FROM s),
+x AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS exact_distinct FROM lineitem)
+SELECT e.hll_estimate, e.n_registers_hit, x.exact_distinct,
+  round(abs(e.hll_estimate - x.exact_distinct) / x.exact_distinct, 6) AS rel_error
+FROM e, x
+"""
+
+
+@query("hll_distinct_report", None)
+def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (operators/sketch.hll_registers_df):
+    64-register raw estimator over lineitem order keys — ONE pass, a
+    <= 64-row register table, constant state at any data size (the
+    structure inside Spark's approx_count_distinct, but with
+    oracle-mirrorable md5 hashing and a log-free leading-zero CASE).
+    2^-rho terms are literal dyadic doubles so the register sum is
+    exact and order-independent; reported against the exact distinct
+    count with the relative error (raw estimator: sized so
+    n >> 2.5·m, where the ln-based small-range correction — not
+    engine-portable — would never engage)."""
+    from shifu_spark.operators.sketch import hll_estimate_expr, hll_registers_df
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = hll_estimate_expr(hll_registers_df(li, "l_orderkey"))
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "hll_estimate",
+        "n_registers_hit",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+ORACLES["bloom_membership_report"] = _bloom_oracle()
+ORACLES["hll_distinct_report"] = _hll_oracle()

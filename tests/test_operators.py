@@ -1236,3 +1236,45 @@ class TestCountMinSketch:
         assert cms.count() <= CMS_DEPTH * CMS_WIDTH
         per_row = {r["row_i"]: r["s"] for r in cms.groupBy("row_i").agg(F.sum("cnt").alias("s")).collect()}
         assert all(v == 5000 for v in per_row.values())
+
+
+class TestBloomAndHll:
+    def test_bloom_no_false_negatives(self, spark):
+        """Every member must hit (the Bloom contract); the filter stays
+        within its bit budget."""
+        from shifu_spark.operators.sketch import BLOOM_BITS, bloom_build_df, bloom_probe_df
+
+        members = spark.range(0, 40).select((F.col("id") * 7).alias("k"))
+        bloom = bloom_build_df(members, "k")
+        assert bloom.count() <= BLOOM_BITS
+        hits = {r["k"]: r["bloom_hit"] for r in bloom_probe_df(bloom, members, "k").collect()}
+        assert all(hits.values())
+
+    def test_bloom_fp_rate_reasonable(self, spark):
+        """Non-member probes may false-positive, but at ~32 members in
+        256 bits the rate must stay far below chance."""
+        from shifu_spark.operators.sketch import bloom_build_df, bloom_probe_df
+
+        members = spark.range(0, 32).select(F.col("id").alias("k"))
+        bloom = bloom_build_df(members, "k")
+        nonmembers = spark.range(1000, 1500).select(F.col("id").alias("k"))
+        hits = bloom_probe_df(bloom, nonmembers, "k")
+        fp = hits.filter("bloom_hit").count()
+        assert fp < 50  # theoretical ~2.6% of 500 = 13; generous bound
+
+    def test_hll_accuracy_and_layout_independence(self, spark):
+        """Raw HLL within ~3/sqrt(m) of exact for n >> m, and identical
+        under repartitioning (content-keyed hashing)."""
+        from shifu_spark.operators.sketch import HLL_M, hll_estimate_expr, hll_registers_df
+
+        df = spark.range(0, 20000).select(F.col("id").alias("k"))
+        est = hll_estimate_expr(hll_registers_df(df, "k")).collect()[0]
+        assert abs(est["hll_estimate"] - 20000) / 20000 < 3 / (HLL_M ** 0.5)
+        est2 = hll_estimate_expr(hll_registers_df(df.repartition(13), "k")).collect()[0]
+        assert est2["hll_estimate"] == est["hll_estimate"]
+
+    def test_hll_registers_bounded(self, spark):
+        from shifu_spark.operators.sketch import HLL_M, hll_registers_df
+
+        df = spark.range(0, 5000).select(F.col("id").alias("k"))
+        assert hll_registers_df(df, "k").count() <= HLL_M
