@@ -161,6 +161,7 @@ HEADLINE_STAGES = {
     "countmin_heavy_hitters": "stats",
     "bloom_membership_report": "stats",
     "hll_distinct_report": "stats",
+    "streaming_countmin": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -7982,3 +7982,79 @@ def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["bloom_membership_report"] = _bloom_oracle()
 ORACLES["hll_distinct_report"] = _hll_oracle()
+
+
+def _streaming_cms_oracle() -> str:
+    from shifu_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket_sql
+
+    build = "\n    UNION ALL ".join(
+        f"SELECT date_trunc('day', ts) AS w, {i} AS row_i, "
+        f"{cms_bucket_sql('user_id', i, CMS_WIDTH)} AS bucket FROM events"
+        for i in range(CMS_DEPTH)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT w, user_id, {i} AS row_i, {cms_bucket_sql('user_id', i, CMS_WIDTH)} AS bucket FROM pk"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH cms AS (
+  SELECT w, row_i, bucket, count(*)::BIGINT AS cnt FROM (
+    {build})
+  GROUP BY w, row_i, bucket),
+pk AS (
+  SELECT DISTINCT date_trunc('day', ts) AS w, user_id
+  FROM events WHERE user_id % 30 = 0),
+probes AS (
+    {probes}),
+est AS (
+  SELECT p.w, p.user_id, min(coalesce(c.cnt, 0))::BIGINT AS cms_estimate
+  FROM probes p LEFT JOIN cms c ON p.w = c.w AND p.row_i = c.row_i AND p.bucket = c.bucket
+  GROUP BY p.w, p.user_id)
+SELECT epoch_us(w) AS window_us, user_id, cms_estimate
+FROM est ORDER BY window_us, user_id
+"""
+
+
+@query("streaming_countmin", None)
+def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Count-Min sketch over the event stream (13th streaming
+    pattern; streaming/ops.streaming_cms_windowed): per-day 4x32
+    counter tables — streaming state that is CONSTANT in the key
+    domain (the unbounded-key answer to streaming heavy hitters).
+    Probe users (user_id % 30 == 0, per window they appear in)
+    finalize batch-side from the sink; availableNow replay equals the
+    relational rebuild the oracle runs. Same md5 nibble-fold hashing
+    as the batch sketch, so the sink contents are engine- and
+    layout-independent."""
+    from shifu_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket_expr
+    from shifu_spark.streaming.ops import streaming_cms_windowed
+
+    s = _events_stream(spark, sf_dir)
+    sketch = streaming_cms_windowed(s, "user_id", ts_col="ts", window="1 day")
+    sink = _run_stream_to_sink(spark, sketch, "cms")
+    ev = _events(spark, sf_dir)
+    pk = (
+        ev.filter(F.col("user_id") % 30 == 0)
+        .select(F.date_trunc("day", F.col("ts")).alias("window_start"), "user_id")
+        .distinct()
+    )
+    probes = pk.select(
+        "window_start",
+        "user_id",
+        F.posexplode(
+            F.array(*[cms_bucket_expr("user_id", i, CMS_WIDTH) for i in range(CMS_DEPTH)])
+        ).alias("row_i", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sink), ["window_start", "row_i", "bucket"], "left")
+        .groupBy("window_start", "user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    return est.select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_us"),
+        "user_id",
+        "cms_estimate",
+    ).orderBy("window_us", "user_id")
+
+
+ORACLES["streaming_countmin"] = _streaming_cms_oracle()

@@ -338,3 +338,33 @@ def streaming_asof_attribution(src: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cms_windowed(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Windowed Count-Min sketch build over a stream (13th pattern):
+    per event-time window, the (row_i, bucket) counter table from
+    operators/sketch — the CONSTANT-state form of windowed heavy
+    hitters: state is (windows inside the watermark) × depth × width
+    counters no matter how many distinct keys flow through, which is
+    exactly what an unbounded key domain needs (the documented caveat
+    on streaming_windowed_key_counts). Stateless per-row bucket
+    computation + one windowed groupBy; estimates finalize batch-side
+    from the sink."""
+    from shifu_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket_expr
+
+    buckets = F.array(
+        *[cms_bucket_expr(key_col, i, CMS_WIDTH) for i in range(CMS_DEPTH)]
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.posexplode(buckets).alias("row_i", "bucket"))
+        .groupBy(F.window(ts_col, window).alias("w"), "row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "row_i", "bucket", "cnt")
+    )
