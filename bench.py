@@ -162,6 +162,7 @@ HEADLINE_STAGES = {
     "bloom_membership_report": "stats",
     "hll_distinct_report": "stats",
     "streaming_countmin": "streaming",
+    "dedup_groups_distributed": "dedup",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -8058,3 +8058,30 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["streaming_countmin"] = _streaming_cms_oracle()
+
+
+@query("dedup_groups_distributed", ORACLES["dedup_groups"])
+def dedup_groups_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED regime of near-dup group resolution: identical
+    composition to dedup_groups, but with the small-graph threshold
+    forced to 0 so the iterative min-label propagation path runs (edge
+    join + per-node min per round, labels persisted per round to bound
+    lineage, converges in O(cluster diameter) rounds) instead of the
+    driver-side union-find shortcut. This is the exact code path a
+    100 TB pair graph takes — here it gets its own driver-proven row
+    rather than riding only on pytest. Same oracle as dedup_groups
+    (the two regimes are output-identical by contract)."""
+    from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
+        "doc_a", "doc_b"
+    )
+    try:
+        out = dedup_groups_df(pairs, small_graph_threshold=0).orderBy("doc_id")
+    except BaseException:
+        for c in caches:
+            c.unpersist()
+        raise
+    return _materialize_release(out, caches)
