@@ -163,6 +163,8 @@ HEADLINE_STAGES = {
     "hll_distinct_report": "stats",
     "streaming_countmin": "streaming",
     "dedup_groups_distributed": "dedup",
+    "hll_union_report": "stats",
+    "dq_constraint_report": "stats",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -212,3 +212,16 @@ def hll_estimate_expr(registers: DataFrame) -> DataFrame:
         ).alias("hll_estimate"),
         F.col("n_regs").cast("long").alias("n_registers_hit"),
     )
+
+
+def hll_merge(registers_a: DataFrame, registers_b: DataFrame) -> DataFrame:
+    """Union two HLL register tables: register-wise MAX — the
+    MERGEABILITY that makes sketches work distributed (partial sketches
+    from any partitioning / any day / any source union losslessly;
+    max is idempotent, commutative, associative). Output is a valid
+    register table for :func:`hll_estimate_expr`."""
+    return (
+        registers_a.unionByName(registers_b)
+        .groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )

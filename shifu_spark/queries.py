@@ -8085,3 +8085,161 @@ def dedup_groups_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
         raise
     return _materialize_release(out, caches)
+
+
+def _hll_union_oracle() -> str:
+    from shifu_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_register_sql,
+        hll_rho_sql,
+    )
+
+    inv = " ".join(f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, 35))
+
+    def regs(src: str) -> str:
+        return (
+            f"SELECT reg, max(rho) AS max_rho FROM ("
+            f"SELECT {hll_register_sql('user_id')} AS reg, {hll_rho_sql('user_id')} AS rho "
+            f"FROM events WHERE event_type = '{src}') GROUP BY reg"
+        )
+
+    return f"""
+WITH ra AS ({regs('click')}),
+rb AS ({regs('purchase')}),
+merged AS (
+  SELECT reg, max(max_rho) AS max_rho FROM (
+    SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg),
+s AS (SELECT sum(CASE max_rho {inv} END) AS present_sum, count(*) AS n_regs FROM merged),
+e AS (SELECT round({HLL_ALPHA} * {HLL_M} * {HLL_M} / (present_sum + ({HLL_M} - n_regs)), 4) AS hll_union_estimate,
+             n_regs::BIGINT AS n_registers_hit
+      FROM s),
+x AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_union
+      FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT e.hll_union_estimate, e.n_registers_hit, x.exact_union
+FROM e, x
+"""
+
+
+@query("hll_union_report", None)
+def hll_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY (operators/sketch.hll_merge): union the
+    click-user and purchase-user HLLs by register-wise max and estimate
+    the union cardinality — the property that makes sketches
+    distribution-native (partial sketches from any partition / day /
+    source union losslessly, so a 1000-executor rollup ships 64
+    registers per grain instead of raw keys). Reported against the
+    exact distinct union."""
+    from shifu_spark.operators.sketch import (
+        hll_estimate_expr,
+        hll_merge,
+        hll_registers_df,
+    )
+
+    ev = _events(spark, sf_dir)
+    ra = hll_registers_df(
+        ev.filter(F.col("event_type") == "click").select("user_id"), "user_id"
+    )
+    rb = hll_registers_df(
+        ev.filter(F.col("event_type") == "purchase").select("user_id"), "user_id"
+    )
+    est = hll_estimate_expr(hll_merge(ra, rb)).withColumnRenamed(
+        "hll_estimate", "hll_union_estimate"
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.count_distinct("user_id").alias("exact_union"))
+    )
+    return est.crossJoin(exact)
+
+
+ORACLES["hll_union_report"] = _hll_union_oracle()
+
+
+@query(
+    "dq_constraint_report",
+    """
+WITH comp AS (
+  SELECT 'completeness_o_custkey' AS check_name,
+         round(count(o_custkey) / CAST(count(*) AS DOUBLE), 6) AS metric,
+         (count(*) - count(o_custkey))::BIGINT AS violations
+  FROM orders),
+uniq AS (
+  SELECT 'uniqueness_o_orderkey' AS check_name,
+         round(count(DISTINCT o_orderkey) / CAST(count(*) AS DOUBLE), 6) AS metric,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations
+  FROM orders),
+rng AS (
+  SELECT 'range_l_discount_0_1' AS check_name,
+         round(count(*) FILTER (WHERE l_discount BETWEEN 0 AND 1) / CAST(count(*) AS DOUBLE), 6) AS metric,
+         count(*) FILTER (WHERE l_discount NOT BETWEEN 0 AND 1)::BIGINT AS violations
+  FROM lineitem),
+ref AS (
+  SELECT 'ref_lineitem_orderkey' AS check_name,
+         round(1.0 - orphans / CAST(total AS DOUBLE), 6) AS metric,
+         orphans::BIGINT AS violations
+  FROM (SELECT count(*) AS total,
+               count(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+vals AS (
+  SELECT 'values_o_orderstatus' AS check_name,
+         round(count(*) FILTER (WHERE o_orderstatus IN ('F', 'O', 'P')) / CAST(count(*) AS DOUBLE), 6) AS metric,
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))::BIGINT AS violations
+  FROM orders)
+SELECT check_name, metric, violations, (violations = 0) AS passed FROM (
+  SELECT * FROM comp UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM rng
+  UNION ALL SELECT * FROM ref UNION ALL SELECT * FROM vals)
+ORDER BY check_name
+""",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/Great-Expectations
+    surface a production lakehouse runs before training): completeness,
+    key uniqueness, value-range, referential integrity
+    (lineitem.l_orderkey ⊆ orders.o_orderkey via one join — the only
+    data-scale shuffle; every other constraint folds into single-pass
+    aggregates), and accepted-values — one report row per constraint
+    with (metric, violations, passed). Ratios are single-division
+    doubles rounded 6 on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+
+    def row(name, metric, violations):
+        return (F.lit(name).alias("check_name"), metric.alias("metric"),
+                violations.cast("long").alias("violations"))
+
+    comp = orders.agg(*row(
+        "completeness_o_custkey",
+        F.round(F.count("o_custkey") / n.cast("double"), 6),
+        n - F.count("o_custkey"),
+    ))
+    uniq = orders.agg(*row(
+        "uniqueness_o_orderkey",
+        F.round(F.count_distinct("o_orderkey") / n.cast("double"), 6),
+        n - F.count_distinct("o_orderkey"),
+    ))
+    in_rng = F.col("l_discount").between(0, 1)
+    rng = li.agg(*row(
+        "range_l_discount_0_1",
+        F.round(F.sum(in_rng.cast("long")) / n.cast("double"), 6),
+        F.sum((~in_rng).cast("long")),
+    ))
+    joined = li.select("l_orderkey").join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left"
+    )
+    ref = joined.agg(*row(
+        "ref_lineitem_orderkey",
+        F.round(1.0 - F.sum(F.col("o_orderkey").isNull().cast("long")) / n.cast("double"), 6),
+        F.sum(F.col("o_orderkey").isNull().cast("long")),
+    ))
+    ok_vals = F.col("o_orderstatus").isin("F", "O", "P")
+    vals = orders.agg(*row(
+        "values_o_orderstatus",
+        F.round(F.sum(ok_vals.cast("long")) / n.cast("double"), 6),
+        F.sum((~ok_vals).cast("long")),
+    ))
+    out = comp.unionByName(uniq).unionByName(rng).unionByName(ref).unionByName(vals)
+    return out.select(
+        "check_name", "metric", "violations", (F.col("violations") == 0).alias("passed")
+    ).orderBy("check_name")
