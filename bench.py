@@ -165,6 +165,8 @@ HEADLINE_STAGES = {
     "dedup_groups_distributed": "dedup",
     "hll_union_report": "stats",
     "dq_constraint_report": "stats",
+    "hll_by_source": "stats",
+    "session_window_batch": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -8243,3 +8243,101 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "check_name", "metric", "violations", (F.col("violations") == 0).alias("passed")
     ).orderBy("check_name")
+
+
+def _hll_by_source_oracle() -> str:
+    from shifu_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_register_sql,
+        hll_rho_sql,
+    )
+
+    inv = " ".join(f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, 35))
+    return f"""
+WITH k AS (SELECT source, {hll_register_sql("text")} AS reg, {hll_rho_sql("text")} AS rho
+           FROM documents),
+regs AS (SELECT source, reg, max(rho) AS max_rho FROM k GROUP BY source, reg),
+s AS (SELECT source, sum(CASE max_rho {inv} END) AS present_sum, count(*) AS n_regs
+      FROM regs GROUP BY source),
+e AS (SELECT source,
+             round({HLL_ALPHA} * {HLL_M} * {HLL_M} / (present_sum + ({HLL_M} - n_regs)), 4) AS hll_estimate,
+             n_regs::BIGINT AS n_registers_hit
+      FROM s),
+x AS (SELECT source, count(DISTINCT text)::BIGINT AS exact_distinct FROM documents GROUP BY source)
+SELECT e.source, e.hll_estimate, e.n_registers_hit, x.exact_distinct
+FROM e JOIN x ON e.source = x.source ORDER BY e.source
+"""
+
+
+@query("hll_by_source", None)
+def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HLL — the production shape of sketch aggregation
+    (GROUP BY dimension, sketch as the aggregation state): per-source
+    distinct-document estimates from per-(source, register) max-rho
+    tables. The shuffle carries at most sources × 64 register rows —
+    constant per group at any corpus size; reported against per-source
+    exact distinct counts."""
+    from shifu_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_register_sql,
+        hll_rho_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    regs = (
+        docs.select(
+            "source",
+            F.expr(hll_register_sql("text")).alias("reg"),
+            F.expr(hll_rho_sql("text")).alias("rho"),
+        )
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    inv_pow2 = F.array(*[F.lit(2.0 ** -k) for k in range(1, 35)])
+    est = regs.groupBy("source").agg(
+        F.sum(F.element_at(inv_pow2, F.col("max_rho"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    ).select(
+        "source",
+        F.round(
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_regs"))),
+            4,
+        ).alias("hll_estimate"),
+        F.col("n_regs").cast("long").alias("n_registers_hit"),
+    )
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("text").alias("exact_distinct")
+    )
+    return est.join(exact, "source").orderBy("source")
+
+
+ORACLES["hll_by_source"] = _hll_by_source_oracle()
+
+
+@query("session_window_batch", ORACLES["streaming_sessionize"])
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode (Spark 3.2+): gap-based
+    sessions as a first-class groupBy key — the engine merges
+    overlapping [ts, ts+gap) intervals itself, replacing the
+    lag + cumulative-sum window chain (events_sessionize) with ONE
+    aggregation; the two forms share the streaming twin's oracle
+    (>= gap starts a new session). At scale this is one hash exchange
+    on user_id + an in-partition interval merge — no second window
+    pass."""
+    ev = _events(spark, sf_dir)
+    per_sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
