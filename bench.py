@@ -167,6 +167,8 @@ HEADLINE_STAGES = {
     "dq_constraint_report": "stats",
     "hll_by_source": "stats",
     "session_window_batch": "query",
+    "tpch_q4_late_shipments": "query",
+    "events_moving_avg": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

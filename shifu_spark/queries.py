@@ -8341,3 +8341,81 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "tpch_q4_late_shipments",
+    """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join (the schema has no
+    commit/receipt dates, so the late-line predicate is
+    l_shipdate > o_orderdate + 60 days): orders with at least one late
+    line, counted per priority. Spark-first: a LEFT SEMI join — the
+    probe side deduplicates inside the join (no distinct pass, no row
+    multiplication from multi-line orders), then a 5-group aggregate.
+    The date predicate rides the join condition, evaluated during the
+    semi probe."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        sj.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "events_moving_avg",
+    """
+WITH w AS (
+  SELECT user_id, event_id,
+         round(CAST(avg(CAST(value AS DECIMAL(38,10))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS mov_avg
+  FROM events)
+SELECT user_id, event_id, mov_avg FROM w ORDER BY user_id, event_id
+""",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-frame window (the one frame type the registry lacked:
+    ROWS BETWEEN k PRECEDING AND CURRENT ROW): per-user 4-event moving
+    average of event value, ordered by (ts, event_id). One hash
+    exchange on user_id + an in-partition sort — the same shape as any
+    per-key window; the frame sum goes through DECIMAL(38,10) so the
+    average is exact and engine-identical regardless of accumulation
+    order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.avg(F.col("value").cast("decimal(38,10)")).over(w).cast("double"), 6
+            ).alias("mov_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
