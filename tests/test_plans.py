@@ -516,3 +516,65 @@ class TestRound6Shapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestLateRound6Shapes:
+    def test_rollup_single_expand_single_scan(self, spark):
+        """ROLLUP compiles to ONE Expand over one orders scan (grouping
+        sets never re-read the fact table) with broadcast dims."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["revenue_rollup_region_nation"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Expand") == 1
+        assert plan.count("FileScan parquet") == 4  # orders + 3 dims, once each
+        assert "BroadcastHashJoin" in plan
+
+    def test_pivot_is_one_scan_bounded_exchanges(self, spark):
+        """Pinned pivot values: exactly one orders scan and no
+        distinct-values pre-pass. Spark's pivotfirst runs two phases
+        ((status,priority) count agg, then the pivot fold), so there are
+        TWO hash exchanges — but both carry aggregate-output-sized rows
+        (<= |statuses x priorities|), never data-scale rows."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["order_priority_pivot"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "partial_pivotfirst" in plan  # map-side combine on phase 2 too
+
+    def test_q4_is_semi_join(self, spark):
+        """EXISTS must compile to a semi join (no row multiplication,
+        no distinct pass over the probe output)."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q4_late_shipments"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "HashAggregate" in plan
+
+    def test_sketches_single_scan_bounded_shuffle(self, spark):
+        """CMS / HLL builds: one scan of the keyed input, one bounded
+        aggregation exchange, nothing quadratic."""
+        from shifu_spark.operators.sketch import cms_build_df, hll_registers_df
+
+        ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id")
+        for build in (cms_build_df, hll_registers_df):
+            df = build(ev, "user_id")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("FileScan parquet") == 1, build.__name__
+            assert plan.count("Exchange hashpartitioning") == 1, build.__name__
+            assert "Join" not in plan, build.__name__
+
+    def test_rag_chunks_no_shuffle(self, spark):
+        """Chunking is a pure in-row explode: one corpus scan, zero
+        data exchanges before the (ordering-only) output sort."""
+        from shifu_spark.operators.text import chunk_spans_df
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = chunk_spans_df(docs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert "Generate explode" in plan
