@@ -169,6 +169,7 @@ HEADLINE_STAGES = {
     "session_window_batch": "query",
     "tpch_q4_late_shipments": "query",
     "events_moving_avg": "query",
+    "bpe_fertility_by_source": "text",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

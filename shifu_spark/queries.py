@@ -8419,3 +8419,54 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def _bpe_fertility_oracle() -> str:
+    # the same recursive-CTE encoder as bpe_tokenize, rolled up by source
+    base = _bpe_oracle()
+    core = base[: base.rindex("SELECT a.doc_id")]
+    return (
+        core
+        + """SELECT d.source,
+  count(*)::BIGINT AS n_docs,
+  sum(a.n_pieces_l)::BIGINT AS n_pieces,
+  sum(a.n_words_l)::BIGINT AS n_words,
+  round(sum(a.n_pieces_l) / CAST(sum(a.n_words_l) AS DOUBLE), 6) AS fertility
+FROM (SELECT g.doc_id, len(g.words) AS n_words_l, len(a.pieces) AS n_pieces_l
+      FROM agg a JOIN aug g USING (doc_id)) a
+JOIN documents d ON a.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+    )
+
+
+@query("bpe_fertility_by_source", None)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report (pieces per word, by source) — the
+    standard tokenizer-quality metric (a vocabulary that fits the
+    corpus has fertility near 1; out-of-domain sources blow it up,
+    which is how mixture builders catch tokenizer/domain mismatch).
+    One distributed encode pass (same pinned merges as bpe_tokenize)
+    + a catalog-sized source rollup; counts are exact ints so the
+    ratio is a single deterministic division."""
+    from shifu_spark.operators.bpe import bpe_encode_df, bpe_pinned_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_df(docs, bpe_pinned_merges()).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.sum("n_pieces") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["bpe_fertility_by_source"] = _bpe_fertility_oracle()

@@ -368,3 +368,71 @@ def streaming_cms_windowed(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "row_i", "bucket", "cnt")
     )
+
+
+def start_gold_table_foreach_batch(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    gold_path: str,
+    checkpoint_path: str,
+):
+    """Incremental GOLD-TABLE maintenance (the medallion upsert pattern):
+    each micro-batch's per-key partial aggregates MERGE into a parquet
+    gold table holding one row per key with running (n, sum, max).
+
+    The merge is read-modify-overwrite on the aggregate-sized gold table
+    (atomic swap via a temp directory rename) — with a lakehouse table
+    format you would express the same thing as ``MERGE INTO`` and skip
+    the rewrite; the STREAMING side is identical either way.
+
+    The stream carries RAW rows and each batch aggregates INSIDE
+    foreachBatch: a streaming-graph groupBy would hold cumulative state
+    and emit totals-so-far in update mode, which a downstream merge
+    would double-count — per-batch deltas must come from a stateless
+    graph. The gold table stays key-cardinality-sized and sums
+    accumulate in DECIMAL(38,10), so the merged totals equal a batch
+    aggregate over the union of all input exactly (pinned by the
+    2-batch replay test)."""
+    import os
+    import shutil
+    import uuid
+
+    def _merge(raw_df: DataFrame, batch_id: int) -> None:
+        if raw_df.isEmpty():
+            return
+        batch_df = raw_df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(38,10)")).alias("s"),
+            F.max(F.col(value_col)).alias("mx"),
+        )
+        spark = raw_df.sparkSession
+        if os.path.isdir(gold_path):
+            cur = spark.read.parquet(gold_path)
+            merged = (
+                cur.unionByName(batch_df)
+                .groupBy("key")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("s").cast("decimal(38,10)").alias("s"),
+                    F.max("mx").alias("mx"),
+                )
+            )
+        else:
+            merged = batch_df
+        tmp = f"{gold_path}__swap_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{gold_path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(gold_path):
+            os.rename(gold_path, old)
+        os.rename(tmp, gold_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

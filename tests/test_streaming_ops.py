@@ -385,3 +385,51 @@ class TestStreamingAsof:
             ).collect()
         }
         assert got == want
+
+
+class TestGoldTableUpsert:
+    def test_two_batch_merge_equals_batch_aggregate(self, spark, tmp_path):
+        """The medallion upsert: after a 2-micro-batch replay, the gold
+        table equals one batch aggregate over all input (exact DECIMAL
+        sums), including keys that appear in BOTH batches."""
+        import time
+
+        from shifu_spark.queries import _events
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        ev = _events(spark, "/root/testdata/sf0.001").select("user_id", "value", "ts")
+        src = str(tmp_path / "in")
+        split = ev.approxQuantile("value", [0.5], 0.0)[0]
+        ev.filter(F.col("value") <= split).coalesce(1).write.parquet(src)
+        time.sleep(1.1)
+        ev.filter(F.col("value") > split).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        gold = str(tmp_path / "gold")
+        q = start_gold_table_foreach_batch(
+            stream, "user_id", "value", gold, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+        got = {
+            r["key"]: (r["n"], r["s"], r["mx"])
+            for r in spark.read.parquet(gold).collect()
+        }
+        want = {
+            r["key"]: (r["n"], r["s"], r["mx"])
+            for r in ev.groupBy(F.col("user_id").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,10)")).alias("s"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+        # both batches really contributed (some key spans the split)
+        assert any(n > 1 for n, _, _ in got.values())
