@@ -170,6 +170,7 @@ HEADLINE_STAGES = {
     "tpch_q4_late_shipments": "query",
     "events_moving_avg": "query",
     "bpe_fertility_by_source": "text",
+    "pagerank_part_supplier": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

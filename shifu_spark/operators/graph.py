@@ -1,0 +1,102 @@
+"""Iterative graph algorithms on edge DataFrames.
+
+PageRank (Page et al. 1999) with the repo's cross-engine determinism
+contract: per-target contribution sums go through DECIMAL(38,10) so
+they are exact and partition-order independent, and every other step is
+a single IEEE double op on identical inputs — K iterations produce
+bit-identical ranks on any engine (the oracle unrolls the same K steps
+as chained SQL CTEs). Connected components live in operators/dedup
+(label propagation / union-find regimes).
+
+Scale shape: one iteration = one edges⋈ranks join + one groupBy — the
+canonical Pregel superstep as plain DataFrame ops; ranks localCheckpoint
+per iteration so lineage stays flat (an unbounded plan tree is the
+classic iterative-Spark failure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+
+
+def pagerank_df(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations over a DIRECTED
+    edge list (symmetrize upstream for an undirected walk). Assumes no
+    dangling nodes (every node has out-degree >= 1 — true for any
+    symmetrized graph); rank mass is then conserved each step.
+
+    new_rank = (1-d)/N + d * Σ_in CAST(rank/outdeg AS DECIMAL(38,10))
+    — the division and the final multiply-add are single double ops on
+    engine-identical inputs; the sum is exact decimal."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").persist()
+    ed.count()
+    nodes.unpersist()
+
+    base = float(1.0 - damping) / n
+    ranks = ed.select("src").distinct().select(
+        F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank")
+    )
+    pinned = None
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg")).cast("decimal(38,10)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(float(damping)) * F.col("s").cast("double")).alias(
+                "rank"
+            ),
+        ).localCheckpoint(eager=True)
+        if pinned is not None:
+            # previous checkpoint no longer referenced; let GC reclaim
+            pinned = None
+        pinned = new_ranks
+        ranks = new_ranks
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_unrolled_sql(
+    edges_sql: str,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> str:
+    """The SAME K iterations as chained SQL CTEs (the oracle form):
+    ``edges_sql`` must yield (src, dst). Returns SQL producing
+    (node, rank) after ``iters`` steps."""
+    parts = [
+        f"e AS ({edges_sql})",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "n AS (SELECT count(*) AS n FROM deg)",
+        "pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM deg, n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS (
+  SELECT e.dst AS node,
+         CAST({1.0 - damping} AS DOUBLE) / n.n
+           + CAST({damping} AS DOUBLE) * CAST(sum(CAST(pr{i - 1}.rank / deg.outdeg AS DECIMAL(38,10))) AS DOUBLE) AS rank
+  FROM pr{i - 1} JOIN e ON pr{i - 1}.node = e.src JOIN deg ON pr{i - 1}.node = deg.src, n
+  GROUP BY e.dst, n.n)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM pr{iters}"

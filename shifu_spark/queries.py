@@ -8470,3 +8470,57 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bpe_fertility_by_source"] = _bpe_fertility_oracle()
+
+
+def _pagerank_oracle() -> str:
+    from shifu_spark.operators.graph import pagerank_unrolled_sql
+
+    edges_sql = """
+SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem GROUP BY 1, 2
+UNION ALL
+SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem GROUP BY 1, 2
+"""
+    inner = pagerank_unrolled_sql(edges_sql)
+    return f"""
+WITH pr AS ({inner})
+SELECT node, round(rank, 8) AS rank,
+       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       (node // 2)::BIGINT AS entity_key
+FROM pr ORDER BY rank DESC, node LIMIT 20
+"""
+
+
+@query("pagerank_part_supplier", None)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank_df) over the symmetrized
+    part–supplier bipartite graph from lineitem (node id = key*2 for
+    parts, key*2+1 for suppliers — an engine-shared integer encoding):
+    5 power iterations, damping 0.85; top-20 nodes. The ITERATIVE
+    ALGORITHM family beyond training: each superstep is one edges⋈ranks
+    join + one groupBy (the Pregel shape as plain DataFrame ops), ranks
+    localCheckpoint'ed per iteration so the plan tree stays flat.
+    Determinism: per-target contribution sums in DECIMAL(38,10), every
+    other step a single double op — the oracle re-runs the identical 5
+    steps as chained SQL CTEs."""
+    from shifu_spark.operators.graph import pagerank_df
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank_df(edges)
+    return (
+        pr.select(
+            "node",
+            F.round("rank", 8).alias("rank"),
+            F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("node_type"),
+            F.floor(F.col("node") / 2).cast("long").alias("entity_key"),
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+ORACLES["pagerank_part_supplier"] = _pagerank_oracle()

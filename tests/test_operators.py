@@ -1278,3 +1278,42 @@ class TestBloomAndHll:
 
         df = spark.range(0, 5000).select(F.col("id").alias("k"))
         assert hll_registers_df(df, "k").count() <= HLL_M
+
+
+class TestPageRank:
+    def test_mass_conserved_and_uniform_fixpoint(self, spark):
+        """On a d-regular symmetric graph the uniform distribution is the
+        PageRank fixpoint (every node keeps rank 1/N); total mass stays
+        ~1 on any dangling-free graph."""
+        from shifu_spark.operators.graph import pagerank_df
+
+        # 4-cycle: every node has in/out degree 2 -> regular
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 4) for i in range(4)] + [((i + 1) % 4, i) for i in range(4)],
+            "src long, dst long",
+        )
+        pr = {r["node"]: r["rank"] for r in pagerank_df(edges, iters=4).collect()}
+        for v in pr.values():
+            assert abs(v - 0.25) < 1e-12
+        # irregular graph: mass conserved, hub outranks leaves
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+            "src long, dst long",
+        )
+        pr2 = {r["node"]: r["rank"] for r in pagerank_df(star, iters=6).collect()}
+        assert abs(sum(pr2.values()) - 1.0) < 1e-9
+        assert pr2[0] > max(pr2[i] for i in range(1, 5))
+
+    def test_layout_independent(self, spark):
+        """Repartitioning the edge list must not change a single rank
+        bit (the DECIMAL contribution-sum contract)."""
+        from shifu_spark.operators.graph import pagerank_df
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).distinct()
+        edges = li.unionByName(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        a = {r["node"]: r["rank"] for r in pagerank_df(edges, iters=3).collect()}
+        b = {r["node"]: r["rank"] for r in pagerank_df(edges.repartition(17), iters=3).collect()}
+        assert a == b
