@@ -171,6 +171,8 @@ HEADLINE_STAGES = {
     "events_moving_avg": "query",
     "bpe_fertility_by_source": "text",
     "pagerank_part_supplier": "query",
+    "bigram_logprob_quality": "text",
+    "cohort_retention": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

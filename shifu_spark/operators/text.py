@@ -491,3 +491,60 @@ def chunk_spans_df(
         F.col("s.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_digest"),
     )
+
+
+# Pinned interpolated-bigram LM extension of the unigram scorer: bigram
+# log-probs (dyadic) for pairs the corpus actually contains; positions
+# without a bigram entry back off to unigram(w_i) + BACKOFF_PENALTY
+# (also dyadic), so every per-doc sum stays EXACT in float64 and
+# order-independent — the same oracle trick as UNIGRAM_LOGPROB.
+BIGRAM_LOGPROB = {
+    "table hash": -1.5, "part filter": -1.5, "customer join": -1.75,
+    "slow key": -1.75, "merge group": -2.0, "vector small": -2.0,
+    "big order": -2.25, "filter small": -2.25, "merge order": -2.5,
+    "filter hash": -2.5, "batch agg": -2.75, "slow query": -2.75,
+}
+BIGRAM_BACKOFF_PENALTY = -1.0
+
+
+def bigram_logprob_exprs(
+    text: Column | str,
+    bigrams: dict[str, float] | None = None,
+    unigrams: dict[str, float] | None = None,
+) -> tuple[Column, Column]:
+    """(mean per-position bigram log-prob, backoff rate) over positions
+    2..n — the next step up the CCNet ladder from the unigram scorer
+    (a 5-gram KenLM fills the same role in production; the pinned
+    dyadic tables keep the oracle closed-form). Pure JVM: one map
+    lookup per position inside a transform over an index sequence, no
+    explode, no shuffle. Docs with < 2 tokens score NULL."""
+    bg = bigrams or BIGRAM_LOGPROB
+    ug = unigrams or UNIGRAM_LOGPROB
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    bmap = F.create_map(*[F.lit(x) for kv in sorted(bg.items()) for x in kv])
+    umap = F.create_map(*[F.lit(x) for kv in sorted(ug.items()) for x in kv])
+
+    def pos_lp(i: Column) -> Column:
+        pair = F.concat_ws(" ", F.element_at(toks, i - 1), F.element_at(toks, i))
+        backoff = (
+            F.coalesce(
+                umap.getItem(F.element_at(toks, i)), F.lit(float(UNIGRAM_OOV_LOGPROB))
+            )
+            + F.lit(float(BIGRAM_BACKOFF_PENALTY))
+        )
+        return F.coalesce(bmap.getItem(pair), backoff)
+
+    idx = F.sequence(F.lit(2), n)
+    lps = F.transform(idx, pos_lp)
+    total = F.aggregate(lps, F.lit(0.0), lambda acc, x: acc + x)
+    n_pos = (n - 1).cast("double")
+    mean_lp = F.when(n >= 2, total / n_pos).otherwise(F.lit(None))
+    bmiss = F.size(
+        F.filter(idx, lambda i: bmap.getItem(
+            F.concat_ws(" ", F.element_at(toks, i - 1), F.element_at(toks, i))
+        ).isNull())
+    )
+    backoff_rate = F.when(n >= 2, bmiss.cast("double") / n_pos).otherwise(F.lit(None))
+    return mean_lp, backoff_rate

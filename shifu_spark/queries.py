@@ -8524,3 +8524,127 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pagerank_part_supplier"] = _pagerank_oracle()
+
+
+def _bigram_oracle() -> str:
+    from shifu_spark.operators.text import (
+        BIGRAM_BACKOFF_PENALTY,
+        BIGRAM_LOGPROB,
+        UNIGRAM_LOGPROB,
+        UNIGRAM_OOV_LOGPROB,
+    )
+
+    bg_whens = " ".join(
+        f"WHEN '{p}' THEN CAST({lp!r} AS DOUBLE)"
+        for p, lp in sorted(BIGRAM_LOGPROB.items())
+    )
+    ug_whens = " ".join(
+        f"WHEN '{w}' THEN CAST({lp!r} AS DOUBLE)"
+        for w, lp in sorted(UNIGRAM_LOGPROB.items())
+    )
+    ug_case = f"CASE ws[i] {ug_whens} ELSE CAST({UNIGRAM_OOV_LOGPROB!r} AS DOUBLE) END"
+    pair = "ws[i-1] || ' ' || ws[i]"
+    lp = (
+        f"CASE {pair} {bg_whens} "
+        f"ELSE {ug_case} + CAST({BIGRAM_BACKOFF_PENALTY!r} AS DOUBLE) END"
+    )
+    in_bg = ", ".join(f"'{p}'" for p in sorted(BIGRAM_LOGPROB))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id, len(ws) AS n,
+         list_sum(list_transform(range(2, len(ws) + 1), i -> {lp})) AS total,
+         len(list_filter(range(2, len(ws) + 1),
+             i -> ({pair}) NOT IN ({in_bg}))) AS bmiss
+  FROM toks)
+SELECT doc_id,
+  round(CASE WHEN n >= 2 THEN total / (n - 1) END, 6) AS mean_logprob,
+  round(CASE WHEN n >= 2 THEN bmiss / CAST(n - 1 AS DOUBLE) END, 6) AS backoff_rate
+FROM scored ORDER BY doc_id
+"""
+
+
+@query("bigram_logprob_quality", None)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality scoring
+    (text.bigram_logprob_exprs) — the next step up the CCNet ladder
+    from unigram_logprob_quality: per-position bigram log-prob with
+    unigram+penalty backoff, all dyadic rationals so per-doc sums are
+    exact and order-independent; one map lookup per position inside a
+    transform over an index sequence — no explode, no shuffle."""
+    from shifu_spark.operators.text import bigram_logprob_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    mean_lp, backoff_rate = bigram_logprob_exprs("text")
+    return docs.select(
+        "doc_id",
+        F.round(mean_lp, 6).alias("mean_logprob"),
+        F.round(backoff_rate, 6).alias("backoff_rate"),
+    ).orderBy("doc_id")
+
+
+ORACLES["bigram_logprob_quality"] = _bigram_oracle()
+
+
+@query(
+    "cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+sizes AS (SELECT cohort_wk, count(*) AS n_cohort FROM firsts GROUP BY cohort_wk),
+j AS (
+  SELECT f.cohort_wk,
+         ((epoch_us(a.wk) - epoch_us(f.cohort_wk)) // 604800000000)::INT AS week_offset,
+         count(*) AS n_active
+  FROM active a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY f.cohort_wk, week_offset)
+SELECT epoch_us(j.cohort_wk) AS cohort_week_us, j.week_offset,
+  s.n_cohort::BIGINT AS n_cohort, j.n_active::BIGINT AS n_active,
+  round(j.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM j JOIN sizes s ON j.cohort_wk = s.cohort_wk
+ORDER BY cohort_week_us, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly COHORT RETENTION (the classic product-analytics triangle):
+    cohort = ISO week of a user's first event; each cell = fraction of
+    the cohort active in week k after joining. Two aggregate passes +
+    one join on user_id — the first-event frame is user-cardinality-
+    sized, so at 100 TB it broadcasts or buckets by user like any
+    profile table; week offsets are exact integer micros arithmetic
+    (no engine-specific datediff semantics)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_cohort"))
+    j = (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_wk",
+            (
+                (F.unix_micros("wk") - F.unix_micros("cohort_wk"))
+                / F.lit(604800000000)
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        j.join(sizes, "cohort_wk")
+        .select(
+            F.unix_micros("cohort_wk").alias("cohort_week_us"),
+            "week_offset",
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week_us", "week_offset")
+    )
