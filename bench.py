@@ -173,6 +173,7 @@ HEADLINE_STAGES = {
     "pagerank_part_supplier": "query",
     "bigram_logprob_quality": "text",
     "cohort_retention": "query",
+    "streaming_gold_table": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -8648,3 +8648,52 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week_us", "week_offset")
     )
+
+
+@query(
+    "streaming_gold_table",
+    """
+SELECT user_id AS key, count(*)::BIGINT AS n,
+  round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 6) AS total,
+  max(value) AS mx
+FROM events GROUP BY user_id ORDER BY key
+""",
+)
+def streaming_gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medallion GOLD-TABLE maintenance (14th streaming pattern;
+    streaming/ops.start_gold_table_foreach_batch): raw event rows
+    stream through foreachBatch, each batch's per-key partials MERGE
+    into a parquet gold table (read-modify-atomic-swap — ``MERGE INTO``
+    with a lakehouse format). The batch aggregates INSIDE foreachBatch:
+    a streaming-graph groupBy would emit cumulative totals in update
+    mode and double-count downstream (the stateless-graph lesson,
+    pinned by the 2-batch replay test). DECIMAL sums make the merged
+    totals equal one batch aggregate exactly — which is the oracle.
+    The gold directory is a per-run temp dir, materialized and removed
+    before returning."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="shifu_gold_")
+    try:
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        s = _events_stream(spark, sf_dir).select("user_id", "value", "ts")
+        q = start_gold_table_foreach_batch(
+            s, "user_id", "value", f"{base}/gold", f"{base}/ckpt"
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{base}/gold")
+            .select(
+                "key",
+                F.col("n").cast("long").alias("n"),
+                F.round(F.col("s").cast("double"), 6).alias("total"),
+                F.col("mx").alias("mx"),
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
