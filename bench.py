@@ -174,6 +174,7 @@ HEADLINE_STAGES = {
     "bigram_logprob_quality": "text",
     "cohort_retention": "query",
     "streaming_gold_table": "streaming",
+    "event_funnel_analysis": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -8697,3 +8697,112 @@ def streaming_gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "event_funnel_analysis",
+    """
+WITH seq AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({'ts_us': epoch_us(ts), 'event_id': event_id, 'event_type': event_type})),
+           r -> r.event_type) AS types
+  FROM events GROUP BY user_id),
+st AS (
+  SELECT user_id,
+         list_position(types, 'view') AS i1,
+         CASE WHEN list_position(types, 'view') > 0
+              THEN list_position(types[list_position(types, 'view') + 1:], 'click')
+              ELSE 0 END AS i2r,
+         types
+  FROM seq),
+st2 AS (
+  SELECT user_id, i1, i2r,
+         CASE WHEN i1 > 0 AND i2r > 0
+              THEN list_position(types[i1 + i2r + 1:], 'purchase')
+              ELSE 0 END AS i3r
+  FROM st)
+SELECT count(*)::BIGINT AS n_users,
+  count(*) FILTER (WHERE i1 > 0)::BIGINT AS n_view,
+  count(*) FILTER (WHERE i1 > 0 AND i2r > 0)::BIGINT AS n_view_click,
+  count(*) FILTER (WHERE i1 > 0 AND i2r > 0 AND i3r > 0)::BIGINT AS n_full_funnel,
+  round(count(*) FILTER (WHERE i1 > 0 AND i2r > 0) /
+        CAST(greatest(count(*) FILTER (WHERE i1 > 0), 1) AS DOUBLE), 6) AS view_to_click,
+  round(count(*) FILTER (WHERE i1 > 0 AND i2r > 0 AND i3r > 0) /
+        CAST(greatest(count(*) FILTER (WHERE i1 > 0 AND i2r > 0), 1) AS DOUBLE), 6) AS click_to_purchase
+FROM st2
+""",
+)
+def event_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (the product-analytics conversion
+    funnel): users whose event history contains view -> click ->
+    purchase AS AN ORDERED SUBSEQUENCE (greedy first-match via
+    array_position over progressively sliced suffixes — pure in-row
+    array ops after ONE per-user collect; per-user event lists are
+    bounded, the same justification as every per-user window here).
+    The sort key is (ts, event_id, type) on both engines so tied
+    timestamps order identically. Stage counts + conversion rates in
+    one row."""
+    ev = _events(spark, sf_dir)
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                "event_type",
+            ).alias("r"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+        .select(
+            "user_id", F.transform("rs", lambda r: r["event_type"]).alias("types")
+        )
+    )
+    i1 = F.array_position("types", "view")
+    st = seq.select(
+        "user_id",
+        "types",
+        i1.alias("i1"),
+        F.when(
+            i1 > 0,
+            F.array_position(
+                F.slice(F.col("types"), (i1 + 1).cast("int"), F.lit(1000000)), "click"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("i2r"),
+    )
+    st2 = st.select(
+        "user_id",
+        "i1",
+        "i2r",
+        F.when(
+            (F.col("i1") > 0) & (F.col("i2r") > 0),
+            F.array_position(
+                F.slice(
+                    F.col("types"),
+                    (F.col("i1") + F.col("i2r") + 1).cast("int"),
+                    F.lit(1000000),
+                ),
+                "purchase",
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("i3r"),
+    )
+    v = F.sum((F.col("i1") > 0).cast("long"))
+    vc = F.sum(((F.col("i1") > 0) & (F.col("i2r") > 0)).cast("long"))
+    vcp = F.sum(
+        ((F.col("i1") > 0) & (F.col("i2r") > 0) & (F.col("i3r") > 0)).cast("long")
+    )
+    return st2.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        v.alias("n_view"),
+        vc.alias("n_view_click"),
+        vcp.alias("n_full_funnel"),
+        F.round(vc / F.greatest(v, F.lit(1)).cast("double"), 6).alias("view_to_click"),
+        F.round(vcp / F.greatest(vc, F.lit(1)).cast("double"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
