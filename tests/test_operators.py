@@ -1317,3 +1317,88 @@ class TestPageRank:
         a = {r["node"]: r["rank"] for r in pagerank_df(edges, iters=3).collect()}
         b = {r["node"]: r["rank"] for r in pagerank_df(edges.repartition(17), iters=3).collect()}
         assert a == b
+
+
+class TestRound6Properties:
+    def test_chunk_spans_invariants_random(self, spark):
+        """Randomized chunking invariants across parameter combos: full
+        coverage, correct overlap arithmetic, digest correctness."""
+        import hashlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        from shifu_spark.operators.text import chunk_spans_df
+
+        rows = [
+            (i, " ".join(f"t{rng.integers(0, 50)}" for _ in range(int(rng.integers(1, 40)))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for chunk, stride in [(5, 3), (8, 8), (3, 2), (16, 7)]:
+            got = {}
+            for r in chunk_spans_df(df, chunk_tokens=chunk, stride=stride).collect():
+                got.setdefault(r["doc_id"], []).append(r)
+            for doc_id, text in rows:
+                toks = text.split(" ")
+                cs = sorted(got[doc_id], key=lambda r: r["chunk_id"])
+                n_expected = (len(toks) - 1) // stride + 1
+                assert len(cs) == n_expected, (doc_id, chunk, stride)
+                covered = set()
+                for c in cs:
+                    assert c["tok_start"] == c["chunk_id"] * stride
+                    assert c["n_chunk_tokens"] == min(chunk, len(toks) - c["tok_start"])
+                    want = " ".join(toks[c["tok_start"]: c["tok_start"] + c["n_chunk_tokens"]])
+                    assert c["chunk_digest"] == hashlib.md5(want.encode()).hexdigest()
+                    covered.update(range(c["tok_start"], c["tok_start"] + c["n_chunk_tokens"]))
+                assert covered == set(range(len(toks)))
+
+    def test_hilbert_other_bit_widths(self, spark):
+        """The unroll matches the kernel at non-default orders too."""
+        from shifu_spark.operators.layout import hilbert_keys, hilbert_xy2d
+
+        for bits in (2, 3, 6):
+            side = 1 << bits
+            grid = spark.createDataFrame(
+                [(x, y) for x in range(side) for y in range(side)], "a int, b int"
+            )
+            for r in hilbert_keys(grid, ["a", "b"], bits=bits).collect():
+                assert r["hkey"] == hilbert_xy2d(r["hr_a"], r["hr_b"], bits), (bits, dict(r.asDict()))
+
+    def test_cms_estimate_matches_python_reference(self, spark):
+        """Differential: the full CMS pipeline vs a pure-python md5
+        reimplementation on a random multiset."""
+        import hashlib
+
+        import numpy as np
+
+        from shifu_spark.operators.sketch import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            cms_build_df,
+            cms_estimate_df,
+        )
+
+        rng = np.random.default_rng(3)
+        keys = [int(k) for k in rng.integers(0, 60, 800)]
+        df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+
+        def bucket(k, i):
+            h = hashlib.md5(f"cms{i}|{k}".encode()).hexdigest()
+            return int(h[:4], 16) % CMS_WIDTH
+
+        table = {}
+        for k in keys:
+            for i in range(CMS_DEPTH):
+                b = bucket(k, i)
+                table[(i, b)] = table.get((i, b), 0) + 1
+        want = {
+            k: min(table.get((i, bucket(k, i)), 0) for i in range(CMS_DEPTH))
+            for k in set(keys)
+        }
+        cms = cms_build_df(df, "user_id")
+        got = {
+            r["user_id"]: r["cms_estimate"]
+            for r in cms_estimate_df(cms, df.select("user_id").distinct(), "user_id").collect()
+        }
+        assert got == want
