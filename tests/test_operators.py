@@ -1402,3 +1402,59 @@ class TestRound6Properties:
             for r in cms_estimate_df(cms, df.select("user_id").distinct(), "user_id").collect()
         }
         assert got == want
+
+    def test_hll_matches_python_reference(self, spark):
+        """Differential: register table and estimate vs a pure-python
+        md5 reimplementation."""
+        import hashlib
+
+        from shifu_spark.operators.sketch import (
+            HLL_ALPHA,
+            HLL_M,
+            hll_estimate_expr,
+            hll_registers_df,
+        )
+
+        keys = list(range(1000))
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+
+        regs = {}
+        for k in keys:
+            r = int(hashlib.md5(f"hllr|{k}".encode()).hexdigest()[:4], 16) % HLL_M
+            w = int(hashlib.md5(f"hllw|{k}".encode()).hexdigest()[:8], 16)
+            rho = 33 if w == 0 else (32 - w.bit_length() + 1)
+            regs[r] = max(regs.get(r, 0), rho)
+        got_regs = {
+            r["reg"]: r["max_rho"] for r in hll_registers_df(df, "k").collect()
+        }
+        assert got_regs == regs
+        present = sum(2.0 ** -m for m in regs.values())
+        want = round(HLL_ALPHA * HLL_M * HLL_M / (present + (HLL_M - len(regs))), 4)
+        got = hll_estimate_expr(hll_registers_df(df, "k")).collect()[0]["hll_estimate"]
+        assert got == want
+
+    def test_pagerank_matches_python_power_iteration(self, spark):
+        """Differential: 3 Spark iterations vs a pure-python power
+        iteration with the same decimal-quantized contribution sums."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from shifu_spark.operators.graph import pagerank_df
+
+        edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (3, 0), (0, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        nodes = sorted({s for s, _ in edges})
+        outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+        rank = {n: 1.0 / len(nodes) for n in nodes}
+        q = Decimal("0.0000000001")
+        for _ in range(3):
+            sums = {n: Decimal(0) for n in nodes}
+            for s, d in edges:
+                # Spark's double->decimal(38,10) cast rounds HALF_UP
+                # (python Decimal defaults to HALF_EVEN and diverges in
+                # the 10th decimal on exactly-half values)
+                sums[d] += Decimal(rank[s] / outdeg[s]).quantize(q, rounding=ROUND_HALF_UP)
+            # (1.0 - 0.85) is 0.15000000000000002 in binary — the operator
+            # and its oracle both use that exact double, not the 0.15 literal
+            rank = {n: (1.0 - 0.85) / len(nodes) + 0.85 * float(sums[n]) for n in nodes}
+        got = {r["node"]: r["rank"] for r in pagerank_df(df, iters=3).collect()}
+        assert got == rank
