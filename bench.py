@@ -175,6 +175,19 @@ HEADLINE_STAGES = {
     "cohort_retention": "query",
     "streaming_gold_table": "streaming",
     "event_funnel_analysis": "query",
+    "tpch_q6_forecast_revenue": "query",
+    "tpch_q7_volume_shipping": "query",
+    "tpch_q8_market_share": "query",
+    "tpch_q9_product_profit": "query",
+    "tpch_q10_returned_items": "query",
+    "tpch_q13_order_count_distribution": "query",
+    "tpch_q14_promo_effect": "query",
+    "tpch_q15_top_supplier": "query",
+    "tpch_q16_supplier_relation": "query",
+    "tpch_q17_small_qty_revenue": "query",
+    "tpch_q19_disjunctive_revenue": "query",
+    "tpch_q21_waiting_supplier": "query",
+    "tpch_q22_sales_opportunity": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -42,8 +42,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """The PushedFilters lists of every scan in the optimized plan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", _full_explain(df))
+    """The PushedFilters lists of every scan in the optimized plan.
+
+    Spark's plan formatter truncates long field lists with ``...`` and
+    drops the closing bracket, so accept either terminator (a filter
+    list long enough to truncate still names its leading columns)."""
+    return re.findall(r"PushedFilters: \[(.*?)(?:\]|\.\.\.)", _full_explain(df))
 
 
 def assert_pushed_filters(df: DataFrame, column_substrings: list[str]) -> None:

@@ -578,3 +578,76 @@ class TestLateRound6Shapes:
         assert plan.count("FileScan parquet") == 1
         assert plan.count("Exchange hashpartitioning") == 0
         assert "Generate explode" in plan
+
+
+class TestTpchBreadthShapes:
+    """Round-6 continuation TPC-H batch: pin the plan property each
+    query exists to demonstrate."""
+
+    def test_q6_pure_pushdown_scan(self, spark):
+        """Q6: every predicate reaches the parquet scan; no join, no
+        data-scale exchange (global agg only)."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q6_forecast_revenue"](spark, SF)
+        assert_pushed_filters(df, ["l_shipdate", "l_discount", "l_quantity"])
+        assert_columns_pruned(df, table_width=11)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 0
+
+    def test_q19_disjunction_stays_broadcast(self, spark):
+        """Q19: the cross-table OR predicate must not force a shuffle —
+        part broadcasts and the residual evaluates on the probe side."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q19_disjunctive_revenue"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert plan.count("FileScan parquet") == 2  # lineitem + part, once each
+
+    def test_q13_left_outer_keeps_condition_in_join(self, spark):
+        """Q13: the priority exclusion rides the join condition (a WHERE
+        would drop the zero-order customers the histogram needs)."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q13_order_count_distribution"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftOuter" in plan
+        # priority filter evaluates inside the join, not as a scan filter
+        # on the preserved side
+        assert "1-URGENT" in plan
+
+    def test_q16_not_in_is_broadcast_anti(self, spark):
+        """Q16: the NOT-IN supplier exclusion compiles to a broadcast
+        left_anti, never a shuffled null-aware join."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q16_supplier_relation"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert_pushed_filters(df, ["p_size"])
+
+    def test_q21_single_fact_shuffle(self, spark):
+        """Q21: the double-correlated EXISTS/NOT-EXISTS runs as ONE
+        per-order aggregate over one lineitem⋈orders join — the fact
+        table is scanned once and shuffled once (the classic
+        three-self-join formulation scans it three times)."""
+        from shifu_spark.queries import QUERIES
+
+        df = QUERIES["tpch_q21_waiting_supplier"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q8_q9_dims_all_broadcast(self, spark):
+        """Q8/Q9: every dim side broadcasts; the only hash exchanges
+        carry the orderkey join and the bounded final group."""
+        from shifu_spark.queries import QUERIES
+
+        for name in ("tpch_q8_market_share", "tpch_q9_product_profit"):
+            df = QUERIES[name](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("BroadcastHashJoin") >= 3, name
+            assert "SortMergeJoin" not in plan, name
