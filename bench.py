@@ -188,6 +188,9 @@ HEADLINE_STAGES = {
     "tpch_q19_disjunctive_revenue": "query",
     "tpch_q21_waiting_supplier": "query",
     "tpch_q22_sales_opportunity": "query",
+    "robust_column_stats": "stats",
+    "triangle_count_parts": "query",
+    "matryoshka_recall": "similarity",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

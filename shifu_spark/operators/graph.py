@@ -100,3 +100,81 @@ def pagerank_unrolled_sql(
   GROUP BY e.dst, n.n)"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM pr{iters}"
+
+
+def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Global triangle census of an UNDIRECTED simple graph given as
+    canonically-ordered edges (a < b, no duplicates): one row with
+    n_nodes, n_edges, n_wedges, n_triangles and the global clustering
+    coefficient 3·T/W.
+
+    Scale shape (the standard distributed formulation — e.g. Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): every edge is ORIENTED from its lower endpoint to
+    its higher endpoint under the (degree, node) total order, which
+    bounds every out-adjacency list by O(√E) even on power-law graphs —
+    the heavy-hitter wedge explosion dies at the orientation step, not
+    in a skewed reducer.  Wedges are then the self-join of the oriented
+    list on its source, and a triangle is a wedge whose far pair is
+    itself an oriented edge: two joins + one count, no driver-side
+    state.  All outputs are exact integers; the coefficient is a single
+    double division (cross-engine deterministic).
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge low→high under the (deg, node) order
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    ).persist()
+    try:
+        o1 = oriented.select(
+            F.col("src"), F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v")
+        )
+        o2 = oriented.select(
+            F.col("src"), F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w")
+        )
+        # each unordered out-pair once: v before w in the same total order
+        wedges = o1.join(o2, "src").filter(
+            (F.col("deg_v") < F.col("deg_w"))
+            | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+        )
+        closed = wedges.join(
+            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+        tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        summary = (
+            e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias("n_wedges"),
+            ))
+            .crossJoin(tri)
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_wedges",
+                "n_triangles",
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ).alias("clustering"),
+            )
+        )
+        out = summary.localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
+    return out

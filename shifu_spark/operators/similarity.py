@@ -1056,3 +1056,60 @@ def semantic_dedup_df(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def matryoshka_recall_df(
+    embeddings: DataFrame,
+    query_filter: Column,
+    dims_list: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka/truncation recall report: for each prefix width d in
+    ``dims_list``, brute-force cosine top-k using only the FIRST d
+    dimensions, and measure recall@k against the full-width top-k —
+    the quality/cost curve for MRL-style dimension-reduced retrieval
+    (Kusupati et al. 2022), the dimension axis of the ANN ladder (the
+    IVF/PQ family covers the candidate-pruning axis).
+
+    One row per d: (dims, n_queries, n_hits, recall).  Recall is an
+    exact integer ratio (hit count / Q·k) — one double division,
+    cross-engine deterministic.  Scale: each branch is the broadcast-Q
+    brute-force scan; at corpus scale the truncated branch is the
+    cheap pre-filter (d/D of the flops) and the full-width branch is
+    the re-rank, exactly like the ADC→exact ladder."""
+    full = brute_force_topk(embeddings, query_filter, k=k, id_col=id_col, vec_col=vec_col)
+    full = full.select("query_id", "neighbor_id").persist()
+    try:
+        nq = full.select("query_id").distinct().count()  # bounded: |query set|
+        reports = []
+        for d in dims_list:
+            trunc = embeddings.select(
+                F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+            )
+            tk = brute_force_topk(trunc, query_filter, k=k, id_col=id_col, vec_col=vec_col)
+            hits = tk.select("query_id", "neighbor_id").join(
+                full, ["query_id", "neighbor_id"], "left_semi"
+            )
+            reports.append(
+                hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                    F.lit(d).alias("dims"),
+                    F.lit(nq).alias("n_queries"),
+                    "n_hits",
+                )
+            )
+        out = reports[0]
+        for r in reports[1:]:
+            out = out.unionAll(r)
+        out = out.select(
+            "dims",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / (F.col("n_queries") * F.lit(float(k))), 6
+            ).alias("recall"),
+        ).orderBy("dims")
+        return out.localCheckpoint(eager=True)
+    finally:
+        full.unpersist()

@@ -321,3 +321,126 @@ def salted_agg(
     return stage1.groupBy(*key_cols).agg(
         *[merge[how](out).alias(out) for out, (how, _in) in agg_exprs.items()]
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust profiling: quartiles / MAD / Tukey fences
+# ---------------------------------------------------------------------------
+
+_ROBUST_SCALE = 4_000_000.0  # quarter-micros: round(x·1e6)·4
+
+
+def _x4(col: str):
+    """Scale a numeric column to quarter-micro INTEGERS so every
+    interpolated percentile at q ∈ {.25, .5, .75} is exact: the
+    interpolation weight is a dyadic quarter and both operands are
+    integers ≪ 2^53, so ANY algebraically-equivalent formula (Spark
+    ``percentile``, DuckDB ``quantile_cont``, numpy type-7) computes the
+    bit-identical double."""
+    return (F.round(F.col(col) * 1e6, 0) * 4).cast("double")
+
+
+def robust_quartiles(df: DataFrame, columns: list[str]) -> dict[str, list[float]]:
+    """Pass 1: exact (q25, q50, q75) per column in ONE wide aggregate,
+    in the quarter-micro integer domain. Bounded driver transfer:
+    3·|columns| doubles."""
+    proj = df.select(*[_x4(c).alias(f"{c}__x4") for c in columns])
+    aggs = [
+        F.expr(f"percentile(`{c}__x4`, array(0.25d, 0.5d, 0.75d))").alias(f"{c}__q")
+        for c in columns
+    ]
+    row = proj.agg(*aggs).collect()[0].asDict()
+    return {c: [float(v) for v in row[f"{c}__q"]] for c in columns}
+
+
+def robust_stats_df(df: DataFrame, columns: list[str], round_to: int = 6) -> DataFrame:
+    """Robust per-column profile: exact quartiles, MAD (median absolute
+    deviation — median of |x − median|), IQR, Tukey 1.5·IQR fences and
+    the outlier count beyond them.  The robust complement of the
+    moment-based :func:`numeric_stats_df` (reference parity:
+    ColumnStatsCalculator's mean/σ profile, core
+    BasicUpdatedBinning-style percentile machinery) — σ-based profiles
+    miss exactly the heavy-tail rows these fences flag.
+
+    Two passes over the data (MAD is a percentile of a
+    median-dependent transform — irreducible): pass 1 collects 3
+    quartiles per column; pass 2 inlines them as literals and computes
+    MAD + fence counts in one wide aggregate.  All compares and
+    deviations happen in the exact quarter-micro integer domain (see
+    :func:`_x4`); the final unscale is a single IEEE division.  At
+    scale, swap ``percentile`` for ``percentile_approx`` (KLL) — the
+    gate form pins exact semantics.
+    """
+    qs = robust_quartiles(df, columns)
+    proj = df.select(*[_x4(c).alias(f"{c}__x4") for c in columns])
+    aggs: list = []
+    for c in columns:
+        q1, q2, q3 = qs[c]
+        iqr4 = q3 - q1
+        lo, hi = q1 - 1.5 * iqr4, q3 + 1.5 * iqr4
+        x = F.col(f"{c}__x4")
+        aggs.append(F.count(x).alias(f"{c}__n"))
+        aggs.append(
+            F.expr(f"percentile(abs(`{c}__x4` - {q2!r}d), 0.5d)").alias(f"{c}__mad4")
+        )
+        aggs.append(
+            F.sum(((x < F.lit(lo)) | (x > F.lit(hi))).cast("long")).alias(f"{c}__out")
+        )
+    wide = proj.agg(*aggs)
+
+    def unscale(v):
+        return F.round(v / F.lit(_ROBUST_SCALE), round_to)
+
+    selects = []
+    for c in columns:
+        q1, q2, q3 = qs[c]
+        iqr4 = q3 - q1
+        selects.append(
+            wide.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").cast("long").alias("n_valid"),
+                unscale(F.lit(q1)).alias("p25"),
+                unscale(F.lit(q2)).alias("median"),
+                unscale(F.lit(q3)).alias("p75"),
+                unscale(F.lit(iqr4)).alias("iqr"),
+                unscale(F.col(f"{c}__mad4")).alias("mad"),
+                unscale(F.lit(q1 - 1.5 * iqr4)).alias("lo_fence"),
+                unscale(F.lit(q3 + 1.5 * iqr4)).alias("hi_fence"),
+                F.col(f"{c}__out").cast("long").alias("n_outliers"),
+            )
+        )
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def robust_stats_oracle_sql(table: str, columns: list[str]) -> str:
+    """DuckDB mirror of :func:`robust_stats_df` — quantile_cont over the
+    same quarter-micro integers (an independent engine's interpolation;
+    exact-integer operands make the formulas agree bitwise).  MAD and
+    the outlier count re-read the scaled relation against the quartile
+    row (the same two-pass structure the Spark side runs)."""
+    ctes, parts = [], []
+    for c in columns:
+        ctes.append(f"x_{c} AS (SELECT round({c} * 1e6) * 4 AS x4 FROM {table})")
+        ctes.append(
+            f"q_{c} AS (SELECT quantile_cont(x4, 0.25) AS q1,"
+            f" quantile_cont(x4, 0.5) AS q2, quantile_cont(x4, 0.75) AS q3,"
+            f" count(x4) AS n FROM x_{c})"
+        )
+        parts.append(f"""
+SELECT '{c}' AS column_name, n::BIGINT AS n_valid,
+  round(q1 / 4000000.0, 6) AS p25,
+  round(q2 / 4000000.0, 6) AS median,
+  round(q3 / 4000000.0, 6) AS p75,
+  round((q3 - q1) / 4000000.0, 6) AS iqr,
+  (SELECT round(quantile_cont(abs(x4 - q2), 0.5) / 4000000.0, 6)
+   FROM x_{c}, q_{c}) AS mad,
+  round((q1 - 1.5 * (q3 - q1)) / 4000000.0, 6) AS lo_fence,
+  round((q3 + 1.5 * (q3 - q1)) / 4000000.0, 6) AS hi_fence,
+  (SELECT count(*) FROM x_{c}, q_{c}
+   WHERE x4 < q1 - 1.5 * (q3 - q1) OR x4 > q3 + 1.5 * (q3 - q1))::BIGINT
+    AS n_outliers
+FROM q_{c}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)

@@ -9558,3 +9558,130 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pool.unpersist()
         raise
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation: robust profiling, graph census, truncation recall
+# ---------------------------------------------------------------------------
+
+
+def _robust_stats_oracle() -> str:
+    from shifu_spark.operators.stats import robust_stats_oracle_sql
+
+    return robust_stats_oracle_sql("lineitem", _STATS_COLS) + "\nORDER BY column_name"
+
+
+@query("robust_column_stats", None)
+def robust_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-column profile (quartiles / MAD / Tukey fences /
+    outlier counts) — the heavy-tail complement of the moment-based
+    `column_stats` (reference: ColumnStatsCalculator mean/σ profile;
+    robust location/scale is what that profile misses on skewed
+    columns).  Two wide-aggregate passes; exact quarter-micro integer
+    percentile domain (operators/stats.robust_stats_df)."""
+    from shifu_spark.operators.stats import robust_stats_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    return robust_stats_df(li, _STATS_COLS).orderBy("column_name")
+
+
+ORACLES["robust_column_stats"] = _robust_stats_oracle()
+
+
+@query(
+    "triangle_count_parts",
+    """
+WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM pp x JOIN pp y ON x.o = y.o AND x.p < y.p),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+tri AS (SELECT count(*) AS t
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+       (SELECT t FROM tri)::BIGINT AS n_triangles,
+       round(3.0 * (SELECT t FROM tri) / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+         AS clustering
+""",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the part
+    co-purchase graph (parts sharing an order).  The static-graph
+    complement of `pagerank_part_supplier`: triangles via DEGREE-ORDERED
+    EDGE ORIENTATION (operators/graph.triangle_count_df) — out-lists are
+    O(√E)-bounded so the wedge self-join survives power-law degree at
+    scale; the ORACLE is the independent a<b<c three-way-join census.
+    Edge derivation is a per-order self-join — group size bounded by
+    lines-per-order (≤7 in TPC-H-shaped data), so the co-occurrence
+    expansion is constant-factor, not quadratic-in-corpus."""
+    from shifu_spark.operators.graph import triangle_count_df
+
+    pp = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    p2 = pp.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        pp.join(p2, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    return triangle_count_df(edges)
+
+
+def _matryoshka_oracle(dims_list: list[int], k: int = 10) -> str:
+    branches = []
+    for d in dims_list:
+        branches.append(f"""
+SELECT {d} AS dims,
+  (SELECT count(*) FROM q)::BIGINT AS n_queries,
+  (SELECT count(*) FROM (
+     SELECT query_id, neighbor_id FROM ranked_{d} WHERE rank <= {k}
+     INTERSECT ALL
+     SELECT query_id, neighbor_id FROM ranked_full WHERE rank <= {k}
+  ) h_{d})::BIGINT AS n_hits""")
+    ctes = [
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10)",
+        """ranked_full AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC,
+      e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)""",
+    ]
+    for d in dims_list:
+        ctes.append(f"""ranked_{d} AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      list_dot_product(q.qv[1:{d}], (e.embedding::DOUBLE[])[1:{d}]) /
+      (sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}])) * sqrt(list_dot_product((e.embedding::DOUBLE[])[1:{d}], (e.embedding::DOUBLE[])[1:{d}]))) DESC,
+      e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT dims, n_queries, n_hits,\n"
+        f"  round(n_hits / (n_queries * {float(k)!r}), 6) AS recall\n"
+        "FROM (" + "\nUNION ALL\n".join(branches) + ") r ORDER BY dims"
+    )
+
+
+_MRL_DIMS = [8, 16, 32, 64]
+
+
+@query("matryoshka_recall", _matryoshka_oracle(_MRL_DIMS))
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-truncation) retrieval recall@10 at widths
+    8/16/32/64 over the 64-d corpus — the dimension axis of the ANN
+    quality ladder (`ann_recall_report` covers the candidate-pruning
+    axis).  The 64-wide row is the recall-1.0 self-check.  Operator:
+    operators/similarity.matryoshka_recall_df (broadcast-query
+    brute-force per width, left_semi hit count, exact integer ratio)."""
+    from shifu_spark.operators.similarity import matryoshka_recall_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall_df(emb, F.col("vec_id") < 10, _MRL_DIMS, k=10)

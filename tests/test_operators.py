@@ -1458,3 +1458,108 @@ class TestRound6Properties:
             rank = {n: (1.0 - 0.85) / len(nodes) + 0.85 * float(sums[n]) for n in nodes}
         got = {r["node"]: r["rank"] for r in pagerank_df(df, iters=3).collect()}
         assert got == rank
+
+
+class TestContinuationRound6Ops:
+    def test_triangle_count_matches_bruteforce(self, spark):
+        """Differential: degree-oriented distributed census vs a python
+        brute force over all vertex triples, on a seeded random graph."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(12))
+        edges = sorted(
+            {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.4}
+        )
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        from shifu_spark.operators.graph import triangle_count_df
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        row = triangle_count_df(df).collect()[0]
+        assert row["n_nodes"] == sum(1 for v in adj.values() if v)
+        assert row["n_edges"] == len(edges)
+        assert row["n_wedges"] == wedges
+        assert row["n_triangles"] == tri
+        assert row["clustering"] == round(3.0 * tri / wedges, 6)
+
+    def test_triangle_count_complete_graph(self, spark):
+        """K5: C(5,3)=10 triangles, 30 wedges, clustering exactly 1."""
+        import itertools
+
+        from shifu_spark.operators.graph import triangle_count_df
+
+        edges = list(itertools.combinations(range(5), 2))
+        df = spark.createDataFrame(edges, "a long, b long")
+        row = triangle_count_df(df).collect()[0]
+        assert (row["n_triangles"], row["n_wedges"]) == (10, 30)
+        assert row["clustering"] == 1.0
+
+    def test_robust_stats_matches_numpy(self, spark):
+        """Differential: quartiles/MAD/fences vs numpy type-7 quantiles
+        in the same quarter-micro integer domain."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        from shifu_spark.operators.stats import robust_stats_df
+
+        rng = np.random.default_rng(11)
+        # money-like: two decimals, heavy right tail
+        vals = np.round(rng.lognormal(3.0, 1.0, size=501), 2)
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        row = robust_stats_df(df, ["x"]).collect()[0]
+
+        x4 = np.round(vals * 1e6) * 4
+        q1, q2, q3 = (float(np.percentile(x4, p)) for p in (25, 50, 75))
+        mad4 = float(np.percentile(np.abs(x4 - q2), 50))
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+
+        def r6(v):
+            # mirror F.round's HALF_UP over the shortest double repr
+            return float(
+                Decimal(repr(v / 4_000_000.0)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        assert row["n_valid"] == 501
+        assert (row["p25"], row["median"], row["p75"]) == (r6(q1), r6(q2), r6(q3))
+        assert row["mad"] == r6(mad4)
+        assert row["iqr"] == r6(q3 - q1)
+        assert row["n_outliers"] == int(np.sum((x4 < lo) | (x4 > hi)))
+
+    def test_matryoshka_full_width_recall_one(self, spark):
+        """Recall at the full embedding width is exactly 1.0; all widths
+        report the same bounded query count and recall ∈ [0, 1]."""
+        import random
+
+        from shifu_spark.operators.similarity import matryoshka_recall_df
+        from pyspark.sql import functions as F
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r["dims"]: r
+            for r in matryoshka_recall_df(
+                df, F.col("vec_id") < 3, [2, 4, 8], k=5
+            ).collect()
+        }
+        assert set(out) == {2, 4, 8}
+        assert out[8]["recall"] == 1.0
+        for r in out.values():
+            assert r["n_queries"] == 3
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["n_hits"] <= 3 * 5
