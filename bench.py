@@ -191,6 +191,8 @@ HEADLINE_STAGES = {
     "robust_column_stats": "stats",
     "triangle_count_parts": "query",
     "matryoshka_recall": "similarity",
+    "order_status_priority_cube": "query",
+    "customer_order_gaps": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

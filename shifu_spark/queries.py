@@ -9685,3 +9685,101 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return matryoshka_recall_df(emb, F.col("vec_id") < 10, _MRL_DIMS, k=10)
+
+
+@query(
+    "order_status_priority_cube",
+    """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+  coalesce(o_orderpriority, '(all)') AS priority,
+  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+  count(*)::BIGINT AS n_orders,
+  round(sum(cast(o_totalprice AS DECIMAL(38,10)))::DOUBLE, 4) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+""",
+)
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four marginals of status × priority) —
+    completes the grouping-sets family next to ROLLUP
+    (`revenue_rollup_region_nation`) and PIVOT.  Spark-first: one
+    Expand fans each row to its 4 grouping sets MAP-SIDE, partial
+    aggregation bounds the exchange at aggregate-output size;
+    grouping_id disambiguates subtotal rows from real NULL keys."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("revenue"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@query(
+    "customer_order_gaps",
+    """
+WITH g AS (
+  SELECT o_custkey,
+    epoch_us(o_orderdate)
+      - lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+      AS gap_us
+  FROM orders
+)
+SELECT c_nationkey::INT AS nationkey,
+  count(gap_us)::BIGINT AS n_gaps,
+  round(sum(gap_us // 86400000000)::DOUBLE / count(gap_us), 6) AS mean_gap_days,
+  (max(gap_us) // 86400000000)::BIGINT AS max_gap_days
+FROM g JOIN customer ON o_custkey = c_custkey
+WHERE gap_us IS NOT NULL
+GROUP BY c_nationkey ORDER BY nationkey
+""",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile (lag window): per-customer consecutive
+    order-date gaps rolled up to a per-nation report — the
+    recency/frequency building block (the lead/lag complement of the
+    rolling-frame `events_moving_avg`).  Spark-first: the window
+    partitions by custkey (bounded per key, shuffles once on the same
+    key the rollup joins on); gaps are exact integer micros → integer
+    days via `div`; the mean is one double division of exact integer
+    sums.  Ties (same-day orders) are ordered by o_orderkey so lag is
+    deterministic on both engines."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    g = orders.select(
+        "o_custkey", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        g.join(F.broadcast(cust), g.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.expr("gap_us div 86400000000")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_gap_days"),
+            F.expr("max(gap_us) div 86400000000").alias("max_gap_days"),
+        )
+        .orderBy("nationkey")
+    )
