@@ -1563,3 +1563,15 @@ class TestContinuationRound6Ops:
             assert r["n_queries"] == 3
             assert 0.0 <= r["recall"] <= 1.0
             assert r["n_hits"] <= 3 * 5
+
+    def test_robust_stats_ignores_nulls(self, spark):
+        """NULLs are excluded from counts, percentiles, and fences —
+        mirrors the oracle's count(x4)/quantile_cont NULL semantics."""
+        from shifu_spark.operators.stats import robust_stats_df
+
+        rows = [(1.0,), (2.0,), (None,), (3.0,), (None,), (100.0,)]
+        df = spark.createDataFrame(rows, "x double")
+        row = robust_stats_df(df, ["x"]).collect()[0]
+        assert row["n_valid"] == 4
+        assert row["median"] == 2.5  # interpolated over {1,2,3,100}
+        assert row["n_outliers"] == 1  # the 100.0 beyond the hi fence

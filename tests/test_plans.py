@@ -651,3 +651,44 @@ class TestTpchBreadthShapes:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert plan.count("BroadcastHashJoin") >= 3, name
             assert "SortMergeJoin" not in plan, name
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """The co-located-join contract (SURVEY §4 / brief: 'bucketing
+        for co-located joins'): two tables bucketed by the join key
+        into the same bucket count must sort-merge join with ZERO
+        exchanges — at 100 TB this is the difference between re-
+        shuffling both fact tables per join and reading them already
+        key-partitioned."""
+        import uuid
+
+        suffix = uuid.uuid4().hex[:8]
+        ta, tb = f"bj_a_{suffix}", f"bj_b_{suffix}"
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        try:
+            (li.select("l_orderkey", "l_extendedprice")
+               .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+               .mode("overwrite").saveAsTable(ta))
+            (orders.select("o_orderkey", "o_orderpriority")
+               .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+               .mode("overwrite").saveAsTable(tb))
+            a, b = spark.table(ta), spark.table(tb)
+            joined = a.join(b, a.l_orderkey == b.o_orderkey)
+            # at gate scale the planner would broadcast the small side
+            # (which rightly disables bucketed scans); force the SMJ the
+            # tables would get at fact×fact scale
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan, plan
+                assert "SortMergeJoin" in plan
+                # and the result is right: every lineitem row finds its order
+                assert joined.count() == li.count()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {ta}")
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
