@@ -193,6 +193,7 @@ HEADLINE_STAGES = {
     "matryoshka_recall": "similarity",
     "order_status_priority_cube": "query",
     "customer_order_gaps": "query",
+    "salted_skew_join_revenue": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

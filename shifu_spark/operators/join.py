@@ -101,3 +101,53 @@ def combo_join(tables: list[DataFrame], uid_col: str, prefixes: list[str] | None
         out = renamed if out is None else out.join(renamed, uid_col, "inner")
     assert out is not None
     return out
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    salt_on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Manual hot-key mitigation for LARGE × LARGE equi-joins — the
+    third leg of the skew triad next to the salted two-level aggregate
+    (stats.salted_group_counts) and AQE's runtime skew split
+    (test_plans::TestAdaptiveSkewJoin).  Reach for it when broadcast is
+    impossible (both sides data-scale) and AQE can't see the skew
+    (stream-static joins, non-adaptive engines, skew inside a single
+    in-flight partition).
+
+    The skewed side gets a CONTENT-DERIVED salt in [0, n_salts) — md5
+    of (key, ``salt_on``) where ``salt_on`` is a column that VARIES
+    WITHIN a key (a line number, an event id): a salt derived from the
+    key alone would send every row of a hot key to the same reducer and
+    mitigate nothing.  The other side is replicated n_salts times via
+    an in-row explode, so the join key becomes (key, salt) and each hot
+    key's rows fan over n_salts reducers.  Content-derived (not
+    rand()) keeps the plan deterministic across retries/speculative
+    tasks — a rand() salt re-rolls on task retry and can DROP OR
+    DUPLICATE rows of a non-deterministic shuffle partition, the
+    classic correctness bug of naive salting.  Cost: the other side
+    shuffles n_salts× its size — size n_salts to the skew factor, not
+    higher.
+
+    Output = exactly the plain join's rows (modulo the helper columns,
+    which are dropped)."""
+    salt_src = F.concat_ws(
+        "|", F.col(skewed_key).cast("string"), F.col(salt_on).cast("string")
+    )
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(salt_src), 1, 7), 16, 10).cast("long"),
+        F.lit(n_salts),
+    ).cast("int")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = left.join(
+        right,
+        (F.col(skewed_key) == F.col(other_key)) & (left["__salt"] == right["__salt"]),
+    )
+    return out.drop("__salt")

@@ -9783,3 +9783,43 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "salted_skew_join_revenue",
+    """
+SELECT o_orderpriority AS priority,
+  count(*)::BIGINT AS n_lines,
+  round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 4)
+    AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY priority
+""",
+)
+def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large equi-join through the MANUAL salting path
+    (operators/join.salted_join): the skewed side carries a
+    content-derived salt (md5 of key+linenumber), the other side
+    replicates n_salts ways, and the join fans each hot key over
+    n_salts reducers — the mitigation for skew AQE can't see
+    (stream-static joins, non-adaptive engines).  The ORACLE is the
+    PLAIN join: salting must be output-invariant, so the oracle-match
+    itself proves the rewrite changes the physical fan-out and nothing
+    else.  (The gate data is uniform; the technique's effect is pinned
+    by the salt-spread unit test, the contract here is correctness.)"""
+    from shifu_spark.operators.join import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, "l_orderkey", "o_orderkey", salt_on="l_linenumber")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -1575,3 +1575,40 @@ class TestContinuationRound6Ops:
         assert row["n_valid"] == 4
         assert row["median"] == 2.5  # interpolated over {1,2,3,100}
         assert row["n_outliers"] == 1  # the 100.0 beyond the hi fence
+
+    def test_salted_join_spreads_hot_key_and_matches_plain(self, spark):
+        """A hot key's rows land on >1 salt (the point of salting) and
+        the salted join returns exactly the plain join's rows."""
+        from shifu_spark.operators.join import salted_join
+        from pyspark.sql import functions as F
+
+        # one hot key (0) with 200 rows, 20 cold keys
+        rows = [(0, i) for i in range(200)] + [(k, 0) for k in range(1, 21)]
+        left = spark.createDataFrame(rows, "k long, line long")
+        right = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(21)], "rk long, payload string"
+        )
+        out = salted_join(left, right, "k", "rk", salt_on="line", n_salts=8)
+        assert out.count() == 220
+        plain = left.join(right, left.k == right.rk)
+        assert (
+            out.select("k", "line", "payload").exceptAll(
+                plain.select("k", "line", "payload")
+            ).count()
+            == 0
+        )
+        # hot key actually spread: recompute the salt the operator uses
+        salt = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("k").cast("string"), F.col("line").cast("string"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(8),
+        )
+        n_salts_hot = (
+            left.filter(F.col("k") == 0).select(salt.alias("s")).distinct().count()
+        )
+        assert n_salts_hot >= 6  # 200 rows over 8 salts
