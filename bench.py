@@ -194,6 +194,7 @@ HEADLINE_STAGES = {
     "order_status_priority_cube": "query",
     "customer_order_gaps": "query",
     "salted_skew_join_revenue": "query",
+    "fuzzy_vocab_pairs": "dedup",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

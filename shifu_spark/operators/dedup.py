@@ -510,3 +510,50 @@ def chunk_dup_fraction_df(
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_fraction"),
         )
     )
+
+
+def edit_distance_pairs_df(
+    vocab: DataFrame, word_col: str = "w", max_dist: int = 1
+) -> DataFrame:
+    """All distinct word pairs within Levenshtein distance ``max_dist``
+    (currently 1) via DELETION-NEIGHBORHOOD BLOCKING (FastSS, Bocek et
+    al. 2007 / the SymSpell index): two words at distance ≤ 1 (equal,
+    one insertion/deletion, or one substitution) necessarily share a
+    member of {word} ∪ {word minus one char}, so candidates are found
+    by a self-join on exploded variants — O(Σ len(w)) index rows and a
+    variant-keyed shuffle instead of the O(V²) all-pairs scan.  The
+    blocking over-generates (a transposition like ab/ba shares a
+    variant at distance 2), so candidates are verified with the exact
+    JVM-side ``levenshtein`` — blocking is recall-complete for
+    dist ≤ 1, verification restores precision.  Output:
+    (word_a, word_b, dist) with word_a < word_b.
+
+    Scale: variant explosion multiplies vocab by avg word length (a
+    bounded constant); the join fans out only within shared-variant
+    buckets.  The quadratic exact form lives in the ORACLE, not here.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking implemented for max_dist=1")
+    w = F.col(word_col)
+    # {identity} ∪ single-char deletions, as one in-row transform
+    variants = F.array_union(
+        F.array(w),
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.concat(
+                F.substring(w, F.lit(1), (i - 1).cast("int")),
+                w.substr(i + 1, F.length(w)),
+            ),
+        ),
+    )
+    v = vocab.select(w.alias("word"), F.explode(variants).alias("variant"))
+    a = v.select(F.col("word").alias("word_a"), "variant")
+    b = v.select(F.col("word").alias("word_b"), "variant")
+    return (
+        a.join(b, "variant")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("word_a", "word_b").cast("int"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -9823,3 +9823,53 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "fuzzy_vocab_pairs",
+    """
+WITH typos AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN
+    substr(string_split(text, ' ')[1], 1,
+           (doc_id % length(string_split(text, ' ')[1]))::INT)
+    || substr(string_split(text, ' ')[1],
+              (doc_id % length(string_split(text, ' ')[1]))::INT + 2)
+  END AS w
+  FROM documents WHERE doc_id % 5 = 0
+),
+words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  UNION ALL SELECT w FROM typos
+),
+v AS (SELECT DISTINCT w FROM words WHERE w IS NOT NULL AND w <> '')
+SELECT a.w AS word_a, b.w AS word_b, levenshtein(a.w, b.w)::INT AS dist
+FROM v a JOIN v b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 1
+ORDER BY word_a, word_b
+""",
+)
+def fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching (spelling-variant / OCR-noise
+    detection): all word pairs within edit distance 1 over the corpus
+    vocabulary, via DELETION-NEIGHBORHOOD BLOCKING + exact verify
+    (operators/dedup.edit_distance_pairs_df — FastSS/SymSpell).  The
+    corpus vocabulary has no natural near-misses, so single-deletion
+    typos are injected deterministically from doc_id (every 5th doc
+    contributes its first token minus the (doc_id mod len)-th char —
+    the codec-synth pattern).  The ORACLE is the O(V²) exact
+    Levenshtein scan — quadratic exact vs linear-blocked is exactly the
+    recall contract under test."""
+    from shifu_spark.operators.dedup import edit_distance_pairs_df
+
+    docs = _t(spark, sf_dir, "documents")
+    first = F.split(F.col("text"), " ").getItem(0)
+    pos = (F.col("doc_id") % F.length(first)).cast("int")
+    typo = F.concat(
+        F.substring(first, F.lit(1), pos),
+        first.substr(pos + 2, F.length(first)),
+    )
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(typo.alias("w"))
+    )
+    vocab = words.filter((F.col("w").isNotNull()) & (F.col("w") != "")).distinct()
+    return edit_distance_pairs_df(vocab, "w").orderBy("word_a", "word_b")

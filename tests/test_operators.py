@@ -1612,3 +1612,41 @@ class TestContinuationRound6Ops:
             left.filter(F.col("k") == 0).select(salt.alias("s")).distinct().count()
         )
         assert n_salts_hot >= 6  # 200 rows over 8 salts
+
+    def test_edit_distance_pairs_blocking_complete_and_precise(self, spark):
+        """Deletion-neighborhood blocking finds every dist≤1 pair kind
+        (equal-length substitution, insertion/deletion) and the exact
+        verify rejects the transposition false positive (ab/ba share a
+        deletion variant but sit at distance 2)."""
+        from shifu_spark.operators.dedup import edit_distance_pairs_df
+
+        vocab = spark.createDataFrame(
+            [("cat",), ("cut",), ("cart",), ("ca",), ("ab",), ("ba",), ("dog",)],
+            "w string",
+        )
+        got = {
+            (r["word_a"], r["word_b"]): r["dist"]
+            for r in edit_distance_pairs_df(vocab).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            d = {(i, 0): i for i in range(len(a) + 1)}
+            d.update({(0, j): j for j in range(len(b) + 1)})
+            for i, j in itertools.product(range(1, len(a) + 1), range(1, len(b) + 1)):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            return d[len(a), len(b)]
+
+        words = [r["w"] for r in vocab.collect()]
+        want = {
+            (a, b): lev(a, b)
+            for a, b in itertools.combinations(sorted(words), 2)
+            if lev(a, b) <= 1
+        }
+        assert got == want
+        assert ("ab", "ba") not in got  # transposition rejected by verify
+        assert got[("ca", "cat")] == 1 and got[("cat", "cut")] == 1
