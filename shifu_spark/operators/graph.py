@@ -161,7 +161,11 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
             e.agg(F.count(F.lit(1)).alias("n_edges"))
             .crossJoin(deg.agg(
                 F.count(F.lit(1)).alias("n_nodes"),
-                F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias("n_wedges"),
+                # coalesce: an edgeless graph has 0 wedges, not NULL
+                F.coalesce(
+                    F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")),
+                    F.lit(0),
+                ).alias("n_wedges"),
             ))
             .crossJoin(tri)
             .select(
@@ -169,8 +173,11 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
                 "n_edges",
                 "n_wedges",
                 "n_triangles",
-                F.round(
-                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                # when(): ANSI mode raises DIVIDE_BY_ZERO on an edgeless
+                # graph's 0/0 — null is the honest clustering there
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
                 ).alias("clustering"),
             )
         )

@@ -350,6 +350,11 @@ def robust_quartiles(df: DataFrame, columns: list[str]) -> dict[str, list[float]
         for c in columns
     ]
     row = proj.agg(*aggs).collect()[0].asDict()
+    empty = [c for c in columns if row[f"{c}__q"] is None]
+    if empty:
+        raise ValueError(
+            f"robust stats need at least one non-null value; all-null/empty: {empty}"
+        )
     return {c: [float(v) for v in row[f"{c}__q"]] for c in columns}
 
 

@@ -1650,3 +1650,21 @@ class TestContinuationRound6Ops:
         assert got == want
         assert ("ab", "ba") not in got  # transposition rejected by verify
         assert got[("ca", "cat")] == 1 and got[("cat", "cut")] == 1
+
+    def test_triangle_count_empty_edges(self, spark):
+        """Edgeless graph: all-zero census, null clustering (0/0)."""
+        from shifu_spark.operators.graph import triangle_count_df
+
+        row = triangle_count_df(spark.createDataFrame([], "a long, b long")).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]) == (0, 0, 0, 0)
+        assert row["clustering"] is None
+
+    def test_robust_stats_all_null_raises(self, spark):
+        """All-null input fails loudly, naming the offending column."""
+        import pytest as _pytest
+
+        from shifu_spark.operators.stats import robust_stats_df
+
+        df = spark.createDataFrame([(None,), (None,)], "x double")
+        with _pytest.raises(ValueError, match="all-null.*x"):
+            robust_stats_df(df, ["x"]).collect()
