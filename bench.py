@@ -195,6 +195,8 @@ HEADLINE_STAGES = {
     "customer_order_gaps": "query",
     "salted_skew_join_revenue": "query",
     "fuzzy_vocab_pairs": "dedup",
+    "cdc_merge_snapshot": "query",
+    "scd2_segment_history": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -9873,3 +9873,136 @@ def fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = words.filter((F.col("w").isNotNull()) & (F.col("w") != "")).distinct()
     return edit_distance_pairs_df(vocab, "w").orderBy("word_a", "word_b")
+
+
+@query(
+    "cdc_merge_snapshot",
+    """
+WITH snap AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, 0 AS seq, 'I' AS op FROM customer
+), upd AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal, 1 AS seq, 'U' AS op
+  FROM customer WHERE c_custkey % 5 = 0
+), del AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, 2 AS seq, 'D' AS op
+  FROM customer WHERE c_custkey % 7 = 0
+), u AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY seq DESC,
+                                 CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1
+                                         ELSE 0 END DESC) AS rn
+  FROM u
+)
+SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_customers,
+  round(sum(cast(c_acctbal AS DECIMAL(38,10)))::DOUBLE, 4) AS total_acctbal
+FROM r WHERE rn = 1 AND op <> 'D'
+GROUP BY c_mktsegment ORDER BY segment
+""",
+)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (the Delta/Iceberg `MERGE INTO` semantics as a
+    pure plan — operators/cdc.cdc_merge): apply an upsert+delete change
+    set to the customer snapshot; latest sequence per key wins, deletes
+    drop the key.  Changes are synthesized deterministically (every 5th
+    key a balance update at seq 1, every 7th a delete at seq 2 — so
+    every 35th key exercises update-then-delete ordering).  One hash
+    shuffle on the key; per-key partition = snapshot row + its changes,
+    never data-scale.  The batch twin of the streaming gold-table
+    upsert."""
+    from shifu_spark.operators.cdc import cdc_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+    merged = cdc_merge(cust, upd.unionAll(dele), "c_custkey")
+    return (
+        merged.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("total_acctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "scd2_segment_history",
+    """
+WITH ch AS (
+  SELECT c_custkey, c_mktsegment AS segment, c_custkey::BIGINT AS ts_us FROM customer
+  UNION ALL
+  SELECT c_custkey, 'X-' || c_mktsegment,
+         86400000000 * (1 + c_custkey % 50) FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 'Y-' || c_mktsegment,
+         86400000000 * (60 + c_custkey % 50) FROM customer WHERE c_custkey % 9 = 0
+), iv AS (
+  SELECT c_custkey, segment, ts_us AS valid_from,
+    lead(ts_us) OVER (PARTITION BY c_custkey ORDER BY ts_us, segment) AS valid_to
+  FROM ch
+)
+SELECT (valid_to IS NULL) AS is_current, count(*)::BIGINT AS n_intervals,
+  coalesce(sum((valid_to - valid_from) // 86400000000), 0)::BIGINT AS total_days
+FROM iv GROUP BY is_current ORDER BY is_current
+""",
+)
+def scd2_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (operators/cdc.scd2_intervals): a
+    per-customer segment-change stream becomes validity intervals
+    [valid_from, valid_to) with the open interval flagged current —
+    the standard dimension-history shape (Kimball SCD2).  Changes are
+    synthesized deterministically in integer micros (base record at
+    ts=custkey µs; every 3rd key changes segment after 1+k%50 days;
+    every 9th again after 60+k%50 days), so interval lengths are exact
+    integer day counts.  One lead() window per key."""
+    from shifu_spark.operators.cdc import scd2_intervals
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    day = 86400000000
+    c0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").cast("long").alias("ts_us"),
+    )
+    c1 = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("X-"), F.col("c_mktsegment")).alias("segment"),
+            (F.lit(day) * (1 + F.col("c_custkey") % 50)).cast("long").alias("ts_us"),
+        )
+    )
+    c2 = (
+        cust.filter(F.col("c_custkey") % 9 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("Y-"), F.col("c_mktsegment")).alias("segment"),
+            (F.lit(day) * (60 + F.col("c_custkey") % 50)).cast("long").alias("ts_us"),
+        )
+    )
+    iv = scd2_intervals(c0.unionAll(c1).unionAll(c2), "c_custkey", ts_col="ts_us")
+    return (
+        iv.groupBy("is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.coalesce(
+                F.sum(F.expr(f"(valid_to - valid_from) div {day}")), F.lit(0)
+            ).cast("long").alias("total_days"),
+        )
+        .orderBy("is_current")
+    )

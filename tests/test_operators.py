@@ -1668,3 +1668,49 @@ class TestContinuationRound6Ops:
         df = spark.createDataFrame([(None,), (None,)], "x double")
         with _pytest.raises(ValueError, match="all-null.*x"):
             robust_stats_df(df, ["x"]).collect()
+
+    def test_cdc_merge_latest_wins_and_deletes(self, spark):
+        """Latest sequence per key wins; D drops the key; unchanged keys
+        survive; same-seq D beats U (op desc tiebreak)."""
+        from shifu_spark.operators.cdc import cdc_merge
+
+        snap = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, "a2", 1, "U"),  # update
+                (2, "b", 1, "D"),   # delete
+                (3, "c2", 1, "U"),  # update then delete at higher seq
+                (3, "c2", 2, "D"),
+                (4, "dX", 3, "U"),  # same-seq U and D: D wins
+                (4, "dY", 3, "D"),
+            ],
+            "k long, v string, seq long, op string",
+        )
+        got = {r["k"]: r["v"] for r in cdc_merge(snap, changes, "k").collect()}
+        assert got == {1: "a2"}  # 2,3,4 deleted; 1 updated
+
+    def test_cdc_merge_unchanged_keys_pass_through(self, spark):
+        from shifu_spark.operators.cdc import cdc_merge
+
+        snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        empty = spark.createDataFrame([], "k long, v string, seq long, op string")
+        got = {r["k"]: r["v"] for r in cdc_merge(snap, empty, "k").collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_scd2_intervals_chain(self, spark):
+        """A 3-change chain yields two closed intervals + one current;
+        a single-change key is immediately current."""
+        from shifu_spark.operators.cdc import scd2_intervals
+
+        ch = spark.createDataFrame(
+            [(1, "s0", 0), (1, "s1", 100), (1, "s2", 250), (2, "t0", 7)],
+            "k long, seg string, ts long",
+        )
+        rows = scd2_intervals(ch, "k", ts_col="ts").collect()
+        by = {(r["k"], r["seg"]): r for r in rows}
+        assert by[(1, "s0")]["valid_to"] == 100 and not by[(1, "s0")]["is_current"]
+        assert by[(1, "s1")]["valid_to"] == 250
+        assert by[(1, "s2")]["valid_to"] is None and by[(1, "s2")]["is_current"]
+        assert by[(2, "t0")]["is_current"] and by[(2, "t0")]["valid_from"] == 7
