@@ -197,6 +197,7 @@ HEADLINE_STAGES = {
     "fuzzy_vocab_pairs": "dedup",
     "cdc_merge_snapshot": "query",
     "scd2_segment_history": "query",
+    "streaming_exact_dedup": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -10006,3 +10006,50 @@ def scd2_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_current")
     )
+
+
+@query(
+    "streaming_exact_dedup",
+    """
+SELECT event_type, count(*)::BIGINT AS n_events,
+  count(DISTINCT user_id)::BIGINT AS n_users,
+  round(sum(cast(value AS DECIMAL(38,10)))::DOUBLE, 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-ID deduplication — the 15th streaming pattern
+    and the exact-key sibling of `streaming_minhash_dedup`: at-least-
+    once delivery is simulated by deterministically DOUBLING every 3rd
+    event in-row (explode over a 1-or-2-element array), then
+    ``dropDuplicatesWithinWatermark("event_id")`` restores
+    exactly-once — the engine keeps one state row per event_id only
+    within the 1-hour watermark horizon, the BOUNDED-state answer to
+    unbounded-key streams (a plain dropDuplicates would grow state
+    forever).  The oracle aggregates the ORIGINAL events table: the
+    gate proves the dedup reconstructed it byte-for-byte."""
+    s = _events_stream(spark, sf_dir)
+    copies = F.when(
+        F.col("event_id") % 3 == 0, F.array(F.lit(1), F.lit(2))
+    ).otherwise(F.array(F.lit(1)))
+    dup = s.withColumn("copy", F.explode(copies)).drop("copy")
+    ded = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = _run_stream_to_sink(
+        spark,
+        ded.select("event_id", "event_type", "user_id", "value"),
+        "exdedup",
+        output_mode="append",
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

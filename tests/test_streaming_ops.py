@@ -433,3 +433,47 @@ class TestGoldTableUpsert:
         assert got == want
         # both batches really contributed (some key spans the split)
         assert any(n > 1 for n, _, _ in got.values())
+
+
+class TestStreamingExactDedup:
+    def test_duplicates_across_micro_batches_dropped(self, spark, tmp_path):
+        """The duplicate copy arrives in a LATER micro-batch but within
+        the watermark horizon: dropDuplicatesWithinWatermark must still
+        drop it (state carried across batches), and emit every distinct
+        id exactly once."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        base = 1_700_000_000_000_000  # µs
+        rows = [(i, base + i * 60_000_000, f"u{i % 3}", 1.0 * i) for i in range(10)]
+        df = spark.createDataFrame(rows, "event_id long, ts_us long, user_id string, value double")
+        df = df.select(
+            "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id", "value"
+        )
+        src, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+        df.coalesce(1).write.parquet(src)
+        time.sleep(1.1)  # file order = modification time
+        dups = df.filter(F.col("event_id") % 3 == 0)
+        dups.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ded = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            ded.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+        got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+        assert got == list(range(10))  # each id exactly once
