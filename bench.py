@@ -198,6 +198,7 @@ HEADLINE_STAGES = {
     "cdc_merge_snapshot": "query",
     "scd2_segment_history": "query",
     "streaming_exact_dedup": "streaming",
+    "streaming_outer_attribution": "streaming",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

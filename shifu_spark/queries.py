@@ -10053,3 +10053,74 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_outer_attribution",
+    """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+emitted AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+  FROM p JOIN c ON c.user_id = p.user_id
+    AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+  UNION ALL
+  SELECT p.user_id, p.event_id, NULL
+  FROM p, wm
+  WHERE p.ts < wm.w
+    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                    AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+)
+SELECT (click_id IS NOT NULL) AS attributed,
+  count(*)::BIGINT AS n_rows,
+  count(DISTINCT purchase_id)::BIGINT AS n_purchases
+FROM emitted GROUP BY attributed ORDER BY attributed
+""",
+)
+def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the hardest
+    core streaming-join semantic (16th pattern): purchases that find no
+    click in their 30-minute window are emitted with a NULL click, but
+    only once the GLOBAL watermark (min of both streams' max-ts − 1 h)
+    passes the point where a match could still arrive; later unmatched
+    purchases stay in state and do NOT emit in a bounded run.  The
+    oracle derives that exact emission rule relationally (matched pairs
+    ∪ unmatched-below-watermark) — the gate pins Spark's outer-join
+    state-eviction boundary, not just the happy path."""
+    s = _events_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    sink = _run_stream_to_sink(spark, pairs, "oattr", output_mode="append")
+    return (
+        sink.groupBy(F.col("click_id").isNotNull().alias("attributed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+        )
+        .orderBy("attributed")
+    )
