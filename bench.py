@@ -199,6 +199,7 @@ HEADLINE_STAGES = {
     "scd2_segment_history": "query",
     "streaming_exact_dedup": "streaming",
     "streaming_outer_attribution": "streaming",
+    "busy_window_range_join": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

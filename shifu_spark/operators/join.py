@@ -151,3 +151,63 @@ def salted_join(
         (F.col(skewed_key) == F.col(other_key)) & (left["__salt"] == right["__salt"]),
     )
     return out.drop("__salt")
+
+
+def range_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Scalable LARGE × LARGE interval containment join — all (point,
+    interval) pairs with ``lo <= point < hi`` (half-open), with NO equi
+    key between the sides.
+
+    Spark plans a pure non-equi join as BroadcastNestedLoopJoin (when
+    one side fits) or CartesianProduct (when neither does) — the
+    second is O(|P|·|I|) and dead at scale.  The standard rewrite
+    turns the range predicate into an equi key: quantize the domain
+    into fixed ``bucket``-width cells, assign each point its one cell
+    ``floor(point / bucket)``, EXPLODE each interval across every cell
+    it overlaps (``floor(lo/bucket) .. floor((hi-1)/bucket)``), hash
+    join the two sides on the cell id, and re-check the exact
+    containment predicate after the join.  Cost: the interval side
+    replicates ~``len/bucket + 1`` rows per interval, and the join is
+    an ordinary shuffled hash/sort-merge join on the cell — pick
+    ``bucket`` near the typical interval length so replication stays
+    O(1) per interval.  (Same technique Databricks exposes as the
+    ``range_join`` hint; expressed here with public operators only.)
+
+    ``point_col`` / ``lo_col`` / ``hi_col`` must be integral (cast
+    timestamps to ``unix_micros`` upstream); column names of the two
+    inputs must be disjoint.  Empty intervals (``hi <= lo``) match
+    nothing and are dropped up front.  Inner-join semantics: points in
+    no interval and intervals with no points vanish.
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"point/interval column names must be disjoint: {sorted(overlap)}")
+    if bucket <= 0:
+        raise ValueError(f"bucket width must be positive, got {bucket}")
+    # integer floor-division that is exact for negatives too (Spark's
+    # `div` truncates toward zero; floor() on a DOUBLE ratio loses
+    # exactness above 2^53) — keep everything in long arithmetic
+    def _fdiv(col):
+        return ((col - (((col % bucket) + bucket) % bucket)) / bucket).cast("long")
+
+    p = points.withColumn("__cell", _fdiv(F.col(point_col)))
+    iv = (
+        intervals.filter(F.col(hi_col) > F.col(lo_col))
+        .withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(_fdiv(F.col(lo_col)), _fdiv(F.col(hi_col) - F.lit(1)))
+            ),
+        )
+    )
+    out = p.join(iv, "__cell").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return out.drop("__cell")

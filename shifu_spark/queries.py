@@ -10124,3 +10124,74 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed")
     )
+
+
+@query(
+    "busy_window_range_join",
+    """
+WITH pts AS (
+  SELECT user_id, value, epoch_us(ts) AS pt FROM events
+),
+hrs AS (
+  SELECT (pt // 3600000000) * 3600000000 AS hr, count(*) AS n
+  FROM pts GROUP BY 1
+),
+top AS (SELECT hr FROM hrs ORDER BY n DESC, hr ASC LIMIT 20),
+iv AS (SELECT hr, hr - 1800000000 AS lo, hr + 5400000000 AS hi FROM top)
+SELECT make_timestamp(iv.hr) AS window_start,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT p.user_id)::BIGINT AS n_users,
+       round(sum(CAST(p.value AS DECIMAL(38,10)))::DOUBLE, 4) AS total_value
+FROM iv JOIN pts p ON p.pt >= iv.lo AND p.pt < iv.hi
+GROUP BY iv.hr
+ORDER BY window_start
+""",
+)
+def busy_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure RANGE join (no equi key) at scale: profile every event
+    against the 20 globally busiest hours, each widened to a
+    [hour−30min, hour+90min) window — overlapping windows, so the
+    answer is NOT recoverable from the hourly histogram that selected
+    them.  Spark would plan the raw `pt BETWEEN lo AND hi` theta join
+    as BroadcastNestedLoopJoin (or CartesianProduct once the interval
+    side outgrows broadcast); operators/join.range_bucket_join rewrites
+    it to an ordinary hash join on a quantized cell id (intervals
+    exploded across the hour cells they overlap, exact containment
+    re-checked post-join), which survives a 100 TB event stream with
+    a data-scale interval side.  Window selection is deterministic
+    (count DESC, hour ASC tiebreak, top-20); the value sum goes
+    through DECIMAL(38,10).  Timestamps are compared in exact unix
+    micros (post-1970 data: `div` == floor)."""
+    from shifu_spark.operators.join import range_bucket_join
+
+    HOUR = 3_600_000_000
+    ev = _events(spark, sf_dir).select(
+        "user_id", "value", F.unix_micros("ts").alias("pt")
+    )
+    hrs = ev.groupBy(
+        F.expr(f"(pt div {HOUR}) * {HOUR}").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = hrs.orderBy(F.desc("n"), F.asc("hr")).limit(20).select("hr")
+    iv = top.select(
+        "hr",
+        (F.col("hr") - F.lit(1_800_000_000)).alias("lo"),
+        (F.col("hr") + F.lit(5_400_000_000)).alias("hi"),
+    )
+    rj = range_bucket_join(ev, iv, "pt", "lo", "hi", HOUR)
+    return (
+        rj.groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.timestamp_micros(F.col("hr")).alias("window_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
