@@ -200,6 +200,7 @@ HEADLINE_STAGES = {
     "streaming_exact_dedup": "streaming",
     "streaming_outer_attribution": "streaming",
     "busy_window_range_join": "query",
+    "rfm_customer_segments": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

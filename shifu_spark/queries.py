@@ -10195,3 +10195,121 @@ def busy_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "rfm_customer_segments",
+    """
+WITH cust AS (
+  SELECT o_custkey,
+    ((SELECT max(epoch_us(o_orderdate)) FROM orders)
+      - max(epoch_us(o_orderdate))) // 86400000000 AS rec_days,
+    count(*) AS freq,
+    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(38,10))) * 100) AS BIGINT) AS mon_cents
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT quantile_cont(rec_days * 4, [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(freq * 4, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(mon_cents * 4, [0.25, 0.5, 0.75]) AS mq
+  FROM cust
+),
+scored AS (
+  SELECT c.*,
+    CASE WHEN rec_days * 4 <= rq[1] THEN 4 WHEN rec_days * 4 <= rq[2] THEN 3
+         WHEN rec_days * 4 <= rq[3] THEN 2 ELSE 1 END AS r_score,
+    CASE WHEN freq * 4 <= fq[1] THEN 1 WHEN freq * 4 <= fq[2] THEN 2
+         WHEN freq * 4 <= fq[3] THEN 3 ELSE 4 END AS f_score,
+    CASE WHEN mon_cents * 4 <= mq[1] THEN 1 WHEN mon_cents * 4 <= mq[2] THEN 2
+         WHEN mon_cents * 4 <= mq[3] THEN 3 ELSE 4 END AS m_score
+  FROM cust c, q
+)
+SELECT r_score::INT AS r_score, f_score::INT AS f_score, m_score::INT AS m_score,
+  count(*)::BIGINT AS n_customers,
+  round(sum(rec_days)::DOUBLE / count(*), 4) AS avg_recency_days,
+  round(sum(freq)::DOUBLE / count(*), 4) AS avg_frequency,
+  round(sum(CAST(mon_cents AS DECIMAL(38,10)))::DOUBLE / (count(*) * 100), 4) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid (recency /
+    frequency / monetary, each scored 1–4 by quartile band).  The
+    standard tutorial form uses a global ``ntile`` — an unpartitioned
+    data-scale sort; here band boundaries come from ONE wide exact
+    quartile aggregate over the per-customer rollup (bounded driver
+    transfer: 9 doubles) and band assignment is a stateless CASE —
+    two shuffles total (custkey rollup + segment rollup), both
+    map-side-combinable.  Exactness: all three metrics live in integer
+    domains (days, counts, cents via floor of the exact DECIMAL sum)
+    scaled ×4 so quarter-weight type-7 interpolation lands on exact
+    integers — Spark ``percentile`` and DuckDB ``quantile_cont`` agree
+    bitwise (the robust_column_stats trick; quintiles would NOT work —
+    0.2 weights are non-dyadic and (1−d)·a+d·b drifts an ulp at d=0.8).
+    At scale swap ``percentile`` for ``percentile_approx`` and accept
+    approximate band edges (documented trade, same as robust stats)."""
+    DAY = 86_400_000_000
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # o_orderdate arrives as TIMESTAMP_NTZ; the session is pinned UTC
+        # so the cast preserves the wall-clock instant (same as _events)
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od"),
+        "o_totalprice",
+    )
+    mx = orders.agg(F.max("od").alias("mx"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("mon_dec"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.expr(f"(mx - last_od) div {DAY}").alias("rec_days"),
+            "freq",
+            F.floor(F.col("mon_dec") * 100).cast("long").alias("mon_cents"),
+        )
+    )
+    row = cust.agg(
+        F.expr("percentile(rec_days * 4, array(0.25d, 0.5d, 0.75d))").alias("rq"),
+        F.expr("percentile(freq * 4, array(0.25d, 0.5d, 0.75d))").alias("fq"),
+        F.expr("percentile(mon_cents * 4, array(0.25d, 0.5d, 0.75d))").alias("mq"),
+    ).collect()[0]
+    rq, fq, mq = [list(map(float, v)) for v in (row.rq, row.fq, row.mq)]
+
+    def band(col, qs, reverse):
+        x = F.col(col) * 4
+        scores = (4, 3, 2, 1) if reverse else (1, 2, 3, 4)
+        return (
+            F.when(x <= F.lit(qs[0]), F.lit(scores[0]))
+            .when(x <= F.lit(qs[1]), F.lit(scores[1]))
+            .when(x <= F.lit(qs[2]), F.lit(scores[2]))
+            .otherwise(F.lit(scores[3]))
+            .cast("int")
+        )
+
+    scored = cust.select(
+        "rec_days",
+        "freq",
+        "mon_cents",
+        band("rec_days", rq, reverse=True).alias("r_score"),
+        band("freq", fq, reverse=False).alias("f_score"),
+        band("mon_cents", mq, reverse=False).alias("m_score"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            n.alias("n_customers"),
+            F.round(F.sum("rec_days").cast("double") / n, 4).alias("avg_recency_days"),
+            F.round(F.sum("freq").cast("double") / n, 4).alias("avg_frequency"),
+            F.round(
+                F.sum(F.col("mon_cents").cast("decimal(38,10)")).cast("double")
+                / (n * 100),
+                4,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
