@@ -201,6 +201,8 @@ HEADLINE_STAGES = {
     "streaming_outer_attribution": "streaming",
     "busy_window_range_join": "query",
     "rfm_customer_segments": "query",
+    "events_anomaly_zscore": "stats",
+    "compaction_bin_packing": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -10313,3 +10313,139 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, n,
+    count(n) OVER win AS m,
+    sum(n) OVER win AS s,
+    sum(n * n) OVER win AS ss
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day::BIGINT AS day, n::BIGINT AS n_events,
+  CASE WHEN m >= 3 THEN round(s::DOUBLE / m, 6) END AS mean7,
+  CASE WHEN m >= 3 AND (ss::DOUBLE * m - (s * s)::DOUBLE) > 0 THEN
+    round((n::DOUBLE - s::DOUBLE / m)
+          / sqrt((ss::DOUBLE * m - (s * s)::DOUBLE) / (m * m)::DOUBLE), 6)
+  END AS z,
+  CASE WHEN m >= 3 AND (ss::DOUBLE * m - (s * s)::DOUBLE) > 0 THEN
+    abs(round((n::DOUBLE - s::DOUBLE / m)
+          / sqrt((ss::DOUBLE * m - (s * s)::DOUBLE) / (m * m)::DOUBLE), 6)) > 2.0
+  END AS is_anomaly
+FROM w ORDER BY event_type, day
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the event time series:
+    per (event_type, day) counts scored against the mean/σ of the
+    previous ≤7 OBSERVED days (ROWS frame — gap days don't pad the
+    window), NULL until 3 history days exist or when the history is
+    constant (σ=0).  Scale shape: the window runs over the
+    catalog-sized daily rollup (days × types rows), partitioned by
+    type — the data-scale work is one map-side-combinable count.
+    Determinism: the window carries exact integer sums (n, Σ, Σx²);
+    mean/σ/z are then ONE formula-identical double expression on both
+    engines — every op (×, −, /, sqrt) is IEEE correctly rounded, so
+    identical exact-int inputs give bit-identical doubles; no Welford
+    accumulation order to disagree on.  At 100 TB-scale counts, swap
+    the BIGINT n·n sums for DECIMAL (Σx² overflows past n≈3e9/day)."""
+    from pyspark.sql import Window
+
+    DAY = 86_400_000_000
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.select("event_type", F.expr(f"unix_micros(ts) div {DAY}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("n").over(win).alias("m"),
+        F.sum("n").over(win).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("ss"),
+    )
+    m, s, ss, n = (F.col(c) for c in ("m", "s", "ss", "n"))
+    var_num = ss.cast("double") * m - (s * s).cast("double")
+    z = F.round(
+        (n.cast("double") - s.cast("double") / m)
+        / F.sqrt(var_num / (m * m).cast("double")),
+        6,
+    )
+    ok = (m >= 3) & (var_num > 0)
+    return w.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        n.cast("long").alias("n_events"),
+        F.when(m >= 3, F.round(s.cast("double") / m, 6)).alias("mean7"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > F.lit(2.0)).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "compaction_bin_packing",
+    """
+WITH files AS (
+  SELECT source, doc_id // 50 AS file_id,
+         sum(n_chars) AS bytes, count(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+planned AS (
+  SELECT source, file_id, bytes,
+    (COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // 131072 AS bin_id
+  FROM files
+)
+SELECT source, bin_id::BIGINT AS bin_id,
+  count(*)::BIGINT AS n_files,
+  sum(bytes)::BIGINT AS total_bytes,
+  (sum(bytes) >= 131072) AS full_bin
+FROM planned GROUP BY source, bin_id ORDER BY source, bin_id
+""",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance shape
+    (Delta OPTIMIZE / Iceberg rewrite_data_files): pack an ordered file
+    inventory into ~128 KiB output bins by prefix-sum assignment
+    (bin = floor(bytes-before-me / target) — the streaming first-fit
+    that a single pass over a sorted manifest produces).  The inventory
+    here is simulated from documents (one "file" per 50-doc run with
+    its byte total); in production the input is the table manifest —
+    METADATA, thousands-per-partition not billions, so the per-source
+    ordered window is catalog-scale by construction (same argument as
+    the gain-chart bucket windows).  Pure integer arithmetic end to
+    end; `//` on non-negative prefix sums equals `div`."""
+    TARGET = 131_072
+    docs = _t(spark, sf_dir, "documents")
+    files = (
+        docs.groupBy("source", F.expr("doc_id div 50").alias("file_id"))
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    planned = files.withColumn(
+        "bin_id",
+        F.expr(f"coalesce(sum(bytes) over (partition by source order by file_id "
+               f"rows between unbounded preceding and 1 preceding), 0) div {TARGET}"),
+    )
+    return (
+        planned.groupBy("source", F.col("bin_id").cast("long").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .withColumn("full_bin", F.col("total_bytes") >= TARGET)
+        .orderBy("source", "bin_id")
+    )
