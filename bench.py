@@ -203,6 +203,7 @@ HEADLINE_STAGES = {
     "rfm_customer_segments": "query",
     "events_anomaly_zscore": "stats",
     "compaction_bin_packing": "query",
+    "pca_power_iteration": "similarity",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -10449,3 +10449,63 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("full_bin", F.col("total_bytes") >= TARGET)
         .orderBy("source", "bin_id")
     )
+
+
+def _pca_oracle(dim: int = 64, iters: int = 8) -> str:
+    """Chained-CTE replay of operators/pca.power_iteration: exact BIGINT
+    Gram from the same SQL quantization, then `iters` mat-vec +
+    max-abs-normalize steps — list_dot_product folds ascending-j, the
+    same order the python loop uses (the pagerank chained-CTE
+    pattern)."""
+    ones = ", ".join(["1.0"] * dim)
+    parts = [
+        f"""WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        e -> CAST(round(e * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cells AS MATERIALIZED (
+  SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS g
+  FROM q, range(1, {dim + 1}) AS ti(i), range(1, {dim + 1}) AS tj(j)
+  GROUP BY 1, 2
+),
+gmat AS MATERIALIZED (SELECT i, list(g::DOUBLE ORDER BY j) AS gl FROM cells GROUP BY i),
+v0 AS (SELECT [{ones}] AS vl)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""it{k} AS MATERIALIZED (
+  SELECT i, list_dot_product(gl, (SELECT vl FROM v{k - 1})) AS gv FROM gmat),
+n{k} AS MATERIALIZED (SELECT max(abs(gv)) AS mx FROM it{k}),
+v{k} AS MATERIALIZED (SELECT list(gv / (SELECT mx FROM n{k}) ORDER BY i) AS vl FROM it{k})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+SELECT i::INT AS dim,
+       round(gv / (SELECT mx FROM n{iters}), 6) AS loading
+FROM it{iters} ORDER BY dim
+"""
+    )
+
+
+@query("pca_power_iteration", _pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding table (uncentered
+    second-moment matrix) — the linear-algebra member of the iterative
+    family next to pagerank_part_supplier.  Data-scale work is ONE
+    Arrow partial-Gram pass per partition (exact int64 Q·Qᵀ over
+    SQL-quantized micro-int vectors) with a (partitions × d²)
+    constant-size shuffle; the 8 power-iteration steps run on the
+    collected 64×64 matrix, sequential-fold arithmetic replayed
+    verbatim by the chained-CTE oracle.  Sign/convergence are pinned
+    by construction (v₀ = 1⃗, fixed 8 iterations, max-abs
+    normalization) — no eigensolver, no tolerance loop.  See
+    operators/pca.py for the overflow bound and determinism contract;
+    centering is deliberately omitted (exact integer centering
+    overflows int64 — production would center in DECIMAL)."""
+    from shifu_spark.operators.pca import pca_top_component_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component_df(emb, "embedding", 64, iters=8)
