@@ -46,7 +46,12 @@ def cdc_merge(
     op_rank = (
         F.when(F.col(op_col) == "D", 2).when(F.col(op_col) == "U", 1).otherwise(0)
     )
-    w = Window.partitionBy(key).orderBy(F.desc(seq_col), op_rank.desc())
+    # final payload tiebreak: two changes sharing (key, seq, op) but
+    # differing in payload would otherwise make row_number pick an
+    # arbitrary winner — nondeterministic across runs/engines.  Ordering
+    # by the payload columns (desc, nulls last) fixes one winner.
+    payload_ties = [F.col(c).desc_nulls_last() for c in payload if c != key]
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), op_rank.desc(), *payload_ties)
     return (
         snap.unionAll(ch)
         .withColumn("__rn", F.row_number().over(w))

@@ -161,9 +161,12 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
             e.agg(F.count(F.lit(1)).alias("n_edges"))
             .crossJoin(deg.agg(
                 F.count(F.lit(1)).alias("n_nodes"),
-                # coalesce: an edgeless graph has 0 wedges, not NULL
+                # coalesce: an edgeless graph has 0 wedges, not NULL.
+                # deg*(deg-1) is always even, so integer `div 2` is exact
+                # at any degree — Column `/` is DOUBLE division and would
+                # lose exactness once the product passes 2^53.
                 F.coalesce(
-                    F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")),
+                    F.sum(F.expr("deg * (deg - 1) div 2")),
                     F.lit(0),
                 ).alias("n_wedges"),
             ))

@@ -135,6 +135,12 @@ def salted_join(
 
     Output = exactly the plain join's rows (modulo the helper columns,
     which are dropped)."""
+    overlap = set(skewed.columns) & set(other.columns)
+    if overlap:
+        raise ValueError(f"skewed/other column names must be disjoint: {sorted(overlap)}")
+    taken = [c for c in (*skewed.columns, *other.columns) if c == "__salt"]
+    if taken:
+        raise ValueError("inputs must not already carry a __salt column")
     salt_src = F.concat_ws(
         "|", F.col(skewed_key).cast("string"), F.col(salt_on).cast("string")
     )
@@ -193,9 +199,15 @@ def range_bucket_join(
         raise ValueError(f"bucket width must be positive, got {bucket}")
     # integer floor-division that is exact for negatives too (Spark's
     # `div` truncates toward zero; floor() on a DOUBLE ratio loses
-    # exactness above 2^53) — keep everything in long arithmetic
+    # exactness above 2^53).  Column `/` is DOUBLE division, so route
+    # the quotient through DECIMAL(38,0): (col - nonneg_mod) is exactly
+    # divisible by bucket, the true quotient is an integer, and decimal
+    # division of exactly-divisible integers is exact at any magnitude.
     def _fdiv(col):
-        return ((col - (((col % bucket) + bucket) % bucket)) / bucket).cast("long")
+        col = col.cast("long")
+        nonneg_mod = ((col % bucket) + bucket) % bucket
+        q = (col - nonneg_mod).cast("decimal(38,0)") / F.lit(bucket).cast("decimal(38,0)")
+        return q.cast("long")
 
     p = points.withColumn("__cell", _fdiv(F.col(point_col)))
     iv = (

@@ -9892,7 +9892,9 @@ WITH snap AS (
   SELECT *, row_number() OVER (PARTITION BY c_custkey
                                ORDER BY seq DESC,
                                  CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1
-                                         ELSE 0 END DESC) AS rn
+                                         ELSE 0 END DESC,
+                                 c_mktsegment DESC NULLS LAST,
+                                 c_acctbal DESC NULLS LAST) AS rn
   FROM u
 )
 SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_customers,

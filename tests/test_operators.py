@@ -1613,6 +1613,24 @@ class TestContinuationRound6Ops:
         )
         assert n_salts_hot >= 6  # 200 rows over 8 salts
 
+    def test_salted_join_rejects_overlap_and_existing_salt(self, spark):
+        """Guards mirror range_bucket_join (ADVICE r6): overlapping
+        payload column names and a pre-existing __salt column both fail
+        loudly instead of silently corrupting the join condition."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.join import salted_join
+
+        left = spark.createDataFrame([(1, 2)], "k long, line long")
+        right_overlap = spark.createDataFrame([(1, 9)], "rk long, line long")
+        with _pytest.raises(ValueError, match="disjoint"):
+            salted_join(left, right_overlap, "k", "rk", salt_on="line")
+        pre_salted = left.withColumn("__salt", F.lit(0))
+        right = spark.createDataFrame([(1, "v")], "rk long, payload string")
+        with _pytest.raises(ValueError, match="__salt"):
+            salted_join(pre_salted, right, "k", "rk", salt_on="line")
+
     def test_edit_distance_pairs_blocking_complete_and_precise(self, spark):
         """Deletion-neighborhood blocking finds every dist≤1 pair kind
         (equal-length substitution, insertion/deletion) and the exact
@@ -1690,6 +1708,22 @@ class TestContinuationRound6Ops:
         )
         got = {r["k"]: r["v"] for r in cdc_merge(snap, changes, "k").collect()}
         assert got == {1: "a2"}  # 2,3,4 deleted; 1 updated
+
+    def test_cdc_merge_same_seq_same_op_payload_tiebreak(self, spark):
+        """Two 'U' rows at the same seq with different payloads: the
+        winner is fixed by the payload tiebreak (desc, nulls last), not
+        row_number arbitrariness (ADVICE r6) — so the merge is
+        deterministic across runs and engines."""
+        from shifu_spark.operators.cdc import cdc_merge
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "z-first", 3, "U"), (1, "m-second", 3, "U"), (1, None, 3, "U")],
+            "k long, v string, seq long, op string",
+        )
+        for _ in range(3):
+            got = {r["k"]: r["v"] for r in cdc_merge(snap, changes, "k").collect()}
+            assert got == {1: "z-first"}  # greatest payload wins, nulls last
 
     def test_cdc_merge_unchanged_keys_pass_through(self, spark):
         from shifu_spark.operators.cdc import cdc_merge

@@ -63,6 +63,21 @@ class TestRangeBucketJoin:
     def test_empty_interval_dropped(self, spark):
         _check(spark, [5], [(5, 5), (6, 4)], bucket=2)
 
+    def test_exact_above_2_53(self, spark):
+        # magnitudes past 2^53: DOUBLE division would round the cell id
+        # and hash matching pairs to different cells, silently dropping
+        # them (ADVICE r6 medium).  2^53 + 1 is the first long a double
+        # cannot represent; the cluster below/above it must still join.
+        base = 1 << 53
+        vals = [base - 1, base, base + 1, base + 3, -base - 1, -base + 1]
+        spans = [
+            (base - 2, base + 2),      # straddles 2^53
+            (base + 2, base + 5),      # entirely above
+            (-base - 3, -base + 2),    # negative far domain
+        ]
+        for bucket in (3, 7, 1000):
+            _check(spark, vals, spans, bucket)
+
     def test_column_overlap_raises(self, spark):
         p = _points(spark, [1])
         with pytest.raises(ValueError, match="disjoint"):
