@@ -246,6 +246,8 @@ HEADLINE_STAGES = {
     "mean_impute": "norm",
     "feature_importance": "train",
     "confusion_matrix_scalable": "eval",
+    # round-7 new operator: NSColumn namespaced-header addressing
+    "ns_purify_filter": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -36,30 +36,81 @@ _FORBIDDEN = re.compile(r"(new\s+\w|\.\w+\s*\(|\[\]|=~|!~|\bsize\s*\(|\bempty\s*
 _TERNARY = re.compile(r"^(.*?)\?(.*):(.*)$")
 
 
-def jexl_to_sql(expr: str) -> str:
+_SQL_KEYWORDS = {
+    "AND", "OR", "NOT", "NULL", "TRUE", "FALSE",
+    "CASE", "WHEN", "THEN", "ELSE", "END",
+}
+
+# identifier token, possibly ns-qualified (a::b::c); the lookbehind keeps
+# us from starting mid-number (1e5) or mid-token
+_IDENT = re.compile(r"(?<![\w:.])[A-Za-z_]\w*(?:::[A-Za-z_]\w*)*")
+_QUOTED = re.compile(r"'[^']*'|\"[^\"]*\"")
+
+
+def bind_headers(sql: str, headers: list[str]) -> str:
+    """Rewrite identifiers in a translated SQL expression to the
+    (backticked) dataset headers they address under NSColumn semantics:
+    a simple name binds to the (last) header whose leaf matches it, a
+    ``ns::name`` form suffix-matches — DataPurifier.java:115-119 binds
+    every header under both forms.  Unknown identifiers raise (the
+    reference silently evaluates them as null — the silent-disable bug
+    SURVEY §7 says not to copy).  Quoted string literals are left alone.
+    """
+    from shifu_spark.catalog.nscolumn import resolve
+
+    def _bind_segment(seg: str) -> str:
+        def repl(m: re.Match) -> str:
+            tok = m.group(0)
+            if tok.upper() in _SQL_KEYWORDS:
+                return tok
+            full = resolve(tok, headers)
+            if full is None:
+                raise ValueError(f"expression identifier {tok!r} matches no header")
+            return f"`{full}`"
+
+        return _IDENT.sub(repl, seg)
+
+    out: list[str] = []
+    pos = 0
+    for m in _QUOTED.finditer(sql):
+        out.append(_bind_segment(sql[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_bind_segment(sql[pos:]))
+    return "".join(out)
+
+
+def jexl_to_sql(expr: str, headers: list[str] | None = None) -> str:
     """Translate a JEXL filter/weight expression to a Spark SQL expression.
 
     Supported: arithmetic (+ - * / %), comparisons, && || !, ternary
-    ``cond ? a : b``, parentheses, column identifiers (``ns::name``
-    namespaces collapse to the leaf name). Anything else -> ValueError.
+    ``cond ? a : b``, parentheses, column identifiers.  With ``headers``,
+    identifiers (simple or ``ns::name``) bind to the matching header via
+    NSColumn suffix-match semantics (catalog/nscolumn.py); without, a
+    ``ns::name`` identifier collapses to its leaf name (the pre-NSColumn
+    behavior, correct when the DataFrame's columns are leaf-named).
+    Anything else -> ValueError.
     """
     if _FORBIDDEN.search(expr):
         raise ValueError(f"unsupported JEXL construct in {expr!r}")
     s = expr.strip()
-    # namespace collapse: ns::col -> col (column/NSColumn.java)
-    s = re.sub(r"\b\w+::(\w+)", r"\1", s)
+    if headers is None:
+        # namespace collapse: ns::col -> col (column/NSColumn.java)
+        s = re.sub(r"\b\w+::(\w+)", r"\1", s)
     m = _TERNARY.match(s)
     if m and "?" not in m.group(1):
-        cond, a, b = (jexl_to_sql(g) for g in m.groups())
+        cond, a, b = (jexl_to_sql(g, headers) for g in m.groups())
         return f"CASE WHEN {cond} THEN {a} ELSE {b} END"
     for pat, rep in _REWRITES:
         s = pat.sub(rep, s)
+    if headers is not None:
+        s = bind_headers(s, headers)
     return s
 
 
-def jexl_filter(expr: str) -> Column:
+def jexl_filter(expr: str, headers: list[str] | None = None) -> Column:
     """JEXL row filter -> boolean Column (DataPurifier semantics)."""
-    return F.expr(jexl_to_sql(expr))
+    return F.expr(jexl_to_sql(expr, headers))
 
 
 def jexl_weight(expr: str | None) -> Column:

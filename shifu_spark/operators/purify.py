@@ -27,9 +27,18 @@ def purify(df: DataFrame, filter_expression: str | None) -> DataFrame:
     """Apply the dataset-level JEXL filter; None -> passthrough.
 
     Declarative => Catalyst pushes the predicate into the parquet scan
-    (the reference always filtered post-scan)."""
+    (the reference always filtered post-scan).
+
+    When the DataFrame carries namespaced headers (``ns::name``), the
+    expression's identifiers bind to them under NSColumn semantics —
+    simple name or any namespace suffix both address the column
+    (DataPurifier.java:115-119 binds both forms; catalog/nscolumn.py).
+    Leaf-named data keeps the identity binding, so behavior there is
+    unchanged."""
     if not filter_expression:
         return df
+    if any("::" in c for c in df.columns):
+        return df.filter(jexl_filter(filter_expression, headers=df.columns))
     return df.filter(jexl_filter(filter_expression))
 
 

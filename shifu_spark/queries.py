@@ -10511,3 +10511,66 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pca_top_component_df(emb, "embedding", 64, iters=8)
+
+
+@query(
+    "ns_purify_filter",
+    """
+SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+       round(sum(cast(c_acctbal AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_acctbal
+FROM customer
+WHERE c_acctbal > 1000.0 AND c_mktsegment = 'BUILDING' OR c_acctbal < 0.0
+GROUP BY c_mktsegment ORDER BY segment
+""",
+)
+def ns_purify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSColumn namespaced-header addressing end-to-end (column/
+    NSColumn.java; core/DataPurifier.java:115-119): customer columns are
+    renamed to Pig-style ``relation::column`` namespaces, round-tripped
+    through the delimited-text sink + ``.pig_header`` sidecar, re-read
+    WITHOUT stripping namespaces, and purified by a JEXL filter that
+    addresses one column by SIMPLE name (``c_acctbal``) and one by FULL
+    namespaced name (``cust::c_mktsegment``) — both bind to the same
+    namespaced headers via NSColumn suffix-match (catalog/nscolumn.py).
+    The oracle filters the original typed parquet directly, so hash
+    equality proves namespace parsing, both address forms, and the
+    text round-trip at once."""
+    import tempfile
+    import uuid
+
+    from shifu_spark.operators.purify import purify
+    from shifu_spark.sources.reader import (
+        read_dataset,
+        safe_double,
+        write_dataset,
+        write_header_sidecar,
+    )
+
+    ns = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust::c_custkey"),
+        F.col("c_mktsegment").alias("cust::c_mktsegment"),
+        F.col("c_acctbal").alias("acct::c_acctbal"),
+    )
+    base = f"{tempfile.gettempdir()}/shifu_spark_nsp_{uuid.uuid4().hex[:8]}"
+    write_dataset(ns, f"{base}/data", fmt="csv", delimiter="|")
+    write_header_sidecar(ns, f"{base}/data", delimiter="|")
+    back = read_dataset(
+        spark, f"{base}/data", header_path=f"{base}/data.pig_header",
+        strip_namespace=False,
+    )
+    # csv sink wrote an inline header row too — drop it by field match
+    back = back.filter(F.col("`cust::c_custkey`") != "cust::c_custkey")
+    kept = purify(
+        back, "c_acctbal > 1000.0 && cust::c_mktsegment == 'BUILDING' || c_acctbal < 0.0"
+    )
+    return (
+        kept.groupBy(F.col("`cust::c_mktsegment`").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(safe_double(F.col("`acct::c_acctbal`")).cast("decimal(38,10)")).cast("double"),
+                4,
+            ).alias("sum_acctbal"),
+        )
+        .orderBy("segment")
+    )

@@ -28,16 +28,23 @@ from pyspark.sql import types as T
 DEFAULT_MISSING_TOKENS = ["", "?"]
 
 
-def read_header(spark: SparkSession, header_path: str, header_delimiter: str = "|") -> list[str]:
+def read_header(
+    spark: SparkSession,
+    header_path: str,
+    header_delimiter: str = "|",
+    strip_namespace: bool = True,
+) -> list[str]:
     """Parse a sidecar header file into column names.
 
     Reference: util/CommonUtils.getFinalHeaders; Pig ``.pig_header``
-    convention (``relation::col`` namespaces are stripped to the leaf name,
-    column/NSColumn.java semantics).
+    convention.  ``strip_namespace=True`` (default) collapses
+    ``relation::col`` to the leaf name; pass False to keep the full
+    namespaced names — purify/jexl then address them by either form via
+    NSColumn suffix-matching (column/NSColumn.java, catalog/nscolumn.py).
     """
     first_line = spark.read.text(header_path).limit(1).collect()[0][0]
     cols = [c.strip() for c in first_line.split(header_delimiter)]
-    return [c.split("::")[-1] for c in cols]
+    return [c.split("::")[-1] for c in cols] if strip_namespace else cols
 
 
 def read_dataset(
@@ -47,6 +54,7 @@ def read_dataset(
     data_delimiter: str = "|",
     header_delimiter: str | None = None,
     columns: list[str] | None = None,
+    strip_namespace: bool = True,
 ) -> DataFrame:
     """Typed ingest of the reference's native delimited-text format.
 
@@ -76,7 +84,9 @@ def read_dataset(
     if columns is None:
         if header_path is None:
             raise ValueError("need header_path or explicit columns for text data")
-        columns = read_header(spark, header_path, header_delimiter or data_delimiter)
+        columns = read_header(
+            spark, header_path, header_delimiter or data_delimiter, strip_namespace
+        )
 
     n = len(columns)
     lines = spark.read.text(data_path)

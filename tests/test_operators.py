@@ -142,6 +142,49 @@ class TestJexl:
             with pytest.raises(ValueError):
                 jexl_to_sql(bad)
 
+    def test_nscolumn_semantics(self):
+        """NSColumn.java equality: exact, suffix-match both directions,
+        non-suffix mismatch; resolve is last-wins on simple-name
+        collisions (DataPurifier header-order JexlContext overwrite)."""
+        from shifu_spark.catalog.nscolumn import ns_equals, resolve, simple_name
+
+        assert simple_name("a::b::c") == "c" and simple_name("c") == "c"
+        assert ns_equals("b::c", "a::b::c") and ns_equals("a::b::c", "b::c")
+        assert ns_equals("c", "a::b::c") and ns_equals("x", "x")
+        assert not ns_equals("x::c", "b::c") and not ns_equals("a::b", "a::c")
+        headers = ["m1::score", "m2::score", "m1::uid"]
+        assert resolve("score", headers) == "m2::score"  # last wins
+        assert resolve("m1::score", headers) == "m1::score"
+        assert resolve("uid", headers) == "m1::uid"
+        assert resolve("nope", headers) is None
+
+    def test_header_binding_simple_and_full_forms(self, spark):
+        """A JEXL filter addresses namespaced columns by simple name AND
+        by full ns::name; literals inside quotes are untouched; unknown
+        identifiers raise (VERDICT r6 missing #2)."""
+        from shifu_spark.functions.jexl import jexl_filter, jexl_to_sql
+
+        headers = ["cust::seg", "acct::bal"]
+        sql = jexl_to_sql("bal > 10 && cust::seg == 'bal'", headers=headers)
+        assert "`acct::bal` > 10" in sql and "`cust::seg` = 'bal'" in sql
+        df = spark.createDataFrame(
+            [("A", 5.0), ("B", 20.0), ("A", 30.0)], ["cust::seg", "acct::bal"]
+        )
+        got = df.filter(jexl_filter("bal > 10 && cust::seg == 'A'", headers)).collect()
+        assert [(r["cust::seg"], r["acct::bal"]) for r in got] == [("A", 30.0)]
+        with pytest.raises(ValueError, match="no header"):
+            jexl_to_sql("missing > 1", headers=headers)
+
+    def test_purify_auto_binds_namespaced_frames(self, spark):
+        """purify() activates NSColumn binding when the frame's columns
+        carry namespaces, and keeps plain binding otherwise."""
+        from shifu_spark.operators.purify import purify
+
+        ns = spark.createDataFrame([("x", 1), ("y", 2)], ["ns::tag", "ns::v"])
+        assert purify(ns, "v == 2 && ns::tag == 'y'").count() == 1
+        plain = spark.createDataFrame([("x", 1)], ["tag", "v"])
+        assert purify(plain, "other::v == 1").count() == 1  # leaf collapse
+
     def test_weight_clamp(self, spark):
         from shifu_spark.functions.jexl import jexl_weight
 
