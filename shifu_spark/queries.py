@@ -1697,12 +1697,35 @@ FROM ({ORACLES['psi_events_by_day']})
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling with keep-all-positives
     (DataSampler.java:112-160) — rows-only check (seeded RNG is not
-    SQL-portable); invariants tested in tests/test_operators.py."""
+    SQL-portable) but semi-verifiable: ALL positives must survive and
+    the negative keep-fraction must sit near the 0.1 rate, asserted
+    in-query against the source counts (VERDICT r6 #5)."""
     from shifu_spark.operators.purify import bernoulli_sample
 
     li = _t(spark, sf_dir, "lineitem")
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     s = bernoulli_sample(li, 0.1, sample_negative_only=True, tag_col="l_returnflag", pos_tags=["R"], seed=42)
-    return s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("l_returnflag")
+    kept = {
+        r["l_returnflag"]: r["n"]
+        for r in s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if kept.get("R") != totals.get("R"):
+        raise ValueError(f"sample sentinel: positives not all kept ({kept.get('R')}/{totals.get('R')})")
+    for tag, n in kept.items():
+        frac = n / totals[tag]
+        if tag != "R" and not 0.05 <= frac <= 0.15:
+            raise ValueError(f"sample sentinel: tag {tag} keep-fraction {frac} far from 0.1")
+    return spark.createDataFrame(
+        sorted(
+            (t, kept.get(t, 0), n, round(kept.get(t, 0) / n, 4),
+             kept.get(t, 0) == n if t == "R" else 0.05 <= kept.get(t, 0) / n <= 0.15)
+            for t, n in totals.items()
+        ),
+        "l_returnflag string, n_kept long, n_total long, keep_frac double, invariant_ok boolean",
+    )
 
 
 @query("hash_stratified_sample", None)
@@ -1964,9 +1987,11 @@ WHERE rn = 1 ORDER BY bucket
 @query("kfold_cv", None)
 def kfold_cv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-fold CV as a dataflow op (SURVEY §2.10; deterministic crc32 fold
-    assignment): 3-fold LR on lineitem numerics vs l_returnflag='R',
-    per-fold AUC. Rows-only (MLlib LR internals not SQL-expressible);
-    determinism pinned by the seeded fold hash."""
+    assignment): 3-fold LR on lineitem numerics against the planted
+    separable target (tag = l_quantity > 25), per-fold AUC. Rows-only
+    (MLlib LR internals not SQL-expressible) but semi-verifiable: every
+    fold's held-out AUC must clear 0.9, asserted in-query (VERDICT r6
+    #5); determinism pinned by the seeded fold hash."""
     from shifu_spark.ml.train import TrainParams, assemble_features, kfold_cv
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1974,35 +1999,48 @@ def kfold_cv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 1/4 subset keeps the driver-gate cost bounded
     data = li.filter(F.col("l_orderkey") % 4 == 0).select(
         *[F.col(c).cast("double").alias(c) for c in feats],
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("tag"),
+        F.when(F.col("l_quantity") > 25, 1.0).otherwise(0.0).alias("tag"),
     )
     assembled = assemble_features(data, feats)
     params = TrainParams(algorithm="LR", num_iterations=8, seed=42)
     aucs = kfold_cv(assembled, params, len(feats), k=3)
+    bad = [a for a in aucs if a < 0.9]
+    if bad:
+        raise ValueError(f"kfold sentinel: fold AUC below 0.9 floor: {aucs}")
     return spark.createDataFrame(
-        [(i, float(round(a, 4))) for i, a in enumerate(aucs)], "fold int, auc double"
+        [(i, float(round(a, 4)), True) for i, a in enumerate(aucs)],
+        "fold int, auc double, auc_floor_met boolean",
     )
 
 
 @query("grid_search", None)
 def grid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid search over TrainParams (SURVEY §2.10 train-conf grid): 2
-    learning-rate points of LR, seeded train/valid split, AUC per point.
-    Rows-only."""
+    learning-rate points of LR on the planted separable target, seeded
+    train/valid split, AUC per point. Rows-only but semi-verifiable:
+    every grid point's validation AUC must clear 0.9, asserted
+    in-query (VERDICT r6 #5)."""
     from shifu_spark.ml.train import TrainParams, assemble_features, grid_search
 
     li = _t(spark, sf_dir, "lineitem")
     feats = ["l_quantity", "l_discount", "l_tax"]
     data = li.filter(F.col("l_orderkey") % 4 == 0).select(
         *[F.col(c).cast("double").alias(c) for c in feats],
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("tag"),
+        F.when(F.col("l_quantity") > 25, 1.0).otherwise(0.0).alias("tag"),
     )
     assembled = assemble_features(data, feats)
     base = TrainParams(algorithm="LR", num_iterations=6, seed=42)
     res = grid_search(assembled, base, {"learning_rate": [0.05, 0.2]}, len(feats))
+    if any(r["auc"] < 0.9 for r in res):
+        raise ValueError(
+            f"grid sentinel: AUC below 0.9 floor: {[(r['params'], r['auc']) for r in res]}"
+        )
     return spark.createDataFrame(
-        [(float(r["params"]["learning_rate"]), float(round(r["auc"], 4))) for r in res],
-        "learning_rate double, auc double",
+        [
+            (float(r["params"]["learning_rate"]), float(round(r["auc"], 4)), True)
+            for r in res
+        ],
+        "learning_rate double, auc double, auc_floor_met boolean",
     ).orderBy("learning_rate")
 
 
@@ -2114,10 +2152,12 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 @query("rf_train", None)
 def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RF training as a dataflow op (SURVEY §2.10; DTMaster/DTWorker ->
-    MLlib RandomForestClassifier): fit on lineitem numerics vs
-    l_returnflag='R', return per-feature importances. Rows-only (tree
-    induction isn't SQL-expressible); invariants pinned in
-    tests/test_pipeline.py / ml/train.py goldens."""
+    MLlib RandomForestClassifier): fit on lineitem numerics against a
+    PLANTED target (label = l_discount > 0.05 — discount is independent
+    of the other features, so the forest must discover exactly it).
+    Rows-only (tree induction isn't SQL-expressible) but
+    semi-verifiable: top-importance-is-planted-feature and
+    importances-sum-to-1 are asserted in-query (VERDICT r6 #5)."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
@@ -2125,13 +2165,24 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     data = li.select(
         *[F.col(c).cast("double").alias(c) for c in feats],
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0).alias("label"),
     )
     assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(data)
     model = RandomForestClassifier(numTrees=5, maxDepth=4, seed=42).fit(assembled)
     imps = [float(x) for x in model.featureImportances.toArray()]
+    if abs(sum(imps) - 1.0) > 1e-6:
+        raise ValueError(f"rf sentinel: importances sum {sum(imps)} != 1")
+    top = max(imps)
+    if feats[imps.index(top)] != "l_discount":
+        raise ValueError(
+            f"rf sentinel: top importance not the planted feature: {dict(zip(feats, imps))}"
+        )
     return spark.createDataFrame(
-        sorted(zip(feats, [round(v, 6) for v in imps])), "feature string, importance double"
+        [
+            (f, round(v, 6), bool(v == top) == (f == "l_discount"), True)
+            for f, v in sorted(zip(feats, imps))
+        ],
+        "feature string, importance double, planted_rank_ok boolean, importance_sum_ok boolean",
     )
 
 
@@ -2830,8 +2881,11 @@ FROM contrib ORDER BY l_orderkey, l_linenumber
 @query("tree_path_encoding", None)
 def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tree-path leaf encoding (EncodeDataUDF) with a seeded RF — leaf ids
-    are MLlib-internal so this is a rows-only check; invariants are
-    pytest-covered (tests/test_posttrain.py)."""
+    are MLlib-internal so this is a rows-only check, made
+    semi-verifiable (VERDICT r6 #5): every input row must encode
+    (coverage), the distinct leaf count must respect the depth bound
+    (≤ 2^3), both asserted in-query; the hash-checked pinned sibling
+    tree_path_encoding_pinned covers the exact lookup arithmetic."""
     from shifu_spark.ml.posttrain import tree_path_encode
     from shifu_spark.ml.train import TrainParams, assemble_features, train_models
 
@@ -2839,12 +2893,26 @@ def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = li.select(
         F.col("l_quantity").alias("f1"),
         F.col("l_discount").alias("f2"),
-        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        # planted learnable label: a no-signal label leaves the forest
+        # unsplit and the whole table in one leaf — vacuous sentinel
+        F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0).alias("label"),
     )
     assembled = assemble_features(df, ["f1", "f2"], "label")
     model = train_models(assembled, TrainParams(algorithm="RF", trees=3, max_depth=3, seed=42), 2)[0]
     enc = tree_path_encode(df, ["f1", "f2"], model)
-    return enc.select(F.col("tree_leaves").getItem(0).alias("leaf0")).groupBy("leaf0").count().orderBy("leaf0")
+    hist = (
+        enc.select(F.col("tree_leaves").getItem(0).alias("leaf0"))
+        .groupBy("leaf0").count().orderBy("leaf0").collect()
+    )
+    n_in, n_enc = df.count(), sum(r["count"] for r in hist)
+    if n_enc != n_in:
+        raise ValueError(f"tree-path sentinel: encoded {n_enc} of {n_in} rows")
+    if not 2 <= len(hist) <= 8:
+        raise ValueError(f"tree-path sentinel: {len(hist)} leaves outside [2, 2^3]")
+    return spark.createDataFrame(
+        [(r["leaf0"], r["count"], True, True) for r in hist],
+        "leaf0 int, count long, coverage_ok boolean, leaf_bound_ok boolean",
+    )
 
 
 # Fixture trees with literal thresholds (preorder parallel arrays, the
@@ -3920,27 +3988,70 @@ GROUP BY 1, 2 ORDER BY actual, predicted
 """
 
 
+def _train_sentinel_df(spark, sf_dir):
+    """Shared fixture for the training sentinels: features + a PLANTED
+    learnable target (label = l_quantity > 25, linearly separable in
+    x1) so the fit queries can assert a held-out AUC floor — against
+    the old unlearnable returnflag label every AUC sat at ~0.5 and the
+    rows proved nothing about the trainer (VERDICT r6 wrong #3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        (F.col("l_quantity") > 25).cast("double").alias("label"),
+    )
+
+
+def _fit_invariant_rows(spark, losses, auc, auc_floor):
+    """(epoch, loss) rows + held-out AUC invariants, ASSERTED in-query:
+    the driver's rows-only record becomes semi-verifiable — a trainer
+    that stops learning or regresses now errors the gate row instead of
+    silently passing a row count (VERDICT r6 next-round #5)."""
+    if not losses:
+        raise ValueError("training sentinel: no epochs recorded")
+    if losses[-1] >= losses[0]:
+        raise ValueError(
+            f"training sentinel: loss did not decrease ({losses[0]} -> {losses[-1]})"
+        )
+    if auc < auc_floor:
+        raise ValueError(f"training sentinel: held-out AUC {auc} below floor {auc_floor}")
+    first = losses[0]
+    return spark.createDataFrame(
+        [
+            (
+                e + 1,
+                float(round(l, 6)),
+                bool(l < first or e == 0),
+                float(round(auc, 4)),
+                True,
+            )
+            for e, l in enumerate(losses)
+        ],
+        "epoch int, train_loss double, below_first_epoch boolean, "
+        "holdout_auc double, auc_floor_met boolean",
+    )
+
+
 @query("sgd_lr_train", None)
 def sgd_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed SGD LR (core/dtrain/lr BSP as mapInPandas partial
     gradients + driver optimizer, ml/sgd.py). Rows-only check: training
-    is iterative, not SQL-expressible. Returns per-class mean score of
-    the fitted model — stable shape, deterministic seed."""
+    is iterative, not SQL-expressible — but the row is semi-verifiable:
+    per-epoch losses must decrease overall and the held-out AUC of the
+    fitted model must clear 0.9 on the planted separable target, both
+    ASSERTED in-query (a broken trainer errors the gate row)."""
     from shifu_spark.ml.sgd import lr_score_expr, train_lr_sgd
+    from shifu_spark.operators.eval_metrics import roc_auc_df
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_quantity") / 50.0).alias("x1"),
-        (F.col("l_discount") * 10.0).alias("x2"),
-        F.col("l_returnflag").alias("flag"),
-        (F.col("l_returnflag") == "R").cast("double").alias("label"),
-    )
-    res = train_lr_sgd(li, ["x1", "x2"], optimizer="ADAM", learning_rate=0.3, max_epochs=5)
-    return (
-        li.withColumn("p", lr_score_expr(["x1", "x2"], res.weights))
-        .groupBy("flag")
-        .agg(F.round(F.avg("p"), 4).alias("mean_score"))
-        .orderBy("flag")
-    )
+    data = _train_sentinel_df(spark, sf_dir)
+    train, valid = data.randomSplit([0.8, 0.2], seed=42)
+    res = train_lr_sgd(train, ["x1", "x2"], optimizer="ADAM", learning_rate=0.3, max_epochs=5)
+    auc = roc_auc_df(
+        valid.withColumn("p", lr_score_expr(["x1", "x2"], res.weights)),
+        "p",
+        F.col("label") == 1.0,
+    ).collect()[0]["auc"]
+    return _fit_invariant_rows(spark, res.train_losses, auc, 0.9)
 
 
 @query("nn_train", None)
@@ -3948,26 +4059,23 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed MLP with Shifu's activation set (core/dtrain/nn BSP as
     mapInPandas backprop partials + driver optimizer, ml/nn.py —
     ActivationPTANH/Swish/LeakyReLU parity that MLlib's MLP lacks).
-    Rows-only check: iterative training is not SQL-expressible. Returns
-    per-class mean score of the fitted net — stable shape, seeded."""
+    Rows-only but semi-verifiable: per-epoch loss decrease + held-out
+    AUC >= 0.9 on the planted separable target, asserted in-query."""
     from shifu_spark.ml.nn import nn_score_udf, train_nn
+    from shifu_spark.operators.eval_metrics import roc_auc_df
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_quantity") / 50.0).alias("x1"),
-        (F.col("l_discount") * 10.0).alias("x2"),
-        F.col("l_returnflag").alias("flag"),
-        (F.col("l_returnflag") == "R").cast("double").alias("label"),
-    )
+    data = _train_sentinel_df(spark, sf_dir)
+    train, valid = data.randomSplit([0.8, 0.2], seed=42)
     res = train_nn(
-        li, ["x1", "x2"], hidden_layers=[4], hidden_activation="SWISH",
+        train, ["x1", "x2"], hidden_layers=[4], hidden_activation="SWISH",
         optimizer="ADAM", learning_rate=0.3, max_epochs=3, seed=42,
     )
-    return (
-        li.withColumn("p", nn_score_udf(["x1", "x2"], res))
-        .groupBy("flag")
-        .agg(F.round(F.avg("p"), 4).alias("mean_score"))
-        .orderBy("flag")
-    )
+    auc = roc_auc_df(
+        valid.withColumn("p", nn_score_udf(["x1", "x2"], res)),
+        "p",
+        F.col("label") == 1.0,
+    ).collect()[0]["auc"]
+    return _fit_invariant_rows(spark, res.train_losses, auc, 0.9)
 
 
 @query("ga_varselect", None)
@@ -3995,9 +4103,17 @@ def ga_varselect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_variable_cnt=2, population_live_size=8,
         population_multiply_cnt=4, seed=42,
     )
+    # semi-verifiable (VERDICT r6 #5): the target is a known function of
+    # exactly (x_qty, x_disc) — a GA that returns anything else is broken
+    if set(res.best_features) != {"x_qty", "x_disc"}:
+        raise ValueError(f"ga sentinel: picked {sorted(res.best_features)}, "
+                         "expected ['x_disc', 'x_qty']")
     return spark.createDataFrame(
-        [(f, float(round(res.best_error, 6))) for f in sorted(res.best_features)],
-        "feature string, best_valid_mse double",
+        [
+            (f, float(round(res.best_error, 6)), True)
+            for f in sorted(res.best_features)
+        ],
+        "feature string, best_valid_mse double, planted_features_found boolean",
     )
 
 
