@@ -6,12 +6,16 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so the Spark
 plumbing (schema, partitioning, batch shape) is real even where codecs
 aren't available in this container.
 
-The decode kernels are STUBS: ``decode=deterministic_fake`` produces a
-seeded, content-addressed fake decode (stable across runs — testable);
-``decode=strict`` raises NotImplementedError where a real libjpeg/ffmpeg
-binding would be called. The surrounding plan — partition sizing by
-payload bytes, per-batch Arrow transfer, output schema — is production
-shape.
+The decode kernels are REAL from-scratch implementations for the
+self-describing formats: baseline JPEG (huffman+DCT), PNG (all filter
+types), GIF (LZW), PPM, WAV/PCM, mu-law, IMA-ADPCM, FLAC (rice +
+fixed/LPC predictors), MJPEG and Y4M — each numpy-vectorized inside the
+Arrow batch, no external media library. Two formats stay HONEST STRICT
+STUBS and cap the claim: mp3 and h264 raise NotImplementedError (a
+conformant decoder is out of scope; the schema/partitioning/UDF
+plumbing around them is real and tested). ``decode=deterministic_fake``
+remains available as a seeded, content-addressed fake for plumbing
+tests that shouldn't pay decode cost.
 
 At 100 TB: binary payloads dominate partition size, so `repartition` by
 cumulative payload bytes (``target_partition_mb``) before the UDF keeps
