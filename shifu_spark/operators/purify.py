@@ -45,10 +45,14 @@ def purify(df: DataFrame, filter_expression: str | None) -> DataFrame:
 def expand_segments(df: DataFrame, segment_expressions: list[str]) -> DataFrame:
     """Union of filtered copies with a ``segment_id`` column (0 = raw data,
     i = segment expression i), matching AddColumnNumAndFilterUDF:75-99's
-    virtual-dataset semantics."""
+    virtual-dataset semantics.  Namespaced frames get the same NSColumn
+    expression binding as purify()."""
+    headers = df.columns if any("::" in c for c in df.columns) else None
     out = df.withColumn("segment_id", F.lit(0))
     for i, expr in enumerate(segment_expressions, start=1):
-        out = out.unionByName(df.filter(jexl_filter(expr)).withColumn("segment_id", F.lit(i)))
+        out = out.unionByName(
+            df.filter(jexl_filter(expr, headers)).withColumn("segment_id", F.lit(i))
+        )
     return out
 
 
