@@ -101,6 +101,54 @@ class TestJexlTranslation:
             jexl_to_sql(expr)
 
 
+class TestNsColumnProperties:
+    _seg = st.text(
+        alphabet="abcxyz_", min_size=1, max_size=4
+    )
+
+    @given(st.lists(_seg, min_size=1, max_size=4), st.lists(_seg, min_size=1, max_size=4))
+    @settings(max_examples=200, deadline=None)
+    def test_equality_is_suffix_match_and_symmetric(self, pa, pb):
+        from shifu_spark.catalog.nscolumn import ns_equals
+
+        a, b = "::".join(pa), "::".join(pb)
+        n = min(len(pa), len(pb))
+        expected = pa[-n:] == pb[-n:]
+        assert ns_equals(a, b) == expected
+        assert ns_equals(a, b) == ns_equals(b, a)  # NSColumn.equals symmetry
+
+    @given(st.lists(st.lists(_seg, min_size=1, max_size=3), min_size=1, max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def test_resolve_simple_name_is_last_leaf_match(self, paths):
+        """resolve(leaf) == the LAST header whose leaf matches — the
+        DataPurifier.java:115-119 JexlContext.set overwrite order."""
+        from shifu_spark.catalog.nscolumn import resolve, simple_name
+
+        headers = ["::".join(p) for p in paths]
+        leaf = simple_name(headers[0])
+        want = [h for h in headers if simple_name(h) == leaf][-1]
+        assert resolve(leaf, headers) == want
+
+
+class TestRangeBucketFloorDiv:
+    @given(
+        st.integers(-(2**62), 2**62),
+        st.integers(1, 10**12),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_fdiv_matches_python_floordiv_all_magnitudes(self, v, bucket):
+        """The decimal-division floor-div must equal Python's exact //
+        over the full long domain — a DOUBLE path would start failing
+        past 2^53 (ADVICE r6 medium)."""
+        from decimal import Decimal
+
+        # replicate the operator's arithmetic: (v - nonneg_mod) / bucket
+        # in exact decimal, then integer cast
+        nonneg_mod = ((v % bucket) + bucket) % bucket
+        q = int(Decimal(v - nonneg_mod) / Decimal(bucket))
+        assert q == v // bucket
+
+
 class TestSeqDotExactness:
     @given(
         st.integers(1, 40),
