@@ -248,6 +248,11 @@ HEADLINE_STAGES = {
     "confusion_matrix_scalable": "eval",
     # round-7 new operator: NSColumn namespaced-header addressing
     "ns_purify_filter": "query",
+    # round-7 TPC-H completion: the last 4 classic shapes
+    "tpch_q2_min_cost_supplier": "query",
+    "tpch_q11_important_stock": "query",
+    "tpch_q12_priority_shipping": "query",
+    "tpch_q20_excess_stock": "query",
 }
 HEADLINE = list(HEADLINE_STAGES)
 

@@ -10690,3 +10690,331 @@ def ns_purify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch (round 7): q2, q11, q12, q20 — the last classic
+# decision-support shapes missing from the suite.  Schema substitutions
+# follow the established suite conventions (no partsupp table: the
+# part-supplier relation and unit cost derive from lineitem, as q16 did;
+# no l_shipmode/commitdate: q12 groups by returnflag with the q4-style
+# late-shipment predicate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(min(l_extendedprice / l_quantity) * 10000.0) AS BIGINT)
+           AS cost_um
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+), pc AS (
+  SELECT p_partkey, p_type, s_name, s_acctbal, n_name, cost_um
+  FROM part, ps, rs
+  WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+    AND p_size < 10 AND p_type = 'STANDARD'
+), mn AS (
+  SELECT p_partkey AS m_partkey, min(cost_um) AS min_cost
+  FROM pc GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       cost_um / 10000.0 AS min_unit_cost
+FROM pc, mn
+WHERE p_partkey = m_partkey AND cost_um = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for every small STANDARD part,
+    the EUROPE supplier(s) offering the minimum unit cost — the classic
+    correlated-MIN-subquery decorrelated to a per-part aggregate joined
+    back on (part, cost) equality.  Unit cost = min(extendedprice /
+    quantity) per (part, supplier) derived from lineitem (no partsupp
+    in schema, the q16 convention), SCALED TO EXACT INTEGER 1e-4 UNITS
+    before the min (round(x*10000) as BIGINT — a plain round(x, 4)
+    diverges cross-engine at non-representable half-boundaries, the
+    q11 lesson) so the join-back equality is exact integer equality.  Spark-first: region-pruned suppliers and filtered parts
+    both BROADCAST onto the derived ps aggregate (one lineitem
+    shuffle); the per-part min table is candidate-part-sized and
+    broadcasts back; total order on the sort keys makes LIMIT 100
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000.0, 0)
+        .cast("long")
+        .alias("cost_um")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") < 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_type")
+    )
+    pc = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(rs), ps.l_suppkey == rs.s_suppkey)
+        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "cost_um")
+    )
+    # pc is candidate-sized (filtered parts x region suppliers) but its
+    # lineage contains the full lineitem aggregate — persist it so the
+    # min branch and the join-back don't each re-run the fact scan
+    pc = pc.persist()
+    try:
+        mn = pc.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+            F.min("cost_um").alias("min_cost")
+        )
+        out = (
+            pc.join(
+                F.broadcast(mn),
+                (pc.p_partkey == mn.m_partkey) & (pc.cost_um == mn.min_cost),
+            )
+            .select(
+                "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                (F.col("cost_um") / 10000.0).alias("min_unit_cost"),
+            )
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100)
+        )
+        return _materialize_release(out, [pc])
+    except Exception:
+        pc.unpersist()
+        raise
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(min(l_extendedprice / l_quantity) * 10000.0) AS BIGINT)
+           AS cost_um,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), natps AS (
+  SELECT l_partkey, cost_um * availqty AS value_e4
+  FROM ps, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name IN ('NATION_3', 'NATION_7')
+), tot AS (
+  SELECT sum(value_e4)::BIGINT AS t_e4 FROM natps
+)
+SELECT l_partkey AS partkey,
+       sum(value_e4)::BIGINT / 10000.0 AS stock_value
+FROM natps, tot
+GROUP BY l_partkey, t_e4
+HAVING sum(value_e4)::BIGINT > t_e4 * 0.001
+ORDER BY stock_value DESC, partkey
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part stock value
+    held by two nations' suppliers, kept when above a FRACTION OF THE
+    GLOBAL TOTAL — the two-level-aggregate-with-scalar-subquery shape.
+    Stock value derives from lineitem (q16 convention) ENTIRELY IN
+    EXACT INTEGERS: unit cost as round(min(price/qty)*10000) BIGINT,
+    availqty as an integral-quantity BIGINT sum, value = their exact
+    product — per-part sums, the global total and the HAVING threshold
+    are integer arithmetic, one final /10000.0 division for display.
+    LESSON (two failed gate attempts pinned it): F.round(double, d)
+    is NOT cross-engine — Spark rounds the shortest decimal repr,
+    DuckDB the binary value, and they disagree at non-representable
+    half-boundaries (1265.17025 -> .1703 vs .1702); scale-then-round-
+    to-integer agrees everywhere because k+0.5 IS representable.
+    Spark-first: supplier/nation broadcast onto the derived ps
+    aggregate; the global total is a 1-row broadcast crossJoin; one
+    lineitem shuffle + one catalog-scale shuffle on the part key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000.0, 0)
+        .cast("long")
+        .alias("cost_um"),
+        F.round(F.sum("l_quantity"), 0).cast("long").alias("availqty"),
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    natps = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .select(
+            "l_partkey",
+            (F.col("cost_um") * F.col("availqty")).alias("value_e4"),
+        )
+    )
+    natps = natps.persist()
+    try:
+        tot = natps.agg(F.sum("value_e4").alias("t_e4"))
+        out = (
+            natps.groupBy("l_partkey")
+            .agg(F.sum("value_e4").alias("e4"))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("e4") > F.col("t_e4") * 0.001)
+            .select(
+                F.col("l_partkey").alias("partkey"),
+                (F.col("e4") / 10000.0).alias("stock_value"),
+            )
+            .orderBy(F.desc("stock_value"), "partkey")
+        )
+        rows = out.collect()
+        res = spark.createDataFrame(rows, out.schema) if rows else out
+        return res
+    finally:
+        natps.unpersist()
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    """
+SELECT l_returnflag AS ship_class,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+    AS low_line_count
+FROM lineitem, orders
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag ORDER BY ship_class
+""",
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): per ship class,
+    how many LATE lines belonged to high- vs low-priority orders — the
+    join + dual-conditional-aggregation shape.  (Schema has no
+    l_shipmode or commitdate chain: l_returnflag stands in as the ship
+    class and late = shipdate > orderdate + 60 days, the q4
+    convention.)  Spark-first: the year filter is pushed to the
+    lineitem scan; orders projects two columns and the join aggregates
+    straight into 3 groups — one fact shuffle, map-side partial
+    aggregation does the counting."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "tpch_q20_excess_stock",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE AS availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), yr AS (
+  SELECT l_partkey AS y_partkey,
+         0.5 * sum(cast(l_quantity AS DECIMAL(38,10)))::DOUBLE AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY l_partkey
+), pp AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+), excess AS (
+  SELECT DISTINCT l_suppkey
+  FROM ps, yr, pp
+  WHERE l_partkey = y_partkey AND l_partkey = p_partkey
+    AND availqty > half_qty
+)
+SELECT s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier, nation, excess
+WHERE s_nationkey = n_nationkey AND s_suppkey = l_suppkey
+  AND n_nationkey < 13
+ORDER BY s_name
+""",
+)
+def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in half the
+    nations holding EXCESS STOCK of 'small%' parts — stock above half a
+    year's shipped quantity — the nested-IN-subqueries shape collapsed
+    to semi joins.  Availqty and the yearly sum both derive from
+    lineitem through exact DECIMAL sums cast to double, so the >
+    compare is the same IEEE comparison on both engines.  Spark-first:
+    the 'small%' part list broadcasts into the derived ps aggregate,
+    the per-part yearly threshold (part-sized) broadcasts likewise, and
+    the resulting distinct supplier set is catalog-scale — a broadcast
+    left_semi against supplier ends the plan; lineitem shuffles twice
+    (once per aggregate grain), nothing else is data-scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    ps = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("availqty")
+        )
+    )
+    yr = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .groupBy(F.col("l_partkey").alias("y_partkey"))
+        .agg(
+            (
+                F.lit(0.5)
+                * F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double")
+            ).alias("half_qty")
+        )
+    )
+    excess = (
+        ps.join(F.broadcast(yr), ps.l_partkey == yr.y_partkey)
+        .filter(F.col("availqty") > F.col("half_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
