@@ -413,3 +413,45 @@ class TestFlacStereoModes:
         x = np.stack([left, right], axis=1)
         dec, _r, nch = decode_flac(encode_flac(x, stereo_mode="ms"))
         assert nch == 2 and (dec == x).all()
+
+
+class TestJexlBindingDifferential:
+    """Differential fuzz of the NSColumn expression binding: a python
+    reference evaluator (dict lookup with DataPurifier's last-wins
+    simple-name binding) vs the translated Spark filter, over random
+    namespaced frames and a small comparison/boolean grammar."""
+
+    @given(
+        st.lists(st.integers(-5, 5), min_size=1, max_size=8),
+        st.lists(st.integers(-5, 5), min_size=1, max_size=8),
+        st.sampled_from(["a", "ns::a"]),
+        st.sampled_from(["b", "m::b"]),
+        st.sampled_from(["<", ">", "<=", ">=", "==", "!="]),
+        st.sampled_from(["&&", "||"]),
+        st.integers(-4, 4),
+        st.integers(-4, 4),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_filter_matches_python_reference(
+        self, spark, avals, bvals, aref, bref, op, conj, lit_a, lit_b
+    ):
+        import operator as pyop
+
+        from shifu_spark.functions.jexl import jexl_filter
+
+        n = min(len(avals), len(bvals))
+        rows = [(avals[i], bvals[i]) for i in range(n)]
+        headers = ["ns::a", "m::b"]
+        df = spark.createDataFrame(rows, "`ns::a` int, `m::b` int")
+        expr = f"{aref} {op} {lit_a} {conj} {bref} > {lit_b}"
+        got = sorted(
+            (r["ns::a"], r["m::b"])
+            for r in df.filter(jexl_filter(expr, headers)).collect()
+        )
+        ops = {"<": pyop.lt, ">": pyop.gt, "<=": pyop.le,
+               ">=": pyop.ge, "==": pyop.eq, "!=": pyop.ne}
+        if conj == "&&":
+            want = [(a, b) for a, b in rows if ops[op](a, lit_a) and b > lit_b]
+        else:
+            want = [(a, b) for a, b in rows if ops[op](a, lit_a) or b > lit_b]
+        assert got == sorted(want)
