@@ -61,6 +61,8 @@ HEADLINE_STAGES = {
     "sensitivity_st": "train",
     "sgd_lr_train": "train",
     "nn_train": "train",
+    "wdl_forward_pinned": "train",
+    "wdl_train": "train",
     "ga_varselect": "train",
     "kmeans_step_centroids": "similarity",
     "embedding_ivf_topk": "similarity",

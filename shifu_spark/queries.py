@@ -11018,3 +11018,125 @@ def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide & Deep (§2.10 — core/dtrain/wdl/, the last training family)
+# ---------------------------------------------------------------------------
+
+
+@query("wdl_forward_pinned", None)
+def wdl_forward_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide&Deep scoring with PINNED weights — the hash-checkable half of
+    the W&D family (the fit stays rows-only). Drives the REAL scoring
+    path — ml/wdl's ``wdl_score_udf`` → ``_wdl_forward`` over the flat
+    weight layout — against a literal model: 2 dense features, one
+    3-category sparse field with a 2-wide embedding, one SIGMOID hidden
+    pair, LINEAR deep output, combined as WideAndDeep.java:163-202
+    (p = sigmoid(wide_logit + deep_logit)). The oracle restates the
+    same closed form in SQL with CASE lookups for the per-category wide
+    weight and embedding rows. |logit| < 3 everywhere — far from the
+    sigmoid clip — so the clip-free oracle is exact."""
+    from shifu_spark.ml.wdl import WDLModel, wdl_score_udf
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("cat"),
+    )
+    # flat layout per ml/wdl module docstring:
+    weights = [
+        0.3, -0.2, 0.1,          # wide field weights cat 0/1/2
+        0.5, -0.4,               # wide dense (x1, x2)
+        0.05,                    # wide bias
+        0.2, -0.1,               # embedding row cat=0
+        -0.3, 0.4,               # embedding row cat=1
+        0.1, 0.25,               # embedding row cat=2
+        0.6, -0.5,               # deep layer1: x1 -> h1,h2
+        0.8, 0.3,                # x2
+        -0.7, 0.9,               # e1
+        0.4, -0.6,               # e2
+        0.1, -0.1,               # layer1 bias
+        1.2, -0.9,               # h -> deep out
+        0.15,                    # deep out bias
+    ]
+    model = WDLModel(
+        dense_cols=["x1", "x2"], sparse_cols=["cat"], cardinalities=[3],
+        embed_dim=2, hidden_layers=[2], hidden_activation="SIGMOID",
+        weights=weights,
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(wdl_score_udf(model), 6).alias("score"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["wdl_forward_pinned"] = """
+WITH x AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS cat
+  FROM lineitem
+),
+e AS (
+  SELECT l_orderkey, l_linenumber, x1, x2,
+         CASE cat WHEN 0 THEN 0.3 WHEN 1 THEN -0.2 ELSE 0.1 END AS wf,
+         CASE cat WHEN 0 THEN 0.2 WHEN 1 THEN -0.3 ELSE 0.1 END AS e1,
+         CASE cat WHEN 0 THEN -0.1 WHEN 1 THEN 0.4 ELSE 0.25 END AS e2
+  FROM x
+),
+h AS (
+  SELECT l_orderkey, l_linenumber,
+         0.5*x1 + -0.4*x2 + 0.05 + wf AS wide,
+         1.0 / (1.0 + exp(-(0.6*x1 + 0.8*x2 + -0.7*e1 + 0.4*e2 + 0.1))) AS h1,
+         1.0 / (1.0 + exp(-(-0.5*x1 + 0.3*x2 + 0.9*e1 + -0.6*e2 + -0.1))) AS h2
+  FROM e
+)
+SELECT l_orderkey, l_linenumber,
+       round(1.0 / (1.0 + exp(-(wide + 1.2*h1 + -0.9*h2 + 0.15))), 6) AS score
+FROM h ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("wdl_train", None)
+def wdl_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Wide&Deep training (core/dtrain/wdl BSP as mapInPandas
+    partial gradients + driver optimizer, ml/wdl.py — wide sparse
+    lookups + embedding scatter-add gradients, deep MLP, combined-logit
+    sigmoid). Rows-only but semi-verifiable: per-epoch loss decrease +
+    held-out AUC >= 0.9 on the planted separable target, asserted
+    in-query."""
+    from shifu_spark.ml.wdl import train_wdl, wdl_score_udf
+    from shifu_spark.operators.eval_metrics import roc_auc_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    data = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("cat"),
+        (F.col("l_quantity") > 25).cast("double").alias("label"),
+    )
+    train, valid = data.randomSplit([0.8, 0.2], seed=42)
+    model = train_wdl(
+        train, ["x1", "x2"], ["cat"], [3], embed_dim=2, hidden_layers=[4],
+        hidden_activation="RELU", optimizer="ADAM", learning_rate=0.3,
+        max_epochs=8, seed=42,
+    )
+    auc = roc_auc_df(
+        valid.withColumn("p", wdl_score_udf(model)),
+        "p",
+        F.col("label") == 1.0,
+    ).collect()[0]["auc"]
+    return _fit_invariant_rows(spark, model.train_losses, auc, 0.9)
