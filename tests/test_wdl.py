@@ -183,3 +183,61 @@ def test_score_udf_matches_local_forward(spark, wdl_fixture_df):
         w, n_dense, cards, embed_dim, deep_layers, deep_acts,
     )
     np.testing.assert_allclose(pdf["p"].to_numpy(), p_local, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Property: the analytic gradient matches numerical differentiation for
+# ARBITRARY architectures (depths, widths, cardinalities, activations),
+# not just the fixed fixtures above — the same differential-fuzz posture
+# as the JEXL/NSColumn property tests.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _wdl_shapes(draw):
+    n_dense = draw(st.integers(1, 3))
+    cards = draw(st.lists(st.integers(2, 5), min_size=1, max_size=3))
+    embed_dim = draw(st.integers(1, 3))
+    hidden = draw(st.lists(st.integers(1, 4), min_size=1, max_size=2))
+    act = draw(st.sampled_from(["SIGMOID", "TANH", "RELU", "SWISH"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return n_dense, cards, embed_dim, hidden, act, seed
+
+
+@given(_wdl_shapes())
+@settings(max_examples=40, deadline=None)
+def test_gradient_matches_numerical_any_architecture(shape):
+    n_dense, cards, embed_dim, hidden, act, seed = shape
+    rng = np.random.default_rng(seed)
+    deep_layers = [n_dense + len(cards) * embed_dim, *hidden, 1]
+    deep_acts = [act] * len(hidden) + ["LINEAR"]
+    w = rng.normal(0, 0.4, _n_weights(n_dense, cards, embed_dim, deep_layers))
+    n = 6
+    xd = rng.normal(0, 1, (n, n_dense))
+    xs = np.column_stack([rng.integers(0, c, n) for c in cards])
+    y = rng.integers(0, 2, n).astype(float)
+    g, _ = _wdl_backprop(xd, xs, y, w, n_dense, cards, embed_dim, deep_layers, deep_acts)
+    # spot-check a deterministic slice of coordinates (full sweep x 40
+    # examples would be slow); always cover the first wide weight, the
+    # bias, one embedding cell and one deep cell
+    idx = sorted({0, sum(cards) + n_dense, len(w) - 1,
+                  sum(cards) + n_dense + 1 + (len(w) // 3),
+                  (2 * len(w)) // 3})
+    h = 1e-6
+
+    def loss_at(wv):
+        p, _ = _wdl_forward(xd, xs, wv, n_dense, cards, embed_dim, deep_layers, deep_acts)
+        eps = 1e-12
+        return float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+
+    for i in idx:
+        wp, wm = w.copy(), w.copy()
+        wp[i] += h
+        wm[i] -= h
+        num = (loss_at(wp) - loss_at(wm)) / (2 * h)
+        # RELU kinks can put a coordinate exactly on the non-differentiable
+        # boundary for SOME example; tolerate by absolute-and-relative band
+        assert abs(num - g[i]) < 1e-4 + 1e-4 * abs(num), (i, num, g[i])
