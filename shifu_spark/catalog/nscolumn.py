@@ -41,11 +41,19 @@ def ns_equals(a: str, b: str) -> bool:
 def resolve(identifier: str, headers: list[str]) -> str | None:
     """The header an expression identifier binds to, or None.
 
-    Last match wins on simple-name collisions, mirroring DataPurifier's
-    header-order JexlContext.set overwrite (DataPurifier.java:115-119).
+    DataPurifier.java:115-119 sets exactly TWO JexlContext keys per
+    header — its full name and its simple (leaf) name — so an expression
+    identifier binds iff it equals one of those keys; later headers
+    overwrite earlier ones (JexlContext.set in header order), which is
+    the last-wins rule on simple-name collisions.  General suffix
+    matching (``ns_equals``) must NOT be used here: it is symmetric, so
+    a bare header ``score`` would capture the LONGER exact identifier
+    ``a::score`` when it appears later in the header list, silently
+    binding the filter to the wrong column — the reference's exact
+    context keys can never do that.
     """
     found: str | None = None
     for h in headers:
-        if ns_equals(identifier, h):
+        if identifier == h or identifier == simple_name(h):
             found = h
     return found

@@ -33,8 +33,6 @@ _REWRITES = [
 
 _FORBIDDEN = re.compile(r"(new\s+\w|\.\w+\s*\(|\[\]|=~|!~|\bsize\s*\(|\bempty\s*\()")
 
-_TERNARY = re.compile(r"^(.*?)\?(.*):(.*)$")
-
 
 _SQL_KEYWORDS = {
     "AND", "OR", "NOT", "NULL", "TRUE", "FALSE",
@@ -45,6 +43,50 @@ _SQL_KEYWORDS = {
 # us from starting mid-number (1e5) or mid-token
 _IDENT = re.compile(r"(?<![\w:.])[A-Za-z_]\w*(?:::[A-Za-z_]\w*)*")
 _QUOTED = re.compile(r"'[^']*'|\"[^\"]*\"")
+
+
+def _map_outside_quotes(s: str, fn) -> str:
+    """Apply ``fn`` to every span of ``s`` OUTSIDE quoted string literals.
+
+    Every textual transformation in this module must route through this:
+    JEXL string literals are DATA — rewriting ``'true'`` to ``'TRUE'`` or
+    ``'a&&b'`` to ``'a AND b'`` silently changes which rows a filter
+    matches."""
+    out: list[str] = []
+    pos = 0
+    for m in _QUOTED.finditer(s):
+        out.append(fn(s[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(s[pos:]))
+    return "".join(out)
+
+
+def _split_ternary(s: str) -> tuple[str, str, str] | None:
+    """Split ``cond ? a : b`` at the first ``?`` and last lone ``:``,
+    both OUTSIDE quoted literals; a ``:`` that is part of a ``::``
+    namespace delimiter is never a ternary separator.  Returns
+    (cond, a, b) or None.  (The old regex split at the last ``:``
+    anywhere, which landed inside ``ns::name`` identifiers and inside
+    quoted literals in the else branch.)"""
+    qmark = colon = None
+    quote: str | None = None
+    for i, ch in enumerate(s):
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "?" and qmark is None:
+            qmark = i
+        elif ch == ":" and qmark is not None:
+            if (i > 0 and s[i - 1] == ":") or (i + 1 < len(s) and s[i + 1] == ":"):
+                continue
+            colon = i
+    if qmark is None or colon is None or colon < qmark:
+        return None
+    return s[:qmark], s[qmark + 1 : colon], s[colon + 1 :]
 
 
 def bind_headers(sql: str, headers: list[str]) -> str:
@@ -91,18 +133,26 @@ def jexl_to_sql(expr: str, headers: list[str] | None = None) -> str:
     behavior, correct when the DataFrame's columns are leaf-named).
     Anything else -> ValueError.
     """
-    if _FORBIDDEN.search(expr):
+    forbidden: list[str] = []
+    _map_outside_quotes(expr, lambda seg: forbidden.extend(_FORBIDDEN.findall(seg)) or seg)
+    if forbidden:
         raise ValueError(f"unsupported JEXL construct in {expr!r}")
     s = expr.strip()
     if headers is None:
-        # namespace collapse: ns::col -> col (column/NSColumn.java)
-        s = re.sub(r"\b\w+::(\w+)", r"\1", s)
-    m = _TERNARY.match(s)
-    if m and "?" not in m.group(1):
-        cond, a, b = (jexl_to_sql(g, headers) for g in m.groups())
+        # namespace collapse: ns::col -> col (column/NSColumn.java);
+        # quoted literals containing '::' are data, not identifiers
+        s = _map_outside_quotes(s, lambda seg: re.sub(r"\b\w+::(\w+)", r"\1", seg))
+    parts = _split_ternary(s)
+    if parts is not None and "?" not in parts[0]:
+        cond, a, b = (jexl_to_sql(g, headers) for g in parts)
         return f"CASE WHEN {cond} THEN {a} ELSE {b} END"
-    for pat, rep in _REWRITES:
-        s = pat.sub(rep, s)
+
+    def _rewrite(seg: str) -> str:
+        for pat, rep in _REWRITES:
+            seg = pat.sub(rep, seg)
+        return seg
+
+    s = _map_outside_quotes(s, _rewrite)
     if headers is not None:
         s = bind_headers(s, headers)
     return s

@@ -220,6 +220,10 @@ def train_wdl(
     ``sparse_cols`` must hold integer category indices in
     [0, cardinality) — out-of-range indices raise in the worker (the
     reference's SparseInput carries pre-validated valueIndex)."""
+    if len(sparse_cols) != len(cardinalities):
+        raise ValueError("wdl: sparse_cols and cardinalities must align")
+    if not dense_cols and not sparse_cols:
+        raise ValueError("wdl: model has no feature columns")
     deep_layers = [len(dense_cols) + len(sparse_cols) * embed_dim,
                    *list(hidden_layers), 1]
     deep_acts = [hidden_activation] * len(hidden_layers) + ["LINEAR"]
@@ -279,12 +283,25 @@ def wdl_score_udf(model: WDLModel):
     deep_layers = model.deep_layers
     deep_acts = model.deep_acts
 
+    if not model.dense_cols and not model.sparse_cols:
+        raise ValueError("wdl: model has no feature columns")
+
     @pandas_udf("double")
     def score(*cols: pd.Series) -> pd.Series:
-        xd = np.column_stack(
-            [c.to_numpy(dtype=np.float64) for c in cols[:n_dense]])
-        xs = np.column_stack(
-            [c.to_numpy(dtype=np.int64) for c in cols[n_dense:]])
+        n = len(cols[0])
+        # np.column_stack([]) raises — a dense-only or sparse-only model
+        # (both are legitimate: the wide half alone is plain sparse LR)
+        # needs an explicit (n, 0) empty side
+        xd = (
+            np.column_stack([c.to_numpy(dtype=np.float64) for c in cols[:n_dense]])
+            if n_dense
+            else np.empty((n, 0))
+        )
+        xs = (
+            np.column_stack([c.to_numpy(dtype=np.int64) for c in cols[n_dense:]])
+            if len(cols) > n_dense
+            else np.empty((n, 0), dtype=np.int64)
+        )
         p, _ = _wdl_forward(xd, xs, w, n_dense, cards, embed_dim,
                             deep_layers, deep_acts)
         return pd.Series(p)

@@ -138,8 +138,7 @@ def salted_join(
     overlap = set(skewed.columns) & set(other.columns)
     if overlap:
         raise ValueError(f"skewed/other column names must be disjoint: {sorted(overlap)}")
-    taken = [c for c in (*skewed.columns, *other.columns) if c == "__salt"]
-    if taken:
+    if "__salt" in skewed.columns or "__salt" in other.columns:
         raise ValueError("inputs must not already carry a __salt column")
     salt_src = F.concat_ws(
         "|", F.col(skewed_key).cast("string"), F.col(salt_on).cast("string")

@@ -1714,8 +1714,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     if kept.get("R") != totals.get("R"):
         raise ValueError(f"sample sentinel: positives not all kept ({kept.get('R')}/{totals.get('R')})")
-    for tag, n in kept.items():
-        frac = n / totals[tag]
+    # iterate TOTALS, not kept: a tag whose rows were ALL dropped is
+    # absent from `kept` and would otherwise escape the assertion
+    for tag, n in totals.items():
+        frac = kept.get(tag, 0) / n
         if tag != "R" and not 0.05 <= frac <= 0.15:
             raise ValueError(f"sample sentinel: tag {tag} keep-fraction {frac} far from 0.1")
     return spark.createDataFrame(
@@ -10826,7 +10828,7 @@ SELECT l_partkey AS partkey,
        sum(value_e4)::BIGINT / 10000.0 AS stock_value
 FROM natps, tot
 GROUP BY l_partkey, t_e4
-HAVING sum(value_e4)::BIGINT > t_e4 * 0.001
+HAVING sum(value_e4)::BIGINT * 1000 > t_e4
 ORDER BY stock_value DESC, partkey
 """,
 )
@@ -10878,18 +10880,23 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             natps.groupBy("l_partkey")
             .agg(F.sum("value_e4").alias("e4"))
             .crossJoin(F.broadcast(tot))
-            .filter(F.col("e4") > F.col("t_e4") * 0.001)
+            # fraction-of-total in INTEGER arithmetic: `e4 > t_e4 * 0.001`
+            # promotes both sides to DOUBLE in Spark (0.001 is a double
+            # literal) while DuckDB's 0.001 is DECIMAL(4,3) — an exact
+            # compare — so a part sitting exactly at t_e4/1000 diverges
+            # cross-engine; e4 * 1000 > t_e4 is exact on both (ANSI mode
+            # errors loudly on the ~9e15-unit overflow bound)
+            .filter(F.col("e4") * 1000 > F.col("t_e4"))
             .select(
                 F.col("l_partkey").alias("partkey"),
                 (F.col("e4") / 10000.0).alias("stock_value"),
             )
             .orderBy(F.desc("stock_value"), "partkey")
         )
-        rows = out.collect()
-        res = spark.createDataFrame(rows, out.schema) if rows else out
-        return res
-    finally:
+        return _materialize_release(out, [natps])
+    except Exception:
         natps.unpersist()
+        raise
 
 
 @query(

@@ -192,6 +192,53 @@ class TestJexl:
         got = [r[0] for r in df.select(jexl_weight("w * 1")).collect()]
         assert got == [2.0, 1.0, 1.0]
 
+    def test_exact_full_name_is_never_captured_by_shorter_header(self):
+        """resolve() binds an identifier iff it equals a header's FULL
+        name or its simple (leaf) name — the two JexlContext keys
+        DataPurifier.java:115-119 actually sets.  Symmetric suffix
+        matching would let a LATER bare header 'score' capture the
+        exact identifier 'a::score' and silently read the wrong
+        column."""
+        from shifu_spark.catalog.nscolumn import resolve
+
+        assert resolve("a::score", ["a::score", "score"]) == "a::score"
+        assert resolve("score", ["a::score", "score"]) == "score"
+        # intermediate suffixes are NOT context keys in the reference:
+        # header 'a::b::c' binds only 'a::b::c' and 'c'
+        assert resolve("b::c", ["a::b::c"]) is None
+
+    def test_quoted_literals_survive_every_rewrite(self):
+        """JEXL string literals are data: the keyword/operator rewrites
+        and the namespace collapse must not touch text inside quotes."""
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        assert jexl_to_sql("tag == 'true'") == "tag = 'true'"
+        assert jexl_to_sql("tag == 'null'") == "tag = 'null'"
+        assert jexl_to_sql("name == 'a&&b'") == "name = 'a&&b'"
+        assert jexl_to_sql("path == 'x::y'") == "path = 'x::y'"
+        assert jexl_to_sql("tag == 'true'", ["ns::tag"]) == "`ns::tag` = 'true'"
+        # forbidden constructs inside quotes are data too
+        assert jexl_to_sql("name == 'x.size()'") == "name = 'x.size()'"
+
+    def test_ternary_split_ignores_ns_delimiters_and_quoted_colons(self):
+        """The ternary's ':' separator must skip '::' namespace
+        delimiters and ':' inside quoted literals — the old last-':'
+        regex split inside 'm::b' and inside 'b:c'."""
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        assert (
+            jexl_to_sql("a > 1 ? 1 : m::b", ["ns::a", "m::b"])
+            == "CASE WHEN `ns::a` > 1 THEN 1 ELSE `m::b` END"
+        )
+        assert (
+            jexl_to_sql("x > 0 ? y : 'b:c'", ["q::x", "p::y"])
+            == "CASE WHEN `q::x` > 0 THEN `p::y` ELSE 'b:c' END"
+        )
+        assert (
+            jexl_to_sql("x > 0 ? 'a:b' : y", ["q::x", "p::y"])
+            == "CASE WHEN `q::x` > 0 THEN 'a:b' ELSE `p::y` END"
+        )
+
 
 class TestDedup:
     def test_simhash_deterministic_and_selfconsistent(self, spark):

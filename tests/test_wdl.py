@@ -241,3 +241,27 @@ def test_gradient_matches_numerical_any_architecture(shape):
         # RELU kinks can put a coordinate exactly on the non-differentiable
         # boundary for SOME example; tolerate by absolute-and-relative band
         assert abs(num - g[i]) < 1e-4 + 1e-4 * abs(num), (i, num, g[i])
+
+
+def test_sparse_only_model_trains_and_scores(spark):
+    """A wide+embeddings-only model (no dense columns) is legitimate —
+    the wide half alone is sparse LR.  Scoring previously crashed on
+    np.column_stack([]) for the empty dense side."""
+    rows = [(int(i % 3), 1.0 if i % 3 == 1 else 0.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "cat int, label double")
+    model = train_wdl(
+        df, [], ["cat"], [3], embed_dim=2, hidden_layers=[2],
+        hidden_activation="SIGMOID", optimizer="ADAM", learning_rate=0.3,
+        max_epochs=15, seed=5,
+    )
+    scored = df.withColumn("p", wdl_score_udf(model)).collect()
+    acc = np.mean([(r["p"] > 0.5) == (r["label"] == 1.0) for r in scored])
+    assert acc > 0.95, acc
+
+
+def test_no_feature_model_rejected(spark):
+    df = spark.createDataFrame([(1.0,)], "label double")
+    with pytest.raises(ValueError, match="no feature"):
+        train_wdl(df, [], [], [], label_col="label")
+    with pytest.raises(ValueError, match="align"):
+        train_wdl(df, [], ["cat"], [3, 4], label_col="label")
