@@ -68,7 +68,16 @@ def equal_population_boundaries(
         pop = pop.filter(F.col(tag_col).isin(neg_tags or []))
     qs = [i / num_bins for i in range(num_bins)]
     if exact:
-        arr = pop.agg(F.expr(f"percentile({col}, array({','.join(str(q) for q in qs)}))")).collect()[0][0]
+        # aggregate over the SAME cast the filter used: the raw column
+        # may be string-typed (shifu-style raw text input) — exact
+        # percentile over the uncast column would throw or, with mixed
+        # junk tokens, disagree with the try_cast-filtered population
+        arr = pop.agg(
+            F.expr(
+                f"percentile(try_cast({col} AS DOUBLE), "
+                f"array({','.join(str(q) for q in qs)}))"
+            )
+        ).collect()[0][0]
     else:
         arr = pop.agg(F.percentile_approx(v, qs, 10000)).collect()[0][0]
     if arr is None:
@@ -288,6 +297,12 @@ def small_bin_counts(
     Returns (small_bin, lo, cnt, pos, neg) ordered by small_bin.
     """
     v = F.col(col).cast("double")
+    # valid values only: F.least SKIPS nulls, so a NULL/unparseable value
+    # would otherwise land in the TOP small bin (floor(NULL)=NULL,
+    # least(NULL, k-1)=k-1) and corrupt the equal-population merge —
+    # missing values are counted separately by the stats path, never
+    # inside value bins (UpdateBinningInfoReducer missing-slot handling)
+    df = df.filter(v.isNotNull())
     mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
     k = num_small_bins
     b = F.least(F.floor((v - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
@@ -358,11 +373,16 @@ def hybrid_bin_index_expr(
 
     Index layout (BinUtils hybrid split): [numeric bins][cate bins][missing].
 
-    Category key contract: ``categories`` entries MUST be the plain
-    ``%.2f`` rendering of the value — fixed two decimals, '.' separator,
-    NO thousands grouping (e.g. ``"1234.00"``, not ``"1,234.00"``).
+    Category key contract: NUMERIC category values MUST be stored as
+    their plain ``%.2f`` rendering — fixed two decimals, '.' separator,
+    NO thousands grouping (e.g. ``"1234.00"``, not ``"1,234.00"``;
     ``format_string`` is locale-free, unlike ``format_number`` whose
-    grouping separators would silently miss every value >= 1000.
+    grouping separators would silently miss every value >= 1000) —
+    which normalizes numeric-token spellings ("10" == "10.0" ==
+    "10.00"). NON-numeric category tokens (e.g. ``"N/A"``) are stored
+    raw, and the lookup tries the RAW token first (the reference's
+    map-over-raw-string order) so they resolve to their category slot
+    rather than falling through to the missing slot.
     """
     _ = threshold  # binning-time parameter; lookup is categorical-first
     c = F.col(col) if isinstance(col, str) else col
@@ -370,12 +390,16 @@ def hybrid_bin_index_expr(
     n_num = len(boundaries)
     missing = n_num + len(categories)
     num_idx = bin_index_expr(cd, boundaries, missing_index=missing)
-    cate_idx = categorical_index_expr(
+    raw_idx = categorical_index_expr(
+        c.cast("string"), categories, missing_index=-1 - n_num
+    ) + n_num
+    fmt_idx = categorical_index_expr(
         F.format_string("%.2f", cd), categories, missing_index=-1 - n_num
     ) + n_num
     return (
-        F.when(cd.isNull(), F.lit(missing))
-        .when(cate_idx >= n_num, cate_idx)
+        F.when(raw_idx >= n_num, raw_idx)
+        .when(cd.isNull(), F.lit(missing))
+        .when(fmt_idx >= n_num, fmt_idx)
         .otherwise(num_idx)
     )
 

@@ -437,9 +437,27 @@ def dedup_groups_df(
         pinned = joined
         labels = joined.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    else:
+        converged = False
     edges.unpersist()
-    return labels
+    if not converged:
+        # a transitive chain longer than max_iterations hops: returning
+        # the partial labels would silently keep extra duplicates
+        # downstream (non-minimal group ids look like distinct groups)
+        pinned.unpersist()
+        raise ValueError(
+            f"dedup_groups: label propagation did not converge within "
+            f"{max_iterations} rounds — the graph has a near-dup chain "
+            "longer than that; raise max_iterations"
+        )
+    # hand back an executor-side materialization and release the final
+    # round's cache (the module's cache-release contract): the caller
+    # gets data, not a frame pinned to a persist it cannot see
+    out = labels.localCheckpoint(eager=True)
+    pinned.unpersist()
+    return out
 
 
 def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -527,8 +527,19 @@ def _curve_metrics_impl(
         # accumulation -> exact / partition-order-independent. Counts stay
         # in INTEGER arithmetic (a 2.0 literal would detour through
         # doubles and lose exactness past 2^53); weights are doubles.
-        two = F.lit(2.0) if weight_col else F.lit(2)
-        u2 = F.sum((F.col(neg) * (two * cpos - F.col(pos))).cast(u2_type))
+        # The integer path must cast OPERANDS to decimal before the
+        # multiply: neg·(2·cum_pos − pos) in BIGINT overflows (ANSI: loud
+        # error) near 3e9·3e9 per-term — exactly the ≥1e12-row regime the
+        # decimal sum exists for. (2·cum_pos − pos) alone stays in long:
+        # it only overflows past ~4.6e18 positives. Values are unchanged
+        # wherever the long product didn't overflow, so oracles agree.
+        if weight_col:
+            u2 = F.sum((F.col(neg) * (F.lit(2.0) * cpos - F.col(pos))).cast(u2_type))
+        else:
+            u2 = F.sum(
+                F.col(neg).cast(u2_type)
+                * (F.lit(2) * cpos - F.col(pos)).cast(u2_type)
+            )
         agg = t.agg(
             u2.alias("u2"),
             pr_inner.alias("pr_inner"),

@@ -47,10 +47,16 @@ def pagerank_df(
     nodes.unpersist()
 
     base = float(1.0 - damping) / n
-    ranks = ed.select("src").distinct().select(
+    # the full node universe (all sources — complete under the documented
+    # no-dangling assumption). Each superstep LEFT-joins it with the
+    # contribution sums: a node with zero IN-degree must keep rank
+    # (1-d)/N and keep contributing, not silently vanish from the rank
+    # table (an inner groupBy(dst) drops it after the first iteration
+    # and loses its out-flow mass with it).
+    all_nodes = ed.select("src").distinct().persist()
+    ranks = all_nodes.select(
         F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank")
     )
-    pinned = None
     for _ in range(iters):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
@@ -61,18 +67,22 @@ def pagerank_df(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(float(damping)) * F.col("s").cast("double")).alias(
-                "rank"
-            ),
-        ).localCheckpoint(eager=True)
-        if pinned is not None:
-            # previous checkpoint no longer referenced; let GC reclaim
-            pinned = None
-        pinned = new_ranks
-        ranks = new_ranks
+        ranks = (
+            all_nodes.join(contrib, all_nodes.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.lit(base)
+                    + F.lit(float(damping))
+                    * F.coalesce(
+                        F.col("s"), F.lit(0).cast("decimal(38,10)")
+                    ).cast("double")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
     ed.unpersist()
+    all_nodes.unpersist()
     return ranks
 
 
@@ -91,13 +101,22 @@ def pagerank_unrolled_sql(
         "pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM deg, n)",
     ]
     for i in range(1, iters + 1):
+        # LEFT JOIN against the full node universe mirrors pagerank_df:
+        # zero-in-degree nodes keep rank (1-d)/N (COALESCE over the
+        # missing decimal sum) instead of vanishing from the rank table
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         sum(CAST(pr{i - 1}.rank / deg.outdeg AS DECIMAL(38,10))) AS s
+  FROM pr{i - 1} JOIN e ON pr{i - 1}.node = e.src JOIN deg ON pr{i - 1}.node = deg.src
+  GROUP BY e.dst)"""
+        )
         parts.append(
             f"""pr{i} AS (
-  SELECT e.dst AS node,
+  SELECT deg.src AS node,
          CAST({1.0 - damping} AS DOUBLE) / n.n
-           + CAST({damping} AS DOUBLE) * CAST(sum(CAST(pr{i - 1}.rank / deg.outdeg AS DECIMAL(38,10))) AS DOUBLE) AS rank
-  FROM pr{i - 1} JOIN e ON pr{i - 1}.node = e.src JOIN deg ON pr{i - 1}.node = deg.src, n
-  GROUP BY e.dst, n.n)"""
+           + CAST({damping} AS DOUBLE) * CAST(COALESCE(c{i}.s, CAST(0 AS DECIMAL(38,10))) AS DOUBLE) AS rank
+  FROM deg CROSS JOIN n LEFT JOIN c{i} ON deg.src = c{i}.node)"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM pr{iters}"
 

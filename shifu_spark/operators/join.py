@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 def dedup_first_per_key(df: DataFrame, key: str, order_cols: list[str] | None = None) -> DataFrame:
     """Take one row per key (deterministic order — the reference takes the
     bag's first tuple, which is nondeterministic; we sort for testability)."""
-    order = [F.col(c) for c in (order_cols or df.columns if order_cols is not None else df.columns)]
+    order = [F.col(c) for c in (order_cols or df.columns)]
     w = Window.partitionBy(key).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

@@ -42,11 +42,12 @@ def bpe_piece_count_expr(text: Column | str) -> Column:
     stand-in for a real tokenizer's piece count at pretrain-data scale.
     """
     t = F.col(text) if isinstance(text, str) else text
-    return F.size(F.expr(f"regexp_extract_all(lower({_n(text)}), '[a-z0-9]+|[^a-z0-9 ]', 0)"))
-
-
-def _n(text: Column | str) -> str:
-    return text if isinstance(text, str) else "text"
+    # built from the Column itself — an f-string SQL interpolation can
+    # only name str inputs and silently read the wrong column for a
+    # Column argument
+    return F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))
+    )
 
 
 def stopword_fraction_expr(text: Column | str, stopwords: list[str] | None = None) -> Column:
@@ -79,16 +80,19 @@ def quality_score_expr(text: Column | str, n_chars: Column | str | None = None) 
 
 
 def lang_id_expr(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
-    """Argmax of per-language marker-token hit counts; tie/zero -> 'und'.
+    """Argmax of per-language marker-token hit counts; zero hits -> 'und'.
 
-    Deterministic tie-break: higher count wins, then language code asc.
+    Deterministic tie-break: higher count wins; on an exact count tie
+    the lexicographically LARGER code wins (the fold processes languages
+    desc with strict ``>``, so the earlier-processed one survives a tie
+    — every oracle mirrors this order with a desc-ordered CASE).
     """
     m = markers or LANG_MARKERS
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(t), " ")
     best_lang = F.lit("und")
     best_cnt = F.lit(0)
-    for lang in sorted(m.keys(), reverse=True):  # asc-priority under strict >
+    for lang in sorted(m.keys(), reverse=True):  # desc: earlier wins ties
         cnt = F.size(F.filter(toks, lambda x: x.isin(m[lang])))
         better = cnt > best_cnt
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
@@ -416,7 +420,7 @@ def lang_mixture_df(
         total = total + counts[lang]
     best_lang = F.lit("und")
     best_cnt = F.lit(0)
-    for lang in sorted(langs, reverse=True):  # asc-priority under strict >
+    for lang in sorted(langs, reverse=True):  # desc: earlier wins ties (see lang_id_expr)
         better = counts[lang] > best_cnt
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_cnt = F.when(better, counts[lang]).otherwise(best_cnt)

@@ -605,6 +605,23 @@ class TestDynamicHybridBinning:
         #   NULL -> missing 5
         assert got == [0, 1, 2, 3, 1, 4, 5]
 
+    def test_hybrid_bin_index_raw_token_categories(self, spark):
+        """Non-numeric category tokens (collected by hybrid_is_category_expr
+        as unparseable) must resolve to their category slot via the RAW
+        token lookup — the %.2f-only key sent every such token to the
+        missing slot because try_cast is NULL for them."""
+        from shifu_spark.operators.binning import hybrid_bin_index_expr
+
+        df = spark.createDataFrame(
+            [("N/A",), ("0.5",), ("10",), ("10.0",), ("oops",), (None,)], "v string"
+        )
+        e = hybrid_bin_index_expr("v", 10.0, [0.0, 1.0], ["N/A", "10.00"])
+        got = [r[0] for r in df.select(e.alias("i")).collect()]
+        # N/A -> cate0 -> 2; 0.5 -> bin0; "10"/"10.0" both normalize to
+        # "10.00" -> cate1 -> 3; unparseable non-category -> missing 4;
+        # NULL -> missing 4
+        assert got == [2, 0, 3, 3, 4, 4]
+
     def test_hybrid_is_category_split(self, spark):
         from shifu_spark.operators.binning import hybrid_is_category_expr
 
@@ -1407,6 +1424,36 @@ class TestPageRank:
         a = {r["node"]: r["rank"] for r in pagerank_df(edges, iters=3).collect()}
         b = {r["node"]: r["rank"] for r in pagerank_df(edges.repartition(17), iters=3).collect()}
         assert a == b
+
+    def test_zero_in_degree_node_kept(self, spark):
+        """A node with out-edges but NO in-edges must stay in the rank
+        table at (1-d)/N-plus-nothing and keep feeding its targets —
+        the inner groupBy(dst) form dropped it after iteration 1,
+        losing its rank mass and omitting it from the output."""
+        from shifu_spark.operators.graph import pagerank_df
+
+        # C(2) -> A(0), A <-> B: node 2 has zero in-degree
+        edges = spark.createDataFrame(
+            [(2, 0), (0, 1), (1, 0)], "src long, dst long"
+        )
+        pr = {r["node"]: r["rank"] for r in pagerank_df(edges, iters=4).collect()}
+        assert set(pr) == {0, 1, 2}
+        # every node has out-degree >= 1, so mass is conserved exactly
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
+        # python power iteration replica
+        import numpy as np
+
+        n, d = 3, 0.85
+        r = np.full(3, 1 / 3)
+        out = {2: [(0, 1)], 0: [(1, 1)], 1: [(0, 1)]}
+        for _ in range(4):
+            nxt = np.full(3, (1 - d) / n)
+            for s, tgts in out.items():
+                for t, _w in tgts:
+                    nxt[t] += d * r[s] / len(tgts)
+            r = nxt
+        for i in range(3):
+            assert abs(pr[i] - r[i]) < 1e-9, (i, pr[i], r[i])
 
 
 class TestRound6Properties:
