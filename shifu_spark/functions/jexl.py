@@ -63,13 +63,19 @@ def _map_outside_quotes(s: str, fn) -> str:
 
 
 def _split_ternary(s: str) -> tuple[str, str, str] | None:
-    """Split ``cond ? a : b`` at the first ``?`` and last lone ``:``,
-    both OUTSIDE quoted literals; a ``:`` that is part of a ``::``
-    namespace delimiter is never a ternary separator.  Returns
+    """Split ``cond ? a : b`` at the FIRST top-level ``?`` and its
+    MATCHING lone ``:`` — both outside quoted literals and outside
+    parentheses; a ``:`` that is part of a ``::`` namespace delimiter is
+    never a separator.  Matching is by ternary depth, so right-nested
+    ``c1 ? a1 : c2 ? a2 : a3`` splits as (c1, a1, c2 ? a2 : a3) and the
+    else branch recurses (JEXL's right associativity); a quoted ``?`` in
+    the condition is data and never confuses the scan.  Returns
     (cond, a, b) or None.  (The old regex split at the last ``:``
-    anywhere, which landed inside ``ns::name`` identifiers and inside
-    quoted literals in the else branch.)"""
+    anywhere, which landed inside ``ns::name`` identifiers, inside
+    quoted literals, and mis-nested chained ternaries.)"""
     qmark = colon = None
+    tdepth = 0
+    paren = 0
     quote: str | None = None
     for i, ch in enumerate(s):
         if quote is not None:
@@ -78,13 +84,22 @@ def _split_ternary(s: str) -> tuple[str, str, str] | None:
             continue
         if ch in "'\"":
             quote = ch
-        elif ch == "?" and qmark is None:
-            qmark = i
-        elif ch == ":" and qmark is not None:
+        elif ch == "(":
+            paren += 1
+        elif ch == ")":
+            paren -= 1
+        elif paren == 0 and ch == "?":
+            if qmark is None:
+                qmark = i
+            tdepth += 1
+        elif paren == 0 and ch == ":" and qmark is not None:
             if (i > 0 and s[i - 1] == ":") or (i + 1 < len(s) and s[i + 1] == ":"):
                 continue
-            colon = i
-    if qmark is None or colon is None or colon < qmark:
+            tdepth -= 1
+            if tdepth == 0:
+                colon = i
+                break
+    if qmark is None or colon is None:
         return None
     return s[:qmark], s[qmark + 1 : colon], s[colon + 1 :]
 
@@ -139,11 +154,15 @@ def jexl_to_sql(expr: str, headers: list[str] | None = None) -> str:
         raise ValueError(f"unsupported JEXL construct in {expr!r}")
     s = expr.strip()
     if headers is None:
-        # namespace collapse: ns::col -> col (column/NSColumn.java);
-        # quoted literals containing '::' are data, not identifiers
-        s = _map_outside_quotes(s, lambda seg: re.sub(r"\b\w+::(\w+)", r"\1", seg))
+        # namespace collapse: ns::col -> col, ANY nesting depth
+        # (column/NSColumn.java documents a::b::c) — a single-level
+        # pattern would leave the invalid residue 'b::c'; quoted
+        # literals containing '::' are data, not identifiers
+        s = _map_outside_quotes(
+            s, lambda seg: re.sub(r"\b(?:\w+::)+(\w+)", r"\1", seg)
+        )
     parts = _split_ternary(s)
-    if parts is not None and "?" not in parts[0]:
+    if parts is not None:
         cond, a, b = (jexl_to_sql(g, headers) for g in parts)
         return f"CASE WHEN {cond} THEN {a} ELSE {b} END"
 
@@ -153,6 +172,13 @@ def jexl_to_sql(expr: str, headers: list[str] | None = None) -> str:
         return seg
 
     s = _map_outside_quotes(s, _rewrite)
+    # a '?' the splitter could not pair (e.g. a ternary wrapped entirely
+    # in parentheses) must raise here, not ship as invalid SQL — the
+    # module's raise-loudly contract
+    leftovers: list[str] = []
+    _map_outside_quotes(s, lambda seg: leftovers.extend(re.findall(r"\?", seg)) or seg)
+    if leftovers:
+        raise ValueError(f"unsupported ternary placement in {expr!r} (wrap-free top level only)")
     if headers is not None:
         s = bind_headers(s, headers)
     return s

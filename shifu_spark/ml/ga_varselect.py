@@ -140,6 +140,14 @@ class CandidateGenerator:
         """ranked = [(seed, verror)] sorted ascending by verror."""
         n = len(ranked)
         last_best = n * self.inherit_pct // 100
+        # REFERENCE-FAITHFUL band arithmetic (CandidateGenerator.java:
+        # 156-162): getFistWorstIndex = n*(100 - crossPercent)/100 — note
+        # this makes the MUTATE band n*cross%/100 wide and the hybrid
+        # band n*(100-cross-inherit)%/100, i.e. with the 60/20 defaults
+        # MOST seeds re-randomize and few cross over. That skew is the
+        # reference's own formula (arguably its bug — 100-mutation%
+        # would give the documented 60% crossover), kept verbatim for
+        # parity; the +1 inherit extra below mirrors subList(0, last+1).
         first_worst = n * (100 - self.cross_pct) // 100
         best = [s for s, _ in ranked[: last_best + 1]]
         ordinary = [s for s, _ in ranked[last_best + 1 : first_worst]]
@@ -183,10 +191,13 @@ def ga_varselect(
     res = GAResult(best_subset=[], best_features=[], best_error=float("inf"))
     cache: dict[tuple[int, ...], float] = {}
     for _ in range(population_multiply_cnt):
-        ranked = sorted(
-            ((s, cache.setdefault(s, subset_valid_mse(g_tr, g_va, n_va, list(s)))) for s in seeds),
-            key=lambda p: p[1],
-        )
+        # explicit membership check: setdefault(s, solve(...)) evaluates
+        # the O(k^3) solve EAGERLY even on cache hits — the memo would
+        # never skip any work
+        for s in seeds:
+            if s not in cache:
+                cache[s] = subset_valid_mse(g_tr, g_va, n_va, list(s))
+        ranked = sorted(((s, cache[s]) for s in seeds), key=lambda p: p[1])
         top_seed, top_err = ranked[0]
         res.history.append(top_err)
         if top_err < res.best_error:

@@ -175,8 +175,20 @@ def extract_tree(java_root) -> dict[str, list]:
         cls = node.getClass().getSimpleName()
         if cls == "InternalNode":
             split = node.split()
+            if split.getClass().getSimpleName() != "ContinuousSplit":
+                # a CategoricalSplit routes by set membership, not by a
+                # threshold compare — silently encoding it as x <= 0.0
+                # would produce wrong leaf indices / ensemble scores /
+                # PMML with no error (pmml.py's raise-on-unsupported
+                # policy applies here too). Train without categorical
+                # feature metadata (the repo's normalize pipeline feeds
+                # indexed/woe'd NUMERIC features) or one-hot upstream.
+                raise ValueError(
+                    "extract_tree: categorical splits are not supported "
+                    f"(feature {split.featureIndex()})"
+                )
             feat.append(split.featureIndex())
-            thr.append(float(split.threshold()) if split.getClass().getSimpleName() == "ContinuousSplit" else 0.0)
+            thr.append(float(split.threshold()))
             left.append(-1)
             right.append(-1)
             pred.append(float(node.prediction()))
@@ -214,7 +226,15 @@ def tree_path_encode_trees(
     keep = list(keep_cols or [])
     cols = list(feature_cols)
     sel = df.select(*keep, *cols)
-    schema = sel.schema.simpleString().replace("struct<", "").rstrip(">") + ", tree_leaves array<int>"
+    # build the output schema structurally: string-hacking simpleString()
+    # breaks on nested types (replace/rstrip eat a nested struct's own
+    # angle brackets, e.g. a keep col typed array<string>)
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(sel.schema.fields)
+        + [StructField("tree_leaves", ArrayType(IntegerType()))]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -19,6 +19,7 @@ scans get predicate pushdown + column pruning from Catalyst for free.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,11 +69,11 @@ def read_dataset(
     we read the raw line, split, and filter on exact field count — the
     whole pipeline stays in JVM expressions (split + size).
     """
-    if data_path.endswith(".parquet") or _is_parquet_dir(data_path):
+    if data_path.endswith(".parquet") or _is_parquet_dir(data_path, spark):
         return spark.read.parquet(data_path)
-    if data_path.endswith(".orc") or _is_format_dir(data_path, ".orc"):
+    if data_path.endswith(".orc") or _is_format_dir(data_path, ".orc", spark):
         return spark.read.orc(data_path)
-    if data_path.endswith((".jsonl", ".json")) or _is_format_dir(data_path, ".json"):
+    if data_path.endswith((".jsonl", ".json")) or _is_format_dir(data_path, ".json", spark):
         # JSONL ingest: sampled schema inference unless the caller pins
         # columns (then everything reads as string, matching the
         # delimited-text all-string contract)
@@ -147,9 +148,11 @@ def safe_double(col, missing_tokens: list[str] | None = None):
     missing :566-571). try_cast keeps this entirely JVM-side.
     """
     tokens = missing_tokens if missing_tokens is not None else DEFAULT_MISSING_TOKENS
-    c = F.trim(col) if isinstance(col, str) else col
-    if isinstance(col, str):
-        c = F.col(col)
+    # trim BEFORE token matching: a padded sentinel like " -999" must
+    # match missing_tokens=["-999"], not slip through isin and be
+    # ingested as the numeric -999.0 (the old code built F.trim then
+    # immediately overwrote it, so nothing was ever trimmed)
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
     d = c.try_cast(T.DoubleType())
     return F.when(c.isin(tokens) | F.isnan(F.coalesce(d, F.lit(0.0))) | (F.abs(F.coalesce(d, F.lit(0.0))) == float("inf")), F.lit(None).cast("double")).otherwise(d)
 
@@ -161,11 +164,33 @@ def is_missing_str(col, missing_tokens: list[str] | None = None):
     return c.isNull() | c.isin(tokens)
 
 
-def _is_parquet_dir(path: str) -> bool:
-    return _is_format_dir(path, ".parquet")
+def _is_parquet_dir(path: str, spark=None) -> bool:
+    return _is_format_dir(path, ".parquet", spark)
 
 
-def _is_format_dir(path: str, ext: str) -> bool:
+_URI_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def _is_format_dir(path: str, ext: str, spark=None) -> bool:
+    """Directory whose files carry ``ext`` — on the LOCAL filesystem via
+    os.listdir, on a scheme'd URI (hdfs://, s3a://, ...) via the Hadoop
+    FileSystem API. Driver-local os.path alone cannot see remote
+    stores, so a remote parquet directory would silently fall through
+    to the delimited-text reader and be parsed as '|'-separated rows."""
+    if _URI_SCHEME.match(path) and not path.startswith("file://"):
+        if spark is None:
+            return False
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.isDirectory(hpath):
+                return False
+            return any(
+                st.getPath().getName().endswith(ext) for st in fs.listStatus(hpath)
+            )
+        except Exception:
+            return False
     try:
         return os.path.isdir(path) and any(f.endswith(ext) for f in os.listdir(path))
     except OSError:

@@ -32,13 +32,17 @@ def streaming_exact_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Keep the first occurrence of each content digest within the
-    watermark horizon. ``dropDuplicates`` keys the state store by digest;
-    late re-occurrences past the watermark are the accepted trade for
-    bounded state (document-dedup at stream scale is always horizoned)."""
+    watermark horizon. ``dropDuplicatesWithinWatermark`` keys the state
+    store by digest AND evicts entries once the watermark passes them —
+    plain ``dropDuplicates(["digest"])`` would never clean its state
+    (Spark only evicts dedup state when the event-time column is part of
+    the subset), growing one row per distinct digest forever. Late
+    re-occurrences past the watermark are the accepted trade for bounded
+    state (document-dedup at stream scale is always horizoned)."""
     return (
         stream.withColumn("digest", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["digest"])
+        .dropDuplicatesWithinWatermark(["digest"])
     )
 
 
@@ -401,6 +405,18 @@ def start_gold_table_foreach_batch(
     def _merge(raw_df: DataFrame, batch_id: int) -> None:
         if raw_df.isEmpty():
             return
+        # idempotency on batch replay: foreachBatch is at-least-once — a
+        # failure AFTER the swap but BEFORE the checkpoint commit re-runs
+        # the same batch_id on restart, and re-merging would double-count
+        # n/sum permanently. The last applied batch_id rides INSIDE the
+        # swapped directory (underscore-prefixed files are invisible to
+        # the parquet reader, like _SUCCESS), so table + marker move
+        # atomically together.
+        marker = os.path.join(gold_path, "_last_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return
         batch_df = raw_df.groupBy(F.col(key_col).alias("key")).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(38,10)")).alias("s"),
@@ -422,6 +438,8 @@ def start_gold_table_foreach_batch(
             merged = batch_df
         tmp = f"{gold_path}__swap_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch"), "w") as fh:
+            fh.write(str(batch_id))
         old = f"{gold_path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(gold_path):
             os.rename(gold_path, old)

@@ -239,6 +239,30 @@ class TestJexl:
             == "CASE WHEN `q::x` > 0 THEN 'a:b' ELSE `p::y` END"
         )
 
+    def test_ternary_nesting_and_quoted_qmark(self):
+        """Right-nested chains split at the MATCHING ':' (ternary-depth
+        scan), a quoted '?' in the condition is data, nested namespaces
+        collapse fully, and a paren-wrapped ternary raises instead of
+        shipping invalid SQL."""
+        import pytest as _pytest
+
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        assert jexl_to_sql("a::b::c > 1") == "c > 1"  # any nesting depth
+        assert (
+            jexl_to_sql("name == 'who?' ? 1 : 0")
+            == "CASE WHEN name = 'who?' THEN 1 ELSE 0 END"
+        )
+        assert jexl_to_sql("x == 1 ? 'a' : x == 2 ? 'b' : 'c'") == (
+            "CASE WHEN x = 1 THEN 'a' ELSE "
+            "CASE WHEN x = 2 THEN 'b' ELSE 'c' END END"
+        )
+        assert jexl_to_sql("x > 0 ? y > 0 ? 1 : 2 : 3") == (
+            "CASE WHEN x > 0 THEN CASE WHEN y > 0 THEN 1 ELSE 2 END ELSE 3 END"
+        )
+        with _pytest.raises(ValueError, match="ternary"):
+            jexl_to_sql("(a > 1 ? 1 : 2) + 1")
+
 
 class TestDedup:
     def test_simhash_deterministic_and_selfconsistent(self, spark):
