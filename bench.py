@@ -290,10 +290,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # loud on drift: a renamed registry query silently dropped from the
+    # run would read as a phantom performance improvement, and a typo'd
+    # SPARK_GRAFT_BENCH_QUERIES subset would print a valid-looking JSON
+    # line over a partial run (__spark_entry__ raises on unknown
+    # _PRIORITY names for the same drift class)
+    missing = [n for n in headline if n not in QUERIES]
+    if missing:
+        raise ValueError(f"bench names not in registry: {missing}")
+    unmapped = [n for n in QUERIES if n not in HEADLINE_STAGES]
+    if not only and unmapped:
+        raise ValueError(f"registry queries missing a bench stage mapping: {unmapped}")
     for name in headline:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = QUERIES[name]
         # min of THREE full executions (VERDICT r3 "What's wrong #4":
         # n=2 let a one-off GC/scheduler stall hit both runs and read as
         # a phantom 2x regression). The min is the engine's actual cost

@@ -2126,22 +2126,31 @@ def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    import shutil
+
     base = f"{tempfile.gettempdir()}/shifu_spark_textrt_{uuid.uuid4().hex[:8]}"
-    write_dataset(o, f"{base}/data", fmt="csv", delimiter="|", compression="gzip")
-    write_header_sidecar(o, f"{base}/data", delimiter="|")  # -> {base}/data.pig_header
-    back = read_dataset(spark, f"{base}/data", header_path=f"{base}/data.pig_header")
-    # csv sink wrote an inline header row too — drop it by field-name match
-    back = back.filter(F.col("o_orderkey") != "o_orderkey")
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(safe_double(F.col("o_totalprice")).cast("decimal(38,10)")).cast("double"), 2
-            ).alias("sum_price"),
+    try:
+        write_dataset(o, f"{base}/data", fmt="csv", delimiter="|", compression="gzip")
+        write_header_sidecar(o, f"{base}/data", delimiter="|")  # -> {base}/data.pig_header
+        back = read_dataset(spark, f"{base}/data", header_path=f"{base}/data.pig_header")
+        # csv sink wrote an inline header row too — drop it by field-name match
+        back = back.filter(F.col("o_orderkey") != "o_orderkey")
+        out = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(safe_double(F.col("o_totalprice")).cast("decimal(38,10)")).cast("double"), 2
+                ).alias("sum_price"),
+            )
+            .orderBy("o_orderpriority")
         )
-        .orderBy("o_orderpriority")
-    )
+        # materialize BEFORE the temp sink is removed (the plan reads it);
+        # without cleanup every gate/bench/attest invocation leaked a
+        # dataset-sized gzip dump under /tmp
+        return _materialize_release(out, [])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 ORACLES["text_roundtrip_stats"] = """
@@ -2238,6 +2247,56 @@ def _run_stream_to_sink(
             spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_stream_to_files(
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    shuffle_partitions: int = 8,
+) -> DataFrame:
+    """File-sink twin of :func:`_run_stream_to_sink` for APPEND-mode
+    streams whose sink rows are DATA-SCALE (one per event / doc / pair):
+    rows land in a temp parquet directory on the executors and come back
+    as a localCheckpoint'ed frame — they never sit in driver memory.
+    The memory format pins the entire result on the driver for the
+    session, which is the collect-then-recreate anti-pattern
+    (_materialize_release's ADVICE r3 rationale) replayed in streaming
+    form; at the scale these queries advertise the driver would OOM.
+    Update/complete-mode summary-sized streams stay on the memory-sink
+    helper (the parquet streaming sink is append-only)."""
+    import shutil
+    import tempfile
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    out_dir = tempfile.mkdtemp(prefix=f"shifu_spark_{prefix}_out_")
+    ckpt = tempfile.mkdtemp(prefix=f"shifu_spark_{prefix}_ckpt_")
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        # explicit schema: an all-filtered replay leaves only
+        # _spark_metadata in the sink dir and schema inference would fail
+        return spark.read.schema(df.schema).parquet(out_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query("streaming_drift_psi", None)
@@ -2675,7 +2734,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
         ),
     ).select("p_user", "purchase_id", "click_id")
-    sink = _run_stream_to_sink(spark, pairs, "attr", output_mode="append")
+    sink = _run_stream_to_files(spark, pairs, "attr")
     return (
         sink.groupBy(F.col("p_user").alias("user_id"))
         .agg(
@@ -6276,7 +6335,7 @@ def streaming_sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     packed = streaming_sequence_packing(_packing_inputs(stream), budget=_PACK_BUDGET)
-    sink = _run_stream_to_sink(spark, packed, "spack", output_mode="append")
+    sink = _run_stream_to_files(spark, packed, "spack")
     return sink.orderBy("doc_id")
 
 
@@ -7542,9 +7601,7 @@ def streaming_asof_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-    sink = _run_stream_to_sink(
-        spark, streaming_asof_attribution(s), "asof", output_mode="append"
-    )
+    sink = _run_stream_to_files(spark, streaming_asof_attribution(s), "asof")
     return sink.orderBy("purchase_id")
 
 
@@ -9242,7 +9299,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("s_suppkey")
         )
         return _materialize_release(out, [revenue])
-    except Exception:
+    except BaseException:
         revenue.unpersist()
         raise
 
@@ -9545,7 +9602,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return _materialize_release(out, [li_f])
-    except Exception:
+    except BaseException:
         li_f.unpersist()
         raise
 
@@ -9673,7 +9730,7 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("nationkey")
         )
         return _materialize_release(out, [pool])
-    except Exception:
+    except BaseException:
         pool.unpersist()
         raise
 
@@ -10156,11 +10213,8 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ded = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = _run_stream_to_sink(
-        spark,
-        ded.select("event_id", "event_type", "user_id", "value"),
-        "exdedup",
-        output_mode="append",
+    sink = _run_stream_to_files(
+        spark, ded.select("event_id", "event_type", "user_id", "value"), "exdedup"
     )
     return (
         sink.groupBy("event_type")
@@ -10235,7 +10289,7 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("purchase_id", "click_id")
-    sink = _run_stream_to_sink(spark, pairs, "oattr", output_mode="append")
+    sink = _run_stream_to_files(spark, pairs, "oattr")
     return (
         sink.groupBy(F.col("click_id").isNotNull().alias("attributed"))
         .agg(
@@ -10392,11 +10446,20 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("mon_dec") * 100).cast("long").alias("mon_cents"),
         )
     )
-    row = cust.agg(
-        F.expr("percentile(rec_days * 4, array(0.25d, 0.5d, 0.75d))").alias("rq"),
-        F.expr("percentile(freq * 4, array(0.25d, 0.5d, 0.75d))").alias("fq"),
-        F.expr("percentile(mon_cents * 4, array(0.25d, 0.5d, 0.75d))").alias("mq"),
-    ).collect()[0]
+    # persist across the two actions: the quantile collect below and the
+    # returned plan otherwise BOTH re-run the orders scan + per-customer
+    # rollup (the docstring's "two shuffles total" was only true of one
+    # action); released via _materialize_release before returning
+    cust = cust.persist()
+    try:
+        row = cust.agg(
+            F.expr("percentile(rec_days * 4, array(0.25d, 0.5d, 0.75d))").alias("rq"),
+            F.expr("percentile(freq * 4, array(0.25d, 0.5d, 0.75d))").alias("fq"),
+            F.expr("percentile(mon_cents * 4, array(0.25d, 0.5d, 0.75d))").alias("mq"),
+        ).collect()[0]
+    except BaseException:
+        cust.unpersist()
+        raise
     rq, fq, mq = [list(map(float, v)) for v in (row.rq, row.fq, row.mq)]
 
     def band(col, qs, reverse):
@@ -10419,20 +10482,25 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("mon_cents", mq, reverse=False).alias("m_score"),
     )
     n = F.count(F.lit(1))
-    return (
-        scored.groupBy("r_score", "f_score", "m_score")
-        .agg(
-            n.alias("n_customers"),
-            F.round(F.sum("rec_days").cast("double") / n, 4).alias("avg_recency_days"),
-            F.round(F.sum("freq").cast("double") / n, 4).alias("avg_frequency"),
-            F.round(
-                F.sum(F.col("mon_cents").cast("decimal(38,10)")).cast("double")
-                / (n * 100),
-                4,
-            ).alias("avg_monetary"),
+    try:
+        out = (
+            scored.groupBy("r_score", "f_score", "m_score")
+            .agg(
+                n.alias("n_customers"),
+                F.round(F.sum("rec_days").cast("double") / n, 4).alias("avg_recency_days"),
+                F.round(F.sum("freq").cast("double") / n, 4).alias("avg_frequency"),
+                F.round(
+                    F.sum(F.col("mon_cents").cast("decimal(38,10)")).cast("double")
+                    / (n * 100),
+                    4,
+                ).alias("avg_monetary"),
+            )
+            .orderBy("r_score", "f_score", "m_score")
         )
-        .orderBy("r_score", "f_score", "m_score")
-    )
+        return _materialize_release(out, [cust])
+    except BaseException:
+        cust.unpersist()
+        raise
 
 
 @query(
@@ -10669,29 +10737,36 @@ def ns_purify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("cust::c_mktsegment"),
         F.col("c_acctbal").alias("acct::c_acctbal"),
     )
+    import shutil
+
     base = f"{tempfile.gettempdir()}/shifu_spark_nsp_{uuid.uuid4().hex[:8]}"
-    write_dataset(ns, f"{base}/data", fmt="csv", delimiter="|")
-    write_header_sidecar(ns, f"{base}/data", delimiter="|")
-    back = read_dataset(
-        spark, f"{base}/data", header_path=f"{base}/data.pig_header",
-        strip_namespace=False,
-    )
-    # csv sink wrote an inline header row too — drop it by field match
-    back = back.filter(F.col("`cust::c_custkey`") != "cust::c_custkey")
-    kept = purify(
-        back, "c_acctbal > 1000.0 && cust::c_mktsegment == 'BUILDING' || c_acctbal < 0.0"
-    )
-    return (
-        kept.groupBy(F.col("`cust::c_mktsegment`").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(safe_double(F.col("`acct::c_acctbal`")).cast("decimal(38,10)")).cast("double"),
-                4,
-            ).alias("sum_acctbal"),
+    try:
+        write_dataset(ns, f"{base}/data", fmt="csv", delimiter="|")
+        write_header_sidecar(ns, f"{base}/data", delimiter="|")
+        back = read_dataset(
+            spark, f"{base}/data", header_path=f"{base}/data.pig_header",
+            strip_namespace=False,
         )
-        .orderBy("segment")
-    )
+        # csv sink wrote an inline header row too — drop it by field match
+        back = back.filter(F.col("`cust::c_custkey`") != "cust::c_custkey")
+        kept = purify(
+            back, "c_acctbal > 1000.0 && cust::c_mktsegment == 'BUILDING' || c_acctbal < 0.0"
+        )
+        out = (
+            kept.groupBy(F.col("`cust::c_mktsegment`").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(safe_double(F.col("`acct::c_acctbal`")).cast("decimal(38,10)")).cast("double"),
+                    4,
+                ).alias("sum_acctbal"),
+            )
+            .orderBy("segment")
+        )
+        # materialize before removing the temp sink the plan reads
+        return _materialize_release(out, [])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -10802,7 +10877,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100)
         )
         return _materialize_release(out, [pc])
-    except Exception:
+    except BaseException:
         pc.unpersist()
         raise
 
@@ -10894,7 +10969,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("stock_value"), "partkey")
         )
         return _materialize_release(out, [natps])
-    except Exception:
+    except BaseException:
         natps.unpersist()
         raise
 

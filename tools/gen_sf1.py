@@ -29,7 +29,11 @@ COPY (SELECT * REPLACE (l_orderkey + r*10000000 AS l_orderkey)
            (SELECT unnest(range(10)) AS r)) TO '{out}/lineitem.parquet' (FORMAT parquet)
 """)
     con.sql(f"""
-COPY (SELECT doc_id + r*5000 AS doc_id, source, text || ' rep' || r AS text
+COPY (SELECT doc_id + r*5000 AS doc_id,
+             text || ' rep' || r AS text,
+             lang,
+             source,
+             length(text || ' rep' || r) AS n_chars
       FROM read_parquet('{src}/documents.parquet'),
            (SELECT unnest(range(10)) AS r)) TO '{out}/documents.parquet' (FORMAT parquet)
 """)
