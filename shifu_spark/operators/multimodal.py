@@ -237,7 +237,14 @@ def extract_audio_features(
         for pdf in batches:
             out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                x, rate, nch = decode_wav(bytes(payload))
+                flat, rate, nch = decode_wav(bytes(payload))
+                # decode_wav returns the channel-INTERLEAVED flat array:
+                # frame-count features must divide by nch (a stereo clip
+                # previously reported 2x its duration) and zero
+                # crossings run over channel 0 (interleaved sign flips
+                # cross channel boundaries) — the same channel-0
+                # convention as the FLAC extractor
+                x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
                 n = len(x)
                 sumsq = int((x * x).sum())
                 out["doc_id"].append(doc_id)
@@ -1323,7 +1330,11 @@ def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
 
 
 def encode_wav_ima_adpcm_state(
-    pred0: int, idx0: int, nibbles: list[int], sample_rate: int = 8000
+    pred0: int,
+    idx0: int,
+    nibbles: list[int],
+    sample_rate: int = 8000,
+    n_samples: int | None = None,
 ) -> bytes:
     """Assemble a real single-block IMA ADPCM WAV from decoder state:
     fmt (tag 0x11, cbSize=2 wSamplesPerBlock), fact (total samples),
@@ -1331,7 +1342,10 @@ def encode_wav_ima_adpcm_state(
     reserved) + packed nibbles, LOW nibble first per the WAV layout."""
     if len(nibbles) % 2:
         raise ValueError("nibble count must be even (2 per data byte)")
-    n_samples = len(nibbles) + 1  # header predictor is sample 0
+    if n_samples is None:
+        n_samples = len(nibbles) + 1  # header predictor is sample 0
+    if not 1 <= n_samples <= len(nibbles) + 1:
+        raise ValueError("n_samples out of range for the nibble count")
     block_align = 4 + len(nibbles) // 2
     samples_per_block = n_samples
     fmt = (
@@ -1361,9 +1375,14 @@ def encode_wav_ima_adpcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     block; multi-block writing would just repeat the header+nibble
     layout per `block_align` samples)."""
     pred0, idx0, nibbles = ima_adpcm_encode(samples)
+    # the fact chunk must declare the TRUE sample count BEFORE byte
+    # padding: counting the pad nibble made the decoder emit one
+    # spurious zero-delta sample for every even-length input, defeating
+    # the very trim mechanism the fact chunk exists for
+    true_n = len(nibbles) + 1  # header predictor is sample 0
     if len(nibbles) % 2:  # pad to a whole byte with a 0 delta code
         nibbles = nibbles + [0]
-    return encode_wav_ima_adpcm_state(pred0, idx0, nibbles, sample_rate)
+    return encode_wav_ima_adpcm_state(pred0, idx0, nibbles, sample_rate, n_samples=true_n)
 
 
 def decode_wav_compressed(payload: bytes) -> tuple[np.ndarray, int, int, str]:
@@ -1439,7 +1458,10 @@ def extract_compressed_audio_features(
         for pdf in batches:
             out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                x, rate, nch, codec = decode_wav_compressed(bytes(payload))
+                flat, rate, nch, codec = decode_wav_compressed(bytes(payload))
+                # channel-0 over the interleaved flat array (see
+                # extract_audio_features)
+                x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
                 n = len(x)
                 sumsq = int((x * x).sum())
                 out["doc_id"].append(doc_id)
@@ -1746,6 +1768,12 @@ def encode_gif(
     real multi-frame GIF89a (global color table, one image descriptor +
     LZW stream per frame)."""
     n, h, wdt = frames.shape
+    if not 2 <= min_code_size <= 8:
+        # the GIF spec's minimum LZW code size is 2 (2-color images
+        # still use it); at 1 the initial table already holds
+        # 2^mcs + 2 > 2^(mcs+1) entries and the encoder's width bump
+        # desyncs from the decoder's — the stream cannot be decoded
+        raise ValueError("GIF min_code_size must be in [2, 8]")
     k = 1 << min_code_size
     if palette.shape[0] != k:
         raise ValueError("palette size must be 2^min_code_size")
@@ -2450,10 +2478,26 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos = body_end + 2
 
     x = np.stack([np.concatenate(ch) for ch in chans], axis=1) if chans[0] else np.empty((0, nch), np.int64)
-    if len(x) != total:
+    # STREAMINFO total_samples == 0 means UNKNOWN per spec (streaming /
+    # piped encodes) — a legal stream, not corruption; skip the check
+    if total != 0 and len(x) != total:
         raise ValueError(f"FLAC sample count {len(x)} != STREAMINFO {total}")
-    if hashlib.md5(x.astype("<i2").tobytes()).digest() != md5_expect:
-        raise ValueError("FLAC decoded-audio MD5 mismatch")
+    # the spec MD5 is over the unencoded audio at the STREAM'S bit depth,
+    # little-endian, channel-interleaved. An unconditional int16 hash
+    # rejected every valid externally-produced non-16-bit stream (and
+    # silently wrapped 24-bit samples before hashing). An all-zero MD5
+    # field means UNSET per spec — skip. Non-byte-aligned widths (12/20)
+    # hash sign-extended ceil(bits/8)-byte samples per the reference
+    # implementation's packing.
+    if md5_expect != b"\x00" * 16:
+        nbytes = (bps + 7) // 8
+        if nbytes in (1, 2, 4, 8):
+            raw = x.astype(f"<i{nbytes}").tobytes()
+        else:  # 3-byte (24-bit) samples: low-order 3 of every 4 LE bytes
+            le4 = x.astype("<i4").tobytes()
+            raw = b"".join(le4[i : i + 3] for i in range(0, len(le4), 4))
+        if hashlib.md5(raw).digest() != md5_expect:
+            raise ValueError("FLAC decoded-audio MD5 mismatch")
     return x, sample_rate, nch
 
 

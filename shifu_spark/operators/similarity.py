@@ -32,8 +32,21 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
+    """cosine = dot/(|q|·|n|), NULL when either norm is zero.
+
+    The naked division yields double NaN for a zero vector (an empty
+    document's embedding), and SPARK ORDERS AND COMPARES NaN AS THE
+    LARGEST DOUBLE — a zero vector would rank as the #1 neighbor of
+    every query and satisfy every `cosine >= t` near-dup threshold,
+    while the numpy block kernels (IEEE semantics: NaN fails >= and
+    lexsorts last) exclude the same pairs.  NULL restores agreement:
+    desc ordering puts nulls last and `NULL >= t` filters false."""
+    return F.when((qnorm != 0) & (nnorm != 0), dot / (qnorm * nnorm))
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    return safe_cosine(dot_expr(a, b), norm_expr(a), norm_expr(b))
 
 
 def brute_force_topk(
@@ -63,7 +76,8 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("cosine", safe_cosine(dot_expr(F.col("qvec"), F.col("nvec")), F.col("qnorm"), F.col("nnorm")))
+        .filter(F.col("cosine").isNotNull())  # zero-norm vectors are not neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -113,7 +127,8 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("cosine", safe_cosine(dot_expr(F.col("qvec"), F.col("nvec")), F.col("qnorm"), F.col("nnorm")))
+        .filter(F.col("cosine").isNotNull())  # zero-norm vectors are not neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -198,7 +213,15 @@ def cosine_pandas_udf():
         a = np.stack(qvec.to_numpy()).astype(np.float64)
         b = np.stack(nvec.to_numpy()).astype(np.float64)
         dot = _seq_dot(a, b)
-        return pd.Series(dot / (qnorm.to_numpy() * nnorm.to_numpy()))
+        denom = qnorm.to_numpy() * nnorm.to_numpy()
+        # zero-norm vectors -> genuine NULL (nullable Float64 -> Arrow
+        # null), matching safe_cosine — a bare NaN would rank FIRST and
+        # satisfy every threshold under Spark's NaN-is-largest semantics
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom != 0.0, dot / np.where(denom == 0.0, 1.0, denom), np.nan)
+        out = pd.array(cos, dtype="Float64")
+        out[denom == 0.0] = pd.NA
+        return pd.Series(out, dtype="Float64")
 
     return _cos
 
@@ -319,6 +342,15 @@ def embedding_neardup_lsh_pairs(
     O(candidates), not O(N²).
     """
     n_planes = len(hyperplanes)
+    if bands < 1 or n_planes % bands != 0:
+        # silent truncation drops trailing hyperplanes (weaker LSH than
+        # configured); bands > n_planes makes the width 0, every row
+        # lands in band value 0 and the candidate join degenerates to a
+        # full O(N^2) cross product — at the scale this path advertises,
+        # that must be a loud error, not an OOM
+        raise ValueError(
+            f"bands ({bands}) must divide n_planes ({n_planes}) with width >= 1"
+        )
     w = n_planes // bands
     if n_planes >= 16:
         # wide plane sets: one Arrow-batched matmul for ALL sign bits —
@@ -456,6 +488,15 @@ def brute_force_topk_block(
             )
 
     scored = src.mapInPandas(fn, schema="query_id long, neighbor_id long, cosine double")
+    # the -inf self-match mask keeps self rows OUT of the ranking but a
+    # per-block top-k can still EMIT them when a query has fewer than k
+    # non-self candidates — drop them so the output matches
+    # brute_force_topk (which filters self pairs) and never carries a
+    # non-finite cosine
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    # zero-norm neighbors produce NaN in the numpy kernel — exclude them
+    # like the expression kernels' NULL filter (Spark would rank NaN FIRST)
+    scored = scored.filter(~F.isnan(F.col("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -549,7 +590,8 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("cosine", safe_cosine(dot_expr(F.col("qvec"), F.col("nvec")), F.col("qnorm"), F.col("nnorm")))
+        .filter(F.col("cosine").isNotNull())  # zero-norm vectors are not neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -602,7 +644,8 @@ def ivf_topk_multiprobe(
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("cosine", safe_cosine(dot_expr(F.col("qvec"), F.col("nvec")), F.col("qnorm"), F.col("nnorm")))
+        .filter(F.col("cosine").isNotNull())  # zero-norm vectors are not neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -647,7 +690,7 @@ def kmeans_step(
             norm_expr(F.col(vec_col)).alias("vnorm"),
         )
         .crossJoin(F.broadcast(cents))
-        .withColumn("ccos", dot_expr(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")))
+        .withColumn("ccos", safe_cosine(dot_expr(F.col("vec"), F.col("cvec")), F.col("vnorm"), F.col("cnorm")))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (
@@ -690,8 +733,16 @@ def kmeans_fit(
         by_cell: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cell.setdefault(r["cell"], {})[r["pos"]] = r["centroid"]
+        # a cell that received no vectors this round is absent from the
+        # step output — KEEP its previous centroid (pq_train_codebooks'
+        # empty-cluster rule) instead of silently deleting the cell for
+        # all remaining iterations, which would permanently shrink the
+        # quantizer below the requested k
         cents = [
-            (cell, [dims[p] for p in sorted(dims)]) for cell, dims in sorted(by_cell.items())
+            (cell, [by_cell[cell][p] for p in sorted(by_cell[cell])])
+            if cell in by_cell
+            else (cell, vec)
+            for cell, vec in cents
         ]
     return cents
 
@@ -775,7 +826,26 @@ def pq_encode_df(
             dist_cols.append(F.expr(_pq_sq_dist_sql(vec_col, off, cent)).alias(nm))
             names.append(nm)
         dist_names.append(names)
-    with_d = embeddings.select(F.col(id_col), *dist_cols)
+    # validate dimensionality IN-PLAN: element_at past the end of a short
+    # (or NULL) embedding returns NULL, every distance goes NULL, every
+    # WHEN in the argmin CASE is false, and the row would be silently
+    # encoded as the LAST centroid of every subspace — a well-formed but
+    # meaningless code polluting ADC rankings. raise_error is the loud
+    # form (narrow map, no extra pass).
+    need = sum(len(cents[0]) for cents in codebooks)
+    # the check rides the id column (which survives every projection) —
+    # a standalone guard column would be pruned by Catalyst and never run
+    checked_id = (
+        F.when(
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) < F.lit(need)),
+            F.raise_error(
+                F.lit(f"pq_encode: embedding shorter than {need} dims (or NULL)")
+            ).cast("long"),
+        )
+        .otherwise(F.col(id_col))
+        .alias(id_col)
+    )
+    with_d = embeddings.select(checked_id, *dist_cols)
     code_cols = [
         F.expr(_pq_argmin_sql(dist_names[s])).cast("int").alias(f"code{s}")
         for s in range(len(codebooks))

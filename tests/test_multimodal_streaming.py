@@ -448,7 +448,12 @@ class TestCompressedCodecs:
         t = np.arange(1500)
         sig = (9000 * np.sin(t / 25) + 700 * np.sin(t / 4)).astype(np.int64)
         dec, rate, nch, codec = decode_wav_compressed(encode_wav_ima_adpcm(sig))
-        assert codec == "ima_adpcm" and len(dec) >= len(sig)
+        # LENGTH-EXACT: the fact chunk declares the true (pre-padding)
+        # sample count, so the decoder trims the zero-delta pad nibble
+        assert codec == "ima_adpcm" and len(dec) == len(sig)
+        # even-length input too (exercises the pad-nibble trim)
+        dec_even, _, _, _ = decode_wav_compressed(encode_wav_ima_adpcm(sig[:1000]))
+        assert len(dec_even) == 1000
         # track the step sequence to bound per-sample error post-warmup
         pred0, idx0, nibs = ima_adpcm_encode(sig)
         idx = idx0
@@ -821,3 +826,59 @@ class TestFlacCodec:
         finally:
             mm._FLAC_LPC_ORDERS = orig
         assert len(blob) < 0.9 * fixed_only
+
+
+class TestExternalStreamTolerance:
+    """Decoder-only branches external (non-repo-encoder) streams hit."""
+
+    def test_flac_unknown_total_and_unset_md5_accepted(self):
+        """total_samples=0 means UNKNOWN and an all-zero MD5 means UNSET
+        per spec (streaming/piped encodes) — both are legal streams the
+        decoder previously rejected as corrupt."""
+        import numpy as np
+        from shifu_spark.operators.multimodal import decode_flac, encode_flac
+
+        sig = (1000 * np.sin(np.arange(500) / 10)).astype(np.int64)
+        payload = bytearray(encode_flac(sig))
+        si = 8  # 'fLaC' + 4-byte metadata block header
+        payload[si + 13] &= 0xF0  # total_samples high nibble
+        payload[si + 14 : si + 18] = b"\x00" * 4  # total_samples low 32
+        payload[si + 18 : si + 34] = b"\x00" * 16  # md5 unset
+        xs, rate, nch = decode_flac(bytes(payload))
+        assert xs.shape == (500, 1) and (rate, nch) == (8000, 1)
+
+    def test_stereo_wav_features_use_frames_not_interleaved_samples(self, spark):
+        """A 1-second stereo clip must report 1000 ms, not 2000 ms — the
+        extractor previously measured the channel-interleaved flat
+        array."""
+        import io
+        import wave
+
+        import numpy as np
+        from shifu_spark.operators.multimodal import extract_audio_features
+
+        rate = 8000
+        mono = (5000 * np.sin(np.arange(rate) / 20)).astype(np.int64)
+        stereo = np.column_stack([mono, -mono]).ravel()  # interleave L,R
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(stereo.astype("<i2").tobytes())
+        payload = buf.getvalue()
+        df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+        row = extract_audio_features(df).collect()[0]
+        assert row["n_channels"] == 2
+        assert row["n_samples"] == rate
+        assert row["duration_ms"] == 1000
+
+    def test_gif_min_code_size_below_two_rejected(self):
+        import numpy as np
+        import pytest
+        from shifu_spark.operators.multimodal import encode_gif
+
+        frames = np.zeros((1, 4, 4), dtype=np.uint8)
+        palette = np.zeros((2, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="min_code_size"):
+            encode_gif(frames, palette, min_code_size=1)

@@ -1909,3 +1909,57 @@ class TestContinuationRound6Ops:
         assert by[(1, "s1")]["valid_to"] == 250
         assert by[(1, "s2")]["valid_to"] is None and by[(1, "s2")]["is_current"]
         assert by[(2, "t0")]["is_current"] and by[(2, "t0")]["valid_from"] == 7
+
+
+class TestSimilarityEdgeGuards:
+    def test_zero_norm_vector_is_never_a_neighbor(self, spark):
+        """A zero embedding makes cosine 0/0 = NaN, and Spark treats NaN
+        as the LARGEST double in ordering AND comparisons — unguarded, a
+        zero vector ranks as everyone's #1 neighbor and passes every
+        near-dup threshold. safe_cosine maps it to NULL and the kernels
+        filter it out."""
+        from shifu_spark.operators.similarity import brute_force_topk
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = brute_force_topk(emb, F.col("vec_id") == 1, k=4).collect()
+        ids = [r["neighbor_id"] for r in rows]
+        assert 3 not in ids and len(ids) == 2
+        assert all(r["cosine"] is not None for r in rows)
+
+    def test_lsh_band_width_guard(self, spark):
+        """bands must divide n_planes: silent truncation weakens the LSH,
+        and width 0 degenerates the candidate join to a full cross
+        product — both now raise."""
+        import pytest as _pytest
+
+        from shifu_spark.operators.similarity import embedding_neardup_lsh_pairs
+
+        emb = spark.createDataFrame(
+            [(1, [0.1] * 6)], "vec_id long, embedding array<double>"
+        )
+        planes = [[1.0] * 6 for _ in range(6)]
+        with _pytest.raises(ValueError, match="bands"):
+            embedding_neardup_lsh_pairs(emb, planes, bands=4)
+        with _pytest.raises(ValueError, match="bands"):
+            embedding_neardup_lsh_pairs(emb, planes, bands=8)
+
+    def test_kmeans_fit_keeps_empty_cells(self, spark):
+        """A seed centroid that attracts no vectors must survive the
+        iteration with its previous value (pq_train_codebooks' rule),
+        not be silently deleted from the quantizer."""
+        from shifu_spark.operators.similarity import kmeans_fit
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.95, 0.05]), (3, [0.9, 0.1]),
+             (4, [-1.0, -1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # seeds: vec 1 (near the cluster) and vec 4 (everything is closer
+        # to seed 1 by cosine except vec 4 itself... make 4 unattractive
+        # by seeding from 1 and 2: cell of 2 may go empty on iteration 2)
+        cents = kmeans_fit(emb, F.col("vec_id").isin(1, 4), iters=3)
+        assert len(cents) == 2  # both cells survive every iteration
+        assert [c for c, _ in cents] == sorted(c for c, _ in cents)
