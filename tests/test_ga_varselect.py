@@ -91,5 +91,8 @@ class TestGAVarselect:
             seed=7,
         )
         assert res.best_features == ["x0", "x3"]
-        # best error never regresses generation to generation
-        assert min(res.history) == res.history[-1] or res.history[-1] <= res.history[0]
+        # best error never regresses generation to generation: at least
+        # one elite is always inherited, so the per-generation best is
+        # non-increasing — the old disjunction was satisfied by ANY run
+        # whose final error merely beat the initial one
+        assert all(a >= b for a, b in zip(res.history, res.history[1:])), res.history

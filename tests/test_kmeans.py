@@ -8,7 +8,8 @@ def test_kmeans_fit_shapes_and_stability(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = kmeans_fit(emb, F.col("vec_id") < 4, iters=2)
-    assert 1 <= len(cents) <= 4  # empty cells drop out
+    assert len(cents) == 4  # every seeded cell survives (empty cells keep
+    # their previous centroid — similarity.kmeans_fit's empty-cell rule)
     dim = emb.select(F.size("embedding")).first()[0]
     for cid, vec in cents:
         assert len(vec) == dim
@@ -16,8 +17,19 @@ def test_kmeans_fit_shapes_and_stability(spark):
     # a step from the fitted centroids changes them less than the first
     # step from raw seeds did (coarse convergence signal)
     step = {(r["cell"], r["pos"]): r["centroid"] for r in kmeans_step(emb, cents).collect()}
-    n_el = sum(len(vec) for _, vec in cents)
-    drift = sum(
-        abs(step.get((cid, p), v) - v) for cid, vec in cents for p, v in enumerate(vec)
-    )
+    # the drift sum must be over REAL step output: a .get(default=v)
+    # fallback would make an empty/mis-keyed step read as drift 0 and
+    # pass the convergence claim on a broken iteration
+    populated = {cid for cid, _ in step}
+    assert populated, "kmeans_step returned no rows"
+    n_el = 0
+    drift = 0.0
+    for cid, vec in cents:
+        if cid not in populated:
+            continue  # cell empty this step: centroid unchanged by contract
+        for p, v in enumerate(vec):
+            assert (cid, p) in step, (cid, p)
+            drift += abs(step[(cid, p)] - v)
+            n_el += 1
+    assert n_el > 0
     assert drift / n_el < 0.02  # mean per-element movement is tiny once fitted

@@ -25,7 +25,11 @@ def _pairs():
 def test_query_matches_oracle(spark, name, fn, sql):
     df = fn(spark, SF_DIR)
     if sql is None:
-        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        # rows-only check (non-SQL-expressible op): every registered
+        # rows-only query is a training/sampling sentinel that BUILDS
+        # its rows, so emptiness is always a bug — `>= 0` could never
+        # bind on anything
+        assert df.count() > 0, f"{name}: rows-only query returned no rows"
         return
     con = duckdb_conn(SF_DIR)
     problems = compare(df, con, sql, name)
@@ -37,5 +41,5 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # the flagship aggregate is never empty
     assert df.columns

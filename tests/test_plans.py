@@ -151,7 +151,12 @@ class TestRound4Shapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         import re
 
-        for m in re.finditer(r"Window \[", plan):
+        matches = list(re.finditer(r"Window \[", plan))
+        # vacuous-pass guard: the contract is ONLY checked inside the
+        # loop — a refactor that removes Window nodes entirely must fail
+        # here, not silently skip every assertion
+        assert matches, plan
+        for m in matches:
             seg = plan[m.start() : m.start() + 400]
             assert "windowspecdefinition(window_start" in seg or "partitionBy" in seg, seg
 
@@ -639,6 +644,16 @@ class TestTpchBreadthShapes:
         df = QUERIES["tpch_q21_waiting_supplier"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
+        # the fact table is scanned ONCE (the classic formulation scans
+        # it three times) ...
+        assert sum("lineitem" in ln for ln in plan.splitlines() if "FileScan" in ln) == 1
+        # ... and shuffled once: 3 hash exchanges total = the single
+        # lineitem-scale one + two post-aggregate catalog-scale ones
+        # (per-order rows, then per-supplier-name counts). A regression
+        # reintroducing a second fact shuffle raises this count.
+        import re as _re
+
+        assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
         assert "TakeOrderedAndProject" in plan
 
     def test_q8_q9_dims_all_broadcast(self, spark):
@@ -653,7 +668,8 @@ class TestTpchBreadthShapes:
             assert "SortMergeJoin" not in plan, name
 
 
-class TestBucketedJoin:
+class TestBucketedFactJoin:  # renamed: duplicated class name shadowed
+    # TestBucketedJoin above and silently dropped its test from collection
     def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
         """The co-located-join contract (SURVEY §4 / brief: 'bucketing
         for co-located joins'): two tables bucketed by the join key
@@ -720,9 +736,11 @@ class TestTpchCompletionShapes:
         assert keys == sorted(keys)
 
     def test_q11_integer_domain_and_scalar_broadcast(self, spark):
-        """Q11: the global total joins back as a broadcast 1-row
-        crossJoin; no shuffled join anywhere; value arithmetic stays in
-        BIGINT (no Decimal ops in the aggregate)."""
+        """Q11 RESULT-INVARIANT pin (the q2 pattern): the query returns a
+        localCheckpoint'ed frame — _materialize_release erases the plan,
+        so plan-shape claims are not inspectable here and the pin is the
+        exact-integer value domain instead (every stock_value a multiple
+        of 1e-4, which only survives if the BIGINT arithmetic does)."""
         from shifu_spark.queries import QUERIES
 
         df = QUERIES["tpch_q11_important_stock"](spark, SF)

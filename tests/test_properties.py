@@ -137,9 +137,13 @@ class TestRangeBucketFloorDiv:
     )
     @settings(max_examples=150, deadline=None)
     def test_fdiv_matches_python_floordiv_all_magnitudes(self, v, bucket):
-        """The decimal-division floor-div must equal Python's exact //
-        over the full long domain — a DOUBLE path would start failing
-        past 2^53 (ADVICE r6 medium)."""
+        """ALGEBRAIC IDENTITY ONLY: (v - nonneg_mod)/bucket computed in
+        exact decimal equals Python's // over the full long domain —
+        this pins the FORMULA the operator uses, not the operator
+        itself (a local mirror cannot catch a product regression).
+        The PRODUCT path past 2^53 is pinned by
+        tests/test_range_join.py's 2^53-straddling differential, which
+        drives range_bucket_join end-to-end."""
         from decimal import Decimal
 
         # replicate the operator's arithmetic: (v - nonneg_mod) / bucket
@@ -393,6 +397,63 @@ class TestZorderProperties:
         assert all(0 <= r <= levels for r in rs)
         assert rank(lo) == 0
         assert rank(hi) == (0 if hi == lo else levels)
+
+    def test_product_exprs_match_python_mirror(self, spark):
+        """The two hypothesis properties above exercise PYTHON MIRRORS of
+        the rank/interleave formulas — this differential drives the
+        PRODUCT expressions (layout.quantize_expr +
+        morton_interleave_sql) against those mirrors, so a corrupted
+        product formula (dropped +0.5 rounding, missing clamp, shifted
+        bit position) fails HERE instead of being self-consistently
+        wrong."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.layout import (
+            morton_interleave_sql,
+            quantize_expr,
+        )
+
+        bits = 6
+        vals = [(i, float((i * 37) % 101) - 50.0, float((i * 53) % 97)) for i in range(200)]
+        df = spark.createDataFrame(vals, "id long, a double, b double")
+        mm = df.agg(
+            F.min("a").alias("amn"), F.max("a").alias("amx"),
+            F.min("b").alias("bmn"), F.max("b").alias("bmx"),
+        )
+        got = (
+            df.crossJoin(F.broadcast(mm))
+            .select(
+                "id",
+                quantize_expr("a", "amn", "amx", bits).alias("ra"),
+                quantize_expr("b", "bmn", "bmx", bits).alias("rb"),
+            )
+            .withColumn("zkey", F.expr(morton_interleave_sql(["ra", "rb"], bits)))
+            .collect()
+        )
+        levels = (1 << bits) - 1
+        amn, amx = min(v[1] for v in vals), max(v[1] for v in vals)
+        bmn, bmx = min(v[2] for v in vals), max(v[2] for v in vals)
+
+        def rank(c, lo, hi):
+            if hi == lo:
+                return 0
+            return min(max(math.floor((c - lo) / (hi - lo) * levels + 0.5), 0), levels)
+
+        def interleave(ranks):
+            out = 0
+            for b in range(bits):
+                for d, r in enumerate(ranks):
+                    out |= ((r >> b) & 1) << (b * 2 + d)
+            return out
+
+        by_id = {v[0]: v for v in vals}
+        for r in got:
+            _, a, b = by_id[r["id"]]
+            ra, rb = rank(a, amn, amx), rank(b, bmn, bmx)
+            assert (r["ra"], r["rb"]) == (ra, rb), (r["id"], a, b)
+            assert r["zkey"] == interleave((ra, rb)), r["id"]
 
 
 class TestFlacStereoModes:

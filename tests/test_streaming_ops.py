@@ -68,6 +68,19 @@ class TestStreamingSessionize:
         assert got, "no sessions emitted"
         # every emitted (closed) session must match the batch computation
         assert all(batch.get(k) == v for k, v in got.items())
+        # ... AND completeness: subset-of-batch alone would pass a
+        # regression that drops all but one closed session. Under
+        # availableNow replay the final watermark is deterministic
+        # (max event time - 1 minute); every batch session closed
+        # strictly before it must have been emitted.
+        import datetime as _dt
+
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        horizon = max_ts - _dt.timedelta(minutes=1)
+        must_emit = {k: v for k, v in batch.items() if k[2] < horizon}
+        assert must_emit, "fixture leaves no closed sessions — test is vacuous"
+        missing = {k for k in must_emit if k not in got}
+        assert not missing, f"closed sessions not emitted: {sorted(missing)[:5]}"
 
 
 class TestRunningStats:
