@@ -516,3 +516,62 @@ class TestJexlBindingDifferential:
         else:
             want = [(a, b) for a, b in rows if ops[op](a, lit_a) or b > lit_b]
         assert got == sorted(want)
+
+
+class TestJexlTernaryQuoteFuzz:
+    """Differential fuzz of the quote-aware / ternary-depth JEXL paths
+    (the round-7 hardening): a python reference evaluator vs the
+    translated Spark expression over random string frames whose VALUES
+    collide with JEXL keywords and operators ('true', 'null', 'a&&b',
+    'who?', 'x:y', 'ns::v') — exactly the literals the old quote-blind
+    rewrites corrupted."""
+
+    _LITS = ["true", "null", "false", "a&&b", "who?", "x:y", "ns::v", "plain"]
+
+    @given(
+        st.lists(st.sampled_from(_LITS), min_size=1, max_size=8),
+        st.sampled_from(_LITS),
+        st.integers(-3, 3),
+        st.integers(-3, 3),
+        st.integers(-3, 3),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_quoted_literal_compare_matches_python(self, tags, lit, x0, t1, t2):
+        from shifu_spark.functions.jexl import jexl_filter
+        from shifu_spark.session import get_spark
+
+        spark = get_spark("shifu_spark_tests", shuffle_partitions="8")
+        rows = [(t, x0 + i) for i, t in enumerate(tags)]
+        df = spark.createDataFrame(rows, "tag string, v int")
+        expr = f"tag == '{lit}' ? v > {t1} : v <= {t2}"
+        got = sorted(
+            (r["tag"], r["v"]) for r in df.filter(jexl_filter(expr)).collect()
+        )
+        want = sorted(
+            (t, v)
+            for t, v in rows
+            if ((v > t1) if t == lit else (v <= t2))
+        )
+        assert got == want, (expr, rows)
+
+    @given(
+        st.lists(st.integers(-4, 4), min_size=1, max_size=10),
+        st.integers(-3, 3),
+        st.integers(-3, 3),
+        st.integers(-9, 9),
+        st.integers(-9, 9),
+        st.integers(-9, 9),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_chained_ternary_matches_python(self, vs, c1, c2, r1, r2, r3):
+        """Right-nested chains `v > c1 ? r1 : v > c2 ? r2 : r3` must
+        translate to nested CASE with JEXL's right associativity."""
+        from shifu_spark.functions.jexl import jexl_to_sql
+        from shifu_spark.session import get_spark
+
+        spark = get_spark("shifu_spark_tests", shuffle_partitions="8")
+        df = spark.createDataFrame([(v,) for v in vs], "v int")
+        sql = jexl_to_sql(f"v > {c1} ? {r1} : v > {c2} ? {r2} : {r3}")
+        got = [r[0] for r in df.selectExpr(f"{sql} AS o").collect()]
+        want = [r1 if v > c1 else (r2 if v > c2 else r3) for v in vs]
+        assert got == want, sql
