@@ -43,11 +43,15 @@ def save_model_set(
     sgd_weights: list[float] | None = None,
     feature_cols: list[str] | None = None,
     nn_results: list | None = None,
+    wdl_models: list | None = None,
 ) -> None:
     """Persist a bagged model set + metadata under one directory.
 
     ``nn_results`` — fitted ml/nn.py NNResult bags; like SGD weights they
-    serialize inline (flat vectors + layer/activation spec)."""
+    serialize inline (flat vectors + layer/activation spec).
+    ``wdl_models`` — fitted ml/wdl.py WDLModel instances, likewise inline
+    (the flat weight vector plus the dense/sparse/embedding spec —
+    BinaryWDLSerializer.java's role, JSON instead of a custom binary)."""
     os.makedirs(path, exist_ok=True)
     index = []
     for i, m in enumerate(models):
@@ -63,6 +67,7 @@ def save_model_set(
         "sgd_weights": sgd_weights,
         "train_params": asdict(train_params) if train_params is not None else None,
         "nn_models": [asdict(r) for r in nn_results] if nn_results else None,
+        "wdl_models": [asdict(m) for m in wdl_models] if wdl_models else None,
         "column_configs": [asdict(c) for c in column_configs] if column_configs else None,
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -90,6 +95,10 @@ def load_model_set(spark: SparkSession, path: str) -> dict:
         from shifu_spark.ml.nn import NNResult
 
         manifest["nn_models"] = [NNResult(**d) for d in manifest["nn_models"]]
+    if manifest.get("wdl_models"):
+        from shifu_spark.ml.wdl import WDLModel
+
+        manifest["wdl_models"] = [WDLModel(**d) for d in manifest["wdl_models"]]
     return manifest
 
 

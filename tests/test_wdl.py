@@ -265,3 +265,23 @@ def test_no_feature_model_rejected(spark):
         train_wdl(df, [], [], [], label_col="label")
     with pytest.raises(ValueError, match="align"):
         train_wdl(df, [], ["cat"], [3, 4], label_col="label")
+
+
+def test_wdl_registry_roundtrip(spark, tmp_path, wdl_fixture_df):
+    """A fitted WDLModel persists through the JSON manifest
+    (BinaryWDLSerializer.java's role) and the reloaded model scores
+    BIT-IDENTICALLY."""
+    from shifu_spark.ml.registry import load_model_set, save_model_set
+
+    model = train_wdl(
+        wdl_fixture_df, ["x1", "x2"], ["cat"], [3], embed_dim=2,
+        hidden_layers=[3], hidden_activation="SIGMOID", max_epochs=3, seed=9,
+    )
+    path = str(tmp_path / "wdl_set")
+    save_model_set(path, [], feature_cols=["x1", "x2", "cat"], wdl_models=[model])
+    loaded = load_model_set(spark, path)["wdl_models"][0]
+    assert loaded.weights == model.weights
+    assert loaded.cardinalities == [3] and loaded.embed_dim == 2
+    a = wdl_fixture_df.limit(40).withColumn("p", wdl_score_udf(model)).collect()
+    b = wdl_fixture_df.limit(40).withColumn("p", wdl_score_udf(loaded)).collect()
+    assert [r["p"] for r in a] == [r["p"] for r in b]
