@@ -268,7 +268,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # optional comma-separated subset (e.g. the sf1 scale-proof families)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    if only:
+        subset = [n for n in only.split(",") if n]
+        unknown = sorted(set(subset) - set(HEADLINE))
+        if unknown:
+            # a typo'd subset would otherwise run EMPTY and print a
+            # valid-looking JSON line over nothing
+            raise ValueError(f"SPARK_GRAFT_BENCH_QUERIES names not in bench: {unknown}")
+        headline = [n for n in HEADLINE if n in set(subset)]
+    else:
+        headline = HEADLINE
     from shifu_spark.queries import QUERIES
     from shifu_spark.session import get_spark
 

@@ -106,10 +106,13 @@ def _split_ternary(s: str) -> tuple[str, str, str] | None:
 
 def bind_headers(sql: str, headers: list[str]) -> str:
     """Rewrite identifiers in a translated SQL expression to the
-    (backticked) dataset headers they address under NSColumn semantics:
+    (backticked) dataset headers they address under NSColumn binding:
     a simple name binds to the (last) header whose leaf matches it, a
-    ``ns::name`` form suffix-matches — DataPurifier.java:115-119 binds
-    every header under both forms.  Unknown identifiers raise (the
+    ``ns::name`` form binds to the header with exactly that full name —
+    the two JexlContext keys DataPurifier.java:115-119 sets (general
+    suffix matching would let a shorter header capture a longer exact
+    identifier; see catalog/nscolumn.resolve).  Unknown identifiers
+    raise (the
     reference silently evaluates them as null — the silent-disable bug
     SURVEY §7 says not to copy).  Quoted string literals are left alone.
     """
@@ -143,7 +146,7 @@ def jexl_to_sql(expr: str, headers: list[str] | None = None) -> str:
     Supported: arithmetic (+ - * / %), comparisons, && || !, ternary
     ``cond ? a : b``, parentheses, column identifiers.  With ``headers``,
     identifiers (simple or ``ns::name``) bind to the matching header via
-    NSColumn suffix-match semantics (catalog/nscolumn.py); without, a
+    NSColumn full-or-leaf binding (catalog/nscolumn.resolve); without, a
     ``ns::name`` identifier collapses to its leaf name (the pre-NSColumn
     behavior, correct when the DataFrame's columns are leaf-named).
     Anything else -> ValueError.

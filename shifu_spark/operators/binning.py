@@ -301,8 +301,11 @@ def small_bin_counts(
     # would otherwise land in the TOP small bin (floor(NULL)=NULL,
     # least(NULL, k-1)=k-1) and corrupt the equal-population merge —
     # missing values are counted separately by the stats path, never
-    # inside value bins (UpdateBinningInfoReducer missing-slot handling)
-    df = df.filter(v.isNotNull())
+    # inside value bins (UpdateBinningInfoReducer missing-slot handling).
+    # NaN must go too: ONE NaN makes max(v)=NaN (Spark sorts NaN
+    # largest), turning EVERY row's bin index into least(NaN,k-1)=k-1 —
+    # the whole binning silently collapses into one bin.
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
     k = num_small_bins
     b = F.least(F.floor((v - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))

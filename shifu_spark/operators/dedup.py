@@ -417,7 +417,11 @@ def dedup_groups_df(
     )
     labels.count()
     pinned = labels  # the df actually holding the cache for this round
-    for _ in range(max_iterations):
+    # max_iterations + 1: convergence is only KNOWN via a round that
+    # reports changed == 0, so a chain whose last real change lands
+    # exactly on round max_iterations still needs one confirming round —
+    # without it, correct boundary-case results would raise below
+    for _ in range(max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
@@ -448,9 +452,9 @@ def dedup_groups_df(
         # downstream (non-minimal group ids look like distinct groups)
         pinned.unpersist()
         raise ValueError(
-            f"dedup_groups: label propagation did not converge within "
-            f"{max_iterations} rounds — the graph has a near-dup chain "
-            "longer than that; raise max_iterations"
+            f"dedup_groups: label propagation still changing after "
+            f"{max_iterations} label-updating rounds — the graph has a "
+            "near-dup chain longer than that; raise max_iterations"
         )
     # hand back an executor-side materialization and release the final
     # round's cache (the module's cache-release contract): the caller

@@ -39,21 +39,23 @@ def pagerank_df(
     — the division and the final multiply-add are single double ops on
     engine-identical inputs; the sum is exact decimal."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
-    n = nodes.count()
+    # one persisted distinct-source frame serves BOTH the N count and the
+    # per-superstep node universe (ed = e ⋈ deg preserves exactly e's
+    # source set, so recomputing the distinct again would be a second
+    # full shuffle for the same rows)
+    all_nodes = e.select(F.col("src")).distinct().persist()
+    n = all_nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, "src").persist()
     ed.count()
-    nodes.unpersist()
 
     base = float(1.0 - damping) / n
-    # the full node universe (all sources — complete under the documented
-    # no-dangling assumption). Each superstep LEFT-joins it with the
-    # contribution sums: a node with zero IN-degree must keep rank
-    # (1-d)/N and keep contributing, not silently vanish from the rank
-    # table (an inner groupBy(dst) drops it after the first iteration
-    # and loses its out-flow mass with it).
-    all_nodes = ed.select("src").distinct().persist()
+    # all_nodes is the full node universe (all sources — complete under
+    # the documented no-dangling assumption). Each superstep LEFT-joins
+    # it with the contribution sums: a node with zero IN-degree must
+    # keep rank (1-d)/N and keep contributing, not silently vanish from
+    # the rank table (an inner groupBy(dst) drops it after the first
+    # iteration and loses its out-flow mass with it).
     ranks = all_nodes.select(
         F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank")
     )

@@ -41,8 +41,17 @@ def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
     every query and satisfy every `cosine >= t` near-dup threshold,
     while the numpy block kernels (IEEE semantics: NaN fails >= and
     lexsorts last) exclude the same pairs.  NULL restores agreement:
-    desc ordering puts nulls last and `NULL >= t` filters false."""
-    return F.when((qnorm != 0) & (nnorm != 0), dot / (qnorm * nnorm))
+    desc ordering puts nulls last and `NULL >= t` filters false.
+
+    NaN NORMS get the same NULL treatment: an embedding containing a NaN
+    component has nnorm = NaN, and under Spark semantics `NaN != 0` is
+    TRUE (NaN equals only NaN), so a plain nonzero guard would let the
+    NaN flow through and rank first all over again.  isnan() must be
+    checked explicitly."""
+    ok = (
+        ~F.isnan(qnorm) & ~F.isnan(nnorm) & (qnorm != 0) & (nnorm != 0)
+    )
+    return F.when(ok, dot / (qnorm * nnorm))
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

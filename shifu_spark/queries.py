@@ -10457,10 +10457,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(freq * 4, array(0.25d, 0.5d, 0.75d))").alias("fq"),
             F.expr("percentile(mon_cents * 4, array(0.25d, 0.5d, 0.75d))").alias("mq"),
         ).collect()[0]
+        # unpack INSIDE the guard: an empty rollup returns NULL quantiles
+        # and the map(float, None) TypeError would otherwise fire between
+        # the guards, leaking the persisted rollup for the session
+        rq, fq, mq = [list(map(float, v)) for v in (row.rq, row.fq, row.mq)]
     except BaseException:
         cust.unpersist()
         raise
-    rq, fq, mq = [list(map(float, v)) for v in (row.rq, row.fq, row.mq)]
 
     def band(col, qs, reverse):
         x = F.col(col) * 4

@@ -189,8 +189,14 @@ def _is_format_dir(path: str, ext: str, spark=None) -> bool:
             return any(
                 st.getPath().getName().endswith(ext) for st in fs.listStatus(hpath)
             )
-        except Exception:
-            return False
+        except Exception as e:
+            # a FAILED probe (auth/network error) must not quietly route
+            # a remote parquet directory into the delimited-text reader —
+            # that parses binary as '|'-rows and the field-count filter
+            # silently drops nearly everything
+            raise ValueError(
+                f"cannot probe remote path {path!r} for format detection: {e}"
+            ) from e
     try:
         return os.path.isdir(path) and any(f.endswith(ext) for f in os.listdir(path))
     except OSError:

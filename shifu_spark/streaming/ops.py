@@ -402,20 +402,27 @@ def start_gold_table_foreach_batch(
     import shutil
     import uuid
 
+    # one token per STARTED QUERY: batch ids restart at 0 for every new
+    # checkpoint, so a bare batch-id comparison against a pre-existing
+    # gold table would silently drop a NEW stream's first batches. The
+    # marker only suppresses replays of THIS query's batches.
+    run_token = uuid.uuid4().hex
+
     def _merge(raw_df: DataFrame, batch_id: int) -> None:
         if raw_df.isEmpty():
             return
         # idempotency on batch replay: foreachBatch is at-least-once — a
         # failure AFTER the swap but BEFORE the checkpoint commit re-runs
         # the same batch_id on restart, and re-merging would double-count
-        # n/sum permanently. The last applied batch_id rides INSIDE the
-        # swapped directory (underscore-prefixed files are invisible to
-        # the parquet reader, like _SUCCESS), so table + marker move
-        # atomically together.
+        # n/sum permanently. The (run token, last applied batch_id) pair
+        # rides INSIDE the swapped directory (underscore-prefixed files
+        # are invisible to the parquet reader, like _SUCCESS), so table +
+        # marker move atomically together.
         marker = os.path.join(gold_path, "_last_batch")
         if os.path.isfile(marker):
             with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
+                tok, _, last = fh.read().strip().partition(" ")
+                if tok == run_token and last and batch_id <= int(last):
                     return
         batch_df = raw_df.groupBy(F.col(key_col).alias("key")).agg(
             F.count(F.lit(1)).alias("n"),
@@ -439,7 +446,7 @@ def start_gold_table_foreach_batch(
         tmp = f"{gold_path}__swap_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_last_batch"), "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(f"{run_token} {batch_id}")
         old = f"{gold_path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(gold_path):
             os.rename(gold_path, old)

@@ -613,6 +613,20 @@ class TestDynamicHybridBinning:
 
         assert dynamic_bin_merge([], 5) == []
 
+    def test_small_bin_counts_exclude_null_and_nan(self, spark):
+        """NULL values must not land in the top small bin (F.least skips
+        nulls) and a single NaN must not collapse every row into bin k-1
+        via max(v)=NaN — both previously corrupted the dynamic merge."""
+        from shifu_spark.operators.binning import small_bin_counts
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (None,), (float("nan"),)], "v double"
+        )
+        rows = small_bin_counts(df, "v", num_small_bins=4).collect()
+        assert sum(r["cnt"] for r in rows) == 3  # only the 3 valid values
+        top = [r for r in rows if r["small_bin"] == 3]
+        assert sum(r["cnt"] for r in top) == 1  # just the max value 3.0
+
     def test_hybrid_bin_index(self, spark):
         from shifu_spark.operators.binning import hybrid_bin_index_expr
 
@@ -1928,6 +1942,16 @@ class TestSimilarityEdgeGuards:
         ids = [r["neighbor_id"] for r in rows]
         assert 3 not in ids and len(ids) == 2
         assert all(r["cosine"] is not None for r in rows)
+        # NaN COMPONENTS too: nnorm = NaN, and `NaN != 0` is TRUE under
+        # Spark semantics, so a plain nonzero guard would let the NaN
+        # vector rank first all over again
+        emb_nan = emb.union(
+            emb.sparkSession.createDataFrame(
+                [(5, [float("nan"), 1.0])], "vec_id long, embedding array<double>"
+            )
+        )
+        rows2 = brute_force_topk(emb_nan, F.col("vec_id") == 1, k=4).collect()
+        assert 5 not in [r["neighbor_id"] for r in rows2]
 
     def test_lsh_band_width_guard(self, spark):
         """bands must divide n_planes: silent truncation weakens the LSH,
