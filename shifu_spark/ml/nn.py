@@ -15,9 +15,11 @@ this closes the activation-parity gap (SURVEY §2.10) with the same
 aggregate-broadcast superstep as ml/sgd.py:
 
   workers = ``mapInPandas`` backprop partials (Arrow-batched numpy; one
-            (flat-gradient, loss, n) row per batch — driver traffic is
-            O(batches * weight-count), independent of row count);
-  master  = driver sums partials, applies Weight.java optimizer
+            (flat-gradient, loss, n) row per batch);
+  fan-in  = partials fold IN SPARK via ``treeAggregate``
+            (sgd.fold_gradient_partials) — driver traffic is ONE summed
+            row of O(weight-count), independent of both row and batch
+            count; the driver applies the Weight.java optimizer
             (BGD/MOMENTUM/ADAGRAD/RMSPROP/ADAM from ml/sgd.py);
   next epoch's closure carries the new weights (broadcast-by-closure).
 
@@ -37,7 +39,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shifu_spark.ml.sgd import OPTIMIZERS, ConvergeEarlyStop, WindowEarlyStop
+from shifu_spark.ml.sgd import (
+    OPTIMIZERS,
+    ConvergeEarlyStop,
+    WindowEarlyStop,
+    fold_gradient_partials,
+)
 
 # ---------------------------------------------------------------------------
 # Activations — forward(z) -> a and backward(z, a) -> da/dz, vectorized.
@@ -205,17 +212,9 @@ def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, epoch_see
             feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, sample_rate
         ),
         schema=schema,
-    ).collect()
-    if not parts:
-        return np.zeros_like(w), 0.0, 0
-    g = np.zeros_like(w)
-    loss, n = 0.0, 0
-    for row in parts:
-        g += np.asarray(row["grad"])
-        loss += row["loss"]
-        n += row["n"]
-    n = n or 1
-    return g / n, loss / n, n
+    )
+    # partials fold in Spark (treeAggregate) — one row reaches the driver
+    return fold_gradient_partials(parts, w.size)
 
 
 def train_nn(

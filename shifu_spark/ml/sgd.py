@@ -10,7 +10,9 @@ ConvergeAndValidToleranceEarlyStop.java + core/ConvergeJudger.java.
 Spark shape — the BSP superstep becomes one job per epoch:
   workers  = ``mapInPandas`` partial gradients (Arrow-batched numpy — one
              (grad, loss, n) row per batch, no per-row Python);
-  master   = driver sums the few partial rows and applies the optimizer;
+  fan-in   = partials fold IN SPARK via ``treeAggregate``
+             (fold_gradient_partials) so exactly one summed row reaches
+             the driver, which applies the optimizer;
   broadcast = the new weight vector rides into the next epoch's closure.
 
 This is exactly MLlib's own aggregate-broadcast iteration; we keep our own
@@ -189,21 +191,39 @@ def _partial_gradient_udf(feature_cols: list[str], label_col: str, weights: np.n
     return fn
 
 
+def fold_gradient_partials(parts: DataFrame, width: int):
+    """Sum (grad array<double>, loss double, n long) partial rows IN SPARK
+    via RDD ``treeAggregate``: each task folds its local partial rows into
+    one running numpy vector, combiners merge task results in a tree, and
+    exactly ONE (grad, loss, n) triple reaches the driver — O(weights)
+    driver traffic, independent of batch count.  Shared by the LR / NN /
+    Wide&Deep trainers (the Guagua master fan-in, NNMaster.java:72-300 /
+    WDLMaster.java, expressed as a tree-reduce).  This replaces both the
+    driver-side collect()+sum (a fan-in of #batches x weight-vector — the
+    W&D weight vector embeds whole embedding tables, so at 100 TB that
+    collect was the scale-killer) and the earlier single-task
+    ``collect_list`` fold (which materialized every batch gradient in one
+    executor before folding).
+
+    Returns (mean gradient, mean loss, n)."""
+
+    def seq(acc, row):
+        return (acc[0] + np.asarray(row["grad"]), acc[1] + row["loss"], acc[2] + row["n"])
+
+    def comb(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    zero = (np.zeros(width), 0.0, 0)
+    g, loss, n = parts.rdd.treeAggregate(zero, seq, comb, depth=2)
+    n = n or 1
+    return g / n, loss / n, n
+
+
 def _epoch(df: DataFrame, feature_cols: list[str], label_col: str, w: np.ndarray, reg: float):
     """Run one superstep: returns (summed gradient/n, mean loss, n)."""
     schema = "grad array<double>, loss double, n long"
     parts = df.mapInPandas(_partial_gradient_udf(feature_cols, label_col, w, reg), schema=schema)
-    agg = parts.agg(
-        F.aggregate(
-            F.collect_list("grad"),
-            F.array(*[F.lit(0.0)] * (len(feature_cols) + 1)),
-            lambda acc, g: F.zip_with(acc, g, lambda a, b: a + b),
-        ).alias("grad"),
-        F.sum("loss").alias("loss"),
-        F.sum("n").alias("n"),
-    ).collect()[0]
-    n = agg["n"] or 1
-    return np.array(agg["grad"]) / n, (agg["loss"] or 0.0) / n, n
+    return fold_gradient_partials(parts, len(feature_cols) + 1)
 
 
 def train_lr_sgd(

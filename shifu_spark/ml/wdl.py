@@ -14,11 +14,14 @@ gradients on local data, master averages and applies the optimizer).
 Spark-first mapping (same superstep as ml/nn.py / ml/sgd.py):
 
   workers = ``mapInPandas`` partial gradients — one flat (gradient, loss,
-            n) row per Arrow batch, so driver traffic is
-            O(batches x weight-count), independent of row count;
-  master  = driver sums partials and applies a Weight.java optimizer
-            (OPTIMIZERS from ml/sgd.py); next epoch's closure carries the
-            new flat weight vector (broadcast-by-closure).
+            n) row per Arrow batch;
+  fan-in  = partials fold IN SPARK via ``treeAggregate``
+            (sgd.fold_gradient_partials): ONE summed row reaches the
+            driver per epoch — essential here because the flat vector
+            embeds the whole embedding tables (sum(card) x embed_dim);
+            the driver applies a Weight.java optimizer (OPTIMIZERS from
+            ml/sgd.py); next epoch's closure carries the new flat weight
+            vector (broadcast-by-closure).
 
 Sparse fields enter as INTEGER CATEGORY INDICES (the reference's
 SparseInput carries exactly (columnId, valueIndex)); the one-hot is never
@@ -47,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shifu_spark.ml.nn import ACTIVATIONS, _shapes, _sigmoid, _unflatten
-from shifu_spark.ml.sgd import OPTIMIZERS
+from shifu_spark.ml.sgd import OPTIMIZERS, fold_gradient_partials
 
 
 @dataclass
@@ -185,15 +188,32 @@ def _wdl_backprop(xd, xs, y, w, n_dense, cards, embed_dim, deep_layers, deep_act
 
 
 def _partial_grad_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
-                      embed_dim, deep_layers, deep_acts):
+                      embed_dim, deep_layers, deep_acts,
+                      epoch_seed=0, epoch_sample_rate=1.0):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         wv = np.asarray(w)
+        # (epoch_seed, partitionId) rng — deterministic for a fixed
+        # partitioning, decorrelated across tasks (same scheme as ml/nn)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        rng = np.random.default_rng((epoch_seed, pid))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             xd = pdf[dense_cols].to_numpy(dtype=np.float64)
             xs = pdf[sparse_cols].to_numpy(dtype=np.int64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
+            if epoch_sample_rate < 1.0:
+                # per-epoch stochastic mini-batch of each worker's rows
+                # (WDLWorker trains on a per-iteration subsample the same
+                # way AbstractNNWorker's sampleRate does; the epoch-varying
+                # seed gives every superstep a fresh subset)
+                pick = rng.random(len(y)) < epoch_sample_rate
+                xd, xs, y = xd[pick], xs[pick], y[pick]
+                if len(y) == 0:
+                    continue
             g, loss = _wdl_backprop(
                 xd, xs, y, wv, n_dense, cards, embed_dim, deep_layers, deep_acts)
             yield pd.DataFrame({"grad": [g.tolist()], "loss": [loss], "n": [len(y)]})
@@ -213,10 +233,16 @@ def train_wdl(
     optimizer: str = "ADAM",
     learning_rate: float = 0.05,
     max_epochs: int = 20,
+    epoch_sample_rate: float = 1.0,
     seed: int = 42,
 ) -> WDLModel:
-    """Full-batch distributed Wide&Deep for binary targets.
+    """Distributed Wide&Deep for binary targets.
 
+    ``epoch_sample_rate`` = 1.0 is full-batch; < 1.0 makes each superstep
+    a stochastic MINI-BATCH — every worker draws a fresh subsample of its
+    local rows per epoch (the reference's WDLWorker iterates on
+    per-superstep subsamples the same way AbstractNNWorker's sampleRate
+    does), so the master's update is SGD over ~rate of the data per step.
     ``sparse_cols`` must hold integer category indices in
     [0, cardinality) — out-of-range indices raise in the worker (the
     reference's SparseInput carries pre-validated valueIndex)."""
@@ -247,22 +273,20 @@ def train_wdl(
     df = df.select(*cols).persist()
     try:
         schema = "grad array<double>, loss double, n long"
-        for _epoch in range(max_epochs):
+        for epoch in range(max_epochs):
             parts = df.mapInPandas(
                 _partial_grad_udf(
                     dense_cols, sparse_cols, label_col, w, len(dense_cols),
-                    cardinalities, embed_dim, deep_layers, deep_acts),
+                    cardinalities, embed_dim, deep_layers, deep_acts,
+                    epoch_seed=seed + epoch, epoch_sample_rate=epoch_sample_rate),
                 schema=schema,
-            ).collect()
-            g = np.zeros_like(w)
-            loss, n = 0.0, 0
-            for row in parts:
-                g += np.asarray(row["grad"])
-                loss += row["loss"]
-                n += row["n"]
-            n = n or 1
-            w = opt.update(w, g / n)
-            model.train_losses.append(loss / n)
+            )
+            # partials fold in Spark (treeAggregate, sgd.py) — one row
+            # reaches the driver; critical here because the W&D flat
+            # vector embeds whole embedding tables (sum(card)*embed_dim)
+            g, mean_loss, _n = fold_gradient_partials(parts, w.size)
+            w = opt.update(w, g)
+            model.train_losses.append(mean_loss)
             model.epochs_run += 1
     finally:
         df.unpersist()
@@ -307,3 +331,52 @@ def wdl_score_udf(model: WDLModel):
         return pd.Series(p)
 
     return score(*[F.col(c) for c in [*model.dense_cols, *model.sparse_cols]])
+
+
+def train_wdl_bagged(
+    df: DataFrame,
+    dense_cols: list[str],
+    sparse_cols: list[str],
+    cardinalities: list[int],
+    bags: int = 3,
+    bag_fraction: float = 0.8,
+    seed: int = 42,
+    **train_kwargs,
+) -> list[WDLModel]:
+    """Bagging for Wide&Deep: one model per seeded resample — the same
+    shape as train_nn_bagged (TrainModelProcessor.java:931-942 runs N
+    parallel Guagua jobs regardless of model family; the reference's
+    Scorer treats every family uniformly)."""
+    return [
+        train_wdl(
+            df.sample(withReplacement=False, fraction=bag_fraction, seed=seed + bag),
+            dense_cols, sparse_cols, cardinalities,
+            seed=seed + bag,
+            **train_kwargs,
+        )
+        for bag in range(bags)
+    ]
+
+
+def score_wdl_ensemble(
+    df: DataFrame,
+    models: list[WDLModel],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bagged-W&D ensemble scoring: model0..N columns via the Arrow
+    scorer (each model's flat weights ride a pandas_udf closure — the
+    broadcast-model pattern of EvalScoreUDF.java:237-247), then the
+    SHARED mean/max/min/median array expressions
+    (ml/train.with_ensemble_stats, ScoreObject.java:35-74) — W&D
+    composes with bagging exactly like NN/LR/RF because
+    core/Scorer.java:129-210 dispatches on model family only to produce
+    the per-model score, never in the aggregation."""
+    from shifu_spark.ml.train import with_ensemble_stats
+
+    out = df
+    score_cols = []
+    for i, m in enumerate(models):
+        col = f"model{i}"
+        out = out.withColumn(col, wdl_score_udf(m))
+        score_cols.append(col)
+    return with_ensemble_stats(out, score_cols, keep_cols)

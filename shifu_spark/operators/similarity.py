@@ -223,13 +223,16 @@ def cosine_pandas_udf():
         b = np.stack(nvec.to_numpy()).astype(np.float64)
         dot = _seq_dot(a, b)
         denom = qnorm.to_numpy() * nnorm.to_numpy()
-        # zero-norm vectors -> genuine NULL (nullable Float64 -> Arrow
-        # null), matching safe_cosine — a bare NaN would rank FIRST and
-        # satisfy every threshold under Spark's NaN-is-largest semantics
+        # zero-norm AND non-finite cases -> genuine NULL (nullable
+        # Float64 -> Arrow null), matching safe_cosine — a bare NaN
+        # (zero denom, or a NaN/Inf embedding component flowing through
+        # dot or norm) would rank FIRST and satisfy every threshold
+        # under Spark's NaN-is-largest semantics
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom != 0.0, dot / np.where(denom == 0.0, 1.0, denom), np.nan)
         out = pd.array(cos, dtype="Float64")
-        out[denom == 0.0] = pd.NA
+        bad = (denom == 0.0) | ~np.isfinite(denom) | ~np.isfinite(cos)
+        out[bad] = pd.NA
         return pd.Series(out, dtype="Float64")
 
     return _cos

@@ -11225,3 +11225,141 @@ def wdl_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") == 1.0,
     ).collect()[0]["auc"]
     return _fit_invariant_rows(spark, model.train_losses, auc, 0.9)
+
+
+@query("wdl_ensemble_pinned", None)
+def wdl_ensemble_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged Wide&Deep ENSEMBLE scoring with PINNED weights — W&D wired
+    through the family-agnostic combo path: per-model scores come from
+    the real ml/wdl scorer (wdl_score_udf -> _wdl_forward), the
+    mean/max/min/median come from the SHARED with_ensemble_stats array
+    expressions (ScoreObject.java:35-74) exactly as NN/LR/RF ensembles
+    do — core/Scorer.java:129-210 dispatches on model family only for
+    the per-model score, never in the aggregation. Three literal
+    models, each with an EMPTY hidden stack (deep part = one LINEAR
+    layer over [x1, x2, e1, e2]), so the oracle restates each score as
+    a closed form with CASE lookups and the median of 3 as
+    sum - greatest - least. |logit| < 3 — far from the sigmoid clip."""
+    from shifu_spark.ml.wdl import WDLModel, score_wdl_ensemble
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("cat"),
+    )
+    # flat layout per ml/wdl module docstring: 3 wide field weights,
+    # 2 wide dense, wide bias, 3x2 embedding, then the 5-weight LINEAR
+    # deep layer [m_x1, m_x2, m_e1, m_e2, m_bias]
+    weight_sets = [
+        [0.3, -0.2, 0.1,  0.5, -0.4, 0.05,
+         0.2, -0.1, -0.3, 0.4, 0.1, 0.25,
+         0.6, 0.8, -0.7, 0.4, 0.1],
+        [-0.1, 0.25, 0.05,  -0.3, 0.6, -0.1,
+         0.15, 0.3, 0.05, -0.2, -0.25, 0.1,
+         -0.4, 0.5, 0.9, -0.6, 0.2],
+        [0.2, 0.0, -0.15,  0.35, 0.1, 0.0,
+         -0.05, 0.2, 0.3, -0.1, 0.05, -0.3,
+         0.7, -0.2, 0.3, 0.8, -0.15],
+    ]
+    models = [
+        WDLModel(
+            dense_cols=["x1", "x2"], sparse_cols=["cat"], cardinalities=[3],
+            embed_dim=2, hidden_layers=[], hidden_activation="RELU",
+            weights=w,
+        )
+        for w in weight_sets
+    ]
+    out = score_wdl_ensemble(df, models, keep_cols=["l_orderkey", "l_linenumber"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("mean", 6).alias("mean_score"),
+        F.round("max", 6).alias("max_score"),
+        F.round("min", 6).alias("min_score"),
+        F.round("median", 6).alias("median_score"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLES["wdl_ensemble_pinned"] = """
+WITH x AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS cat
+  FROM lineitem
+),
+s AS (
+  SELECT l_orderkey, l_linenumber,
+    1.0 / (1.0 + exp(-(
+      CASE cat WHEN 0 THEN 0.3 WHEN 1 THEN -0.2 ELSE 0.1 END
+      + 0.5*x1 + -0.4*x2 + 0.05
+      + 0.6*x1 + 0.8*x2
+      + -0.7 * (CASE cat WHEN 0 THEN 0.2 WHEN 1 THEN -0.3 ELSE 0.1 END)
+      +  0.4 * (CASE cat WHEN 0 THEN -0.1 WHEN 1 THEN 0.4 ELSE 0.25 END)
+      + 0.1))) AS s0,
+    1.0 / (1.0 + exp(-(
+      CASE cat WHEN 0 THEN -0.1 WHEN 1 THEN 0.25 ELSE 0.05 END
+      + -0.3*x1 + 0.6*x2 + -0.1
+      + -0.4*x1 + 0.5*x2
+      +  0.9 * (CASE cat WHEN 0 THEN 0.15 WHEN 1 THEN 0.05 ELSE -0.25 END)
+      + -0.6 * (CASE cat WHEN 0 THEN 0.3 WHEN 1 THEN -0.2 ELSE 0.1 END)
+      + 0.2))) AS s1,
+    1.0 / (1.0 + exp(-(
+      CASE cat WHEN 0 THEN 0.2 WHEN 1 THEN 0.0 ELSE -0.15 END
+      + 0.35*x1 + 0.1*x2 + 0.0
+      + 0.7*x1 + -0.2*x2
+      +  0.3 * (CASE cat WHEN 0 THEN -0.05 WHEN 1 THEN 0.3 ELSE 0.05 END)
+      +  0.8 * (CASE cat WHEN 0 THEN 0.2 WHEN 1 THEN -0.1 ELSE -0.3 END)
+      + -0.15))) AS s2
+  FROM x
+)
+SELECT l_orderkey, l_linenumber,
+       round((s0 + s1 + s2) / 3, 6)                                AS mean_score,
+       round(greatest(s0, s1, s2), 6)                              AS max_score,
+       round(least(s0, s1, s2), 6)                                 AS min_score,
+       round(s0 + s1 + s2 - greatest(s0,s1,s2) - least(s0,s1,s2), 6) AS median_score
+FROM s ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("wdl_train_minibatch", None)
+def wdl_train_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide&Deep MINI-BATCH training — the reference's actual training
+    regime (WDLWorker iterates on per-superstep subsamples the way
+    AbstractNNWorker's sampleRate does, vs wdl_train's full-batch form):
+    every epoch each worker draws a fresh ~50% subsample of its local
+    rows, so the master's ADAM step is stochastic. Rows-only but
+    semi-verifiable: per-epoch loss decrease + held-out AUC >= 0.9 on
+    the planted separable target, asserted in-query."""
+    from shifu_spark.ml.wdl import train_wdl, wdl_score_udf
+    from shifu_spark.operators.eval_metrics import roc_auc_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    data = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("cat"),
+        (F.col("l_quantity") > 25).cast("double").alias("label"),
+    )
+    train, valid = data.randomSplit([0.8, 0.2], seed=42)
+    model = train_wdl(
+        train, ["x1", "x2"], ["cat"], [3], embed_dim=2, hidden_layers=[4],
+        hidden_activation="RELU", optimizer="ADAM", learning_rate=0.3,
+        max_epochs=8, epoch_sample_rate=0.5, seed=42,
+    )
+    auc = roc_auc_df(
+        valid.withColumn("p", wdl_score_udf(model)),
+        "p",
+        F.col("label") == 1.0,
+    ).collect()[0]["auc"]
+    return _fit_invariant_rows(spark, model.train_losses, auc, 0.9)

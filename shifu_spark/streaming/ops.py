@@ -398,15 +398,26 @@ def start_gold_table_foreach_batch(
     accumulate in DECIMAL(38,10), so the merged totals equal a batch
     aggregate over the union of all input exactly (pinned by the
     2-batch replay test)."""
+    import hashlib
     import os
     import shutil
     import uuid
 
-    # one token per STARTED QUERY: batch ids restart at 0 for every new
-    # checkpoint, so a bare batch-id comparison against a pre-existing
-    # gold table would silently drop a NEW stream's first batches. The
-    # marker only suppresses replays of THIS query's batches.
-    run_token = uuid.uuid4().hex
+    # one token per CHECKPOINT, not per start() call: the at-least-once
+    # replay this marker suppresses (failure after the directory swap but
+    # before the checkpoint commit) only ever surfaces across a query
+    # RESTART — which re-invokes this function, so a per-start uuid would
+    # mint a fresh token and the replayed batch would re-merge and
+    # double-count. The checkpoint path is exactly the identity Spark
+    # itself uses for batch-id continuity: same checkpoint -> same token
+    # across restarts (replays suppressed); a NEW stream pointed at the
+    # same gold table has a new checkpoint -> new token, so its batch ids
+    # restarting at 0 are NOT dropped. Corollary (standard streaming-sink
+    # contract): resetting the checkpoint dir requires resetting the gold
+    # table too.
+    run_token = hashlib.sha256(
+        os.path.abspath(checkpoint_path).encode("utf-8")
+    ).hexdigest()[:16]
 
     def _merge(raw_df: DataFrame, batch_id: int) -> None:
         if raw_df.isEmpty():

@@ -510,6 +510,30 @@ class TestSimilarity:
         got = df.select(cosine_expr(F.col("v"), F.col("v"))).collect()[0][0]
         assert got == pytest.approx(1.0)
 
+    def test_cosine_udf_nan_embedding_is_null(self, spark):
+        """A NaN embedding component makes the norm NaN, which passes a
+        ``denom != 0`` guard and comes back as cosine=NaN — ranking #1
+        under Spark's NaN-is-largest ordering. The UDF must return NULL
+        for zero AND non-finite denominators/results (safe_cosine
+        contract)."""
+        from shifu_spark.operators.similarity import cosine_pandas_udf
+
+        nan, inf = float("nan"), float("inf")
+        rows = [
+            ([1.0, 0.0], [1.0, 0.0], 1.0, 1.0),      # clean -> 1.0
+            ([nan, 1.0], [1.0, 0.0], nan, 1.0),      # NaN component -> NULL
+            ([0.0, 0.0], [1.0, 0.0], 0.0, 1.0),      # zero norm -> NULL
+            ([inf, 0.0], [1.0, 0.0], inf, 1.0),      # Inf norm -> NULL
+        ]
+        df = spark.createDataFrame(
+            rows, "va array<double>, vb array<double>, na double, nb double"
+        )
+        got = df.select(
+            cosine_pandas_udf()(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("c")
+        ).collect()
+        assert got[0]["c"] == pytest.approx(1.0)
+        assert got[1]["c"] is None and got[2]["c"] is None and got[3]["c"] is None
+
     def test_lsh_topk_subset_of_brute(self, spark):
         from shifu_spark.operators.similarity import brute_force_topk, lsh_topk
 

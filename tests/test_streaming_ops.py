@@ -447,6 +447,53 @@ class TestGoldTableUpsert:
         # both batches really contributed (some key spans the split)
         assert any(n > 1 for n, _, _ in got.values())
 
+    def test_replay_across_restart_is_idempotent(self, spark, tmp_path):
+        """The at-least-once window the marker exists for: a crash AFTER
+        the gold-table swap but BEFORE the checkpoint commit re-delivers
+        the same batch_id on RESTART (new start() invocation). Simulated
+        exactly: run one batch to completion, delete the checkpoint's
+        ``commits/0`` (so Spark believes batch 0 never committed and
+        replays it), restart with the same checkpoint. The marker token
+        is derived from the checkpoint path — stable across restarts —
+        so the replayed merge must be suppressed and the gold table must
+        equal a single batch aggregate, not double-counted."""
+        from shifu_spark.queries import _events
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        ev = _events(spark, "/root/testdata/sf0.001").select("user_id", "value", "ts")
+        src, gold, ckpt = (str(tmp_path / d) for d in ("in", "gold", "ckpt"))
+        ev.coalesce(1).write.parquet(src)
+
+        def run():
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = start_gold_table_foreach_batch(stream, "user_id", "value", gold, ckpt)
+            q.awaitTermination(120)
+
+        run()
+        commit0 = os.path.join(ckpt, "commits", "0")
+        assert os.path.isfile(commit0)
+        os.remove(commit0)  # crash-before-commit: batch 0 will replay
+        crc = os.path.join(ckpt, "commits", ".0.crc")  # checksum-FS sidecar
+        if os.path.isfile(crc):
+            os.remove(crc)
+        run()
+
+        got = {
+            r["key"]: (r["n"], r["s"], r["mx"])
+            for r in spark.read.parquet(gold).collect()
+        }
+        want = {
+            r["key"]: (r["n"], r["s"], r["mx"])
+            for r in ev.groupBy(F.col("user_id").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,10)")).alias("s"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want  # replayed batch merged ZERO additional rows
+
 
 class TestStreamingExactDedup:
     def test_duplicates_across_micro_batches_dropped(self, spark, tmp_path):

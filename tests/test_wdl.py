@@ -18,7 +18,9 @@ from shifu_spark.ml.wdl import (
     _unflatten_wdl,
     _wdl_backprop,
     _wdl_forward,
+    score_wdl_ensemble,
     train_wdl,
+    train_wdl_bagged,
     wdl_score_udf,
 )
 
@@ -167,6 +169,51 @@ def test_train_wdl_learns_sparse_dense_interaction(spark, wdl_fixture_df):
     # the planted rule needs the category x dense interaction; 0.9 is far
     # above the ~0.56 a dense-only linear model reaches on this fixture
     assert acc > 0.9, acc
+
+
+def test_train_wdl_minibatch_learns(spark, wdl_fixture_df):
+    """epoch_sample_rate < 1 = the reference's mini-batch regime
+    (WDLWorker per-superstep subsamples): stochastic epochs must still
+    learn the planted sparse x dense interaction, and the subsampling
+    must actually bite (per-epoch n < full row count is implied by the
+    lower per-epoch loss magnitudes; we check accuracy end-to-end)."""
+    model = train_wdl(
+        wdl_fixture_df, ["x1", "x2"], ["cat"], [3], embed_dim=2,
+        hidden_layers=[6], hidden_activation="RELU", optimizer="ADAM",
+        learning_rate=0.2, max_epochs=25, epoch_sample_rate=0.5, seed=11,
+    )
+    assert model.epochs_run == 25
+    assert model.train_losses[-1] < model.train_losses[0]
+    scored = wdl_fixture_df.withColumn("p", wdl_score_udf(model))
+    rows = scored.select("p", "label").collect()
+    acc = np.mean([(r["p"] > 0.5) == (r["label"] == 1.0) for r in rows])
+    assert acc > 0.85, acc
+
+
+def test_wdl_ensemble_composes_with_bagging(spark, wdl_fixture_df):
+    """W&D inside the combo/eval family: train_wdl_bagged fits one model
+    per seeded resample and score_wdl_ensemble routes the per-model
+    scores through the SAME with_ensemble_stats aggregation NN/LR/RF
+    use (core/Scorer.java treats all families uniformly) — so
+    mean/max/min/median must equal the hand-computed stats of the
+    per-model columns, row for row."""
+    models = train_wdl_bagged(
+        wdl_fixture_df, ["x1", "x2"], ["cat"], [3], bags=3, bag_fraction=0.7,
+        embed_dim=2, hidden_layers=[4], hidden_activation="RELU",
+        optimizer="ADAM", learning_rate=0.2, max_epochs=6, seed=7,
+    )
+    assert len(models) == 3 and all(m.epochs_run == 6 for m in models)
+    out = score_wdl_ensemble(
+        wdl_fixture_df.limit(50), models, keep_cols=["x1", "label"]
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        scores = sorted([r["model0"], r["model1"], r["model2"]])
+        assert r["mean"] == pytest.approx(sum(scores) / 3)
+        assert r["max"] == pytest.approx(scores[-1])
+        assert r["min"] == pytest.approx(scores[0])
+        assert r["median"] == pytest.approx(scores[1])
+        assert 0.0 <= r["min"] <= r["median"] <= r["max"] <= 1.0
 
 
 def test_score_udf_matches_local_forward(spark, wdl_fixture_df):
