@@ -63,6 +63,8 @@ HEADLINE_STAGES = {
     "nn_train": "train",
     "wdl_forward_pinned": "train",
     "wdl_train": "train",
+    "wdl_ensemble_pinned": "train",
+    "wdl_train_minibatch": "train",
     "ga_varselect": "train",
     "kmeans_step_centroids": "similarity",
     "embedding_ivf_topk": "similarity",

@@ -15,7 +15,7 @@ this closes the activation-parity gap (SURVEY §2.10) with the same
 aggregate-broadcast superstep as ml/sgd.py:
 
   workers = ``mapInPandas`` backprop partials (Arrow-batched numpy; one
-            (flat-gradient, loss, n) row per batch);
+            (flat-gradient, loss, n) row per TASK);
   fan-in  = partials fold IN SPARK via ``treeAggregate``
             (sgd.fold_gradient_partials) — driver traffic is ONE summed
             row of O(weight-count), independent of both row and batch
@@ -178,6 +178,8 @@ def _partial_grad_udf(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         rng = np.random.default_rng((epoch_seed, pid))
+        # per-TASK fold: batches accumulate in arrival order, one row out
+        acc_g, acc_loss, acc_n = np.zeros(n_weights), 0.0, 0
         for pdf in batches:
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
@@ -200,7 +202,11 @@ def _partial_grad_udf(
             grads, loss = _backprop(x, y, mats, acts, masks)
             flat = np.concatenate([g.ravel() for g in grads])
             assert flat.size == n_weights
-            yield pd.DataFrame({"grad": [flat.tolist()], "loss": [loss], "n": [n]})
+            acc_g = acc_g + flat
+            acc_loss += loss
+            acc_n += n
+        if acc_n:
+            yield pd.DataFrame({"grad": [acc_g.tolist()], "loss": [acc_loss], "n": [acc_n]})
 
     return fn
 

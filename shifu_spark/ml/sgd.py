@@ -9,7 +9,7 @@ ConvergeAndValidToleranceEarlyStop.java + core/ConvergeJudger.java.
 
 Spark shape — the BSP superstep becomes one job per epoch:
   workers  = ``mapInPandas`` partial gradients (Arrow-batched numpy — one
-             (grad, loss, n) row per batch, no per-row Python);
+             (grad, loss, n) row per TASK, no per-row Python);
   fan-in   = partials fold IN SPARK via ``treeAggregate``
              (fold_gradient_partials) so exactly one summed row reaches
              the driver, which applies the optimizer;
@@ -168,11 +168,14 @@ class SGDResult:
 
 
 def _partial_gradient_udf(feature_cols: list[str], label_col: str, weights: np.ndarray, reg: float):
-    """One (gradient, loss, n) partial row per Arrow batch — the 'worker'
-    side. Row count reaching the driver = O(batches), not O(rows)."""
+    """ONE (gradient, loss, n) partial row per TASK — the 'worker' side.
+    Arrow batches fold locally in arrival order (same summation order as
+    per-batch rows folded downstream), so rows entering the
+    treeAggregate fan-in = O(tasks), independent of batch count."""
     d = len(feature_cols)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_g, acc_loss, acc_n = np.zeros(d + 1), 0.0, 0
         for pdf in batches:
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
@@ -186,7 +189,11 @@ def _partial_gradient_udf(feature_cols: list[str], label_col: str, weights: np.n
             grad_b = float(err.sum())
             eps = 1e-12
             loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
-            yield pd.DataFrame({"grad": [np.append(grad_w, grad_b).tolist()], "loss": [loss], "n": [n]})
+            acc_g = acc_g + np.append(grad_w, grad_b)
+            acc_loss += loss
+            acc_n += n
+        if acc_n:
+            yield pd.DataFrame({"grad": [acc_g.tolist()], "loss": [acc_loss], "n": [acc_n]})
 
     return fn
 

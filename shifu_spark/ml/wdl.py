@@ -14,7 +14,7 @@ gradients on local data, master averages and applies the optimizer).
 Spark-first mapping (same superstep as ml/nn.py / ml/sgd.py):
 
   workers = ``mapInPandas`` partial gradients — one flat (gradient, loss,
-            n) row per Arrow batch;
+            n) row per TASK (Arrow batches fold locally in order);
   fan-in  = partials fold IN SPARK via ``treeAggregate``
             (sgd.fold_gradient_partials): ONE summed row reaches the
             driver per epoch — essential here because the flat vector
@@ -199,6 +199,8 @@ def _partial_grad_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         rng = np.random.default_rng((epoch_seed, pid))
+        # per-TASK fold: batches accumulate in arrival order, one row out
+        acc_g, acc_loss, acc_n = None, 0.0, 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -216,7 +218,11 @@ def _partial_grad_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
                     continue
             g, loss = _wdl_backprop(
                 xd, xs, y, wv, n_dense, cards, embed_dim, deep_layers, deep_acts)
-            yield pd.DataFrame({"grad": [g.tolist()], "loss": [loss], "n": [len(y)]})
+            acc_g = g if acc_g is None else acc_g + g
+            acc_loss += loss
+            acc_n += len(y)
+        if acc_n:
+            yield pd.DataFrame({"grad": [acc_g.tolist()], "loss": [acc_loss], "n": [acc_n]})
 
     return fn
 
