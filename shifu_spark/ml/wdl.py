@@ -63,7 +63,9 @@ class WDLModel:
     hidden_activation: str
     weights: list[float]  # flat vector per the module-docstring layout
     train_losses: list[float] = field(default_factory=list)
+    valid_losses: list[float] = field(default_factory=list)
     epochs_run: int = 0
+    stopped_early: bool = False
 
     @property
     def deep_layers(self) -> list[int]:
@@ -240,6 +242,8 @@ def train_wdl(
     learning_rate: float = 0.05,
     max_epochs: int = 20,
     epoch_sample_rate: float = 1.0,
+    valid_df: DataFrame | None = None,
+    early_stop=None,
     seed: int = 42,
 ) -> WDLModel:
     """Distributed Wide&Deep for binary targets.
@@ -249,6 +253,11 @@ def train_wdl(
     local rows per epoch (the reference's WDLWorker iterates on
     per-superstep subsamples the same way AbstractNNWorker's sampleRate
     does), so the master's update is SGD over ~rate of the data per step.
+    ``valid_df`` + ``early_stop`` (WindowEarlyStop / ConvergeEarlyStop
+    from ml/sgd.py) give W&D the same validation-watched early stopping
+    as the LR and NN trainers — the reference's WDLMaster feeds
+    validation error to the same earlystop set (WDLParallelGradient
+    computes train AND validation error per superstep).
     ``sparse_cols`` must hold integer category indices in
     [0, cardinality) — out-of-range indices raise in the worker (the
     reference's SparseInput carries pre-validated valueIndex)."""
@@ -277,25 +286,42 @@ def train_wdl(
     )
     cols = [*dense_cols, *sparse_cols, label_col]
     df = df.select(*cols).persist()
+    if valid_df is not None:
+        valid_df = valid_df.select(*cols).persist()
     try:
         schema = "grad array<double>, loss double, n long"
-        for epoch in range(max_epochs):
-            parts = df.mapInPandas(
+
+        def _superstep(frame, cur_w, sample_rate, epoch_seed):
+            parts = frame.mapInPandas(
                 _partial_grad_udf(
-                    dense_cols, sparse_cols, label_col, w, len(dense_cols),
+                    dense_cols, sparse_cols, label_col, cur_w, len(dense_cols),
                     cardinalities, embed_dim, deep_layers, deep_acts,
-                    epoch_seed=seed + epoch, epoch_sample_rate=epoch_sample_rate),
+                    epoch_seed=epoch_seed, epoch_sample_rate=sample_rate),
                 schema=schema,
             )
             # partials fold in Spark (treeAggregate, sgd.py) — one row
             # reaches the driver; critical here because the W&D flat
             # vector embeds whole embedding tables (sum(card)*embed_dim)
-            g, mean_loss, _n = fold_gradient_partials(parts, w.size)
+            return fold_gradient_partials(parts, cur_w.size)
+
+        for epoch in range(max_epochs):
+            g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, seed + epoch)
             w = opt.update(w, g)
             model.train_losses.append(mean_loss)
             model.epochs_run += 1
+            watch = mean_loss
+            if valid_df is not None:
+                # validation = loss-only superstep on the FULL valid set
+                _, valid_loss, _ = _superstep(valid_df, w, 1.0, 0)
+                model.valid_losses.append(valid_loss)
+                watch = valid_loss
+            if early_stop is not None and early_stop.should_stop(watch):
+                model.stopped_early = True
+                break
     finally:
         df.unpersist()
+        if valid_df is not None:
+            valid_df.unpersist()
     model.weights = w.tolist()
     return model
 

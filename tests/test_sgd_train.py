@@ -97,3 +97,43 @@ def test_grid_search_and_kfold(separable):
     aucs = kfold_cv(assembled, TrainParams(algorithm="LR", num_iterations=20, seed=42), 2, k=3)
     assert len(aucs) == 3
     assert all(a > 0.9 for a in aucs)
+
+
+def test_fold_gradient_partials_equals_naive_sum(spark):
+    """The treeAggregate fold must equal the naive driver-side sum of
+    the same partial rows exactly in counts and to float tolerance in
+    the folded vectors (cross-partition combine order may differ, so
+    sums can drift in ULPs — that is the only permitted difference)."""
+    import numpy as np
+
+    from shifu_spark.ml.sgd import fold_gradient_partials
+
+    rng = np.random.default_rng(7)
+    width = 33
+    rows = [
+        (rng.normal(size=width).tolist(), float(rng.random() * 10), int(rng.integers(1, 500)))
+        for _ in range(57)
+    ]
+    parts = spark.createDataFrame(
+        rows, "grad array<double>, loss double, n long"
+    ).repartition(13)
+    g, mean_loss, n = fold_gradient_partials(parts, width)
+    want_n = sum(r[2] for r in rows)
+    want_g = np.sum([np.asarray(r[0]) for r in rows], axis=0) / want_n
+    want_loss = sum(r[1] for r in rows) / want_n
+    assert n == want_n
+    np.testing.assert_allclose(g, want_g, rtol=1e-12, atol=1e-12)
+    assert mean_loss == pytest.approx(want_loss, rel=1e-12)
+
+
+def test_fold_gradient_partials_empty(spark):
+    """Zero partial rows (empty input frame) folds to zeros with n=1 —
+    the degenerate-epoch contract every trainer relies on."""
+    import numpy as np
+
+    from shifu_spark.ml.sgd import fold_gradient_partials
+
+    parts = spark.createDataFrame([], "grad array<double>, loss double, n long")
+    g, mean_loss, n = fold_gradient_partials(parts, 5)
+    assert n == 1 and mean_loss == 0.0
+    np.testing.assert_array_equal(g, np.zeros(5))

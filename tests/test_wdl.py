@@ -332,3 +332,22 @@ def test_wdl_registry_roundtrip(spark, tmp_path, wdl_fixture_df):
     a = wdl_fixture_df.limit(40).withColumn("p", wdl_score_udf(model)).collect()
     b = wdl_fixture_df.limit(40).withColumn("p", wdl_score_udf(loaded)).collect()
     assert [r["p"] for r in a] == [r["p"] for r in b]
+
+
+def test_train_wdl_early_stop_and_validation(spark, wdl_fixture_df):
+    """W&D has the same validation-watched early stopping as LR/NN
+    (WDLMaster feeds validation error to the shared earlystop set): a
+    ConvergeEarlyStop with a huge threshold must fire on the second
+    epoch, and valid_losses must be populated per epoch run."""
+    from shifu_spark.ml.sgd import ConvergeEarlyStop
+
+    train, valid = wdl_fixture_df.randomSplit([0.8, 0.2], seed=5)
+    model = train_wdl(
+        train, ["x1", "x2"], ["cat"], [3], embed_dim=2, hidden_layers=[4],
+        learning_rate=0.05, max_epochs=20,
+        valid_df=valid, early_stop=ConvergeEarlyStop(threshold=1e9), seed=5,
+    )
+    assert model.stopped_early
+    assert model.epochs_run == 2  # threshold so large the 2nd delta fires
+    assert len(model.valid_losses) == model.epochs_run
+    assert all(v > 0 for v in model.valid_losses)
