@@ -229,6 +229,32 @@ def _partial_grad_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
     return fn
 
 
+def _valid_loss_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
+                    embed_dim, deep_layers, deep_acts):
+    """Forward-ONLY (loss, n) per task — validation never needs the
+    gradient, so it must not pay the backward pass nor ship the
+    O(weights) vector (embedding tables included) through the fan-in;
+    the scalar pair aggregates with plain Catalyst partial agg."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wv = np.asarray(w)
+        acc_loss, acc_n = 0.0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xd = pdf[dense_cols].to_numpy(dtype=np.float64)
+            xs = pdf[sparse_cols].to_numpy(dtype=np.int64)
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            p, _ = _wdl_forward(
+                xd, xs, wv, n_dense, cards, embed_dim, deep_layers, deep_acts)
+            eps = 1e-12
+            acc_loss += float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+            acc_n += len(y)
+        if acc_n:
+            yield pd.DataFrame({"loss": [acc_loss], "n": [acc_n]})
+
+    return fn
+
+
 def train_wdl(
     df: DataFrame,
     dense_cols: list[str],
@@ -311,8 +337,15 @@ def train_wdl(
             model.epochs_run += 1
             watch = mean_loss
             if valid_df is not None:
-                # validation = loss-only superstep on the FULL valid set
-                _, valid_loss, _ = _superstep(valid_df, w, 1.0, 0)
+                # forward-only pass: scalar (loss, n) per task, Catalyst
+                # partial agg — no backward, no O(weights) payload
+                row = valid_df.mapInPandas(
+                    _valid_loss_udf(
+                        dense_cols, sparse_cols, label_col, w, len(dense_cols),
+                        cardinalities, embed_dim, deep_layers, deep_acts),
+                    schema="loss double, n long",
+                ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
+                valid_loss = (row["loss"] or 0.0) / (row["n"] or 1)
                 model.valid_losses.append(valid_loss)
                 watch = valid_loss
             if early_stop is not None and early_stop.should_stop(watch):

@@ -47,9 +47,16 @@ def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
     component has nnorm = NaN, and under Spark semantics `NaN != 0` is
     TRUE (NaN equals only NaN), so a plain nonzero guard would let the
     NaN flow through and rank first all over again.  isnan() must be
-    checked explicitly."""
+    checked explicitly.  Inf norms too: Inf passes both the isnan and
+    nonzero checks but Inf/Inf = NaN (Inf component) or a silent 0
+    (Inf in the OTHER vector only), so the guard requires FINITE
+    nonzero norms — mirrored exactly by cosine_pandas_udf's
+    ``~np.isfinite`` mask so both execution paths agree pair-for-pair."""
+    inf = F.lit(float("inf"))
     ok = (
-        ~F.isnan(qnorm) & ~F.isnan(nnorm) & (qnorm != 0) & (nnorm != 0)
+        ~F.isnan(qnorm) & ~F.isnan(nnorm)
+        & (qnorm != 0) & (nnorm != 0)
+        & (qnorm != inf) & (nnorm != inf)
     )
     return F.when(ok, dot / (qnorm * nnorm))
 
@@ -179,7 +186,14 @@ def embedding_neardup_pairs(
     if use_arrow:
         cos = cosine_pandas_udf()(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     else:
-        cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        # through safe_cosine, NOT a naked division: a zero/NaN/Inf-norm
+        # vector would make cosine NaN, and `NaN >= threshold` is TRUE
+        # under Spark semantics — every pair involving that vector would
+        # pass as a spurious near-dup on this branch while the Arrow
+        # branch (identical guard in cosine_pandas_udf) excludes it
+        cos = safe_cosine(
+            dot_expr(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+        )
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -398,26 +398,33 @@ def start_gold_table_foreach_batch(
     accumulate in DECIMAL(38,10), so the merged totals equal a batch
     aggregate over the union of all input exactly (pinned by the
     2-batch replay test)."""
-    import hashlib
     import os
     import shutil
     import uuid
 
-    # one token per CHECKPOINT, not per start() call: the at-least-once
-    # replay this marker suppresses (failure after the directory swap but
-    # before the checkpoint commit) only ever surfaces across a query
-    # RESTART — which re-invokes this function, so a per-start uuid would
-    # mint a fresh token and the replayed batch would re-merge and
-    # double-count. The checkpoint path is exactly the identity Spark
-    # itself uses for batch-id continuity: same checkpoint -> same token
-    # across restarts (replays suppressed); a NEW stream pointed at the
-    # same gold table has a new checkpoint -> new token, so its batch ids
-    # restarting at 0 are NOT dropped. Corollary (standard streaming-sink
-    # contract): resetting the checkpoint dir requires resetting the gold
-    # table too.
-    run_token = hashlib.sha256(
-        os.path.abspath(checkpoint_path).encode("utf-8")
-    ).hexdigest()[:16]
+    # one token per CHECKPOINT INSTANCE, not per start() call and not per
+    # path: the at-least-once replay this marker suppresses (failure after
+    # the directory swap but before the checkpoint commit) only surfaces
+    # across a query RESTART — which re-invokes this function, so a
+    # per-start uuid would mint a fresh token and the replayed batch would
+    # re-merge and double-count. A path-derived token would survive too
+    # much: deleting the checkpoint dir and restarting at the same path
+    # restarts batch ids at 0, and a token that is a pure function of the
+    # path would wrongly suppress the new stream's first batches. So the
+    # nonce is PERSISTED INSIDE the checkpoint dir itself — it lives and
+    # dies with exactly the batch-id sequence it guards: restarts of the
+    # same checkpoint reuse it (replays suppressed), a reset or a new
+    # checkpoint mints a new one (fresh batch 0..N merge normally), and
+    # path spelling (relative/absolute/symlink) is irrelevant.
+    os.makedirs(checkpoint_path, exist_ok=True)
+    nonce_path = os.path.join(checkpoint_path, "_gold_run_token")
+    if os.path.isfile(nonce_path):
+        with open(nonce_path) as fh:
+            run_token = fh.read().strip()
+    else:
+        run_token = uuid.uuid4().hex[:16]
+        with open(nonce_path, "w") as fh:
+            fh.write(run_token)
 
     def _merge(raw_df: DataFrame, batch_id: int) -> None:
         if raw_df.isEmpty():

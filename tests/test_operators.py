@@ -534,6 +534,43 @@ class TestSimilarity:
         assert got[0]["c"] == pytest.approx(1.0)
         assert got[1]["c"] is None and got[2]["c"] is None and got[3]["c"] is None
 
+    def test_expression_path_agrees_on_degenerate_vectors(self, spark):
+        """safe_cosine (the expression path) must NULL the same
+        degenerate cases the Arrow UDF nulls — zero, NaN and Inf norms —
+        and embedding_neardup_pairs must emit the SAME pair set on both
+        branches when such vectors are present (a naked division would
+        pass `NaN >= threshold` and report spurious near-dups on the
+        expression branch only)."""
+        from shifu_spark.operators.similarity import (
+            cosine_expr,
+            embedding_neardup_pairs,
+        )
+
+        nan, inf = float("nan"), float("inf")
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [1.0, 0.000001]),   # genuine near-dup of 0
+                (2, [0.0, 0.0]),        # zero norm
+                (3, [nan, 1.0]),        # NaN component
+                (4, [inf, 1.0]),        # Inf component
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cos = df.select(
+            cosine_expr(F.col("embedding"), F.col("embedding")).alias("c")
+        ).collect()
+        assert cos[0]["c"] == pytest.approx(1.0)
+        assert cos[2]["c"] is None and cos[3]["c"] is None and cos[4]["c"] is None
+
+        want = {(0, 1)}
+        for arrow in (True, False):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in embedding_neardup_pairs(df, threshold=0.95, use_arrow=arrow).collect()
+            }
+            assert got == want, (arrow, got)
+
     def test_lsh_topk_subset_of_brute(self, spark):
         from shifu_spark.operators.similarity import brute_force_topk, lsh_topk
 

@@ -494,6 +494,36 @@ class TestGoldTableUpsert:
         }
         assert got == want  # replayed batch merged ZERO additional rows
 
+    def test_checkpoint_reset_is_not_suppressed(self, spark, tmp_path):
+        """The run token is a nonce persisted INSIDE the checkpoint dir —
+        the identity of the checkpoint INSTANCE, not of its path. After
+        'rm -rf ckpt' and a restart at the SAME path, batch ids restart
+        at 0 but the fresh nonce must NOT match the gold marker, so the
+        new stream's batches merge normally (standard at-least-once
+        contract: resetting the checkpoint without resetting the sink
+        reprocesses — it must never silently DROP the new batches, which
+        is what a path-derived token would do)."""
+        import shutil
+
+        from shifu_spark.queries import _events
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        ev = _events(spark, "/root/testdata/sf0.001").select("user_id", "value", "ts")
+        src, gold, ckpt = (str(tmp_path / d) for d in ("in", "gold", "ckpt"))
+        ev.coalesce(1).write.parquet(src)
+
+        def run():
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = start_gold_table_foreach_batch(stream, "user_id", "value", gold, ckpt)
+            q.awaitTermination(120)
+
+        run()
+        once = {r["key"]: r["n"] for r in spark.read.parquet(gold).collect()}
+        shutil.rmtree(ckpt)  # checkpoint reset, gold table kept
+        run()  # same input re-reads as a fresh batch 0
+        twice = {r["key"]: r["n"] for r in spark.read.parquet(gold).collect()}
+        assert twice == {k: 2 * n for k, n in once.items()}
+
 
 class TestStreamingExactDedup:
     def test_duplicates_across_micro_batches_dropped(self, spark, tmp_path):
