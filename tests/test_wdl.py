@@ -351,3 +351,35 @@ def test_train_wdl_early_stop_and_validation(spark, wdl_fixture_df):
     assert model.epochs_run == 2  # threshold so large the 2nd delta fires
     assert len(model.valid_losses) == model.epochs_run
     assert all(v > 0 for v in model.valid_losses)
+
+
+def test_mixed_family_ensemble_composes(spark, wdl_fixture_df):
+    """Heterogeneous ensemble — one NN, one W&D, one LR score column
+    through the SAME with_ensemble_stats aggregation (core/Scorer.java
+    holds a uniform List<BasicML> regardless of family; the combine
+    never dispatches on model type). Scores come from each family's
+    real scorer; the stats must equal hand-computed per-row stats."""
+    from shifu_spark.ml.nn import train_nn, nn_score_udf
+    from shifu_spark.ml.sgd import lr_score_expr, train_lr_sgd
+    from shifu_spark.ml.train import with_ensemble_stats
+
+    feats = ["x1", "x2"]
+    nn = train_nn(wdl_fixture_df, feats, hidden_layers=[3], max_epochs=3, seed=1)
+    lr = train_lr_sgd(wdl_fixture_df, feats, max_epochs=3, seed=1)
+    wdl = train_wdl(
+        wdl_fixture_df, feats, ["cat"], [3], embed_dim=2, hidden_layers=[3],
+        max_epochs=3, seed=1,
+    )
+    out = (
+        wdl_fixture_df.limit(40)
+        .withColumn("model0", nn_score_udf(feats, nn))
+        .withColumn("model1", wdl_score_udf(wdl))
+        .withColumn("model2", lr_score_expr(feats, lr.weights))
+    )
+    rows = with_ensemble_stats(out, ["model0", "model1", "model2"], ["label"]).collect()
+    assert len(rows) == 40
+    for r in rows:
+        scores = sorted([r["model0"], r["model1"], r["model2"]])
+        assert r["mean"] == pytest.approx(sum(scores) / 3)
+        assert r["median"] == pytest.approx(scores[1])
+        assert r["max"] == pytest.approx(scores[-1]) and r["min"] == pytest.approx(scores[0])
