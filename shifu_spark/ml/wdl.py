@@ -190,17 +190,9 @@ def _wdl_backprop(xd, xs, y, w, n_dense, cards, embed_dim, deep_layers, deep_act
 
 
 def _partial_grad_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
-                      embed_dim, deep_layers, deep_acts,
-                      epoch_seed=0, epoch_sample_rate=1.0):
+                      embed_dim, deep_layers, deep_acts):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
         wv = np.asarray(w)
-        # (epoch_seed, partitionId) rng — deterministic for a fixed
-        # partitioning, decorrelated across tasks (same scheme as ml/nn)
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        rng = np.random.default_rng((epoch_seed, pid))
         # per-TASK fold: batches accumulate in arrival order, one row out
         acc_g, acc_loss, acc_n = None, 0.0, 0
         for pdf in batches:
@@ -209,15 +201,6 @@ def _partial_grad_udf(dense_cols, sparse_cols, label_col, w, n_dense, cards,
             xd = pdf[dense_cols].to_numpy(dtype=np.float64)
             xs = pdf[sparse_cols].to_numpy(dtype=np.int64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
-            if epoch_sample_rate < 1.0:
-                # per-epoch stochastic mini-batch of each worker's rows
-                # (WDLWorker trains on a per-iteration subsample the same
-                # way AbstractNNWorker's sampleRate does; the epoch-varying
-                # seed gives every superstep a fresh subset)
-                pick = rng.random(len(y)) < epoch_sample_rate
-                xd, xs, y = xd[pick], xs[pick], y[pick]
-                if len(y) == 0:
-                    continue
             g, loss = _wdl_backprop(
                 xd, xs, y, wv, n_dense, cards, embed_dim, deep_layers, deep_acts)
             acc_g = g if acc_g is None else acc_g + g
@@ -275,10 +258,11 @@ def train_wdl(
     """Distributed Wide&Deep for binary targets.
 
     ``epoch_sample_rate`` = 1.0 is full-batch; < 1.0 makes each superstep
-    a stochastic MINI-BATCH — every worker draws a fresh subsample of its
-    local rows per epoch (the reference's WDLWorker iterates on
-    per-superstep subsamples the same way AbstractNNWorker's sampleRate
-    does), so the master's update is SGD over ~rate of the data per step.
+    a stochastic MINI-BATCH — a fresh Bernoulli sample of the cached
+    frame per epoch, taken SPARK-SIDE so dropped rows never cross the
+    Arrow boundary (the reference's WDLWorker iterates on per-superstep
+    subsamples the same way AbstractNNWorker's sampleRate does), so the
+    master's update is SGD over ~rate of the data per step.
     ``valid_df`` + ``early_stop`` (WindowEarlyStop / ConvergeEarlyStop
     from ml/sgd.py) give W&D the same validation-watched early stopping
     as the LR and NN trainers — the reference's WDLMaster feeds
@@ -317,12 +301,11 @@ def train_wdl(
     try:
         schema = "grad array<double>, loss double, n long"
 
-        def _superstep(frame, cur_w, sample_rate, epoch_seed):
+        def _superstep(frame, cur_w):
             parts = frame.mapInPandas(
                 _partial_grad_udf(
                     dense_cols, sparse_cols, label_col, cur_w, len(dense_cols),
-                    cardinalities, embed_dim, deep_layers, deep_acts,
-                    epoch_seed=epoch_seed, epoch_sample_rate=sample_rate),
+                    cardinalities, embed_dim, deep_layers, deep_acts),
                 schema=schema,
             )
             # partials fold in Spark (treeAggregate, sgd.py) — one row
@@ -331,7 +314,18 @@ def train_wdl(
             return fold_gradient_partials(parts, cur_w.size)
 
         for epoch in range(max_epochs):
-            g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, seed + epoch)
+            # mini-batch = SPARK-SIDE Bernoulli sample of the cached frame
+            # (fresh seed per epoch): rows dropped by the sample never pay
+            # Arrow transfer or pandas conversion — JVM-side filter on the
+            # cache, unlike an in-UDF mask which ships everything. Same
+            # per-worker per-superstep subsample regime as WDLWorker.
+            frame = (
+                df.sample(withReplacement=False, fraction=epoch_sample_rate,
+                          seed=seed + epoch)
+                if epoch_sample_rate < 1.0
+                else df
+            )
+            g, mean_loss, _n = _superstep(frame, w)
             w = opt.update(w, g)
             model.train_losses.append(mean_loss)
             model.epochs_run += 1
