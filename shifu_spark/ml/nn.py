@@ -162,7 +162,7 @@ class NNResult:
 
 
 def _partial_grad_udf(
-    feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, epoch_sample_rate=1.0
+    feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed
 ):
     n_weights = sum(r * c for r, c in _shapes(layers))
 
@@ -171,10 +171,10 @@ def _partial_grad_udf(
 
         mats = _unflatten(np.asarray(w), layers)
         # per-partition seed component: without it every task draws the
-        # SAME dropout masks / subsample picks at the same batch offset,
-        # biasing the stochastics relative to the reference's independent
-        # per-worker randomness. (epoch_seed, partitionId) stays fully
-        # deterministic for a fixed partitioning while decorrelating tasks.
+        # SAME dropout masks at the same batch offset, biasing the
+        # stochastics relative to the reference's independent per-worker
+        # randomness. (epoch_seed, partitionId) stays fully deterministic
+        # for a fixed partitioning while decorrelating tasks.
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         rng = np.random.default_rng((epoch_seed, pid))
@@ -183,12 +183,6 @@ def _partial_grad_udf(
         for pdf in batches:
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
-            if epoch_sample_rate < 1.0:
-                # per-epoch stochastic subsample of each worker's rows
-                # (AbstractNNWorker sampleRate; fresh draw every epoch via
-                # the epoch-varying seed — epochs see different subsets)
-                pick = rng.random(len(y)) < epoch_sample_rate
-                x, y = x[pick], y[pick]
             n = len(y)
             if n == 0:
                 continue
@@ -212,10 +206,16 @@ def _partial_grad_udf(
 
 
 def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, sample_rate=1.0):
+    # per-epoch stochastic subsample (AbstractNNWorker sampleRate) taken
+    # SPARK-SIDE on the cached frame — rows the sample drops never pay
+    # Arrow transfer or pandas conversion; fresh seed per epoch so every
+    # superstep sees a different subset
+    if sample_rate < 1.0:
+        df = df.sample(withReplacement=False, fraction=sample_rate, seed=epoch_seed)
     schema = "grad array<double>, loss double, n long"
     parts = df.mapInPandas(
         _partial_grad_udf(
-            feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, sample_rate
+            feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed
         ),
         schema=schema,
     )
