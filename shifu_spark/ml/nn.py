@@ -209,9 +209,16 @@ def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, epoch_see
     # per-epoch stochastic subsample (AbstractNNWorker sampleRate) taken
     # SPARK-SIDE on the cached frame — rows the sample drops never pay
     # Arrow transfer or pandas conversion; fresh seed per epoch so every
-    # superstep sees a different subset
+    # superstep sees a different subset. The sample seed is HASH-MIXED
+    # out of the caller's seed space: bagged training draws bag b with
+    # df.sample(seed=seed+bag) and then trains with seed+bag, so a raw
+    # seed+epoch here would collide with the bag sampler's seed at
+    # epoch 0 — same Spark Bernoulli stream on the same partitions —
+    # statistically biasing the first epoch's subset toward the bag
+    # sampler's survivors.
     if sample_rate < 1.0:
-        df = df.sample(withReplacement=False, fraction=sample_rate, seed=epoch_seed)
+        mixed = int(np.random.default_rng((0x5A11, epoch_seed)).integers(2**31 - 1))
+        df = df.sample(withReplacement=False, fraction=sample_rate, seed=mixed)
     schema = "grad array<double>, loss double, n long"
     parts = df.mapInPandas(
         _partial_grad_udf(

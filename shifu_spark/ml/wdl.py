@@ -301,7 +301,25 @@ def train_wdl(
     try:
         schema = "grad array<double>, loss double, n long"
 
-        def _superstep(frame, cur_w):
+        def _superstep(frame, cur_w, sample_rate=1.0, epoch_seed=0):
+            # mini-batch = SPARK-SIDE Bernoulli sample of the cached frame
+            # (fresh seed per epoch): rows dropped by the sample never pay
+            # Arrow transfer or pandas conversion — JVM-side filter on the
+            # cache, unlike an in-UDF mask which ships everything. Same
+            # per-worker per-superstep subsample regime as WDLWorker; the
+            # sample seed is HASH-MIXED out of the caller's seed space so
+            # bagged training's bag sampler (df.sample(seed=seed+bag),
+            # then train with seed+bag) never shares a Bernoulli stream
+            # with epoch 0's mini-batch — a raw seed+epoch would collide
+            # and bias the first epoch toward the bag's survivors (same
+            # scheme as ml/nn._epoch).
+            if sample_rate < 1.0:
+                mixed = int(
+                    np.random.default_rng((0x5A11, epoch_seed)).integers(2**31 - 1)
+                )
+                frame = frame.sample(
+                    withReplacement=False, fraction=sample_rate, seed=mixed
+                )
             parts = frame.mapInPandas(
                 _partial_grad_udf(
                     dense_cols, sparse_cols, label_col, cur_w, len(dense_cols),
@@ -314,18 +332,7 @@ def train_wdl(
             return fold_gradient_partials(parts, cur_w.size)
 
         for epoch in range(max_epochs):
-            # mini-batch = SPARK-SIDE Bernoulli sample of the cached frame
-            # (fresh seed per epoch): rows dropped by the sample never pay
-            # Arrow transfer or pandas conversion — JVM-side filter on the
-            # cache, unlike an in-UDF mask which ships everything. Same
-            # per-worker per-superstep subsample regime as WDLWorker.
-            frame = (
-                df.sample(withReplacement=False, fraction=epoch_sample_rate,
-                          seed=seed + epoch)
-                if epoch_sample_rate < 1.0
-                else df
-            )
-            g, mean_loss, _n = _superstep(frame, w)
+            g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, seed + epoch)
             w = opt.update(w, g)
             model.train_losses.append(mean_loss)
             model.epochs_run += 1
