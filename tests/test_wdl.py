@@ -290,6 +290,54 @@ def test_gradient_matches_numerical_any_architecture(shape):
         assert abs(num - g[i]) < 1e-4 + 1e-4 * abs(num), (i, num, g[i])
 
 
+@given(_wdl_shapes())
+@settings(max_examples=40, deadline=None)
+def test_forward_matches_per_row_loop_any_architecture(shape):
+    """Differential fuzz of the FORWARD pass: the vectorized
+    _unflatten_wdl/_wdl_forward must equal an independent per-row pure
+    loop that walks the flat weight layout by hand — a layout offset
+    bug that the fixed _tiny() fixture happens to satisfy cannot
+    survive arbitrary (n_dense, cards, embed_dim, hidden) draws."""
+    n_dense, cards, embed_dim, hidden, act, seed = shape
+    rng = np.random.default_rng(seed)
+    deep_layers = [n_dense + len(cards) * embed_dim, *hidden, 1]
+    deep_acts = [act] * len(hidden) + ["LINEAR"]
+    w = rng.normal(0, 0.4, _n_weights(n_dense, cards, embed_dim, deep_layers))
+    n = 5
+    xd = rng.normal(0, 1, (n, n_dense))
+    xs = np.column_stack([rng.integers(0, c, n) for c in cards])
+    p, _ = _wdl_forward(xd, xs, w, n_dense, cards, embed_dim, deep_layers, deep_acts)
+
+    from shifu_spark.ml.nn import ACTIVATIONS
+
+    for r in range(n):
+        off = 0
+        wide = 0.0
+        for f, c in enumerate(cards):  # wide field lookups
+            wide += w[off + int(xs[r, f])]
+            off += c
+        for j in range(n_dense):  # wide dense
+            wide += w[off + j] * xd[r, j]
+        off += n_dense
+        wide += w[off]  # wide bias
+        off += 1
+        deep_in = list(xd[r])
+        for f, c in enumerate(cards):  # embedding rows, concat order
+            row0 = off + int(xs[r, f]) * embed_dim
+            deep_in.extend(w[row0:row0 + embed_dim])
+            off += c * embed_dim
+        a = np.asarray(deep_in)
+        for li in range(len(deep_layers) - 1):  # deep MLP, (fan_in+1, out)
+            fan_in, fan_out = deep_layers[li], deep_layers[li + 1]
+            mat = w[off:off + (fan_in + 1) * fan_out].reshape(fan_in + 1, fan_out)
+            z = a @ mat[:-1] + mat[-1]
+            a = ACTIVATIONS[deep_acts[li]][0](z)
+            off += (fan_in + 1) * fan_out
+        assert off == len(w)
+        want = 1.0 / (1.0 + np.exp(-(wide + a[0])))
+        np.testing.assert_allclose(p[r], want, rtol=1e-10, atol=1e-12)
+
+
 def test_sparse_only_model_trains_and_scores(spark):
     """A wide+embeddings-only model (no dense columns) is legitimate —
     the wide half alone is sparse LR.  Scoring previously crashed on
