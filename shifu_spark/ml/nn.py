@@ -44,6 +44,7 @@ from shifu_spark.ml.sgd import (
     ConvergeEarlyStop,
     WindowEarlyStop,
     fold_gradient_partials,
+    mixed_sample_seed,
 )
 
 # ---------------------------------------------------------------------------
@@ -162,7 +163,7 @@ class NNResult:
 
 
 def _partial_grad_udf(
-    feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed
+    feature_cols, label_col, w, layers, acts, dropout_rate, base_seed, epoch
 ):
     n_weights = sum(r * c for r, c in _shapes(layers))
 
@@ -173,11 +174,14 @@ def _partial_grad_udf(
         # per-partition seed component: without it every task draws the
         # SAME dropout masks at the same batch offset, biasing the
         # stochastics relative to the reference's independent per-worker
-        # randomness. (epoch_seed, partitionId) stays fully deterministic
-        # for a fixed partitioning while decorrelating tasks.
+        # randomness. (base_seed, epoch, partitionId) — seed and epoch as
+        # SEPARATE entries, a pre-summed seed+epoch collides across
+        # bagged trainers wherever bag+epoch sums coincide — stays fully
+        # deterministic for a fixed partitioning while decorrelating
+        # tasks.
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        rng = np.random.default_rng((epoch_seed, pid))
+        rng = np.random.default_rng((base_seed, epoch, pid))
         # per-TASK fold: batches accumulate in arrival order, one row out
         acc_g, acc_loss, acc_n = np.zeros(n_weights), 0.0, 0
         for pdf in batches:
@@ -205,24 +209,47 @@ def _partial_grad_udf(
     return fn
 
 
-def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed, sample_rate=1.0):
+def _valid_loss_udf(feature_cols, label_col, w, layers, acts):
+    """Forward-ONLY (loss, n) per task — validation never needs the
+    gradient, so it must not pay the backward pass nor ship the
+    O(weights) vector through the fan-in; the scalar pair aggregates
+    with plain Catalyst partial agg. Identical loss value to the
+    backprop path (same forward, same eps)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mats = _unflatten(np.asarray(w), layers)
+        acc_loss, acc_n = 0.0, 0
+        for pdf in batches:
+            x = pdf[feature_cols].to_numpy(dtype=np.float64)
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            if len(y) == 0:
+                continue
+            _, as_ = _forward(x, mats, acts)
+            p = as_[-1][:, 0]
+            eps = 1e-12
+            acc_loss += float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+            acc_n += len(y)
+        if acc_n:
+            yield pd.DataFrame({"loss": [acc_loss], "n": [acc_n]})
+
+    return fn
+
+
+def _epoch(df, feature_cols, label_col, w, layers, acts, dropout_rate, base_seed, epoch,
+           sample_rate=1.0):
     # per-epoch stochastic subsample (AbstractNNWorker sampleRate) taken
     # SPARK-SIDE on the cached frame — rows the sample drops never pay
     # Arrow transfer or pandas conversion; fresh seed per epoch so every
-    # superstep sees a different subset. The sample seed is HASH-MIXED
-    # out of the caller's seed space: bagged training draws bag b with
-    # df.sample(seed=seed+bag) and then trains with seed+bag, so a raw
-    # seed+epoch here would collide with the bag sampler's seed at
-    # epoch 0 — same Spark Bernoulli stream on the same partitions —
-    # statistically biasing the first epoch's subset toward the bag
-    # sampler's survivors.
+    # superstep sees a different subset; seed derivation rationale lives
+    # with mixed_sample_seed (sgd.py)
     if sample_rate < 1.0:
-        mixed = int(np.random.default_rng((0x5A11, epoch_seed)).integers(2**31 - 1))
-        df = df.sample(withReplacement=False, fraction=sample_rate, seed=mixed)
+        df = df.sample(
+            withReplacement=False, fraction=sample_rate,
+            seed=mixed_sample_seed(base_seed, epoch),
+        )
     schema = "grad array<double>, loss double, n long"
     parts = df.mapInPandas(
         _partial_grad_udf(
-            feature_cols, label_col, w, layers, acts, dropout_rate, epoch_seed
+            feature_cols, label_col, w, layers, acts, dropout_rate, base_seed, epoch
         ),
         schema=schema,
     )
@@ -276,7 +303,7 @@ def train_nn(
     try:
         for epoch in range(max_epochs):
             g, train_loss, _n = _epoch(
-                df, feature_cols, label_col, w, layers, acts, dropout_rate, seed + epoch,
+                df, feature_cols, label_col, w, layers, acts, dropout_rate, seed, epoch,
                 epoch_sample_rate,
             )
             if frozen:
@@ -290,9 +317,14 @@ def train_nn(
             res.epochs_run += 1
             watch = train_loss
             if valid_df is not None:
-                _, valid_loss, _ = _epoch(
-                    valid_df, feature_cols, label_col, w, layers, acts, 0.0, 0
-                )
+                # forward-only pass: scalar (loss, n) per task, Catalyst
+                # partial agg — no backward, no O(weights) payload (same
+                # rationale as wdl._valid_loss_udf)
+                row = valid_df.mapInPandas(
+                    _valid_loss_udf(feature_cols, label_col, w, layers, acts),
+                    schema="loss double, n long",
+                ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
+                valid_loss = (row["loss"] or 0.0) / (row["n"] or 1)
                 res.valid_losses.append(valid_loss)
                 watch = valid_loss
             if early_stop is not None and early_stop.should_stop(watch):
@@ -335,17 +367,27 @@ def train_nn_bagged(
 ) -> list[NNResult]:
     """Bagging for the custom NN: one net per seeded resample
     (TrainModelProcessor.java:931-942 runs N parallel Guagua jobs; here
-    the epochs-of-bag-b jobs simply queue on the same cluster)."""
-    return [
-        train_nn(
-            df.sample(withReplacement=False, fraction=bag_fraction, seed=seed + bag),
-            feature_cols,
-            label_col,
-            seed=seed + bag,
-            **train_kwargs,
+    the epochs-of-bag-b jobs simply queue on the same cluster). A passed
+    ``early_stop`` is STATEFUL (best-so-far / last-loss), so each bag
+    gets its own fresh copy — sharing one instance would let bag 0's
+    final state stop bag 1 spuriously."""
+    import copy
+
+    nets = []
+    for bag in range(bags):
+        kw = dict(train_kwargs)
+        if kw.get("early_stop") is not None:
+            kw["early_stop"] = copy.deepcopy(kw["early_stop"])
+        nets.append(
+            train_nn(
+                df.sample(withReplacement=False, fraction=bag_fraction, seed=seed + bag),
+                feature_cols,
+                label_col,
+                seed=seed + bag,
+                **kw,
+            )
         )
-        for bag in range(bags)
-    ]
+    return nets
 
 
 def score_nn_ensemble(

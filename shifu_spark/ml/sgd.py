@@ -198,6 +198,21 @@ def _partial_gradient_udf(feature_cols: list[str], label_col: str, weights: np.n
     return fn
 
 
+def mixed_sample_seed(*entries: int) -> int:
+    """31-bit Spark sample seed hash-mixed from integer seed entries.
+
+    Shared by the NN and W&D trainers' per-epoch Spark-side subsampling.
+    Mixing matters twice over: (a) bagged training draws bag b with
+    ``df.sample(seed=seed+bag)`` and then trains with seed+bag, so a raw
+    seed+epoch sample seed would share the bag sampler's Bernoulli
+    stream at epoch 0 and bias the first epoch toward the bag's
+    survivors; (b) the trainer's own seed and the epoch index must enter
+    as SEPARATE entries — a pre-summed seed+epoch collides across bags
+    wherever bag+epoch sums coincide ((b=0,e=1) vs (b=1,e=0)),
+    correlating the bagged models' subsamples."""
+    return int(np.random.default_rng((0x5A11, *entries)).integers(2**31 - 1))
+
+
 def fold_gradient_partials(parts: DataFrame, width: int):
     """Sum (grad array<double>, loss double, n long) partial rows IN SPARK
     via RDD ``treeAggregate``: each task folds its local partial rows into

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shifu_spark.ml.nn import ACTIVATIONS, _shapes, _sigmoid, _unflatten
-from shifu_spark.ml.sgd import OPTIMIZERS, fold_gradient_partials
+from shifu_spark.ml.sgd import OPTIMIZERS, fold_gradient_partials, mixed_sample_seed
 
 
 @dataclass
@@ -301,24 +301,17 @@ def train_wdl(
     try:
         schema = "grad array<double>, loss double, n long"
 
-        def _superstep(frame, cur_w, sample_rate=1.0, epoch_seed=0):
+        def _superstep(frame, cur_w, sample_rate=1.0, epoch=0):
             # mini-batch = SPARK-SIDE Bernoulli sample of the cached frame
             # (fresh seed per epoch): rows dropped by the sample never pay
             # Arrow transfer or pandas conversion — JVM-side filter on the
             # cache, unlike an in-UDF mask which ships everything. Same
-            # per-worker per-superstep subsample regime as WDLWorker; the
-            # sample seed is HASH-MIXED out of the caller's seed space so
-            # bagged training's bag sampler (df.sample(seed=seed+bag),
-            # then train with seed+bag) never shares a Bernoulli stream
-            # with epoch 0's mini-batch — a raw seed+epoch would collide
-            # and bias the first epoch toward the bag's survivors (same
-            # scheme as ml/nn._epoch).
+            # per-worker per-superstep subsample regime as WDLWorker; seed
+            # derivation rationale lives with mixed_sample_seed (sgd.py)
             if sample_rate < 1.0:
-                mixed = int(
-                    np.random.default_rng((0x5A11, epoch_seed)).integers(2**31 - 1)
-                )
                 frame = frame.sample(
-                    withReplacement=False, fraction=sample_rate, seed=mixed
+                    withReplacement=False, fraction=sample_rate,
+                    seed=mixed_sample_seed(seed, epoch),
                 )
             parts = frame.mapInPandas(
                 _partial_grad_udf(
@@ -332,7 +325,7 @@ def train_wdl(
             return fold_gradient_partials(parts, cur_w.size)
 
         for epoch in range(max_epochs):
-            g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, seed + epoch)
+            g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, epoch)
             w = opt.update(w, g)
             model.train_losses.append(mean_loss)
             model.epochs_run += 1
@@ -412,16 +405,26 @@ def train_wdl_bagged(
     """Bagging for Wide&Deep: one model per seeded resample — the same
     shape as train_nn_bagged (TrainModelProcessor.java:931-942 runs N
     parallel Guagua jobs regardless of model family; the reference's
-    Scorer treats every family uniformly)."""
-    return [
-        train_wdl(
-            df.sample(withReplacement=False, fraction=bag_fraction, seed=seed + bag),
-            dense_cols, sparse_cols, cardinalities,
-            seed=seed + bag,
-            **train_kwargs,
+    Scorer treats every family uniformly). A passed ``early_stop`` is
+    STATEFUL (best-so-far / last-loss), so each bag gets its own fresh
+    copy — sharing one instance would let bag 0's final state stop bag
+    1 spuriously."""
+    import copy
+
+    models = []
+    for bag in range(bags):
+        kw = dict(train_kwargs)
+        if kw.get("early_stop") is not None:
+            kw["early_stop"] = copy.deepcopy(kw["early_stop"])
+        models.append(
+            train_wdl(
+                df.sample(withReplacement=False, fraction=bag_fraction, seed=seed + bag),
+                dense_cols, sparse_cols, cardinalities,
+                seed=seed + bag,
+                **kw,
+            )
         )
-        for bag in range(bags)
-    ]
+    return models
 
 
 def score_wdl_ensemble(

@@ -53,12 +53,24 @@ def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
     nonzero norms — mirrored exactly by cosine_pandas_udf's
     ``~np.isfinite`` mask so both execution paths agree pair-for-pair."""
     inf = F.lit(float("inf"))
-    ok = (
+    # the guard is on the DENOMINATOR PRODUCT, exactly like the Arrow
+    # kernel's `~np.isfinite(denom)` mask: an Inf norm makes the product
+    # Inf, but so do two individually-FINITE ~1.3e154 norms — and there
+    # the dot can remain finite, so dot/Inf would silently return 0.0
+    # for what is really cosine 1.0 (a per-norm Inf check misses it).
+    denom_ok = (
         ~F.isnan(qnorm) & ~F.isnan(nnorm)
         & (qnorm != 0) & (nnorm != 0)
-        & (qnorm != inf) & (nnorm != inf)
+        & (qnorm * nnorm != inf)
     )
-    return F.when(ok, dot / (qnorm * nnorm))
+    # nanvl is belt-and-braces for a NaN RESULT (mirrors the kernel's
+    # ~isfinite(cos)) without evaluating the O(dim) dot fold twice the
+    # way a when(isnan(cos), ...) guard would; a ±Inf result is
+    # unreachable once denom_ok holds (an Inf dot needs Inf-scale norm
+    # products, which fail denom_ok first).
+    return F.nanvl(
+        F.when(denom_ok, dot / (qnorm * nnorm)), F.lit(None).cast("double")
+    )
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

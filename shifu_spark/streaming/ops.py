@@ -416,6 +416,20 @@ def start_gold_table_foreach_batch(
     # same checkpoint reuse it (replays suppressed), a reset or a new
     # checkpoint mints a new one (fresh batch 0..N merge normally), and
     # path spelling (relative/absolute/symlink) is irrelevant.
+    # This sink's merge machinery (open/os.rename/shutil on gold_path,
+    # nonce file below) is LOCAL-FILESYSTEM by construction — on a
+    # URI-addressed store the nonce would land on one driver's local
+    # disk and a restart elsewhere would mint a fresh token, silently
+    # re-enabling the double-count this guard exists to prevent. Fail
+    # loudly instead; at that scale the gold table belongs in a
+    # lakehouse MERGE INTO sink (module docstring).
+    for p in (checkpoint_path, gold_path):
+        if "://" in p:
+            raise ValueError(
+                f"start_gold_table_foreach_batch requires local-filesystem "
+                f"paths (got {p!r}); use a lakehouse MERGE sink for "
+                "URI-addressed storage"
+            )
     os.makedirs(checkpoint_path, exist_ok=True)
     nonce_path = os.path.join(checkpoint_path, "_gold_run_token")
     if os.path.isfile(nonce_path):

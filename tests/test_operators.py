@@ -554,6 +554,10 @@ class TestSimilarity:
                 (2, [0.0, 0.0]),        # zero norm
                 (3, [nan, 1.0]),        # NaN component
                 (4, [inf, 1.0]),        # Inf component
+                (5, [0.0, 1.3e154]),    # near-max FINITE norm (1.3e154^2
+                                        # just fits a double) — boundary
+                                        # case must stay a VALUE, and the
+                                        # same value, on both paths
             ],
             "vec_id long, embedding array<double>",
         )
@@ -562,6 +566,7 @@ class TestSimilarity:
         ).collect()
         assert cos[0]["c"] == pytest.approx(1.0)
         assert cos[2]["c"] is None and cos[3]["c"] is None and cos[4]["c"] is None
+        assert cos[5]["c"] == pytest.approx(1.0)
 
         want = {(0, 1)}
         for arrow in (True, False):

@@ -454,9 +454,11 @@ class TestGoldTableUpsert:
         exactly: run one batch to completion, delete the checkpoint's
         ``commits/0`` (so Spark believes batch 0 never committed and
         replays it), restart with the same checkpoint. The marker token
-        is derived from the checkpoint path — stable across restarts —
-        so the replayed merge must be suppressed and the gold table must
-        equal a single batch aggregate, not double-counted."""
+        is a NONCE persisted inside the checkpoint dir — stable across
+        restarts of the same checkpoint instance (NOT a function of the
+        path; see test_checkpoint_reset_is_not_suppressed) — so the
+        replayed merge must be suppressed and the gold table must equal
+        a single batch aggregate, not double-counted."""
         from shifu_spark.queries import _events
         from shifu_spark.streaming.ops import start_gold_table_foreach_batch
 
