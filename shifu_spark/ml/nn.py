@@ -306,6 +306,13 @@ def train_nn(
                 df, feature_cols, label_col, w, layers, acts, dropout_rate, seed, epoch,
                 epoch_sample_rate,
             )
+            if _n == 0:
+                # the Spark-side epoch subsample drew zero rows: skip the
+                # step / loss append / early-stop watch — a sentinel 0.0
+                # loss would read as perfect convergence and falsely
+                # latch WindowEarlyStop / trip ConvergeEarlyStop
+                res.epochs_run += 1
+                continue
             if frozen:
                 off = 0
                 for i, (r, c) in enumerate(_shapes(layers)):
@@ -324,9 +331,10 @@ def train_nn(
                     _valid_loss_udf(feature_cols, label_col, w, layers, acts),
                     schema="loss double, n long",
                 ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
-                valid_loss = (row["loss"] or 0.0) / (row["n"] or 1)
-                res.valid_losses.append(valid_loss)
-                watch = valid_loss
+                if (row["n"] or 0) > 0:
+                    valid_loss = row["loss"] / row["n"]
+                    res.valid_losses.append(valid_loss)
+                    watch = valid_loss
             if early_stop is not None and early_stop.should_stop(watch):
                 res.stopped_early = True
                 break

@@ -237,7 +237,15 @@ def fold_gradient_partials(parts: DataFrame, width: int):
 
     zero = (np.zeros(width), 0.0, 0)
     g, loss, n = parts.rdd.treeAggregate(zero, seq, comb, depth=2)
-    n = n or 1
+    if n == 0:
+        # an empty epoch (Spark-side epoch_sample_rate can legitimately
+        # draw zero rows from a small frame) must surface as the TRUE
+        # n=0, not a sentinel (zeros, loss=0.0, n=1): a 0.0 loss looks
+        # like perfect convergence to the early-stop watch —
+        # WindowEarlyStop would latch it as best-so-far and
+        # ConvergeEarlyStop would stop immediately. Callers skip the
+        # optimizer step / loss append / watch when n == 0.
+        return g, 0.0, 0
     return g / n, loss / n, n
 
 
@@ -278,14 +286,20 @@ def train_lr_sgd(
     try:
         for _ in range(max_epochs):
             g, train_loss, _n = _epoch(df, feature_cols, label_col, w, reg)
+            if _n == 0:
+                # empty epoch: no step, no loss record, no watch — a
+                # sentinel 0.0 loss would falsely latch the early-stop
+                res.epochs_run += 1
+                continue
             w = opt.update(w, g)
             res.train_losses.append(train_loss)
             res.epochs_run += 1
             watch = train_loss
             if valid_df is not None:
-                _, valid_loss, _ = _epoch(valid_df, feature_cols, label_col, w, 0.0)
-                res.valid_losses.append(valid_loss)
-                watch = valid_loss
+                _, valid_loss, vn = _epoch(valid_df, feature_cols, label_col, w, 0.0)
+                if vn > 0:
+                    res.valid_losses.append(valid_loss)
+                    watch = valid_loss
             if early_stop is not None and early_stop.should_stop(watch):
                 res.stopped_early = True
                 break

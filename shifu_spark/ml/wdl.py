@@ -326,6 +326,13 @@ def train_wdl(
 
         for epoch in range(max_epochs):
             g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, epoch)
+            if _n == 0:
+                # the epoch's Bernoulli subsample drew zero rows: skip
+                # the step / loss append / early-stop watch — a sentinel
+                # 0.0 loss would read as perfect convergence and falsely
+                # latch WindowEarlyStop / trip ConvergeEarlyStop
+                model.epochs_run += 1
+                continue
             w = opt.update(w, g)
             model.train_losses.append(mean_loss)
             model.epochs_run += 1
@@ -339,9 +346,10 @@ def train_wdl(
                         cardinalities, embed_dim, deep_layers, deep_acts),
                     schema="loss double, n long",
                 ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
-                valid_loss = (row["loss"] or 0.0) / (row["n"] or 1)
-                model.valid_losses.append(valid_loss)
-                watch = valid_loss
+                if (row["n"] or 0) > 0:
+                    valid_loss = row["loss"] / row["n"]
+                    model.valid_losses.append(valid_loss)
+                    watch = valid_loss
             if early_stop is not None and early_stop.should_stop(watch):
                 model.stopped_early = True
                 break

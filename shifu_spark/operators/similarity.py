@@ -58,10 +58,16 @@ def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
     # Inf, but so do two individually-FINITE ~1.3e154 norms — and there
     # the dot can remain finite, so dot/Inf would silently return 0.0
     # for what is really cosine 1.0 (a per-norm Inf check misses it).
+    # The product must also be checked for ZERO (the Arrow kernel's
+    # `denom == 0.0`): two tiny nonzero norms (~1e-200 each) UNDERFLOW
+    # the product to exactly 0.0 while both per-norm nonzero checks
+    # pass, and dot/0.0 is ±Inf — which nanvl does NOT null (it only
+    # catches NaN), so a +Inf cosine would satisfy every >= threshold.
     denom_ok = (
         ~F.isnan(qnorm) & ~F.isnan(nnorm)
         & (qnorm != 0) & (nnorm != 0)
         & (qnorm * nnorm != inf)
+        & (qnorm * nnorm != 0)
     )
     # nanvl is belt-and-braces for a NaN RESULT (mirrors the kernel's
     # ~isfinite(cos)) without evaluating the O(dim) dot fold twice the

@@ -423,8 +423,18 @@ def start_gold_table_foreach_batch(
     # re-enabling the double-count this guard exists to prevent. Fail
     # loudly instead; at that scale the gold table belongs in a
     # lakehouse MERGE INTO sink (module docstring).
+    # reject ANY scheme-prefixed path, not just '://' forms: single-slash
+    # Hadoop URIs (file:/tmp/ckpt, hdfs:/x) are valid to Spark, so the
+    # checkpoint would resolve at the URI location while the Python-side
+    # nonce/marker I/O below writes a literal local directory named
+    # 'file:' — silently re-enabling the stale-token double-count this
+    # guard exists to prevent.  RFC 3986 scheme = ALPHA *(ALPHA / DIGIT /
+    # "+" / "-" / "."); requiring >=2 chars before the colon keeps
+    # Windows drive letters (C:\x) legal.
+    import re as _re
+
     for p in (checkpoint_path, gold_path):
-        if "://" in p:
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]+:", p):
             raise ValueError(
                 f"start_gold_table_foreach_batch requires local-filesystem "
                 f"paths (got {p!r}); use a lakehouse MERGE sink for "

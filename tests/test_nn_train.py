@@ -186,3 +186,24 @@ def test_train_nn_epoch_sample_rate(spark):
     )
     assert res.epochs_run == 15 and all(np.isfinite(res.train_losses))
     assert res.train_losses[-1] < res.train_losses[0]  # still learns
+
+
+def test_empty_epoch_skips_step_and_early_stop(spark):
+    """ADVICE r8: a Spark-side epoch subsample can legitimately draw ZERO
+    rows from a small frame. The fold must surface the true n=0 (not a
+    sentinel mean loss of 0.0) and the trainer must skip the optimizer
+    step / loss append / early-stop watch — under the old sentinel, a
+    0.0 loss read as perfect convergence and ConvergeEarlyStop tripped
+    on the second empty epoch."""
+    from shifu_spark.ml.sgd import ConvergeEarlyStop
+
+    df = _xor_df(spark, n=30)
+    res = train_nn(
+        df, ["x1", "x2"], hidden_layers=[4], max_epochs=6,
+        epoch_sample_rate=1e-9,  # every epoch draws zero rows (p ≈ 3e-8)
+        early_stop=ConvergeEarlyStop(threshold=1e-6), seed=3,
+    )
+    assert res.epochs_run == 6  # ran to completion — no false convergence
+    assert res.stopped_early is False
+    assert res.train_losses == []  # no sentinel 0.0 losses recorded
+    assert all(np.isfinite(res.weights))

@@ -576,6 +576,37 @@ class TestSimilarity:
             }
             assert got == want, (arrow, got)
 
+    def test_denominator_underflow_is_null_on_both_paths(self, spark):
+        """Two tiny NONZERO finite norms (~1e-200 each) underflow the
+        denominator product to exactly 0.0 while both per-norm nonzero
+        checks pass; dot/0.0 is then ±Inf, which nanvl does NOT null
+        (it only catches NaN) — a +Inf cosine would pass every
+        `>= threshold` filter. safe_cosine must NULL the case via the
+        product-zero guard, exactly like the Arrow kernel's
+        `denom == 0.0` mask, so the two branches agree (ADVICE r8)."""
+        from shifu_spark.operators.similarity import (
+            cosine_pandas_udf,
+            safe_cosine,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, [1.0], [1.0], 1e-200, 1e-200),   # product underflows to 0.0
+                (1, [1.0], [1.0], -1e-200, 1e-200),  # sign-flipped: -Inf branch
+                (2, [1.0], [1.0], 1.0, 1.0),         # sane control row
+            ],
+            "i long, va array<double>, vb array<double>, na double, nb double",
+        )
+        expr_rows = df.orderBy("i").select(
+            safe_cosine(F.lit(1.0), F.col("na"), F.col("nb")).alias("c")
+        ).collect()
+        arrow_rows = df.orderBy("i").select(
+            cosine_pandas_udf()(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("c")
+        ).collect()
+        for rows in (expr_rows, arrow_rows):
+            assert rows[0]["c"] is None and rows[1]["c"] is None, rows
+            assert rows[2]["c"] == pytest.approx(1.0)
+
     def test_lsh_topk_subset_of_brute(self, spark):
         from shifu_spark.operators.similarity import brute_force_topk, lsh_topk
 

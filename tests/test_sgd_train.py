@@ -127,13 +127,15 @@ def test_fold_gradient_partials_equals_naive_sum(spark):
 
 
 def test_fold_gradient_partials_empty(spark):
-    """Zero partial rows (empty input frame) folds to zeros with n=1 —
-    the degenerate-epoch contract every trainer relies on."""
+    """Zero partial rows (empty input frame) folds to zeros with the TRUE
+    n=0 — NOT the old n=1 sentinel (ADVICE r8): a sentinel made an empty
+    epoch's mean loss 0.0, which the early-stop watch read as perfect
+    convergence. Trainers skip the step/loss/watch when n == 0."""
     import numpy as np
 
     from shifu_spark.ml.sgd import fold_gradient_partials
 
     parts = spark.createDataFrame([], "grad array<double>, loss double, n long")
     g, mean_loss, n = fold_gradient_partials(parts, 5)
-    assert n == 1 and mean_loss == 0.0
+    assert n == 0 and mean_loss == 0.0
     np.testing.assert_array_equal(g, np.zeros(5))

@@ -569,3 +569,29 @@ class TestStreamingExactDedup:
         assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
         got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
         assert got == list(range(10))  # each id exactly once
+
+
+class TestGoldTableUriGuard:
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "hdfs://nn:8020/ckpt",     # classic double-slash URI
+            "s3a://bucket/ckpt",
+            "file:/tmp/ckpt",          # single-slash Hadoop URI: Spark
+            "hdfs:/ckpt",              # resolves it, but the Python-side
+            "file:///tmp/ckpt",        # nonce I/O would write a literal
+        ],                             # local dir named 'file:'
+    )
+    def test_scheme_prefixed_paths_rejected(self, tmp_path, bad):
+        """ADVICE r8: the old guard only caught '://', so single-slash
+        Hadoop URIs (file:/x, hdfs:/x) passed — Spark would checkpoint
+        at the URI location while the nonce/marker files landed on the
+        driver's local disk, silently re-enabling the double-count the
+        guard exists to prevent. Any RFC-3986 scheme prefix must fail
+        loudly, in either path argument."""
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        good = str(tmp_path / "ok")
+        for gold, ckpt in ((bad, good), (good, bad)):
+            with pytest.raises(ValueError, match="local-filesystem"):
+                start_gold_table_foreach_batch(None, "k", "v", gold, ckpt)

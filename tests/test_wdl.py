@@ -431,3 +431,21 @@ def test_mixed_family_ensemble_composes(spark, wdl_fixture_df):
         assert r["mean"] == pytest.approx(sum(scores) / 3)
         assert r["median"] == pytest.approx(scores[1])
         assert r["max"] == pytest.approx(scores[-1]) and r["min"] == pytest.approx(scores[0])
+
+
+def test_wdl_empty_epoch_skips_step_and_early_stop(spark, wdl_fixture_df):
+    """ADVICE r8 (shared with train_nn): an epoch whose Bernoulli
+    subsample draws zero rows must not record a sentinel 0.0 loss —
+    ConvergeEarlyStop would read two of those as perfect convergence
+    and stop the fit on untouched weights."""
+    from shifu_spark.ml.sgd import ConvergeEarlyStop
+
+    model = train_wdl(
+        wdl_fixture_df.limit(30), ["x1", "x2"], ["cat"], [3], embed_dim=2,
+        hidden_layers=[4], max_epochs=5,
+        epoch_sample_rate=1e-9,  # every epoch draws zero rows
+        early_stop=ConvergeEarlyStop(threshold=1e-6), seed=11,
+    )
+    assert model.epochs_run == 5
+    assert model.stopped_early is False
+    assert model.train_losses == []
