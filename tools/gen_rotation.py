@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Compute the next round's gate-window rotation from the driver's
-CORRECTNESS_r*.json artifacts (VERDICT freshness standard: every
-oracle-backed query's latest green driver row must be at most two
-rounds old; new queries must enter the 50-slot window or they are
+CORRECTNESS_r*.json artifacts (freshness standard, restated per VERDICT
+r8 item 2: every oracle-backed query's latest green driver row must be
+at most FOUR rounds old — with 199 oracle-backed queries and a 50-slot
+window, ceil(199/50) = 4 rounds is the arithmetic floor for a full
+re-proof cycle; new queries must enter the 50-slot window or they are
 never driver-proven).
 
 Usage: python tools/gen_rotation.py [--new name1,name2,...]
