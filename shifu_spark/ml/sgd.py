@@ -256,6 +256,31 @@ def _epoch(df: DataFrame, feature_cols: list[str], label_col: str, w: np.ndarray
     return fold_gradient_partials(parts, len(feature_cols) + 1)
 
 
+def _lr_valid_loss(valid_df: DataFrame, feature_cols: list[str], label_col: str,
+                   w: np.ndarray) -> tuple[float, int]:
+    """Forward-only validation loss as a PURE column expression — scalar
+    (loss, n) under Catalyst partial agg, no backward pass, no O(d)
+    gradient payload per task (same rationale as nn._valid_loss_udf /
+    wdl._valid_loss_udf: the watch metric never needs a gradient; here
+    the LR forward is simple enough to skip Python entirely).  Mirrors
+    the UDF formulas: z clipped to ±35, loss = −[y·log(p+ε)+(1−y)·
+    log(1−p+ε)], ε = 1e-12."""
+    d = len(feature_cols)
+    z = F.lit(float(w[d]))
+    for i, c in enumerate(feature_cols):
+        z = z + F.col(c).cast("double") * float(w[i])
+    z = F.greatest(F.least(z, F.lit(35.0)), F.lit(-35.0))
+    p = 1.0 / (1.0 + F.exp(-z))
+    y = F.col(label_col).cast("double")
+    eps = 1e-12
+    loss = -(y * F.log(p + eps) + (1.0 - y) * F.log(1.0 - p + eps))
+    row = valid_df.agg(
+        F.sum(loss).alias("loss"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    return (float(row["loss"]) / n if n else 0.0), n
+
+
 def train_lr_sgd(
     df: DataFrame,
     feature_cols: list[str],
@@ -296,7 +321,7 @@ def train_lr_sgd(
             res.epochs_run += 1
             watch = train_loss
             if valid_df is not None:
-                _, valid_loss, vn = _epoch(valid_df, feature_cols, label_col, w, 0.0)
+                valid_loss, vn = _lr_valid_loss(valid_df, feature_cols, label_col, w)
                 if vn > 0:
                     res.valid_losses.append(valid_loss)
                     watch = valid_loss

@@ -69,14 +69,22 @@ def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
         & (qnorm * nnorm != inf)
         & (qnorm * nnorm != 0)
     )
-    # nanvl is belt-and-braces for a NaN RESULT (mirrors the kernel's
-    # ~isfinite(cos)) without evaluating the O(dim) dot fold twice the
-    # way a when(isnan(cos), ...) guard would; a ±Inf result is
-    # unreachable once denom_ok holds (an Inf dot needs Inf-scale norm
-    # products, which fail denom_ok first).
-    return F.nanvl(
-        F.when(denom_ok, dot / (qnorm * nnorm)), F.lit(None).cast("double")
-    )
+    # The RESULT must be checked too, exactly like the kernel's
+    # ``~np.isfinite(cos)``: a SUBNORMAL denominator product (norms
+    # ~1e-160 each -> denom 1e-320, nonzero and finite, so denom_ok
+    # holds) still overflows dot/denom to ±Inf, and an Inf dot over a
+    # sane denominator does the same — a NaN-only guard (nanvl) misses
+    # it, so a +Inf cosine would satisfy every >= threshold on this
+    # path while the Arrow kernel nulls the identical row.  The
+    # division must be ``try_divide``, not ``/``: referencing ``cos``
+    # in the condition makes Catalyst subexpression elimination hoist
+    # it OUT of the when() short-circuit, so under ANSI mode a plain
+    # division would raise DIVIDE_BY_ZERO on the very rows the guard
+    # exists to null (try_divide yields NULL there instead).  ``cos``
+    # is referenced three times; the hoisted subexpression is computed
+    # once per row.
+    cos = F.try_divide(dot, qnorm * nnorm)
+    return F.when(denom_ok & ~F.isnan(cos) & (F.abs(cos) != inf), cos)
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

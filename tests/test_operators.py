@@ -594,11 +594,21 @@ class TestSimilarity:
                 (0, [1.0], [1.0], 1e-200, 1e-200),   # product underflows to 0.0
                 (1, [1.0], [1.0], -1e-200, 1e-200),  # sign-flipped: -Inf branch
                 (2, [1.0], [1.0], 1.0, 1.0),         # sane control row
+                # SUBNORMAL product (1e-320): nonzero AND finite, so every
+                # denominator-level guard passes, yet dot/denom overflows
+                # to +Inf — only a result-level ~isfinite check (the Arrow
+                # kernel's mask) catches it on the expression path
+                (3, [1.0], [1.0], 1e-160, 1e-160),
+                # subnormal denom with a finite quotient must stay a VALUE
+                # on both paths (dot 1e-310 / denom 1e-320 = ~1e10)
+                (4, [1e-310], [1.0], 1e-160, 1e-160),
             ],
             "i long, va array<double>, vb array<double>, na double, nb double",
         )
         expr_rows = df.orderBy("i").select(
-            safe_cosine(F.lit(1.0), F.col("na"), F.col("nb")).alias("c")
+            safe_cosine(
+                F.col("va")[0] * F.col("vb")[0], F.col("na"), F.col("nb")
+            ).alias("c")
         ).collect()
         arrow_rows = df.orderBy("i").select(
             cosine_pandas_udf()(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("c")
@@ -606,6 +616,11 @@ class TestSimilarity:
         for rows in (expr_rows, arrow_rows):
             assert rows[0]["c"] is None and rows[1]["c"] is None, rows
             assert rows[2]["c"] == pytest.approx(1.0)
+            assert rows[3]["c"] is None, rows  # +Inf via subnormal denom
+            # ~1e10 up to subnormal representation rounding (1e-310 and
+            # 1e-320 are not exactly representable)
+            assert rows[4]["c"] == pytest.approx(1e10, rel=1e-3), rows
+        assert expr_rows[4]["c"] == arrow_rows[4]["c"]  # bit-identical paths
 
     def test_lsh_topk_subset_of_brute(self, spark):
         from shifu_spark.operators.similarity import brute_force_topk, lsh_topk

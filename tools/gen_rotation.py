@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Compute the next round's gate-window rotation from the driver's
 CORRECTNESS_r*.json artifacts (freshness standard, restated per VERDICT
-r8 item 2: every oracle-backed query's latest green driver row must be
-at most FOUR rounds old — with 199 oracle-backed queries and a 50-slot
-window, ceil(199/50) = 4 rounds is the arithmetic floor for a full
-re-proof cycle; new queries must enter the 50-slot window or they are
-never driver-proven).
+r8 item 2: every registry query's latest GREEN driver row must be at
+most FIVE rounds old — all 209 registry names, 199 oracle-backed plus
+10 rows-only, rotate through the same 50-slot window, so
+ceil(209/50) = 5 rounds is the arithmetic floor for a full re-proof
+cycle; new queries must enter the 50-slot window or they are never
+driver-proven).
 
 Usage: python tools/gen_rotation.py [--new name1,name2,...]
 
@@ -43,8 +44,19 @@ def main() -> None:
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
-        for name in json.load(open(path)):
-            latest[name] = max(latest.get(name, 0), rnd)
+        for name, row in json.load(open(path)).items():
+            # only GREEN rows are proofs: an oracle-backed hash-PASS, or a
+            # rows-only check that actually ran (err == no_oracle with a
+            # row count).  A FAIL row (hash_match falsy — e.g.
+            # bin_avg_score r01, events_props_json r03) must NOT bump
+            # `latest`, or the rotation would push exactly the regressed
+            # query to the BACK of the next window while its last green
+            # proof ages on.
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
 
     reg = [n for n in QUERIES if n not in new]
     never = [n for n in reg if n not in latest]
