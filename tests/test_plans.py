@@ -768,3 +768,44 @@ class TestTpchCompletionShapes:
         df = QUERIES["tpch_q20_excess_stock"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+class TestRegistryPlanLint:
+    def test_no_cartesian_or_rowwise_python_udf_in_any_registry_plan(self, spark):
+        """GLOBAL structural lint over every registry query's physical
+        plan at sf0.001 — the two anti-patterns the 100 TB story cannot
+        tolerate, enforced as a regression test instead of a per-round
+        hand audit:
+
+        - ``CartesianProduct``: an unguarded non-broadcast cross join
+          (the documented capped exact kernels use
+          crossJoin(broadcast(...)), which plans as
+          BroadcastNestedLoopJoin — allowed; a CartesianProduct means a
+          join lost its keys or its broadcast hint);
+        - ``BatchEvalPython``: a row-at-a-time Python UDF (the Arrow
+          paths plan as ArrowEvalPython / MapInPandas / FlatMapGroupsIn*
+          — allowed).
+
+        Eager queries (trainers, streaming patterns, iterative graph/
+        dedup loops) execute at sf0.001 as a side effect; their
+        RETURNED frame's plan is what's linted (interior superstep
+        plans are pinned by their own per-family tests above). Doubles
+        as an every-query smoke test at the smallest SF."""
+        from shifu_spark.plans.inspect import _executed_plan
+        from shifu_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        violations: dict[str, list[str]] = {}
+        errors: dict[str, str] = {}
+        for name, fn in QUERIES.items():
+            try:
+                plan = _executed_plan(fn(spark, sf))
+            except Exception as e:  # noqa: BLE001 — collect, report all at once
+                errors[name] = repr(e)[:200]
+                continue
+            hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+            if hits:
+                violations[name] = hits
+            spark.catalog.clearCache()
+        assert not errors, f"registry queries failed to build/run at sf0.001: {errors}"
+        assert not violations, f"plan anti-patterns: {violations}"
