@@ -63,10 +63,16 @@ def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
     # the product to exactly 0.0 while both per-norm nonzero checks
     # pass, and dot/0.0 is ±Inf — which nanvl does NOT null (it only
     # catches NaN), so a +Inf cosine would satisfy every >= threshold.
+    # abs() on the product: a -Inf denominator (a negative-Inf norm —
+    # impossible from norm_expr's sqrt but reachable through stored/
+    # precomputed norm columns) passes a bare `!= inf` check and yields
+    # a silent ±0.0 where the kernel's ~isfinite(denom) nulls — caught
+    # by the danger-grid parity test, round 9's fourth instance of this
+    # bug class.
     denom_ok = (
         ~F.isnan(qnorm) & ~F.isnan(nnorm)
         & (qnorm != 0) & (nnorm != 0)
-        & (qnorm * nnorm != inf)
+        & (F.abs(qnorm * nnorm) != inf)
         & (qnorm * nnorm != 0)
     )
     # The RESULT must be checked too, exactly like the kernel's

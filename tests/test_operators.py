@@ -2099,3 +2099,56 @@ class TestSimilarityEdgeGuards:
         cents = kmeans_fit(emb, F.col("vec_id").isin(1, 4), iters=3)
         assert len(cents) == 2  # both cells survive every iteration
         assert [c for c, _ in cents] == sorted(c for c, _ in cents)
+
+
+class TestCosinePathParityGrid:
+    def test_expression_and_arrow_paths_agree_on_full_danger_grid(self, spark):
+        """STRUCTURAL closure of the cosine-parity bug class (three
+        instances in three rounds: zero-norm NaN r6, denominator-product
+        overflow r8, subnormal-denominator +Inf r9): drive BOTH execution
+        paths over the full cartesian grid of IEEE-754 danger values —
+        zeros, subnormals, near-underflow/overflow magnitudes, ±Inf, NaN
+        — and assert they agree ROW-FOR-ROW (both NULL, or the identical
+        double; the formula dot/(qnorm·nnorm) is the same IEEE ops in
+        JVM and numpy, so agreement is exact, not approximate). Any new
+        guard added to one path and not the other fails here instead of
+        surfacing as a round-N advisory."""
+        import itertools
+        import math
+
+        from shifu_spark.operators.similarity import cosine_pandas_udf, safe_cosine
+
+        inf, nan = float("inf"), float("nan")
+        norms = [
+            0.0, -0.0, 4.9406564584124654e-324, 1e-320, 2.3e-162, 1e-200,
+            1e-160, 1e-10, 1.0, -1.0, 1e10, 1.3e154, 1.7e308, inf, -inf, nan,
+        ]
+        dots = [0.0, 1.0, -1.0, 1e-310, 1e308, inf, nan]
+        rows = [
+            (i, [d], [1.0], q, n)
+            for i, (d, q, n) in enumerate(itertools.product(dots, norms, norms))
+        ]
+        df = spark.createDataFrame(
+            rows, "i long, va array<double>, vb array<double>, na double, nb double"
+        ).repartition(8)
+        both = df.select(
+            "i",
+            safe_cosine(
+                F.col("va")[0] * F.col("vb")[0], F.col("na"), F.col("nb")
+            ).alias("expr"),
+            cosine_pandas_udf()(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("arrow"),
+        ).collect()
+        assert len(both) == len(rows)
+        diverged = []
+        for r in both:
+            e, a = r["expr"], r["arrow"]
+            same = (e is None and a is None) or (
+                e is not None and a is not None
+                and (e == a or (math.isnan(e) and math.isnan(a)))
+            )
+            if not same:
+                d, q, n = rows[r["i"]][1][0], rows[r["i"]][3], rows[r["i"]][4]
+                diverged.append((d, q, n, e, a))
+        assert not diverged, f"{len(diverged)} grid points diverge: {diverged[:10]}"
