@@ -26,12 +26,25 @@ _DEC = "decimal(38,10)"
 
 
 def correlation_df(df: DataFrame, columns: list[str], round_to: int | None = 6) -> DataFrame:
-    """Upper-triangle Pearson correlations as (col_x, col_y, corr) rows."""
+    """Upper-triangle Pearson correlations as (col_x, col_y, corr) rows.
+
+    Pairwise-complete means NULL **and non-finite** values exclude the
+    row from that pair's population (the reference maps NaN/Infinity to
+    missing before any stat — Normalizer.java:566-571): a NaN or Inf
+    double cannot be summed through the DECIMAL co-moment path (the
+    cast nulls it), so a null-only guard would keep the row in ``n``
+    while silently dropping it from every sum — a wrong VALUE, not an
+    error (planted-fixture test pins exact exclusion on both engines)."""
+    inf = F.lit(float("inf"))
+
+    def _finite(c):
+        return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != inf)
+
     aggs = []
     pairs = list(combinations(columns, 2))
     for x, y in pairs:
         cx, cy = F.col(x).try_cast("double"), F.col(y).try_cast("double")
-        both = cx.isNotNull() & cy.isNotNull()
+        both = _finite(cx) & _finite(cy)
         mx = F.when(both, cx)
         my = F.when(both, cy)
         key = f"{x}__{y}"
@@ -79,7 +92,8 @@ FROM (
          sum(cast({x}*{x} AS DECIMAL(38,10)))::DOUBLE AS sxx,
          sum(cast({y}*{y} AS DECIMAL(38,10)))::DOUBLE AS syy,
          sum(cast({x}*{y} AS DECIMAL(38,10)))::DOUBLE AS sxy
-  FROM {table} WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+  FROM {table}
+  WHERE isfinite({x}::DOUBLE) AND isfinite({y}::DOUBLE)
 )"""
         )
     return "\nUNION ALL\n".join(parts) + "\nORDER BY col_x, col_y"

@@ -114,9 +114,16 @@ def _moment_aggs(c: str, exact_percentiles: bool, distinct_exact: bool, decimal_
 
     Missing values are excluded from moments, mirroring
     UpdateBinningInfoReducer.java:351 ("To make it be consistent with
-    SPDT, missingCount is excluded").
+    SPDT, missingCount is excluded") — and NaN/Infinity ARE missing
+    (Normalizer.java:566-571): a non-finite double nulls out of the
+    DECIMAL power-sum cast, so counting it in ``valid`` while every sum
+    drops it would skew mean/std/skew/kurt silently (and NaN would
+    poison max under Spark's NaN-is-largest ordering). Nulling v up
+    front keeps count/sums/min/max/percentiles/distinct consistent on
+    one population.
     """
-    v = F.col(c).try_cast("double")
+    raw = F.col(c).try_cast("double")
+    v = F.when(~F.isnan(raw) & (F.abs(raw) != F.lit(float("inf"))), raw)
 
     def s(e):
         return F.sum(e.cast(_DEC)).cast("double") if decimal_sums else F.sum(e)
@@ -132,7 +139,11 @@ def _moment_aggs(c: str, exact_percentiles: bool, distinct_exact: bool, decimal_
         F.max(v).alias(f"{c}__max"),
     ]
     if exact_percentiles:
-        aggs.append(F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__pct"))
+        # over v, not the raw column: the non-finite→missing mapping must
+        # cover percentiles too or the populations diverge
+        aggs.append(
+            F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(f"{c}__pct")
+        )
     else:
         # scale path: KLL sketch, bounded memory (reference bounds its SPDT
         # histogram at 10k centroids — EqualPopulationBinning.java:98-101)
@@ -253,16 +264,18 @@ def numeric_stats_oracle_sql(table: str, columns: list[str], round_to: int = 6) 
     population forms)."""
     parts = []
     for c in columns:
-        # decimal power sums mirror the Spark side exactly (see _DEC note)
-        sums = f"""(SELECT count(*)::BIGINT AS n, count({c})::BIGINT AS valid,
-       sum(cast({c} AS DECIMAL(38,10)))::DOUBLE AS s1,
-       sum(cast({c}*{c} AS DECIMAL(38,10)))::DOUBLE AS s2,
-       sum(cast({c}*{c}*{c} AS DECIMAL(38,10)))::DOUBLE AS s3,
-       sum(cast({c}*{c}*{c}*{c} AS DECIMAL(38,10)))::DOUBLE AS s4,
-       min({c}) AS mn, max({c}) AS mx,
-       quantile_cont({c}, 0.25) AS q25, quantile_cont({c}, 0.5) AS q50, quantile_cont({c}, 0.75) AS q75,
-       count(DISTINCT {c})::BIGINT AS dc
-FROM {table})"""
+        # decimal power sums mirror the Spark side exactly (see _DEC note);
+        # the inner CASE mirrors the Spark side's non-finite→missing
+        # mapping (isfinite(NULL) is NULL, so NULLs stay missing too)
+        sums = f"""(SELECT count(*)::BIGINT AS n, count(v)::BIGINT AS valid,
+       sum(cast(v AS DECIMAL(38,10)))::DOUBLE AS s1,
+       sum(cast(v*v AS DECIMAL(38,10)))::DOUBLE AS s2,
+       sum(cast(v*v*v AS DECIMAL(38,10)))::DOUBLE AS s3,
+       sum(cast(v*v*v*v AS DECIMAL(38,10)))::DOUBLE AS s4,
+       min(v) AS mn, max(v) AS mx,
+       quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.75) AS q75,
+       count(DISTINCT v)::BIGINT AS dc
+FROM (SELECT CASE WHEN isfinite({c}::DOUBLE) THEN {c}::DOUBLE END AS v FROM {table}))"""
         parts.append(
             f"""
 SELECT '{c}' AS column_name,

@@ -2152,3 +2152,93 @@ class TestCosinePathParityGrid:
                 d, q, n = rows[r["i"]][1][0], rows[r["i"]][3], rows[r["i"]][4]
                 diverged.append((d, q, n, e, a))
         assert not diverged, f"{len(diverged)} grid points diverge: {diverged[:10]}"
+
+
+class TestCorrelationNonFinite:
+    def test_nan_inf_rows_excluded_pairwise_on_both_engines(self, spark, tmp_path):
+        """Pairwise-complete must treat NaN/Inf as MISSING (the
+        reference's Normalizer.java:566-571 mapping): a NaN double
+        nulls out of the DECIMAL co-moment cast, so a null-only guard
+        kept the row in ``n`` while dropping it from every sum —
+        corr(a, b=2a) read 0.9939 instead of exactly 1.0, a silently
+        wrong VALUE. Planted fixture: b = 2a exactly wherever both are
+        finite, with NaN and Inf contaminating different rows; both the
+        Spark operator and the DuckDB oracle must return corr(a,b)=1
+        and agree on every pair."""
+        import duckdb
+
+        from shifu_spark.operators.correlation import (
+            correlation_df,
+            correlation_oracle_sql,
+        )
+        from tests.oracle import compare
+
+        nan, inf = float("nan"), float("inf")
+        rows = [
+            (1.0, 2.0, 3.0),
+            (2.0, 4.0, 5.0),
+            (nan, 1.0, 2.0),    # NaN in a: row excluded from (a,b),(a,c)
+            (3.0, 6.0, nan),    # NaN in c: row excluded from (a,c),(b,c)
+            (4.0, 8.0, -inf),   # -Inf in c: likewise (Inf = missing too)
+            (inf, 9.0, 1.0),    # +Inf in a
+            (5.0, 10.0, 4.0),
+        ]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in correlation_df(df, ["a", "b", "c"]).collect()
+        }
+        assert out[("a", "b")] == pytest.approx(1.0, abs=1e-9), out
+
+        path = str(tmp_path / "corr.parquet")
+        df.coalesce(1).write.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        problems = compare(
+            correlation_df(df, ["a", "b", "c"]),
+            con,
+            correlation_oracle_sql("t", ["a", "b", "c"]),
+            "correlation_nonfinite",
+        )
+        assert problems == [], problems
+
+
+class TestColumnStatsNonFinite:
+    def test_nan_inf_are_missing_on_both_engines(self, spark, tmp_path):
+        """NaN/Infinity map to MISSING for every stat in one consistent
+        population (Normalizer.java:566-571): before the fix, a NaN row
+        stayed in ``valid`` while nulling out of every DECIMAL power
+        sum — silently skewing mean/std (and NaN poisoned max via
+        Spark's NaN-is-largest ordering). Planted fixture: clean values
+        {1..4} plus one NaN, one +Inf, one NULL; both engines must
+        report valid=4, missing=3, mean=2.5, max=4 and hash-agree."""
+        import duckdb
+
+        from shifu_spark.operators.stats import (
+            numeric_stats_df,
+            numeric_stats_oracle_sql,
+        )
+        from tests.oracle import compare
+
+        nan, inf = float("nan"), float("inf")
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,), (nan,), (inf,), (None,)],
+            "x double",
+        )
+        got = numeric_stats_df(df, ["x"]).collect()[0]
+        assert got["total_count"] == 7 and got["missing_count"] == 3
+        assert got["mean"] == pytest.approx(2.5)
+        assert got["max_val"] == pytest.approx(4.0)   # NaN must not win max
+        assert got["median"] == pytest.approx(2.5)
+
+        path = str(tmp_path / "stats.parquet")
+        df.coalesce(1).write.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        problems = compare(
+            numeric_stats_df(df, ["x"]),
+            con,
+            numeric_stats_oracle_sql("t", ["x"]),
+            "stats_nonfinite",
+        )
+        assert problems == [], problems
