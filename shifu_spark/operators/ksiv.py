@@ -81,7 +81,16 @@ def bin_counts_df(
     from shifu_spark.operators.binning import bin_index_expr
 
     is_pos = F.col(tag_col).isin(pos_tags)
-    w = F.col(weight_col).try_cast("double") if weight_col else F.lit(1.0)
+    # unparseable/NULL weight -> 1.0: UpdateBinningInfoMapper.java:384-400
+    # initializes weight = 1.0d and the Double.valueOf throw leaves it in
+    # place (a bare try_cast would sum the row as 0 instead). Negative
+    # weights are counted but NOT clamped in the stats path — unlike the
+    # eval clamp (ConfusionMatrix.java:361-370, eval_metrics.clamp_weight).
+    w = (
+        F.coalesce(F.col(weight_col).try_cast("double"), F.lit(1.0))
+        if weight_col
+        else F.lit(1.0)
+    )
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),

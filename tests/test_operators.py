@@ -2242,3 +2242,34 @@ class TestColumnStatsNonFinite:
             "stats_nonfinite",
         )
         assert problems == [], problems
+
+
+class TestBinCountsWeightFallback:
+    def test_unparseable_weight_defaults_to_one_not_zero(self, spark):
+        """UpdateBinningInfoMapper.java:384-400: weight starts at 1.0d and
+        the Double.valueOf throw leaves it there — an unparseable weight
+        row counts with weight 1.0. A bare try_cast summed it as 0,
+        silently shrinking bin weights on dirty text ingest. Negative
+        weights flow through unclamped in the stats path (the clamp is
+        eval-only, ConfusionMatrix.java:361-370)."""
+        from shifu_spark.operators.ksiv import bin_counts_df
+
+        df = spark.createDataFrame(
+            [
+                (1.0, "P", "2.0"),
+                (2.0, "N", "oops"),   # unparseable -> 1.0, not 0
+                (3.0, "P", None),     # NULL -> 1.0
+                (4.0, "N", "-3.0"),   # negative flows through (stats path)
+            ],
+            "x double, tag string, w string",
+        )
+        out = {
+            r["bin"]: (r["bin_weight_pos"], r["bin_weight_neg"])
+            for r in bin_counts_df(
+                df, ["x"], {"x": [0.0, 10.0]}, "tag", ["P"], "w"
+            ).collect()
+        }
+        # single bin: pos weights 2.0 + 1.0(null), neg weights 1.0(oops) - 3.0
+        (wp, wn), = out.values()
+        assert wp == pytest.approx(3.0)
+        assert wn == pytest.approx(-2.0)
