@@ -247,7 +247,13 @@ def bin_index_expr(col: Column | str, boundaries: list[float], missing_index: in
         missing_index = len(boundaries)
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
     idx = F.greatest(F.size(F.filter(arr, lambda b: c >= b)) - 1, F.lit(0))
-    return F.when(c.isNull(), F.lit(missing_index)).otherwise(idx)
+    # NaN/Infinity are MISSING (Normalizer.java:569-573), not values: under
+    # Spark's NaN-is-largest ordering a NaN would satisfy `>= b` for every
+    # edge and silently land in the LAST REAL BIN instead of the missing
+    # slot — poisoning every transform built on this lookup (woe, onehot,
+    # hybrid, index, streaming drift).
+    nonvalue = c.isNull() | F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return F.when(nonvalue, F.lit(missing_index)).otherwise(idx)
 
 
 def bin_index_sql(col: str, boundaries: list[float], missing_index: int | None = None) -> str:

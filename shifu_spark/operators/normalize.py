@@ -33,17 +33,28 @@ from shifu_spark.catalog import ColumnConfig
 MIN_STD = 1e-5  # Normalizer.java: std <= 1e-5 -> zscore 0
 
 
+def _value_or_missing(c: Column, missing: Column) -> Column:
+    """NULL / NaN / ±Inf -> ``missing`` (Normalizer.java:569-573: "if the
+    value is Infinite or NaN, treat it as missing value").  A bare
+    coalesce only covers NULL: a NaN would ride Spark's NaN-is-largest
+    ordering through least/greatest and clip to +cutoff·std instead of
+    imputing the mean."""
+    finite = ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+    return F.when(finite, c).otherwise(missing)
+
+
 def zscore_expr(col: Column | str, mean: float, std: float, cutoff: float = 6.0) -> Column:
     """(clip(x, mean±cutoff·std) - mean) / std with missing -> mean.
 
-    Exactly Normalizer.computeZScore:769-787 + missing handling :602-605.
+    Exactly Normalizer.computeZScore:769-787 + missing handling :602-605
+    (+ the :569-573 NaN/Infinity→missing rule, via _value_or_missing).
     """
     c = F.col(col) if isinstance(col, str) else col
     c = c.try_cast("double")
     if std is None or abs(std) <= MIN_STD:
         return F.lit(0.0)
     lo, hi = mean - cutoff * std, mean + cutoff * std
-    clipped = F.least(F.greatest(F.coalesce(c, F.lit(mean)), F.lit(lo)), F.lit(hi))
+    clipped = F.least(F.greatest(_value_or_missing(c, F.lit(mean)), F.lit(lo)), F.lit(hi))
     return (clipped - mean) / std
 
 
@@ -53,7 +64,7 @@ def zscore_inline_expr(col: Column | str, mean: Column, std: Column, cutoff: flo
     c = F.col(col) if isinstance(col, str) else col
     c = c.try_cast("double")
     lo, hi = mean - cutoff * std, mean + cutoff * std
-    clipped = F.least(F.greatest(F.coalesce(c, mean), lo), hi)
+    clipped = F.least(F.greatest(_value_or_missing(c, mean), lo), hi)
     return F.when(F.abs(std) <= MIN_STD, F.lit(0.0)).otherwise((clipped - mean) / std)
 
 

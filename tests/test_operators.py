@@ -2273,3 +2273,38 @@ class TestBinCountsWeightFallback:
         (wp, wn), = out.values()
         assert wp == pytest.approx(3.0)
         assert wn == pytest.approx(-2.0)
+
+
+class TestNormalizeNonFinite:
+    def test_nan_inf_map_to_missing_in_bin_lookup_and_zscore(self, spark):
+        """Normalizer.java:569-573: "if the value is Infinite or NaN,
+        treat it as missing value". Before the fix: NaN rode Spark's
+        NaN-is-largest ordering to satisfy `>= edge` for EVERY boundary
+        and landed in the LAST REAL BIN (not the missing slot) in every
+        bin-lookup-based transform, and z-score clipped NaN/Inf to
+        +cutoff·std instead of imputing the mean (z=0)."""
+        from shifu_spark.operators.binning import bin_index_expr
+        from shifu_spark.operators.normalize import woe_expr, zscore_expr
+
+        nan, inf = float("nan"), float("inf")
+        df = spark.createDataFrame(
+            [(0, 5.0), (1, nan), (2, inf), (3, -inf), (4, None), (5, 25.0)],
+            "i long, x double",
+        )
+        bounds = [0.0, 10.0, 20.0]  # 3 numeric bins, missing slot = 3
+        got = df.orderBy("i").select(
+            bin_index_expr("x", bounds).alias("bin"),
+            zscore_expr("x", mean=10.0, std=5.0).alias("z"),
+            woe_expr("x", bounds, [0.1, 0.2, 0.3, -0.9]).alias("woe"),
+        ).collect()
+        assert [r["bin"] for r in got] == [0, 3, 3, 3, 3, 2]
+        # z: value rows transform; NaN/Inf/NULL impute the mean -> z = 0
+        assert got[0]["z"] == pytest.approx(-1.0)
+        for r in got[1:5]:
+            assert r["z"] == pytest.approx(0.0), r
+        assert got[5]["z"] == pytest.approx(3.0)
+        # woe: missing slot's woe (4th entry) for all non-values
+        assert got[0]["woe"] == pytest.approx(0.1)
+        for r in got[1:5]:
+            assert r["woe"] == pytest.approx(-0.9), r
+        assert got[5]["woe"] == pytest.approx(0.3)
