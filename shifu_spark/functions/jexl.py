@@ -10,6 +10,15 @@ predicate pushdown, which the reference never had (SURVEY §4).
 Unsupported constructs raise loudly — the reference silently disables a
 bad expression (DataPurifier catches and ignores), which SURVEY §7 flags
 as a bug not to copy.
+
+Known semantics note (documented, not changed): ordering comparisons
+against a NaN value follow Spark's NaN-is-largest total order (`NaN > 5`
+is TRUE). Whether JEXL 2 matches depends on JexlArithmetic.compare's
+NaN branch, which cannot be verified offline; Java's own
+``Double.compare`` uses the same NaN-greatest total order, so Spark's
+behavior is at least one defensible reading. NULL EQUALITY, by
+contrast, is unambiguous in JEXL (JexlArithmetic.equals: both-null ->
+true) and IS rewritten to IS [NOT] NULL below.
 """
 
 from __future__ import annotations
@@ -29,6 +38,17 @@ _REWRITES = [
     (re.compile(r"\bnull\b"), "NULL"),
     (re.compile(r"\btrue\b"), "TRUE"),
     (re.compile(r"\bfalse\b"), "FALSE"),
+    # JEXL null EQUALITY is two-valued (JexlArithmetic.equals: both-null
+    # -> true, one-null -> false), but SQL `x = NULL` / `x <> NULL` is
+    # three-valued NULL -> filter-false ALWAYS — so the idiomatic guard
+    # `tag != null && ...` would drop every row. Rewrite to IS [NOT]
+    # NULL. Lookbehind keeps `>= NULL` / `<= NULL` ordering forms out
+    # (those are not equality and stay SQL-NULL semantics).
+    (re.compile(r"(?<![<>!=])=\s*NULL\b"), " IS NULL"),
+    (re.compile(r"<>\s*NULL\b"), " IS NOT NULL"),
+    # prefix spellings `null == x` / `null != x` (simple operand)
+    (re.compile(r"\bNULL\s*=\s*(`[^`]+`|[A-Za-z_][\w:.]*)"), r"\1 IS NULL"),
+    (re.compile(r"\bNULL\s*<>\s*(`[^`]+`|[A-Za-z_][\w:.]*)"), r"\1 IS NOT NULL"),
 ]
 
 _FORBIDDEN = re.compile(r"(new\s+\w|\.\w+\s*\(|\[\]|=~|!~|\bsize\s*\(|\bempty\s*\()")

@@ -2308,3 +2308,30 @@ class TestNormalizeNonFinite:
         for r in got[1:5]:
             assert r["woe"] == pytest.approx(-0.9), r
         assert got[5]["woe"] == pytest.approx(0.3)
+
+
+class TestJexlNullEquality:
+    def test_null_guards_filter_like_jexl_not_sql(self, spark):
+        """JEXL null EQUALITY is two-valued (JexlArithmetic.equals:
+        both-null -> true, one-null -> false), but a literal translation
+        `x <> NULL` is SQL three-valued — always NULL, filter-false —
+        so the reference ecosystem's most idiomatic guard,
+        `tag != null && ...`, silently dropped EVERY row. The
+        translator now emits IS [NOT] NULL for ==/!= against the null
+        keyword (both operand orders), while ordering comparisons
+        against null keep SQL semantics."""
+        from shifu_spark.operators.purify import purify
+
+        df = spark.createDataFrame(
+            [(1, "a", 7.0), (2, None, 9.0), (3, "b", 3.0), (4, None, 1.0)],
+            "i long, tag string, q double",
+        )
+        kept = sorted(r["i"] for r in purify(df, "tag != null && q > 5").collect())
+        assert kept == [1]
+        kept = sorted(r["i"] for r in purify(df, "tag == null").collect())
+        assert kept == [2, 4]
+        kept = sorted(r["i"] for r in purify(df, "null != tag").collect())
+        assert kept == [1, 3]
+        # quoted 'null' stays a data literal, untouched by the rewrite
+        kept = sorted(r["i"] for r in purify(df, "tag == 'null'").collect())
+        assert kept == []
