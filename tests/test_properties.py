@@ -625,3 +625,38 @@ class TestSeedStreamIndependence:
                 assert abs(ov - mu) < 6 * sigma, (ka, kb, ov, mu)
         finally:
             df.unpersist()
+
+
+class TestJexlNullGuardFuzz:
+    """Differential fuzz of the null-EQUALITY rewrite (round-9 find:
+    `tag != null && ...` translated to SQL three-valued `<> NULL` and
+    dropped every row). Expression forms are restricted to the ones
+    whose JEXL semantics are unambiguous offline: equality guards
+    (JexlArithmetic.equals is two-valued) and comparisons the guard
+    short-circuits away from null operands — null ORDERING comparisons
+    are deliberately not generated (JEXL2's compare() null/NaN coercion
+    can't be verified offline; see the jexl module header)."""
+
+    @given(
+        st.lists(st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=10),
+        st.sampled_from(["<", ">", "<=", ">=", "==", "!="]),
+        st.integers(-4, 4),
+        st.sampled_from(["!= null &&", "== null ||"]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_guarded_filters_match_jexl_semantics(self, spark, vals, op, lit, guard):
+        import operator as pyop
+        from collections import Counter
+
+        from shifu_spark.functions.jexl import jexl_filter
+
+        df = spark.createDataFrame([(v,) for v in vals], "a int")
+        expr = f"a {guard} a {op} {lit}"
+        got = Counter(r["a"] for r in df.filter(jexl_filter(expr)).collect())
+        ops = {"<": pyop.lt, ">": pyop.gt, "<=": pyop.le,
+               ">=": pyop.ge, "==": pyop.eq, "!=": pyop.ne}
+        if guard == "!= null &&":
+            want = Counter(v for v in vals if v is not None and ops[op](v, lit))
+        else:  # == null || — null rows kept by the guard, others compared
+            want = Counter(v for v in vals if v is None or ops[op](v, lit))
+        assert got == want, (expr, got, want)
