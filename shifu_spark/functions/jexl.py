@@ -38,18 +38,54 @@ _REWRITES = [
     (re.compile(r"\bnull\b"), "NULL"),
     (re.compile(r"\btrue\b"), "TRUE"),
     (re.compile(r"\bfalse\b"), "FALSE"),
-    # JEXL null EQUALITY is two-valued (JexlArithmetic.equals: both-null
-    # -> true, one-null -> false), but SQL `x = NULL` / `x <> NULL` is
-    # three-valued NULL -> filter-false ALWAYS — so the idiomatic guard
-    # `tag != null && ...` would drop every row. Rewrite to IS [NOT]
-    # NULL. Lookbehind keeps `>= NULL` / `<= NULL` ordering forms out
-    # (those are not equality and stay SQL-NULL semantics).
-    (re.compile(r"(?<![<>!=])=\s*NULL\b"), " IS NULL"),
-    (re.compile(r"<>\s*NULL\b"), " IS NOT NULL"),
-    # prefix spellings `null == x` / `null != x` (simple operand)
-    (re.compile(r"\bNULL\s*=\s*(`[^`]+`|[A-Za-z_][\w:.]*)"), r"\1 IS NULL"),
-    (re.compile(r"\bNULL\s*<>\s*(`[^`]+`|[A-Za-z_][\w:.]*)"), r"\1 IS NOT NULL"),
 ]
+
+# JEXL null EQUALITY is two-valued (JexlArithmetic.equals: both-null
+# -> true, one-null -> false), but SQL `x = NULL` / `x <> NULL` is
+# three-valued NULL -> filter-false ALWAYS — so the idiomatic guard
+# `tag != null && ...` would drop every row. `_rewrite_null_equality`
+# rewrites to IS [NOT] NULL, but ONLY when the non-null operand is a
+# bare identifier/backticked column standing alone in boolean context:
+# with a COMPOUND operand (`x + 1 == null`) JEXL's null-coercing
+# arithmetic never yields null, so IS NULL would be wrong-valued, and
+# a naive prefix rewrite of `null == x + 1` emits malformed SQL
+# (`x IS NULL + 1`) — both now raise instead (the module's
+# raise-loudly contract). Ordering forms `>= null` / `<= null` are not
+# equality and keep SQL-NULL semantics (see module header).
+_SIMPLE_OPERAND = r"`[^`]+`|[A-Za-z_][\w:.]*"
+_NULL_EQ_SUFFIX = re.compile(rf"({_SIMPLE_OPERAND})\s*(=|<>)\s*NULL\b")
+_NULL_EQ_PREFIX = re.compile(rf"\bNULL\s*(=|<>)\s*({_SIMPLE_OPERAND})")
+# leftover equality-against-NULL after the guarded rewrites = compound
+# operand; `(?<![<>!=])` keeps `>= NULL` / `<= NULL` ordering forms out
+_NULL_EQ_LEFTOVER = re.compile(
+    r"(?<![<>!=])=\s*NULL\b|<>\s*NULL\b|\bNULL\s*=|\bNULL\s*<>"
+)
+# a null-equality comparison is rewritable only when flanked by boolean
+# context: segment edge, parenthesis, or AND/OR/NOT (the ternary parts
+# are translated separately, so WHEN/THEN never appear here)
+_BOOL_EDGE_LEFT = re.compile(r"(?:^|\(|\bAND|\bOR|\bNOT)\s*$")
+_BOOL_EDGE_RIGHT = re.compile(r"\s*(?:$|\)|AND\b|OR\b)")
+
+
+def _rewrite_null_equality(seg: str) -> str:
+    def _guarded(m: re.Match, operand: str, op: str) -> str:
+        # context checks run against the ORIGINAL string (m.string):
+        # earlier substitutions in the same pass cannot invalidate the
+        # boolean-edge structure to the left of a later match
+        if _BOOL_EDGE_LEFT.search(m.string[: m.start()]) and _BOOL_EDGE_RIGHT.match(
+            m.string[m.end() :]
+        ):
+            return f"{operand} IS NULL" if op == "=" else f"{operand} IS NOT NULL"
+        return m.group(0)
+
+    seg = _NULL_EQ_SUFFIX.sub(lambda m: _guarded(m, m.group(1), m.group(2)), seg)
+    seg = _NULL_EQ_PREFIX.sub(lambda m: _guarded(m, m.group(2), m.group(1)), seg)
+    if _NULL_EQ_LEFTOVER.search(seg):
+        raise ValueError(
+            "null equality with a compound operand is unsupported "
+            f"(JEXL null-coercing arithmetic has no SQL equivalent): {seg!r}"
+        )
+    return seg
 
 _FORBIDDEN = re.compile(r"(new\s+\w|\.\w+\s*\(|\[\]|=~|!~|\bsize\s*\(|\bempty\s*\()")
 
@@ -192,7 +228,7 @@ def jexl_to_sql(expr: str, headers: list[str] | None = None) -> str:
     def _rewrite(seg: str) -> str:
         for pat, rep in _REWRITES:
             seg = pat.sub(rep, seg)
-        return seg
+        return _rewrite_null_equality(seg)
 
     s = _map_outside_quotes(s, _rewrite)
     # a '?' the splitter could not pair (e.g. a ternary wrapped entirely

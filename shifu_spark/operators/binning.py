@@ -257,10 +257,17 @@ def bin_index_expr(col: Column | str, boundaries: list[float], missing_index: in
 
 
 def bin_index_sql(col: str, boundaries: list[float], missing_index: int | None = None) -> str:
-    """ANSI-SQL CASE chain equivalent of :func:`bin_index_expr` (for oracles)."""
+    """ANSI-SQL CASE chain equivalent of :func:`bin_index_expr` (for oracles).
+
+    NaN/±Infinity route to the missing slot exactly like the Spark path
+    (Normalizer.java:569-573) — DuckDB's NaN-is-greatest comparison would
+    otherwise put NaN in the last real bin (ADVICE r9)."""
     if missing_index is None:
         missing_index = len(boundaries)
-    whens = [f"WHEN {col} IS NULL THEN {missing_index}"]
+    whens = [
+        f"WHEN {col} IS NULL THEN {missing_index}",
+        f"WHEN NOT isfinite(CAST({col} AS DOUBLE)) THEN {missing_index}",
+    ]
     for i in range(len(boundaries) - 1, 0, -1):
         whens.append(f"WHEN {col} >= {boundaries[i]!r} THEN {i}")
     return "CASE " + " ".join(whens) + " ELSE 0 END"

@@ -660,3 +660,41 @@ class TestJexlNullGuardFuzz:
         else:  # == null || — null rows kept by the guard, others compared
             want = Counter(v for v in vals if v is None or ops[op](v, lit))
         assert got == want, (expr, got, want)
+
+    @given(
+        st.sampled_from(["+", "-", "*", "/", "%"]),
+        st.integers(-4, 4),
+        st.sampled_from(["==", "!="]),
+        st.booleans(),  # null on the left vs right of the equality
+        st.booleans(),  # arithmetic on the left vs right of the operand
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_arithmetic_next_to_null_equality_raises(
+        self, arith, k, eq, null_left, arith_left
+    ):
+        """JEXL null-coercing arithmetic (`x + 1` is never null) has no
+        SQL equivalent, and the old suffix rewrite turned
+        `x + 1 == null` into `x + 1 IS NULL` (true when x IS NULL —
+        wrong-valued) while `null == x + 1` emitted malformed SQL.
+        Compound operands adjacent to null equality must raise
+        (ADVICE r9: restrict the rewrite to simple operands)."""
+        import pytest as _pytest
+
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        operand = f"a {arith} {k}" if arith_left else f"{k} {arith} a"
+        expr = f"{operand} {eq} null" if not null_left else f"null {eq} {operand}"
+        with _pytest.raises(ValueError, match="null equality"):
+            jexl_to_sql(expr)
+
+    def test_simple_null_equality_still_rewrites_in_every_context(self):
+        """The compound-operand guard must not regress the simple
+        forms: segment edge, parentheses, and AND/OR/NOT contexts all
+        still rewrite, and ordering-against-null keeps SQL semantics."""
+        from shifu_spark.functions.jexl import jexl_to_sql
+
+        assert jexl_to_sql("tag == null") == "tag IS NULL"
+        assert jexl_to_sql("(tag != null)") == "(tag IS NOT NULL)"
+        assert "b IS NULL" in jexl_to_sql("a > 1 && (b == null || c != null)")
+        assert jexl_to_sql("null == null") == "NULL IS NULL"
+        assert jexl_to_sql("x >= null") == "x >= NULL"  # ordering untouched
