@@ -34,10 +34,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_INF = float("inf")
+
+
+def _is_nonvalue(c: Column) -> Column:
+    """NULL/NaN/±Infinity — the engine's unified MISSING class
+    (Normalizer.java:566-573; same predicate as stats/binning r9)."""
+    return c.isNull() | F.isnan(c) | (F.abs(c) == F.lit(_INF))
+
+
 def clamp_weight(weight_col: str) -> Column:
-    """Unparseable -> 1.0, negative -> 1.0 (ConfusionMatrix.java:361-370)."""
-    w = F.col(weight_col).cast("double")
-    return F.when(w.isNull() | (w < 0), F.lit(1.0)).otherwise(w)
+    """Unparseable -> 1.0, negative -> 1.0 (ConfusionMatrix.java:361-370).
+
+    try_cast, not cast: an unparseable TEXT weight must land in the
+    Java-catch->1.0 branch, not raise under ANSI mode. Non-finite
+    weights also clamp to 1.0: a NaN weight would otherwise poison the
+    whole weighted tally on the double path and NULL OUT of the
+    DECIMAL(38,10) trapezoid sum (the r9 population-split signature) —
+    garbage weights are defensively 1.0, same as unparseable ones
+    (deliberate divergence from a literal Java replay, where the
+    NaN-weight sum degenerates to an all-NaN curve; r10 non-finite
+    audit)."""
+    w = F.col(weight_col).try_cast("double")
+    return F.when(_is_nonvalue(w) | (w < 0), F.lit(1.0)).otherwise(w)
 
 
 def _score_bounds(df: DataFrame, score_col: str, n: int | None) -> list[float]:
@@ -49,8 +68,11 @@ def _score_bounds(df: DataFrame, score_col: str, n: int | None) -> list[float]:
     spark = df.sparkSession
     k = n or spark.sparkContext.defaultParallelism
     qs = [i / k for i in range(1, k)]
+    s = F.col(score_col).cast("double")
+    # same population as _score_points: non-finite scores are not eval
+    # points, so they must not steer the bucket boundaries either
     row = df.agg(
-        F.percentile_approx(F.col(score_col).cast("double"), qs, 1000).alias("b")
+        F.percentile_approx(F.when(~_is_nonvalue(s), s), qs, 1000).alias("b")
     ).collect()
     return [b for b in (row[0]["b"] or []) if b is not None]
 
@@ -60,8 +82,15 @@ def _score_points(
 ) -> DataFrame:
     """Collapse rows to one point per distinct score with pos/neg
     (and weighted) tallies — the map-side combine that bounds every
-    curve computation by #distinct scores."""
+    curve computation by #distinct scores.
+
+    NULL/NaN/±Infinity scores are EXCLUDED: an unrankable score is no
+    evaluation point (under Spark/DuckDB NaN-is-greatest ordering a NaN
+    score would silently rank as the most confident prediction; the
+    unified missing semantics route it out instead — r10 non-finite
+    audit, same class as the r9 bin-lookup fix)."""
     w = clamp_weight(weight_col) if weight_col else F.lit(1.0)
+    df = df.filter(~_is_nonvalue(F.col(score_col).cast("double")))
     return (
         df.select(
             F.col(score_col).cast("double").alias("score"),

@@ -47,7 +47,19 @@ def quantized_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     object Series of per-row ndarrays, and re-stacking millions of tiny
     Python objects dominated the runtime (VERDICT r6 "what's wrong #2":
     12.4s at sf0.1; flat columns cut the Python-side cost to the
-    matmul)."""
+    matmul).
+
+    A NULL vector, or any NULL/NaN/±Infinity component, excludes the
+    WHOLE row: a garbage embedding is no observation (the unified
+    missing semantics — per-component exclusion would break Gram
+    symmetry), and the quantizing CAST would otherwise raise
+    CAST_OVERFLOW under ANSI mode on the first NaN (r10 non-finite
+    audit). Oracles mirror the row filter."""
+    bad = lambda e: e.isNull() | F.isnan(e) | (F.abs(e) == F.lit(float("inf")))  # noqa: E731
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col).cast("array<double>"), bad)
+    )
     return df.select(
         *[
             F.expr(

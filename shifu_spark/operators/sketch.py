@@ -26,6 +26,25 @@ CMS_WIDTH = 32
 _HEX = "0123456789abcdef"
 
 
+def _require_canonical_key(df: DataFrame, key_col: str) -> None:
+    """Reject FLOAT/DOUBLE sketch keys loudly. Every sketch hash is
+    md5(cast(key AS string)), and the string form of a floating-point
+    value is NOT cross-engine canonical — Spark renders Java
+    ``Double.toString`` ('1.50000005E7', 'NaN', 'Infinity') where DuckDB
+    renders '15000000.5' / 'nan' / 'inf' — so the same key would hash
+    into DIFFERENT buckets per engine and the oracle parity silently
+    breaks (r10 non-finite audit; finite doubles diverge too).
+    Canonicalize upstream (cast to string/bigint, or format_number with
+    a fixed scale) before sketching. String/integral/decimal keys render
+    identically on both engines."""
+    dtype = dict(df.dtypes).get(key_col)
+    if dtype in ("float", "double"):
+        raise ValueError(
+            f"sketch key {key_col!r} is {dtype}: cast(double AS string) is not "
+            "cross-engine canonical — canonicalize to string/bigint/decimal first"
+        )
+
+
 def _nibble_fold_sql(h_sql: str, width: int) -> str:
     """16-bit value from the first 4 hex nibbles of ``h_sql`` modulo
     ``width`` — spelled in the SQL subset both engines parse identically
@@ -57,6 +76,7 @@ def cms_build_df(
     d-slot array), then a bounded groupBy; the shuffle carries at most
     depth·width·n_tasks partial rows — constant in data size. That
     bound is the whole point of the sketch at scale."""
+    _require_canonical_key(df, key_col)
     buckets = F.array(*[cms_bucket_expr(key_col, i, width) for i in range(depth)])
     return (
         df.select(F.posexplode(buckets).alias("row_i", "bucket"))
@@ -76,6 +96,7 @@ def cms_estimate_df(
     counter (the classic CMS upper bound: estimate >= true count,
     overestimate only from collisions). The sketch side is
     depth·width-sized, so it BROADCASTS; missing counters read as 0."""
+    _require_canonical_key(keys, key_col)
     probes = keys.select(
         F.col(key_col),
         F.posexplode(
@@ -108,6 +129,7 @@ def bloom_build_df(df: DataFrame, key_col: str, bits: int = BLOOM_BITS, k: int =
     form; a production impl packs these into longs with bit_or, which
     is a physical layout detail, not a semantic one). One pass:
     in-row k positions -> posexplode -> bounded distinct."""
+    _require_canonical_key(df, key_col)
     poss = F.array(*[F.expr(bloom_pos_sql(key_col, i, bits)) for i in range(k)])
     return (
         df.select(F.explode(poss).alias("pos")).distinct()
@@ -120,6 +142,7 @@ def bloom_probe_df(
     """Membership probe: hit iff ALL k positions are set. The filter side
     is <= ``bits`` rows, so it broadcasts; no-FN / possible-FP is the
     Bloom contract (pinned in tests)."""
+    _require_canonical_key(keys, key_col)
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -177,6 +200,7 @@ def hll_registers_df(df: DataFrame, key_col: str) -> DataFrame:
     a single pass + bounded groupBy (the constant-state distinct-count
     sketch; Spark's own approx_count_distinct is the same structure with
     engine-private hashing — this one is oracle-mirrorable)."""
+    _require_canonical_key(df, key_col)
     return (
         df.select(
             F.expr(hll_register_sql(key_col)).alias("reg"),

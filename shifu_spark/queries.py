@@ -10654,6 +10654,11 @@ def _pca_oracle(dim: int = 64, iters: int = 8) -> str:
   SELECT list_transform(embedding::DOUBLE[],
                         e -> CAST(round(e * 1000000.0) AS BIGINT)) AS qv
   FROM embeddings
+  -- mirror quantized_vectors' dirty-row filter: a NULL vector or any
+  -- NULL/non-finite component excludes the whole row (r10 audit)
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding::DOUBLE[],
+                        e -> e IS NULL OR NOT isfinite(e))) = 0
 ),
 cells AS MATERIALIZED (
   SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS g

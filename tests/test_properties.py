@@ -698,3 +698,300 @@ class TestJexlNullGuardFuzz:
         assert "b IS NULL" in jexl_to_sql("a > 1 && (b == null || c != null)")
         assert jexl_to_sql("null == null") == "NULL IS NULL"
         assert jexl_to_sql("x >= null") == "x >= NULL"  # ordering untouched
+
+
+class TestNonFiniteDirtyFrame:
+    """r10 structural closure of the r9 'non-finite double splits the
+    population' bug class, extended past stats/correlation/binning to
+    the remaining aggregate families VERDICT r9 named: PSI, eval-metric
+    weighted sums, PCA, and sketch inputs. ONE dirty fixture
+    ({v, NaN, +Inf, -Inf, NULL} in both the value and the weight
+    column) runs through each family with Spark<->DuckDB value parity
+    asserted via the driver-hash replica (tests.oracle.compare) — any
+    future one-sided guard change fails here instead of in a driver
+    round."""
+
+    import pytest as _pt
+
+    NAN, INF = float("nan"), float("inf")
+    ROWS = [
+        (1, "d1", "P", 1.0, 2.0),
+        (2, "d1", "N", 2.0, 1.0),
+        (3, "d1", "P", 3.0, NAN),     # dirty weight: clamp -> 1.0
+        (4, "d1", "N", 4.0, INF),     # dirty weight: clamp -> 1.0
+        (5, "d2", "P", NAN, 3.0),     # dirty score: excluded / missing slot
+        (6, "d2", "N", INF, -1.0),    # dirty score + negative weight
+        (7, "d2", "P", -INF, None),   # dirty score + NULL weight
+        (8, "d2", "N", None, 0.5),    # NULL score
+        (9, "d2", "P", 2.5, -INF),    # -Inf weight: clamp -> 1.0
+        (10, "d1", "N", 0.5, 1.5),
+        (11, "d2", "N", 3.5, 2.5),
+    ]
+    BINS = [0.0, 2.5, 10.0]
+    # reference weight clamp + r10 non-finite extension, SQL side
+    WCLAMP = "(CASE WHEN w IS NULL OR NOT isfinite(w) OR w < 0 THEN 1.0 ELSE w END)"
+
+    @_pt.fixture(scope="class")
+    def dirty(self, spark, tmp_path_factory):
+        import duckdb
+
+        df = spark.createDataFrame(
+            self.ROWS, "id long, unit string, tag string, x double, w double"
+        )
+        path = str(tmp_path_factory.mktemp("dirty") / "t.parquet")
+        df.coalesce(1).write.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        return df, con
+
+    def _check(self, spark_df, con, sql, name):
+        from tests.oracle import compare
+
+        problems = compare(spark_df, con, sql, name)
+        assert problems == [], problems
+
+    def test_bin_index_expr_matches_bin_index_sql(self, spark, dirty):
+        """The lookup pair itself: NaN/±Inf route to the missing slot on
+        BOTH engines (ADVICE r9: bin_index_sql only handled NULL —
+        DuckDB's NaN-is-greatest would land NaN in the last real bin)."""
+        from shifu_spark.operators.binning import bin_index_expr, bin_index_sql
+
+        df, con = dirty
+        got = df.select("id", bin_index_expr("x", self.BINS).alias("bin"))
+        self._check(
+            got, con,
+            f"SELECT id, {bin_index_sql('x', self.BINS)} AS bin FROM t ORDER BY id",
+            "bin_index_dirty",
+        )
+
+    def test_psi_population_parity(self, spark, dirty):
+        """PSI end-to-end from the dirty raw frame: bin assignment
+        (missing slot for non-values) -> per-unit counts -> psi_df; the
+        oracle replays the same pipeline on bin_index_sql. One
+        population on both engines — no count-vs-sum split."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.binning import bin_index_expr, bin_index_sql
+        from shifu_spark.operators.psi import psi_df
+
+        df, con = dirty
+        binned = df.select("unit", bin_index_expr("x", self.BINS).alias("bin"))
+        actual = (
+            binned.groupBy("unit", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("column_name", F.lit("x"))
+        )
+        total = float(df.count())
+        expected = (
+            binned.groupBy("bin")
+            .agg((F.count(F.lit(1)) / F.lit(total)).alias("expected_frac"))
+            .withColumn("column_name", F.lit("x"))
+        )
+        bsql = bin_index_sql("x", self.BINS)
+        self._check(
+            psi_df(actual, expected), con,
+            f"""
+WITH binned AS (SELECT unit, {bsql} AS bin FROM t),
+actual AS (SELECT 'x' AS column_name, unit, bin, count(*) AS cnt FROM binned GROUP BY unit, bin),
+expected AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM t) AS expected_frac FROM binned GROUP BY bin),
+a AS (SELECT column_name, unit, bin,
+             cnt * 1.0 / sum(cnt) OVER (PARTITION BY column_name, unit) AS actual_frac
+      FROM actual),
+j AS (SELECT a.column_name, a.unit,
+             CASE WHEN e.expected_frac > 0 AND a.actual_frac > 0
+                  THEN (a.actual_frac - e.expected_frac) * ln(a.actual_frac / e.expected_frac)
+                  ELSE 0.0 END AS term
+      FROM a JOIN expected e ON a.bin = e.bin)
+SELECT column_name, unit, round(sum(term), 6) AS psi
+FROM j GROUP BY column_name, unit ORDER BY column_name, unit
+""",
+            "psi_dirty",
+        )
+
+    def test_weighted_roc_auc_parity(self, spark, dirty):
+        """Dirty scores AND dirty weights, no caller-side pre-filter:
+        non-finite scores are excluded by _score_points, non-finite
+        weights clamp to 1.0 — the oracle states both rules explicitly.
+        Before the r10 fix a NaN weight NULLed out of the DECIMAL
+        trapezoid sum while its row stayed in the tallies (the exact
+        population-split signature)."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.eval_metrics import roc_auc_df
+
+        df, con = dirty
+        got = roc_auc_df(df, "x", F.col("tag") == "P", weight_col="w").select(
+            F.col("auc").alias("weighted_auc")
+        )
+        self._check(
+            got, con,
+            f"""
+WITH pts AS (
+  SELECT x AS score,
+         sum(CASE WHEN tag = 'P' THEN {self.WCLAMP} ELSE 0 END) AS wpos,
+         sum(CASE WHEN tag = 'P' THEN 0 ELSE {self.WCLAMP} END) AS wneg
+  FROM t WHERE x IS NOT NULL AND isfinite(x) GROUP BY 1
+),
+cum AS (SELECT wpos, wneg, sum(wpos) OVER (ORDER BY score DESC) AS cwp FROM pts)
+SELECT round(sum(wneg * ((cwp - wpos) + cwp) / 2.0)
+             / ((SELECT sum(wpos) FROM pts) * (SELECT sum(wneg) FROM pts)), 6)
+       AS weighted_auc
+FROM cum
+""",
+            "wauc_dirty",
+        )
+
+    def test_weighted_curve_metrics_parity(self, spark, dirty):
+        """The DECIMAL(38,10) trapezoid path (weighted_curve_metrics_df)
+        on dirty scores + dirty weights: weighted AUC / PR AUC / KS all
+        agree with the DuckDB replay of the same clamp + exclusion."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.eval_metrics import weighted_curve_metrics_df
+
+        df, con = dirty
+        got = weighted_curve_metrics_df(df, "x", F.col("tag") == "P", "w")
+        self._check(
+            got, con,
+            f"""
+WITH pts AS (
+  SELECT x AS score,
+         sum(CASE WHEN tag = 'P' THEN {self.WCLAMP} ELSE 0 END) AS wpos,
+         sum(CASE WHEN tag = 'P' THEN 0 ELSE {self.WCLAMP} END) AS wneg
+  FROM t WHERE x IS NOT NULL AND isfinite(x) GROUP BY 1
+),
+cum AS (SELECT wpos, wneg,
+               sum(wpos) OVER (ORDER BY score DESC) AS wtp,
+               sum(wneg) OVER (ORDER BY score DESC) AS wfp,
+               sum(wpos) OVER () AS tot_p, sum(wneg) OVER () AS tot_n
+        FROM pts),
+pr AS (SELECT wtp / (wtp + wfp) AS precision, wtp / tot_p AS recall FROM cum),
+lagged AS (SELECT recall, precision,
+                  lag(recall) OVER (ORDER BY recall, precision DESC) AS prev_r,
+                  lag(precision) OVER (ORDER BY recall, precision DESC) AS prev_p
+           FROM pr)
+SELECT round((SELECT sum(wneg * ((wtp - wpos) + wtp) / 2.0) FROM cum)
+             / ((SELECT max(tot_p) FROM cum) * (SELECT max(tot_n) FROM cum)), 6) AS weighted_auc,
+       (SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6)
+        FROM lagged WHERE prev_r IS NOT NULL) AS weighted_pr_auc,
+       (SELECT round(max(wtp / tot_p - wfp / tot_n), 6) FROM cum) AS weighted_ks
+""",
+            "wcurve_dirty",
+        )
+
+    def test_unweighted_curve_metrics_parity(self, spark, dirty):
+        """curve_metrics_df (integer DECIMAL(38,0) path) on dirty scores:
+        same exclusion rule, exact-count arithmetic on both engines."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.eval_metrics import curve_metrics_df
+
+        df, con = dirty
+        got = curve_metrics_df(df, "x", F.col("tag") == "P")
+        self._check(
+            got, con,
+            """
+WITH pts AS (
+  SELECT x AS score,
+         sum(CASE WHEN tag = 'P' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN tag = 'P' THEN 0 ELSE 1 END) AS neg
+  FROM t WHERE x IS NOT NULL AND isfinite(x) GROUP BY 1
+),
+cum AS (SELECT pos, neg,
+               sum(pos) OVER (ORDER BY score DESC) AS tp,
+               sum(neg) OVER (ORDER BY score DESC) AS fp,
+               sum(pos) OVER () AS tot_p, sum(neg) OVER () AS tot_n
+        FROM pts),
+pr AS (SELECT tp * 1.0 / (tp + fp) AS precision, tp * 1.0 / tot_p AS recall FROM cum),
+lagged AS (SELECT recall, precision,
+                  lag(recall) OVER (ORDER BY recall, precision DESC) AS prev_r,
+                  lag(precision) OVER (ORDER BY recall, precision DESC) AS prev_p
+           FROM pr)
+SELECT round((SELECT sum(neg * ((tp - pos) + tp) * 0.5) FROM cum)
+             / ((SELECT max(tot_p) FROM cum) * (SELECT max(tot_n) FROM cum)), 6) AS auc,
+       (SELECT round(sum((recall - prev_r) * (precision + prev_p) / 2.0), 6)
+        FROM lagged WHERE prev_r IS NOT NULL) AS pr_auc,
+       (SELECT round(max(tp * 1.0 / tot_p - fp * 1.0 / tot_n), 6) FROM cum) AS ks
+""",
+            "curve_dirty",
+        )
+
+    def test_pca_excludes_dirty_vectors_on_both_engines(self, spark, tmp_path):
+        """A NULL vector or any NULL/NaN/±Inf component excludes the
+        whole row from the Gram (the quantizing CAST would raise
+        CAST_OVERFLOW under ANSI otherwise); the oracle replays the
+        filter. Clean rows alone determine the dominant direction."""
+        import duckdb
+
+        from shifu_spark.operators.pca import pca_top_component_df
+
+        nan, inf = float("nan"), float("inf")
+        vecs = spark.createDataFrame(
+            [
+                ([1.0, 2.0],), ([2.0, 1.0],), ([3.0, 3.0],), ([0.5, 4.0],),
+                ([nan, 1.0],), ([1.0, inf],), ([None, 2.0],), (None,),
+                ([-inf, -1.0],),
+            ],
+            "embedding array<double>",
+        )
+        path = str(tmp_path / "emb.parquet")
+        vecs.coalesce(1).write.parquet(path)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW q0 AS SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+        oracle = """
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        e -> CAST(round(e * 1000000.0) AS BIGINT)) AS qv
+  FROM q0
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding::DOUBLE[], e -> e IS NULL OR NOT isfinite(e))) = 0
+),
+cells AS MATERIALIZED (
+  SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS g
+  FROM q, range(1, 3) AS ti(i), range(1, 3) AS tj(j) GROUP BY 1, 2
+),
+gmat AS MATERIALIZED (SELECT i, list(g::DOUBLE ORDER BY j) AS gl FROM cells GROUP BY i),
+v0 AS (SELECT [1.0, 1.0] AS vl),
+it1 AS MATERIALIZED (SELECT i, list_dot_product(gl, (SELECT vl FROM v0)) AS gv FROM gmat),
+n1 AS MATERIALIZED (SELECT max(abs(gv)) AS mx FROM it1),
+v1 AS MATERIALIZED (SELECT list(gv / (SELECT mx FROM n1) ORDER BY i) AS vl FROM it1),
+it2 AS MATERIALIZED (SELECT i, list_dot_product(gl, (SELECT vl FROM v1)) AS gv FROM gmat),
+n2 AS MATERIALIZED (SELECT max(abs(gv)) AS mx FROM it2),
+it3 AS MATERIALIZED (
+  SELECT i, list_dot_product(gl, (SELECT list(gv / (SELECT mx FROM n2) ORDER BY i) FROM it2)) AS gv
+  FROM gmat),
+n3 AS MATERIALIZED (SELECT max(abs(gv)) AS mx FROM it3)
+SELECT i::INT AS dim, round(gv / (SELECT mx FROM n3), 6) AS loading
+FROM it3 ORDER BY dim
+"""
+        got = pca_top_component_df(vecs, "embedding", 2, iters=3)
+        self._check(got, con, oracle, "pca_dirty")
+
+    def test_sketch_rejects_float_keys_loudly(self, spark):
+        """cast(double AS string) is NOT cross-engine canonical (Spark
+        '1.50000005E7'/'NaN'/'Infinity' vs DuckDB '15000000.5'/'nan'/
+        'inf') — every sketch builder must refuse a float/double key
+        instead of silently hashing into different buckets per engine."""
+        import pytest as _pytest
+
+        from shifu_spark.operators.sketch import (
+            bloom_build_df,
+            bloom_probe_df,
+            cms_build_df,
+            cms_estimate_df,
+            hll_registers_df,
+        )
+
+        dbl = spark.createDataFrame([(1.5,), (2.5,)], "k double")
+        ok = spark.createDataFrame([("a",), ("b",)], "k string")
+        for fn in (cms_build_df, bloom_build_df, hll_registers_df):
+            with _pytest.raises(ValueError, match="canonical"):
+                fn(dbl, "k")
+        with _pytest.raises(ValueError, match="canonical"):
+            cms_estimate_df(cms_build_df(ok, "k"), dbl, "k")
+        with _pytest.raises(ValueError, match="canonical"):
+            bloom_probe_df(bloom_build_df(ok, "k"), dbl, "k")
+        # string keys still build fine (the guard must not over-reject)
+        assert cms_build_df(ok, "k").count() > 0
