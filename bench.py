@@ -265,6 +265,39 @@ R01_HEADLINE = HEADLINE[: HEADLINE.index("multiclass_confusion")]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+# Calibration probe (VERDICT r9 item 3): three same-tree full runs varied
+# 213->246s across one afternoon, so the committed artifact was hostage to
+# box health and every drift adjudication needed an ad-hoc worktree A/B.
+# The probe is a FIXED, data-independent, CPU-bound Spark job (xxhash64
+# fold over spark.range — no I/O, no shuffle beyond the 32->1 agg, no
+# Python) timed min-of-3 before and after the suite; probe time scales
+# with the same box slowness that inflates query time, so
+# normalized = raw * (PROBE_REF_S / probe_s) is comparable across days.
+# PROBE_REF_S pins the probe's cost on the round-10 box the day this
+# landed; future rounds adjudicate drift against probe_s first and only
+# A/B trees when normalized numbers still disagree.
+PROBE_ROWS = 4_000_000_000
+# healthy-box probe cost pinned when the probe landed (r10; three
+# min-of-3 samples 0.739/0.713/0.714 on a quiet local[32])
+PROBE_REF_S = 0.72
+
+
+def calibration_probe(spark, n_runs: int = 3) -> float:
+    """Seconds for the fixed probe job (min of ``n_runs``, after one
+    discarded warm run — the first execution carries the probe plan's
+    own codegen compile, ~2x the steady-state cost)."""
+    runs: list[float] = []
+    for i in range(n_runs + 1):
+        t0 = time.perf_counter()
+        # bit_xor, not sum: a sum of 4e8 xxhash64 longs overflows under
+        # ANSI mode; xor is overflow-free and just as unprunable
+        spark.range(0, PROBE_ROWS, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        if i > 0:  # drop the codegen-compile run
+            runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -298,6 +331,7 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
+    probe_pre = calibration_probe(spark)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -332,6 +366,19 @@ def main() -> None:
         best = min(runs)
         timings[name] = round(best, 3)
         spreads[name] = round((max(runs) - best) / best, 3) if best > 0 else 0.0
+
+    probe_post = calibration_probe(spark)
+    # normalize by the mean of the bracketing probes: queries ran between
+    # them, so box slowness during the suite is bounded by the pair.
+    # factor < 1 = box slower than the pinned reference -> normalized
+    # totals shrink accordingly; drift adjudication reads these first.
+    probe_factor = round(PROBE_REF_S / ((probe_pre + probe_post) / 2.0), 4)
+    probe_fields = {
+        "probe_s_pre": probe_pre,
+        "probe_s_post": probe_post,
+        "probe_ref_s": PROBE_REF_S,
+        "probe_factor": probe_factor,
+    }
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -371,6 +418,15 @@ def main() -> None:
                 "train_value": round(
                     sum(s for n, s in timings.items() if HEADLINE_STAGES.get(n) == "train"), 3
                 ),
+                # box-health calibration (VERDICT r9 item 3): raw totals
+                # above, probe-normalized twins below; adjudicate drift
+                # against probe_factor before suspecting the code
+                **probe_fields,
+                "normalized_value": round(sum(timings.values()) * probe_factor, 3),
+                "normalized_baseline_comparable_value": round(
+                    sum(s for n, s in timings.items() if n in R01_HEADLINE)
+                    * probe_factor, 3
+                ),
                 "sf": sf_val,
             }
         )
@@ -395,6 +451,8 @@ def main() -> None:
                     sum(s for n, s in timings.items() if HEADLINE_STAGES.get(n) != "train"), 3
                 ),
                 "stages": stages,
+                **probe_fields,
+                "normalized_value": round(sum(timings.values()) * probe_factor, 3),
                 "sf": sf_val,
             }
         )
