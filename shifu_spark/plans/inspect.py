@@ -26,7 +26,19 @@ def _executed_plan(df: DataFrame) -> str:
 
 
 def _full_explain(df: DataFrame) -> str:
-    return df._jdf.queryExecution().toString()
+    """Plan string with the metadata formatter widened: the default
+    spark.sql.maxMetadataStringLength=100 truncates a ReadSchema past
+    ~6 columns ('...' and no closing '>'), which made wide scans
+    INVISIBLE to the old pruning regex (r10 lint sanity check). 2000
+    chars covers any schema in this engine; restored after."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, "100")
+    spark.conf.set(key, "2000")
+    try:
+        return df._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set(key, old)
 
 
 def count_shuffles(df: DataFrame) -> int:
@@ -59,14 +71,36 @@ def assert_pushed_filters(df: DataFrame, column_substrings: list[str]) -> None:
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists each parquet scan actually reads (pruning check)."""
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _full_explain(df))
-    return [[c.split(":")[0] for c in s.split(",") if c] for s in schemas]
+    """Column lists each parquet scan actually reads (pruning check).
+
+    Spark's plan formatter TRUNCATES a long ReadSchema at ~100 chars,
+    appending ``...`` and dropping the closing ``>`` — exactly the wide,
+    unpruned scans a pruning check exists to catch. The old
+    closing-``>`` regex made such scans INVISIBLE (a full-width scan
+    parsed as "no scan at all" and passed). A truncated schema now
+    parses as its visible column prefix plus a literal ``...`` sentinel
+    column, so its width reads as a lower bound and pruning checks
+    treat it as unpruned (r10 lint sanity check found this)."""
+    out: list[list[str]] = []
+    for line in re.findall(r"ReadSchema: struct<([^\n]*)", _full_explain(df)):
+        truncated = line.endswith("...")
+        body = line[:-3] if truncated else line.rstrip(">")
+        cols = [c.split(":")[0] for c in body.split(",") if c]
+        if truncated:
+            cols.append("...")
+        out.append(cols)
+    return out
 
 
 def assert_columns_pruned(df: DataFrame, table_width: int) -> None:
-    """Assert no scan reads the full table width (projection reached it)."""
-    widths = [len(cols) for cols in read_schema_columns(df)]
+    """Assert no scan reads the full table width (projection reached it).
+    A truncated (``...``) schema is wide by construction and fails."""
+    schemas = read_schema_columns(df)
+    widths = [len(cols) for cols in schemas]
+    if any("..." in cols for cols in schemas):
+        raise AssertionError(
+            f"scan ReadSchema is formatter-truncated (>= {max(widths)} columns) — unpruned"
+        )
     if any(w >= table_width for w in widths):
         raise AssertionError(f"scan reads {max(widths)} columns of a {table_width}-wide table")
 

@@ -809,3 +809,110 @@ class TestRegistryPlanLint:
             spark.catalog.clearCache()
         assert not errors, f"registry queries failed to build/run at sf0.001: {errors}"
         assert not violations, f"plan anti-patterns: {violations}"
+
+
+class TestExpensiveQueryScanHygiene:
+    """VERDICT r9 item 5: POSITIVE pushdown/pruning assertions for the
+    most expensive registry queries (BENCH_r09_local ranking) — the
+    registry-wide lint above bans anti-patterns; this pins the
+    SCALE.md principle-1 property (filters and projections REACH the
+    parquet scan) so a refactor that silently materializes-then-filters
+    fails a test instead of a bench round.
+
+    Two disjoint groups cover the cost ranking:
+    - SCAN_EXPECTATIONS: queries whose returned plan still contains the
+      data-scale parquet scans — assert every scan is pruned to at most
+      the expected width and the expected filters are pushed;
+    - EAGER_FINALIZED: queries whose returned frame is eagerly
+      finalized (trainer summaries, label-prop loops,
+      _finalize_one_row metrics) — their data-scale scans live in
+      interior superstep plans pinned by the per-family tests above;
+      asserted scan-free here so a de-eagering refactor trips the lint
+      and demands a SCAN_EXPECTATIONS entry.
+    Streaming queries are out of scope (readStream plans have no
+    batch parquet scan to lint)."""
+
+    # query -> (max parquet-scan width, substrings that must appear in
+    # the scans' PushedFilters). Widths from the live plans at sf0.001;
+    # lineitem is 11 wide, orders 9, documents 5, embeddings 3 — every
+    # bound below proves column pruning reached the scan.
+    SCAN_EXPECTATIONS = {
+        "confusion_matrix_scalable": (2, ["l_extendedprice"]),
+        "gain_chart_export": (2, ["l_extendedprice"]),
+        "dedup_rep_by_quality": (2, ["doc_id"]),
+        "robust_column_stats": (1, []),
+        "salted_skew_join_revenue": (4, ["l_orderkey", "o_orderkey"]),
+        "gain_buckets": (2, ["l_extendedprice"]),
+        "weighted_confusion": (3, ["l_extendedprice"]),
+        "confusion_matrix_points": (2, ["l_extendedprice"]),
+        "weighted_gain_buckets": (3, ["l_extendedprice"]),
+        "roc_auc": (2, ["l_extendedprice"]),
+        "weighted_roc_auc": (3, ["l_extendedprice"]),
+        "video_mjpeg_features": (1, []),
+        "tree_path_encoding_pinned": (4, []),
+        "gbt_forward_pinned": (4, []),
+        "rf_forward_pinned": (4, []),
+        "simhash_neardup_pairs": (2, []),
+    }
+    EAGER_FINALIZED = [
+        "pagerank_part_supplier", "corpus_curation_funnel",
+        "triangle_count_parts", "dedup_groups_distributed", "wdl_train",
+        "wdl_train_minibatch", "text_roundtrip_stats", "tree_path_encoding",
+        "ns_purify_filter", "rf_train", "sgd_lr_train", "kfold_cv",
+        "nn_train", "dedup_groups", "pr_auc", "weighted_pr_auc",
+        "matryoshka_recall", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+        "ann_recall_report", "eval_meta_score",
+    ]
+
+    @staticmethod
+    def _assert_scan_hygiene(df, max_width, pushed_subs, name="?"):
+        from shifu_spark.plans.inspect import pushed_filters, read_schema_columns
+
+        widths = [len(s) for s in read_schema_columns(df)]
+        assert widths, f"{name}: expected a parquet scan in the plan, found none"
+        assert max(widths) <= max_width, (
+            f"{name}: scan reads {max(widths)} columns, pruning bound is {max_width}"
+        )
+        pf = " | ".join(pushed_filters(df))
+        missing = [s for s in pushed_subs if s not in pf]
+        assert not missing, f"{name}: filters not pushed to scan: {missing} (pushed: {pf})"
+
+    def test_expensive_lazy_plans_prune_and_push(self, spark):
+        from shifu_spark.queries import QUERIES
+
+        for name, (max_w, subs) in self.SCAN_EXPECTATIONS.items():
+            df = QUERIES[name](spark, SF)
+            self._assert_scan_hygiene(df, max_w, subs, name)
+            spark.catalog.clearCache()
+
+    def test_eager_finalized_plans_stay_scan_free(self, spark):
+        from shifu_spark.plans.inspect import read_schema_columns
+        from shifu_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"  # these EXECUTE on build — smallest SF
+        leaked = {}
+        for name in self.EAGER_FINALIZED:
+            df = QUERIES[name](spark, sf)
+            scans = read_schema_columns(df)
+            if scans:
+                leaked[name] = [len(s) for s in scans]
+            spark.catalog.clearCache()
+        assert not leaked, (
+            "eagerly-finalized queries now expose parquet scans — add "
+            f"SCAN_EXPECTATIONS entries with pruning bounds: {leaked}"
+        )
+
+    def test_lint_rejects_an_unpruned_scan(self, spark):
+        """Sanity: the checker itself must FAIL on a deliberately
+        regressed plan — a full-width lineitem scan with no pushable
+        filter (the materialize-then-filter shape the lint exists to
+        catch)."""
+        import pytest as _pytest
+
+        full = spark.read.parquet(f"{SF}/lineitem.parquet")  # all 11 cols
+        with _pytest.raises(AssertionError, match="pruning bound"):
+            self._assert_scan_hygiene(full, 2, [], "regressed")
+        # and on a missing pushed filter even when pruned
+        pruned = full.select("l_extendedprice", "l_returnflag")
+        with _pytest.raises(AssertionError, match="not pushed"):
+            self._assert_scan_hygiene(pruned, 2, ["l_shipdate"], "regressed")
