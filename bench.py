@@ -289,7 +289,7 @@ def calibration_probe(spark, n_runs: int = 3) -> float:
     runs: list[float] = []
     for i in range(n_runs + 1):
         t0 = time.perf_counter()
-        # bit_xor, not sum: a sum of 4e8 xxhash64 longs overflows under
+        # bit_xor, not sum: a sum of 4e9 xxhash64 longs overflows under
         # ANSI mode; xor is overflow-free and just as unprunable
         spark.range(0, PROBE_ROWS, 1, 32).selectExpr(
             "bit_xor(xxhash64(id)) AS s"

@@ -36,6 +36,13 @@ from pyspark.sql import functions as F
 _REWRITES = [
     (re.compile(r"&&"), " AND "),
     (re.compile(r"\|\|"), " OR "),
+    # JEXL 2 word-operator synonyms (and/or/not) — normalized to the
+    # uppercase SQL spelling so the null-equality pass's boolean-edge
+    # context scan sees ONE form (r10 review: lowercase `and` next to a
+    # null guard read as a non-boolean context and raised)
+    (re.compile(r"\band\b"), " AND "),
+    (re.compile(r"\bor\b"), " OR "),
+    (re.compile(r"\bnot\b"), " NOT "),
     (re.compile(r"!="), "<>"),
     (re.compile(r"(?<![<>=!])==(?!=)"), "="),
     (re.compile(r"!(?![=])"), " NOT "),
@@ -57,8 +64,13 @@ _REWRITES = [
 # raise-loudly contract). Ordering forms `>= null` / `<= null` are not
 # equality and keep SQL-NULL semantics (see module header).
 _SIMPLE_OPERAND = r"`[^`]+`|[A-Za-z_][\w:.]*"
-_NULL_EQ_SUFFIX = re.compile(rf"({_SIMPLE_OPERAND})\s*(=|<>)\s*NULL\b")
-_NULL_EQ_PREFIX = re.compile(rf"\bNULL\s*(=|<>)\s*({_SIMPLE_OPERAND})")
+# a simple operand optionally wrapped in ONE pair of parentheses —
+# `(a) == null` is valid JEXL the pre-r10 rewrite handled (r10 review);
+# the boolean-edge context checks still reject `f(a) == null` (the
+# char before the '(' is an identifier, not a boolean edge)
+_WRAPPED_OPERAND = rf"(?:{_SIMPLE_OPERAND}|\(\s*(?:{_SIMPLE_OPERAND})\s*\))"
+_NULL_EQ_SUFFIX = re.compile(rf"({_WRAPPED_OPERAND})\s*(=|<>)\s*NULL\b")
+_NULL_EQ_PREFIX = re.compile(rf"\bNULL\s*(=|<>)\s*({_WRAPPED_OPERAND})")
 # leftover equality-against-NULL after the guarded rewrites = compound
 # operand; `(?<![<>!=])` keeps `>= NULL` / `<= NULL` ordering forms out
 _NULL_EQ_LEFTOVER = re.compile(

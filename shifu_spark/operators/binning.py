@@ -252,8 +252,9 @@ def bin_index_expr(col: Column | str, boundaries: list[float], missing_index: in
     # edge and silently land in the LAST REAL BIN instead of the missing
     # slot — poisoning every transform built on this lookup (woe, onehot,
     # hybrid, index, streaming drift).
-    nonvalue = c.isNull() | F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
-    return F.when(nonvalue, F.lit(missing_index)).otherwise(idx)
+    from shifu_spark.functions.nonvalue import is_nonvalue
+
+    return F.when(is_nonvalue(c), F.lit(missing_index)).otherwise(idx)
 
 
 def bin_index_sql(col: str, boundaries: list[float], missing_index: int | None = None) -> str:
@@ -317,8 +318,13 @@ def small_bin_counts(
     # inside value bins (UpdateBinningInfoReducer missing-slot handling).
     # NaN must go too: ONE NaN makes max(v)=NaN (Spark sorts NaN
     # largest), turning EVERY row's bin index into least(NaN,k-1)=k-1 —
-    # the whole binning silently collapses into one bin.
-    df = df.filter(v.isNotNull() & ~F.isnan(v))
+    # the whole binning silently collapses into one bin. ±Inf likewise
+    # (one Inf makes the bin width infinite and every finite row lands
+    # in bin 0) — the unified missing class covers all of it (r10
+    # review: this site excluded NaN but kept Inf in value space).
+    from shifu_spark.functions.nonvalue import is_value
+
+    df = df.filter(is_value(v))
     mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
     k = num_small_bins
     b = F.least(F.floor((v - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))

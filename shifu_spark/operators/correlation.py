@@ -35,10 +35,7 @@ def correlation_df(df: DataFrame, columns: list[str], round_to: int | None = 6) 
     cast nulls it), so a null-only guard would keep the row in ``n``
     while silently dropping it from every sum — a wrong VALUE, not an
     error (planted-fixture test pins exact exclusion on both engines)."""
-    inf = F.lit(float("inf"))
-
-    def _finite(c):
-        return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != inf)
+    from shifu_spark.functions.nonvalue import is_value as _finite
 
     aggs = []
     pairs = list(combinations(columns, 2))

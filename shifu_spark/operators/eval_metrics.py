@@ -34,13 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-_INF = float("inf")
-
-
-def _is_nonvalue(c: Column) -> Column:
-    """NULL/NaN/±Infinity — the engine's unified MISSING class
-    (Normalizer.java:566-573; same predicate as stats/binning r9)."""
-    return c.isNull() | F.isnan(c) | (F.abs(c) == F.lit(_INF))
+from shifu_spark.functions.nonvalue import is_nonvalue as _is_nonvalue
 
 
 def clamp_weight(weight_col: str) -> Column:

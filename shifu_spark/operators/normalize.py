@@ -39,8 +39,9 @@ def _value_or_missing(c: Column, missing: Column) -> Column:
     coalesce only covers NULL: a NaN would ride Spark's NaN-is-largest
     ordering through least/greatest and clip to +cutoff·std instead of
     imputing the mean."""
-    finite = ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
-    return F.when(finite, c).otherwise(missing)
+    from shifu_spark.functions.nonvalue import is_value
+
+    return F.when(is_value(c), c).otherwise(missing)
 
 
 def zscore_expr(col: Column | str, mean: float, std: float, cutoff: float = 6.0) -> Column:

@@ -55,10 +55,11 @@ def quantized_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     symmetry), and the quantizing CAST would otherwise raise
     CAST_OVERFLOW under ANSI mode on the first NaN (r10 non-finite
     audit). Oracles mirror the row filter."""
-    bad = lambda e: e.isNull() | F.isnan(e) | (F.abs(e) == F.lit(float("inf")))  # noqa: E731
+    from shifu_spark.functions.nonvalue import is_nonvalue
+
     df = df.filter(
         F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col).cast("array<double>"), bad)
+        & ~F.exists(F.col(vec_col).cast("array<double>"), is_nonvalue)
     )
     return df.select(
         *[

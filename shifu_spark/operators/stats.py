@@ -122,8 +122,10 @@ def _moment_aggs(c: str, exact_percentiles: bool, distinct_exact: bool, decimal_
     front keeps count/sums/min/max/percentiles/distinct consistent on
     one population.
     """
+    from shifu_spark.functions.nonvalue import is_value
+
     raw = F.col(c).try_cast("double")
-    v = F.when(~F.isnan(raw) & (F.abs(raw) != F.lit(float("inf"))), raw)
+    v = F.when(is_value(raw), raw)
 
     def s(e):
         return F.sum(e.cast(_DEC)).cast("double") if decimal_sums else F.sum(e)

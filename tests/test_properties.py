@@ -699,6 +699,29 @@ class TestJexlNullGuardFuzz:
         assert jexl_to_sql("null == null") == "NULL IS NULL"
         assert jexl_to_sql("x >= null") == "x >= NULL"  # ordering untouched
 
+    def test_word_operators_and_wrapped_operands(self, spark):
+        """JEXL 2 word-operator synonyms (and/or/not) and a
+        paren-wrapped simple operand are boolean contexts the guard
+        must accept (r10 review: `tag != null and q > 5` raised while
+        the &&-spelling rewrote) — pinned end-to-end through purify."""
+        from shifu_spark.functions.jexl import jexl_to_sql
+        from shifu_spark.operators.purify import purify
+
+        assert "IS NOT NULL" in jexl_to_sql("tag != null and q > 5")
+        assert "IS NULL" in jexl_to_sql("a > 1 or b == null")
+        assert jexl_to_sql("(a) == null") == "(a) IS NULL"
+        # function-call adjacency still raises (not a boolean edge)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="null equality"):
+            jexl_to_sql("f(a) == null")
+        df = spark.createDataFrame(
+            [(1, "a", 7.0), (2, None, 9.0), (3, "b", 3.0)],
+            "i long, tag string, q double",
+        )
+        kept = sorted(r["i"] for r in purify(df, "tag != null and q > 5").collect())
+        assert kept == [1]
+
 
 class TestNonFiniteDirtyFrame:
     """r10 structural closure of the r9 'non-finite double splits the
