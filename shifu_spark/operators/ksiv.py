@@ -127,8 +127,13 @@ def ksiv_df(counts: DataFrame, pos_col: str = "bin_count_pos", neg_col: str = "b
     t = (
         counts.withColumn("sum_p", F.sum(pos).over(wcol))
         .withColumn("sum_n", F.sum(neg).over(wcol))
-        .withColumn("p", pos / F.col("sum_p"))
-        .withColumn("n", neg / F.col("sum_n"))
+        # try_divide: a one-class population (sum_p or sum_n == 0) must
+        # yield NULL ratios like the DuckDB oracle's /0, not an ANSI
+        # DIVIDE_BY_ZERO crash (r10 degenerate-population audit; the
+        # reference's Java double-division would give Inf/NaN here —
+        # NULL is the engine's portable spelling of "undefined")
+        .withColumn("p", F.try_divide(pos, F.col("sum_p")))
+        .withColumn("n", F.try_divide(neg, F.col("sum_n")))
         .withColumn("woe_bin", F.log((F.col("n") + EPS) / (F.col("p") + EPS)))
         .withColumn("iv_term", (F.col("n") - F.col("p")) * F.col("woe_bin"))
         .withColumn("cum_p", F.sum("p").over(wcum))

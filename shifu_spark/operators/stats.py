@@ -234,7 +234,13 @@ def numeric_stats_df(df: DataFrame, columns: list[str], round_to: int | None = 6
         kurt = (s4 - 4 * s3 * mean + 6 * s2 * mean * mean - 4 * s1 * F.pow(mean, 3) + valid * F.pow(mean, 4)) / (
             valid * F.pow(a_var, 2)
         )
-        std = F.sqrt(F.abs((s2 - s1 * s1 / valid + F.lit(EPS)) / (valid - 1)))
+        # valid <= 1 -> sample std 0.0 (the reference closed form's n<=1
+        # guard, sample_std_dev above); the bare (valid-1) divisor was an
+        # ANSI DIVIDE_BY_ZERO crash on a single-row population (r10
+        # degenerate-population audit). Oracle mirrors the CASE.
+        std = F.when(valid <= 1, F.lit(0.0)).otherwise(
+            F.sqrt(F.abs((s2 - s1 * s1 / valid + F.lit(EPS)) / (valid - 1)))
+        )
         selects.append(
             wide.select(
                 F.lit(c).alias("column_name"),
@@ -284,7 +290,8 @@ SELECT '{c}' AS column_name,
        n AS total_count,
        (n - valid) AS missing_count,
        round(s1 / valid, {round_to}) AS mean,
-       round(sqrt(abs((s2 - s1*s1/valid + 1e-10) / (valid - 1))), {round_to}) AS std_dev,
+       round(CASE WHEN valid <= 1 THEN 0.0
+                  ELSE sqrt(abs((s2 - s1*s1/valid + 1e-10) / (valid - 1))) END, {round_to}) AS std_dev,
        round(mn, {round_to}) AS min_val,
        round(mx, {round_to}) AS max_val,
        round((s3 - 3*s2*(s1/valid) + 3*(s1/valid)*(s1/valid)*s1 - valid*(s1/valid)^3)

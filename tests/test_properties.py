@@ -1071,3 +1071,137 @@ class TestJexlNaNOrderingPin:
         )
         kept = sorted(r["i"] for r in purify(df, "a == b").collect())
         assert kept == [1, 3]
+
+
+class TestDegeneratePopulations:
+    """r10 bug-class audit: DEGENERATE populations — empty frames,
+    all-null columns, single rows, one-class labels. The class's
+    signature is a division whose denominator only goes to zero on
+    degenerate input: under ANSI mode a bare `/` crashes the job (found
+    live in numeric_stats_df's (valid-1) and ksiv_df's class totals —
+    at 100 TB this is 'one empty evaluation segment kills the whole
+    pipeline'), and where Spark survives, the DuckDB oracle's /0->NULL
+    must agree. Closed structurally: every family below runs all four
+    degenerate frames with value parity asserted."""
+
+    import pytest as _pt
+
+    SCHEMA = "i long, tag string, x double, w double"
+    FRAMES = {
+        "empty": [],
+        "allnull": [(1, "P", None, None), (2, "N", None, None)],
+        "onerow": [(1, "P", 3.0, 1.0)],
+        "oneclass": [(1, "P", 1.0, 1.0), (2, "P", 2.0, 1.0), (3, "P", 3.0, 2.0)],
+    }
+
+    @_pt.fixture(scope="class")
+    def degen(self, spark, tmp_path_factory):
+        import duckdb
+
+        out = {}
+        con = duckdb.connect()
+        base = tmp_path_factory.mktemp("degen")
+        for name, rows in self.FRAMES.items():
+            df = spark.createDataFrame(rows, self.SCHEMA)
+            path = str(base / f"{name}.parquet")
+            df.coalesce(1).write.parquet(path)
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+            out[name] = df
+        return out, con
+
+    def _check(self, spark_df, con, sql, name):
+        from tests.oracle import compare
+
+        problems = compare(spark_df, con, sql, name)
+        assert problems == [], problems
+
+    @_pt.mark.parametrize("frame", ["empty", "allnull", "onerow", "oneclass"])
+    def test_numeric_stats_parity(self, spark, degen, frame):
+        from shifu_spark.operators.stats import (
+            numeric_stats_df,
+            numeric_stats_oracle_sql,
+        )
+
+        dfs, con = degen
+        self._check(
+            numeric_stats_df(dfs[frame], ["x"]), con,
+            numeric_stats_oracle_sql(frame, ["x"]),
+            f"stats_{frame}",
+        )
+
+    @_pt.mark.parametrize("frame", ["empty", "allnull", "onerow", "oneclass"])
+    def test_correlation_parity(self, spark, degen, frame):
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.correlation import (
+            correlation_df,
+            correlation_oracle_sql,
+        )
+
+        dfs, con = degen
+        got = correlation_df(dfs[frame].withColumn("y", F.col("x") * 2), ["x", "y"])
+        con.sql(f"CREATE OR REPLACE VIEW c_{frame} AS SELECT *, x * 2 AS y FROM {frame}")
+        self._check(got, con, correlation_oracle_sql(f"c_{frame}", ["x", "y"]), f"corr_{frame}")
+
+    @_pt.mark.parametrize("frame", ["empty", "allnull", "onerow", "oneclass"])
+    def test_ksiv_parity(self, spark, degen, frame):
+        """One-class totals (sum_n == 0) crashed DIVIDE_BY_ZERO before
+        the r10 try_divide fix; now NULL-ratio semantics on both
+        engines."""
+        from shifu_spark.operators.binning import bin_index_sql
+        from shifu_spark.operators.ksiv import bin_counts_df, ksiv_df, ksiv_oracle_sql
+
+        dfs, con = degen
+        bins = {"x": [0.0, 2.0]}
+        got = ksiv_df(bin_counts_df(dfs[frame], ["x"], bins, "tag", ["P"]))
+        bsql = bin_index_sql("x", bins["x"])
+        counts_sql = f"""
+SELECT 'x' AS column_name, {bsql} AS bin,
+       sum(CASE WHEN tag = 'P' THEN 1 ELSE 0 END) AS bin_count_pos,
+       sum(CASE WHEN tag = 'P' THEN 0 ELSE 1 END) AS bin_count_neg
+FROM {frame} GROUP BY 2
+"""
+        self._check(got, con, ksiv_oracle_sql(counts_sql), f"ksiv_{frame}")
+
+    @_pt.mark.parametrize("frame", ["empty", "allnull", "onerow", "oneclass"])
+    def test_curve_metrics_survive(self, spark, degen, frame):
+        """AUC/KS on a population missing one class is UNDEFINED -> NULL
+        (try_divide), never a crash; PR AUC of nothing is 0.0. Pinned
+        values, both weighted and unweighted paths."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.operators.eval_metrics import (
+            curve_metrics_df,
+            weighted_curve_metrics_df,
+        )
+
+        dfs, con = degen
+        row = curve_metrics_df(dfs[frame], "x", F.col("tag") == "P").collect()[0]
+        assert row["auc"] is None and row["ks"] is None, row
+        assert row["pr_auc"] is not None
+        wrow = weighted_curve_metrics_df(
+            dfs[frame], "x", F.col("tag") == "P", "w"
+        ).collect()[0]
+        assert wrow["weighted_auc"] is None and wrow["weighted_ks"] is None, wrow
+
+    def test_psi_empty_unit_and_boundary_builders(self, spark, degen):
+        """Boundary builders return [] on empty/all-null input (never a
+        crash), and psi_df over an empty counts frame yields no rows on
+        both engines."""
+        from shifu_spark.operators.binning import (
+            equal_interval_boundaries,
+            equal_population_boundaries,
+            ntile_boundaries,
+        )
+        from shifu_spark.operators.psi import psi_df
+
+        dfs, con = degen
+        for frame in ("empty", "allnull"):
+            assert equal_interval_boundaries(dfs[frame], "x", 4) == []
+            assert equal_population_boundaries(dfs[frame], "x", 4) == []
+            assert ntile_boundaries(dfs[frame], "x", 4) == []
+        actual = spark.createDataFrame([], "column_name string, unit string, bin int, cnt long")
+        expected = spark.createDataFrame([], "column_name string, bin int, expected_frac double")
+        assert psi_df(actual, expected).collect() == []
