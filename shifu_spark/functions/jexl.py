@@ -268,8 +268,13 @@ def jexl_weight(expr: str | None) -> Column:
     """JEXL weight expression -> double Column; None/blank -> 1.0.
 
     Weight parse failures default to 1.0 (ConfusionMatrix.java:361-370 /
-    NormalizeUDF weight handling)."""
+    NormalizeUDF weight handling); non-finite results clamp to 1.0 too
+    (same rule as eval_metrics.clamp_weight — a NaN weight would
+    otherwise pass the `< 0` check via NaN-is-largest and poison the
+    weighted tallies; r10 review)."""
     if not expr or not expr.strip():
         return F.lit(1.0)
+    from shifu_spark.functions.nonvalue import is_nonvalue
+
     w = F.expr(jexl_to_sql(expr)).try_cast("double")
-    return F.when(w.isNull() | (w < 0), F.lit(1.0)).otherwise(w)
+    return F.when(is_nonvalue(w) | (w < 0), F.lit(1.0)).otherwise(w)

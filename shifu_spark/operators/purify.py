@@ -117,6 +117,10 @@ def hash_bernoulli_sample(
     if sample_rate >= 1.0:
         return df
     thr = _hex_threshold(sample_rate)
+    from shifu_spark.functions.keys import require_canonical_key
+
+    for kc in key_cols:
+        require_canonical_key(df, kc, what="sample key")
     keep = _hash_key(key_cols, salt) < F.lit(thr)
     if sample_negative_only and tag_col:
         keep = F.col(tag_col).isin(pos_tags or []) | keep
@@ -126,7 +130,14 @@ def hash_bernoulli_sample(
 def _hash_key(key_cols: list[str], salt: str) -> Column:
     """md5(salt|k1|k2|...) via NULL-PROPAGATING concat — concat_ws would
     silently skip NULL columns, collapsing distinct keys (('x', NULL)
-    and ('x',) hash alike) and diverging from the oracle's ``||``."""
+    and ('x',) hash alike) and diverging from the oracle's ``||``.
+
+    Keys must be cross-engine string-canonical (string/integral/
+    decimal): a FLOAT/DOUBLE key renders differently on Spark vs DuckDB
+    and silently diverges — hash_bernoulli_sample guards this where the
+    frame is in hand (functions/keys.require_canonical_key); the bare
+    Column helpers (hash_fold_expr, poisson_copies_expr) cannot see the
+    schema, so their callers own the same contract."""
     parts: list[Column] = [F.lit(salt)]
     for c in key_cols:
         parts.extend([F.lit("|"), F.col(c).cast("string")])

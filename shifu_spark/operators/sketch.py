@@ -27,22 +27,11 @@ _HEX = "0123456789abcdef"
 
 
 def _require_canonical_key(df: DataFrame, key_col: str) -> None:
-    """Reject FLOAT/DOUBLE sketch keys loudly. Every sketch hash is
-    md5(cast(key AS string)), and the string form of a floating-point
-    value is NOT cross-engine canonical — Spark renders Java
-    ``Double.toString`` ('1.50000005E7', 'NaN', 'Infinity') where DuckDB
-    renders '15000000.5' / 'nan' / 'inf' — so the same key would hash
-    into DIFFERENT buckets per engine and the oracle parity silently
-    breaks (r10 non-finite audit; finite doubles diverge too).
-    Canonicalize upstream (cast to string/bigint, or format_number with
-    a fixed scale) before sketching. String/integral/decimal keys render
-    identically on both engines."""
-    dtype = dict(df.dtypes).get(key_col)
-    if dtype in ("float", "double"):
-        raise ValueError(
-            f"sketch key {key_col!r} is {dtype}: cast(double AS string) is not "
-            "cross-engine canonical — canonicalize to string/bigint/decimal first"
-        )
+    """Reject FLOAT/DOUBLE sketch keys loudly — see functions/keys.py
+    (the shared guard for every md5-content-keyed primitive)."""
+    from shifu_spark.functions.keys import require_canonical_key
+
+    require_canonical_key(df, key_col, what="sketch key")
 
 
 def _nibble_fold_sql(h_sql: str, width: int) -> str:

@@ -1019,6 +1019,33 @@ FROM it3 ORDER BY dim
         # string keys still build fine (the guard must not over-reject)
         assert cms_build_df(ok, "k").count() > 0
 
+    def test_hash_sample_rejects_float_keys_loudly(self, spark):
+        """Same canonicalization contract for the content-keyed sampler
+        (functions/keys.py is the one shared guard): a double sample
+        key would pick DIFFERENT rows per engine."""
+        import pytest as _pytest
+
+        from shifu_spark.operators.purify import hash_bernoulli_sample
+
+        dbl = spark.createDataFrame([(1.5,), (2.5,)], "k double")
+        with _pytest.raises(ValueError, match="canonical"):
+            hash_bernoulli_sample(dbl, 0.5, key_cols=["k"])
+
+    def test_jexl_weight_clamps_nonfinite_to_one(self, spark):
+        """jexl_weight shares clamp_weight's rule: NULL/negative AND
+        non-finite -> 1.0 (a NaN weight passes `< 0` under
+        NaN-is-largest and would poison weighted sums)."""
+        from pyspark.sql import functions as F
+
+        from shifu_spark.functions.jexl import jexl_weight
+
+        nan, inf = float("nan"), float("inf")
+        df = spark.createDataFrame(
+            [(2.0,), (nan,), (inf,), (-inf,), (None,), (-3.0,)], "w double"
+        )
+        got = [r["jw"] for r in df.select(jexl_weight("w").alias("jw")).collect()]
+        assert got == [2.0, 1.0, 1.0, 1.0, 1.0, 1.0], got
+
 
 class TestJexlNaNOrderingPin:
     """VERDICT r9 stretch: the jexl.py header DOCUMENTS the decision to
