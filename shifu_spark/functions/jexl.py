@@ -274,7 +274,6 @@ def jexl_weight(expr: str | None) -> Column:
     weighted tallies; r10 review)."""
     if not expr or not expr.strip():
         return F.lit(1.0)
-    from shifu_spark.functions.nonvalue import is_nonvalue
+    from shifu_spark.functions.nonvalue import clamp_weight_expr
 
-    w = F.expr(jexl_to_sql(expr)).try_cast("double")
-    return F.when(is_nonvalue(w) | (w < 0), F.lit(1.0)).otherwise(w)
+    return clamp_weight_expr(F.expr(jexl_to_sql(expr)).try_cast("double"))

@@ -20,8 +20,20 @@ from pyspark.sql import DataFrame
 def require_canonical_key(df: DataFrame, key_col: str, what: str = "key") -> None:
     """Raise loudly when ``key_col`` is FLOAT/DOUBLE — canonicalize
     upstream (cast to string/bigint, or format_number with a fixed
-    scale) before hashing."""
-    dtype = dict(df.dtypes).get(key_col)
+    scale) before hashing.
+
+    A nested field key (``s.d``) is resolved through ``df.select`` so a
+    struct's double field cannot bypass the guard (a top-level-only
+    dtypes lookup silently no-op'd on it — r10 review pass 2), and a
+    misspelled key fails HERE at analysis instead of deep in the hash
+    plan."""
+    dtypes = dict(df.dtypes)
+    if key_col in dtypes:
+        dtype = dtypes[key_col]
+    else:
+        # nested/renamed reference: let Spark's analyzer resolve it (a
+        # bad name raises AnalysisException right here — fail fast)
+        dtype = df.select(key_col).schema.fields[0].dataType.simpleString()
     if dtype in ("float", "double"):
         raise ValueError(
             f"{what} {key_col!r} is {dtype}: cast(double AS string) is not "

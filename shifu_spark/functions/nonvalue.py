@@ -37,3 +37,13 @@ def is_value(c: Column) -> Column:
 def nonvalue_sql(col_sql: str) -> str:
     """DuckDB-side mirror for oracles: the SAME class as a SQL predicate."""
     return f"({col_sql} IS NULL OR NOT isfinite(CAST({col_sql} AS DOUBLE)))"
+
+
+def clamp_weight_expr(w: Column) -> Column:
+    """The eval/weight clamp rule in ONE place: NULL/NaN/±Inf AND
+    negative weights -> 1.0 (ConfusionMatrix.java:361-370's
+    unparseable/negative clamp, extended to non-finite by the r10
+    audit). ``w`` should already be a double (callers try_cast).
+    Shared by eval_metrics.clamp_weight and jexl.jexl_weight so the
+    rule cannot drift one-sided (r10 review pass 2)."""
+    return F.when(is_nonvalue(w) | (w < 0), F.lit(1.0)).otherwise(w)

@@ -49,8 +49,9 @@ def clamp_weight(weight_col: str) -> Column:
     (deliberate divergence from a literal Java replay, where the
     NaN-weight sum degenerates to an all-NaN curve; r10 non-finite
     audit)."""
-    w = F.col(weight_col).try_cast("double")
-    return F.when(_is_nonvalue(w) | (w < 0), F.lit(1.0)).otherwise(w)
+    from shifu_spark.functions.nonvalue import clamp_weight_expr
+
+    return clamp_weight_expr(F.col(weight_col).try_cast("double"))
 
 
 def _score_bounds(df: DataFrame, score_col: str, n: int | None) -> list[float]:

@@ -83,14 +83,19 @@ def bin_counts_df(
     is_pos = F.col(tag_col).isin(pos_tags)
     # unparseable/NULL weight -> 1.0: UpdateBinningInfoMapper.java:384-400
     # initializes weight = 1.0d and the Double.valueOf throw leaves it in
-    # place (a bare try_cast would sum the row as 0 instead). Negative
-    # weights are counted but NOT clamped in the stats path — unlike the
-    # eval clamp (ConfusionMatrix.java:361-370, eval_metrics.clamp_weight).
-    w = (
-        F.coalesce(F.col(weight_col).try_cast("double"), F.lit(1.0))
-        if weight_col
-        else F.lit(1.0)
-    )
+    # place (a bare try_cast would sum the row as 0 instead). Non-finite
+    # weights ('NaN'/'Infinity' DO parse in Java) also default to 1.0 —
+    # the engine's garbage-weight rule (one NaN would poison the whole
+    # column's bin weights; same rationale as clamp_weight/jexl_weight,
+    # r10). Negative weights are counted but NOT clamped in the stats
+    # path — unlike the eval clamp (ConfusionMatrix.java:361-370).
+    if weight_col:
+        from shifu_spark.functions.nonvalue import is_nonvalue
+
+        w0 = F.col(weight_col).try_cast("double")
+        w = F.when(is_nonvalue(w0), F.lit(1.0)).otherwise(w0)
+    else:
+        w = F.lit(1.0)
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),
@@ -166,12 +171,18 @@ tot AS (
   FROM counts GROUP BY column_name
 ),
 per_bin AS (
+  -- the zero-total CASEs mirror Spark's try_divide -> NULL explicitly:
+  -- DuckDB <1.1 gives /0 -> NULL but >=1.1 defaults to IEEE inf/nan,
+  -- so the semantics are spelled out rather than version-inherited
   SELECT c.column_name, c.bin,
-         c.bin_count_pos / t.sum_p AS p,
-         c.bin_count_neg / t.sum_n AS n,
-         ln((c.bin_count_neg / t.sum_n + 1e-10) / (c.bin_count_pos / t.sum_p + 1e-10)) AS woe_bin,
-         sum(c.bin_count_pos / t.sum_p) OVER (PARTITION BY c.column_name ORDER BY c.bin) AS cum_p,
-         sum(c.bin_count_neg / t.sum_n) OVER (PARTITION BY c.column_name ORDER BY c.bin) AS cum_n,
+         CASE WHEN t.sum_p = 0 THEN NULL ELSE c.bin_count_pos / t.sum_p END AS p,
+         CASE WHEN t.sum_n = 0 THEN NULL ELSE c.bin_count_neg / t.sum_n END AS n,
+         ln((CASE WHEN t.sum_n = 0 THEN NULL ELSE c.bin_count_neg / t.sum_n END + 1e-10)
+            / (CASE WHEN t.sum_p = 0 THEN NULL ELSE c.bin_count_pos / t.sum_p END + 1e-10)) AS woe_bin,
+         sum(CASE WHEN t.sum_p = 0 THEN NULL ELSE c.bin_count_pos / t.sum_p END)
+             OVER (PARTITION BY c.column_name ORDER BY c.bin) AS cum_p,
+         sum(CASE WHEN t.sum_n = 0 THEN NULL ELSE c.bin_count_neg / t.sum_n END)
+             OVER (PARTITION BY c.column_name ORDER BY c.bin) AS cum_n,
          t.sum_p, t.sum_n
   FROM counts c JOIN tot t USING (column_name)
 )

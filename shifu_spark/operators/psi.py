@@ -36,8 +36,12 @@ def psi_df(
     per-column sum.
     """
     w_unit = Window.partitionBy("column_name", "unit")
+    # try_divide: a unit whose bins are ALL cnt=0 (zero-filled bins from
+    # an outer-join counts producer) has unit_total 0 — a bare / is an
+    # ANSI DIVIDE_BY_ZERO job-killer; NULL fracs then contribute nothing
+    # via the >0 term guard, matching the oracle (r10 review pass 2)
     a = actual_counts.withColumn("unit_total", F.sum("cnt").over(w_unit)).withColumn(
-        "actual_frac", F.col("cnt") / F.col("unit_total")
+        "actual_frac", F.try_divide(F.col("cnt"), F.col("unit_total"))
     )
     j = a.join(F.broadcast(expected), ["column_name", "bin"], "inner")
     term = F.when(

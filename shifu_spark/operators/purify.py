@@ -114,13 +114,16 @@ def hash_bernoulli_sample(
     are dropped rather than silently correlated; string keys containing
     the ``|`` delimiter can collide composite keys — escape them or use
     fixed-width/numeric keys."""
-    if sample_rate >= 1.0:
-        return df
-    thr = _hex_threshold(sample_rate)
+    # key contract is checked BEFORE the rate-1.0 early return: whether
+    # a double key raises must not depend on the sampling-rate config
+    # (a staging run at rate=1.0 would otherwise never exercise it)
     from shifu_spark.functions.keys import require_canonical_key
 
     for kc in key_cols:
         require_canonical_key(df, kc, what="sample key")
+    if sample_rate >= 1.0:
+        return df
+    thr = _hex_threshold(sample_rate)
     keep = _hash_key(key_cols, salt) < F.lit(thr)
     if sample_negative_only and tag_col:
         keep = F.col(tag_col).isin(pos_tags or []) | keep

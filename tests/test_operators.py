@@ -2260,6 +2260,8 @@ class TestBinCountsWeightFallback:
                 (2.0, "N", "oops"),   # unparseable -> 1.0, not 0
                 (3.0, "P", None),     # NULL -> 1.0
                 (4.0, "N", "-3.0"),   # negative flows through (stats path)
+                (5.0, "P", "NaN"),      # parses in Java AND try_cast: garbage -> 1.0
+                (6.0, "N", "Infinity"), # likewise (one NaN would poison the column)
             ],
             "x double, tag string, w string",
         )
@@ -2269,10 +2271,11 @@ class TestBinCountsWeightFallback:
                 df, ["x"], {"x": [0.0, 10.0]}, "tag", ["P"], "w"
             ).collect()
         }
-        # single bin: pos weights 2.0 + 1.0(null), neg weights 1.0(oops) - 3.0
+        # single bin: pos weights 2.0 + 1.0(null) + 1.0(NaN),
+        # neg weights 1.0(oops) - 3.0 + 1.0(Infinity)
         (wp, wn), = out.values()
-        assert wp == pytest.approx(3.0)
-        assert wn == pytest.approx(-2.0)
+        assert wp == pytest.approx(4.0)
+        assert wn == pytest.approx(-1.0)
 
 
 class TestNormalizeNonFinite:

@@ -1232,3 +1232,63 @@ FROM {frame} GROUP BY 2
         actual = spark.createDataFrame([], "column_name string, unit string, bin int, cnt long")
         expected = spark.createDataFrame([], "column_name string, bin int, expected_frac double")
         assert psi_df(actual, expected).collect() == []
+
+    def test_psi_zero_count_unit_is_null_not_crash(self, spark, degen):
+        """A unit whose bins are ALL cnt=0 (zero-filled counts from an
+        outer-join producer) must not DIVIDE_BY_ZERO the job; its terms
+        contribute nothing and parity holds with the CASE-spelled
+        oracle (r10 review pass 2)."""
+        from shifu_spark.operators.psi import psi_df
+
+        dfs, con = degen
+        actual = spark.createDataFrame(
+            [("x", "d1", 0, 4), ("x", "d1", 1, 6), ("x", "d2", 0, 0), ("x", "d2", 1, 0)],
+            "column_name string, unit string, bin int, cnt long",
+        )
+        expected = spark.createDataFrame(
+            [("x", 0, 0.4), ("x", 1, 0.6)],
+            "column_name string, bin int, expected_frac double",
+        )
+        got = psi_df(actual, expected)
+        con.sql("CREATE OR REPLACE VIEW psi_actual AS SELECT * FROM (VALUES "
+                "('x','d1',0,4),('x','d1',1,6),('x','d2',0,0),('x','d2',1,0)"
+                ") t(column_name, unit, bin, cnt)")
+        self._check(
+            got, con,
+            """
+WITH a AS (SELECT column_name, unit, bin, cnt,
+                  CASE WHEN sum(cnt) OVER (PARTITION BY column_name, unit) = 0 THEN NULL
+                       ELSE cnt * 1.0 / sum(cnt) OVER (PARTITION BY column_name, unit) END AS actual_frac
+           FROM psi_actual),
+e AS (SELECT * FROM (VALUES ('x', 0, 0.4), ('x', 1, 0.6)) t(column_name, bin, expected_frac)),
+j AS (SELECT a.column_name, a.unit,
+             CASE WHEN e.expected_frac > 0 AND a.actual_frac > 0
+                  THEN (a.actual_frac - e.expected_frac) * ln(a.actual_frac / e.expected_frac)
+                  ELSE 0.0 END AS term
+      FROM a JOIN e ON a.column_name = e.column_name AND a.bin = e.bin)
+SELECT column_name, unit, round(sum(term), 6) AS psi
+FROM j GROUP BY column_name, unit ORDER BY column_name, unit
+""",
+            "psi_zero_unit",
+        )
+
+    def test_canonical_key_guard_resolves_nested_fields(self, spark):
+        """A struct's DOUBLE field must not slip past the guard via the
+        top-level dtypes lookup, and a misspelled key fails at the
+        guard (analysis) instead of deep in the hash plan."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from shifu_spark.functions.keys import require_canonical_key
+
+        df = spark.range(3).select(
+            F.struct(F.col("id").cast("double").alias("d"),
+                     F.col("id").cast("string").alias("s")).alias("st")
+        )
+        with _pytest.raises(ValueError, match="canonical"):
+            require_canonical_key(df, "st.d", what="sample key")
+        require_canonical_key(df, "st.s")  # nested string key is fine
+        from pyspark.errors import AnalysisException
+
+        with _pytest.raises(AnalysisException):
+            require_canonical_key(df, "no_such_col")
