@@ -111,6 +111,11 @@ def bpe_encode_df(
         for pdf in batches:
             out = {id_col: [], "pieces": [], "n_pieces": [], "n_words": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL text -> no output row (mirrors the oracle's NULL
+                # propagation); str(None) would literally BPE-encode the
+                # word "None" (found by the r10 dirty-corpus audit)
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
                 s = str(text)
                 if EOW in s:
                     raise ValueError(

@@ -27,6 +27,11 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
 
     Tokenization = single-space split (portable to the oracle SQL);
     docs shorter than n tokens contribute their full text as one shingle.
+    NULL-text docs contribute NO shingles (and so are absent from every
+    shingle-derived relation): without the filter, try_element_at over
+    the NULL token array yields NULLs that concat_ws silently collapses
+    to '' — aliasing every NULL doc to the genuinely-empty doc and
+    pairing them at jaccard 1.0 (found by the r10 dirty-corpus audit).
     """
     # Perf-tuned construction (13x over the naive form):
     #  * split ONCE into a column — inlining split() in the lambda makes
@@ -36,7 +41,7 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
     #    sub-n-token docs still produce their truncated text as a shingle;
     #  * array_distinct per doc BEFORE explode — dedup happens in-row,
     #    not via a global distinct shuffle of every shingle occurrence.
-    toks = docs.select(
+    toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
     )
     elems = ", ".join(f"try_element_at(toks, i + {j})" for j in range(n))
@@ -198,7 +203,14 @@ def with_minhash_signature(
         F.array_min(F.expr(f"transform(__grams, s -> md5(concat('{k}', '|', s)))"))
         for k in range(num_hashes)
     ]
-    return g.withColumn(out_col, F.concat_ws("|", *mins)).drop("__toks", "__grams")
+    # NULL text -> NULL signature, matching shingles_df's no-shingles
+    # contract: without the guard the NULL token array collapses to the
+    # ''-shingle signature and every NULL doc aliases to the empty doc
+    # (and concat_ws would silently swallow NULL mins into '').
+    sig = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat_ws("|", *mins))
+    return g.withColumn(out_col, sig).drop("__toks", "__grams")
 
 
 def minhash_lsh_pairs_df(

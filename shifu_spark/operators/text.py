@@ -66,12 +66,20 @@ def quality_score_expr(text: Column | str, n_chars: Column | str | None = None) 
 
     length / punctuation / vocabulary-diversity ratios — the standard
     cheap pretrain-quality heuristics, as one JVM expression.
+
+    A length-0 or NULL doc scores NULL (unrankable) — never a crash:
+    the punct ratio is 0/0 on an empty string and under ANSI a bare
+    division would kill the corpus-wide job on one empty row.
     """
     t = F.col(text) if isinstance(text, str) else text
     ntok = F.size(F.split(t, " ")).cast("double")
     ndist = F.size(F.array_distinct(F.split(t, " "))).cast("double")
     npunct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    punct_ratio = npunct / F.length(t)
+    # length-0 doc: punct ratio is 0/0 — try_divide, not `/`, because under
+    # ANSI one empty document would DIVIDE_BY_ZERO the whole corpus scan.
+    # The NULL propagates through the sum, so an empty doc scores NULL
+    # (unrankable), the same convention as the eval-metric score points.
+    punct_ratio = F.try_divide(npunct, F.length(t))
     return (
         F.least(ntok / 100.0, F.lit(1.0)) * 0.4
         + (1.0 - punct_ratio) * 0.3
@@ -102,9 +110,13 @@ def lang_id_expr(text: Column | str, markers: dict[str, list[str]] | None = None
 
 def fingerprint_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, digest, prefix_digest): full-content md5 + first-5-token
-    md5 (cheap near-dup blocking key)."""
+    md5 (cheap near-dup blocking key). NULL text -> both digests NULL:
+    concat_ws over the NULL token array would otherwise collapse to ''
+    and hand every NULL doc the empty doc's blocking key."""
     t = F.col(text_col)
-    prefix = F.concat_ws(" ", F.slice(F.split(t, " "), 1, 5))
+    prefix = F.when(
+        t.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat_ws(" ", F.slice(F.split(t, " "), 1, 5)))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(t).alias("digest"),
@@ -345,10 +357,17 @@ def pii_redact_df(
 # ---------------------------------------------------------------------------
 
 def ngram_array_expr(text_col: str, n: int = 3):
-    """Word n-gram array Column built from a raw text column."""
+    """Word n-gram array Column built from a raw text column.
+
+    NULL text -> NULL array (so every downstream count/distinct/ratio
+    is NULL, not a phantom [NULL]-gram row): greatest() ignores the
+    NULL size and array_join turns the NULL slice into a NULL element,
+    which Spark's array_distinct KEEPS but DuckDB's list_distinct
+    DROPS — a cross-engine dup_frac split on every NULL doc."""
     return F.expr(
+        f"CASE WHEN {text_col} IS NULL THEN NULL ELSE "
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) END"
     )
 
 

@@ -826,9 +826,11 @@ WITH t AS (
 SELECT doc_id, n_chars::INT AS n_chars, n_tokens::INT AS n_tokens,
        n_distinct_tokens::INT AS n_distinct_tokens,
        round(least(n_tokens / 100.0, 1.0) * 0.4
-             + (1.0 - n_punct::DOUBLE / n_chars) * 0.3
+             + (1.0 - CASE WHEN n_chars = 0 THEN NULL
+                           ELSE n_punct::DOUBLE / n_chars END) * 0.3
              + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3, 6) AS quality,
-       CASE WHEN greatest(c_fr, c_es, c_en, c_de) <= 0 THEN 'und'
+       CASE WHEN text IS NULL THEN 'und'  -- NULL counts fall through every WHEN to 'de' otherwise
+            WHEN greatest(c_fr, c_es, c_en, c_de) <= 0 THEN 'und'
             WHEN c_fr >= c_es AND c_fr >= c_en AND c_fr >= c_de THEN 'fr'
             WHEN c_es >= c_en AND c_es >= c_de THEN 'es'
             WHEN c_en >= c_de THEN 'en'
@@ -5548,8 +5550,9 @@ gbg AS (
            i -> toks[i] || ' ' || toks[i+1])) AS gg2 FROM t) GROUP BY doc_id, gg2),
 gtop AS (SELECT doc_id, max(c) AS top_c FROM gbg GROUP BY doc_id),
 rg AS (
-  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                 i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  SELECT doc_id, CASE WHEN toks IS NULL THEN NULL ELSE
+                 list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) END AS grams
   FROM t),
 per_doc AS (
   SELECT t.doc_id, t.source, len(t.toks) AS n_tokens,
@@ -5714,8 +5717,9 @@ ORACLES["pii_redaction"] = _pii_oracle()
     """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (SELECT doc_id,
+        CASE WHEN toks IS NULL THEN NULL ELSE
         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                       i -> array_to_string(toks[i:i+2], ' ')) AS grams
+                       i -> array_to_string(toks[i:i+2], ' ')) END AS grams
       FROM t)
 SELECT doc_id,
   len(grams)::INT AS n_grams,
@@ -6230,9 +6234,15 @@ def _mixture_flags(docs: DataFrame) -> DataFrame:
         F.expr("(CAST(substring(source, 4) AS INT) * 7) % 9 + 1").alias("bucket"),
     ).withColumn(
         # the canonical salted key from purify (one spelling for every
-        # hash-membership op; its NULL/delimiter contract applies here)
+        # hash-membership op; its NULL/delimiter contract applies here).
+        # coalesce: a NULL/unparseable source has no mixture rate — the
+        # doc is deterministically NOT sampled (keep=false), so the
+        # rollup counts 0 kept instead of a NULL n_kept
         "keep",
-        _hash_key(["doc_id"], "mix") < F.expr(f"CASE bucket {whens} END"),
+        F.coalesce(
+            _hash_key(["doc_id"], "mix") < F.expr(f"CASE bucket {whens} END"),
+            F.lit(False),
+        ),
     )
 
 
@@ -6906,9 +6916,12 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(text_sig.select("doc_id", "f_gopher", "f_rep", "f_clf"), "doc_id")
         .join(exact, "doc_id")
         .join(nd, "doc_id", "left")
-        .join(decon, "doc_id")
+        # left: a NULL-text doc has no shingles, so it is absent from the
+        # decon relation — nothing to contaminate, not a dropped doc
+        .join(decon, "doc_id", "left")
         .join(mix, "doc_id")
         .withColumn("f_neardup", F.coalesce("f_neardup", F.lit(True)))
+        .withColumn("f_decon", F.coalesce("f_decon", F.lit(True)))
     )
 
 
@@ -6950,8 +6963,9 @@ gbg AS (
            i -> toks[i] || ' ' || toks[i+1])) AS gg2 FROM gt) GROUP BY doc_id, gg2),
 gtop AS (SELECT doc_id, max(c) AS top_c FROM gbg GROUP BY doc_id),
 rep3 AS (
-  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                 i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  SELECT doc_id, CASE WHEN toks IS NULL THEN NULL ELSE
+                 list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) END AS grams
   FROM gt),
 repf AS (
   SELECT doc_id,
@@ -6986,12 +7000,13 @@ flags AS (
     qsc.score >= CAST(0.5 AS DOUBLE) AS f_clf,
     exact_f.f_exact,
     (g.doc_id IS NULL OR reps.doc_id IS NOT NULL) AS f_neardup,
-    dec.f_decon,
+    coalesce(dec.f_decon, TRUE) AS f_decon,  -- no shingles (NULL text) => nothing to contaminate
     mixf.f_mix
   FROM documents d
   JOIN gbase USING (doc_id) JOIN gtop USING (doc_id) JOIN repf USING (doc_id)
   JOIN qsc USING (doc_id)
-  JOIN exact_f USING (doc_id) JOIN dec USING (doc_id) JOIN mixf USING (doc_id)
+  JOIN exact_f USING (doc_id) JOIN mixf USING (doc_id)
+  LEFT JOIN dec ON d.doc_id = dec.doc_id
   LEFT JOIN g ON d.doc_id = g.doc_id LEFT JOIN reps ON d.doc_id = reps.doc_id)
 SELECT '0_total' AS stage, count(*)::BIGINT AS n FROM flags
 UNION ALL SELECT '1_not_benchmark', count(*) FILTER (WHERE f_bench)::BIGINT FROM flags
@@ -7160,7 +7175,7 @@ m AS (SELECT *, {tot} AS tot, {mx} AS mx FROM c)
 SELECT doc_id,
   tot::INT AS n_marker_hits,
   {fracs},
-  CASE WHEN tot = 0 THEN 'und' {top} END AS top_lang,
+  CASE WHEN coalesce(tot, 0) = 0 THEN 'und' {top} END AS top_lang,  -- NULL text: hits are NULL, not 0
   round(CASE WHEN tot > 0 THEN mx / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS purity
 FROM m ORDER BY doc_id
 """
@@ -8461,8 +8476,12 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # NULL text inserts nothing into the sketch (count_distinct ignores
+    # NULL on both engines; an md5(NULL) register row would inflate
+    # n_registers_hit and skew the estimate one-sidedly)
     regs = (
-        docs.select(
+        docs.where(F.col("text").isNotNull())
+        .select(
             "source",
             F.expr(hll_register_sql("text")).alias("reg"),
             F.expr(hll_rho_sql("text")).alias("rho"),
@@ -10004,7 +10023,7 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_vocab_pairs",
     """
 WITH typos AS (
-  SELECT CASE WHEN doc_id % 5 = 0 THEN
+  SELECT CASE WHEN doc_id % 5 = 0 AND length(string_split(text, ' ')[1]) > 0 THEN
     substr(string_split(text, ' ')[1], 1,
            (doc_id % length(string_split(text, ' ')[1]))::INT)
     || substr(string_split(text, ' ')[1],
@@ -10016,10 +10035,29 @@ words AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
   UNION ALL SELECT w FROM typos
 ),
-v AS (SELECT DISTINCT w FROM words WHERE w IS NOT NULL AND w <> '')
-SELECT a.w AS word_a, b.w AS word_b, levenshtein(a.w, b.w)::INT AS dist
-FROM v a JOIN v b ON a.w < b.w
-WHERE levenshtein(a.w, b.w) <= 1
+v AS (SELECT DISTINCT w FROM words WHERE w IS NOT NULL AND w <> ''),
+-- exact O(V^2) scan with a CODEPOINT-level distance-1 predicate:
+-- DuckDB's levenshtein counts BYTES (levenshtein('a','😀') = 4) while
+-- Spark's counts codepoints (= 1, the principled metric) — but DuckDB's
+-- length/substr ARE codepoint-based, so the <=1 test is expressed
+-- directly: distinct words are within codepoint distance 1 iff equal
+-- length and identical outside one position (substitution), or lengths
+-- differ by 1 and deleting one codepoint of the longer yields the
+-- shorter (insertion/deletion)
+pairs AS (
+  SELECT a.w AS word_a, b.w AS word_b,
+         CASE WHEN length(a.w) >= length(b.w) THEN a.w ELSE b.w END AS lw,
+         CASE WHEN length(a.w) >= length(b.w) THEN b.w ELSE a.w END AS sw
+  FROM v a JOIN v b ON a.w < b.w
+  WHERE abs(length(a.w) - length(b.w)) <= 1)
+SELECT word_a, word_b, 1::INT AS dist FROM pairs
+WHERE (length(lw) = length(sw)
+       AND len(list_filter(range(1, length(lw) + 1),
+             i -> substr(lw, 1, i - 1) = substr(sw, 1, i - 1)
+              AND substr(lw, i + 1, length(lw)) = substr(sw, i + 1, length(sw)))) > 0)
+   OR (length(lw) = length(sw) + 1
+       AND len(list_filter(range(1, length(lw) + 1),
+             i -> substr(lw, 1, i - 1) || substr(lw, i + 1, length(lw)) = sw)) > 0)
 ORDER BY word_a, word_b
 """,
 )
@@ -10031,14 +10069,19 @@ def fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vocabulary has no natural near-misses, so single-deletion
     typos are injected deterministically from doc_id (every 5th doc
     contributes its first token minus the (doc_id mod len)-th char —
-    the codec-synth pattern).  The ORACLE is the O(V²) exact
-    Levenshtein scan — quadratic exact vs linear-blocked is exactly the
-    recall contract under test."""
+    the codec-synth pattern).  The ORACLE is an O(V²) exact scan with a
+    CODEPOINT-level distance-1 predicate (DuckDB's levenshtein counts
+    bytes, Spark's counts codepoints — the predicate restates the ≤1
+    test on DuckDB's codepoint substr/length) — quadratic exact vs
+    linear-blocked is exactly the recall contract under test."""
     from shifu_spark.operators.dedup import edit_distance_pairs_df
 
     docs = _t(spark, sf_dir, "documents")
     first = F.split(F.col("text"), " ").getItem(0)
-    pos = (F.col("doc_id") % F.length(first)).cast("int")
+    # try_mod: a zero-length first token (empty/whitespace-only doc)
+    # cannot host a deletion typo — NULL position, NULL typo, filtered
+    # below. A bare % is REMAINDER_BY_ZERO under ANSI and kills the job.
+    pos = F.try_mod(F.col("doc_id"), F.length(first)).cast("int")
     typo = F.concat(
         F.substring(first, F.lit(1), pos),
         first.substr(pos + 2, F.length(first)),
