@@ -66,6 +66,10 @@ def cms_build_df(
     depth·width·n_tasks partial rows — constant in data size. That
     bound is the whole point of the sketch at scale."""
     _require_canonical_key(df, key_col)
+    # a NULL key inserts NOTHING (the count_distinct/count-of-values
+    # convention both engines share); md5(NULL) would otherwise emit
+    # NULL-bucket rows that count as real sketch mass
+    df = df.where(F.col(key_col).isNotNull())
     buckets = F.array(*[cms_bucket_expr(key_col, i, width) for i in range(depth)])
     return (
         df.select(F.posexplode(buckets).alias("row_i", "bucket"))
@@ -119,6 +123,7 @@ def bloom_build_df(df: DataFrame, key_col: str, bits: int = BLOOM_BITS, k: int =
     is a physical layout detail, not a semantic one). One pass:
     in-row k positions -> posexplode -> bounded distinct."""
     _require_canonical_key(df, key_col)
+    df = df.where(F.col(key_col).isNotNull())  # NULL key inserts nothing
     poss = F.array(*[F.expr(bloom_pos_sql(key_col, i, bits)) for i in range(k)])
     return (
         df.select(F.explode(poss).alias("pos")).distinct()
@@ -191,7 +196,8 @@ def hll_registers_df(df: DataFrame, key_col: str) -> DataFrame:
     engine-private hashing — this one is oracle-mirrorable)."""
     _require_canonical_key(df, key_col)
     return (
-        df.select(
+        df.where(F.col(key_col).isNotNull())  # NULL key inserts nothing
+        .select(
             F.expr(hll_register_sql(key_col)).alias("reg"),
             F.expr(hll_rho_sql(key_col)).alias("rho"),
         )

@@ -348,8 +348,13 @@ def psi_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Equal-interval 10 bins inline; expected = whole-table bin fractions;
     term skipped when expected==0 or actual==0 (PSICalculatorUDF.java:88-99).
+    NULL/NaN/±Inf values are MISSING (the engine-wide nonvalue class):
+    they enter neither the min/max bounds nor either distribution —
+    a NaN max otherwise poisons every bin edge.
     """
-    ev = _events(spark, sf_dir)
+    from shifu_spark.functions.nonvalue import is_value
+
+    ev = _events(spark, sf_dir).where(is_value(F.col("value")))
     k = 10
     mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = ev.crossJoin(F.broadcast(mm)).select(
@@ -378,11 +383,12 @@ def psi_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["psi_events_by_day"] = """
-WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL AND isfinite(value)),
+mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
 binned AS (
   SELECT strftime(ts, '%Y-%m-%d') AS unit,
          least(floor((value - mn) / ((mx - mn) / 10)), 9) AS bin
-  FROM events CROSS JOIN mm
+  FROM ev CROSS JOIN mm
 ),
 actual AS (SELECT unit, bin, count(*)::DOUBLE AS cnt FROM binned GROUP BY unit, bin),
 expected AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM binned) AS expected_frac FROM binned GROUP BY bin),
@@ -1622,7 +1628,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window)."""
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir)
+    # NULL ts cannot be sessionized — excluded on both engines and by
+    # the native session_window twins (which drop null event times)
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = (
         ev.withColumn("prev_ts", F.lag("ts").over(w))
@@ -1648,7 +1656,7 @@ WITH s AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- an un-timestamped event cannot be sessionized
 )
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
@@ -2326,11 +2334,16 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_drift_psi"] = """
 WITH binned AS (
+  -- mirrors bin_index_expr: NULL/NaN/±Inf route to the MISSING slot
+  -- (index 4 = len(boundaries)), which counts in the window total but
+  -- has expected 0 so its PSI term is skipped; NULL-ts events cannot
+  -- be event-time windowed (the stream drops them)
   SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
-         CASE WHEN value >= 150 THEN 3 WHEN value >= 100 THEN 2
+         CASE WHEN value IS NULL OR NOT isfinite(value) THEN 4
+              WHEN value >= 150 THEN 3 WHEN value >= 100 THEN 2
               WHEN value >= 50 THEN 1 ELSE 0 END AS bin,
          count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 frac AS (
   SELECT window_start, bin, cnt,
@@ -2338,7 +2351,7 @@ frac AS (
   FROM binned
 )
 SELECT window_start,
-       round(sum(CASE WHEN actual_frac > 0
+       round(sum(CASE WHEN actual_frac > 0 AND bin <= 3
                  THEN (actual_frac - 0.25) * ln(actual_frac / 0.25) ELSE 0 END), 6) AS psi
 FROM frac GROUP BY window_start ORDER BY window_start
 """
@@ -2396,7 +2409,7 @@ WITH s AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- an un-timestamped event cannot be sessionized (session_window drops it)
 ),
 sid AS (
   -- event_id tiebreak: duplicate (user_id, ts) rows at a session
@@ -2467,13 +2480,20 @@ def streaming_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _run_stream_to_sink(spark, out, "rstats", output_mode="update")
     latest = F.max_by(F.struct("n", "sum_c", "sumsq_c"), "n").alias("s")
     n, sc, ssc = F.col("s.n"), F.col("s.sum_c"), F.col("s.sumsq_c")
-    # double ops over exact int64 inputs — deterministic on every engine
-    mean = sc.cast("double") / (n.cast("double") * 100.0)
-    var_c = (n * ssc - sc * sc).cast("double") / (n * (n - F.lit(1))).cast("double")
-    std = F.sqrt(var_c) / 100.0
+    # double ops over exact int64 inputs — deterministic on every engine.
+    # try_divide + the n guards: a single-valued key's (n-1)=0 and a key
+    # whose every value was non-finite (n=0, dropped below) both crashed
+    # DIVIDE_BY_ZERO under ANSI; n<=1 -> std 0.0 is the reference closed
+    # form (the numeric_stats_df degenerate rule).
+    mean = F.try_divide(sc.cast("double"), n.cast("double") * 100.0)
+    var_c = F.try_divide(
+        (n * ssc - sc * sc).cast("double"), (n * (n - F.lit(1))).cast("double")
+    )
+    std = F.when(n > F.lit(1), F.sqrt(var_c) / 100.0).otherwise(F.lit(0.0))
     return (
         sink.groupBy("key")
         .agg(latest)
+        .where(n > 0)  # a key with no finite values has no stats row
         .select(
             "key",
             n.alias("n"),
@@ -2486,9 +2506,10 @@ def streaming_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_running_stats"] = """
 WITH cents AS (
-  -- NULL values are skipped (the state kernel drops NaN the same way)
+  -- NULL/NaN/±Inf are MISSING and skipped (the state kernel's
+  -- isfinite mask); n<=1 -> std 0.0 (the degenerate closed form)
   SELECT user_id::VARCHAR AS key, round(value * 100)::BIGINT AS c
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND isfinite(value)
 ),
 agg AS (
   SELECT key, count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_c, sum(c * c)::BIGINT AS sumsq_c
@@ -2496,7 +2517,9 @@ agg AS (
 )
 SELECT key, n,
        round(sum_c::DOUBLE / (n::DOUBLE * 100.0), 6) AS mean,
-       round(sqrt((n * sumsq_c - sum_c * sum_c)::DOUBLE / (n * (n - 1))::DOUBLE) / 100.0, 6) AS std
+       round(CASE WHEN n > 1
+             THEN sqrt((n * sumsq_c - sum_c * sum_c)::DOUBLE / (n * (n - 1))::DOUBLE) / 100.0
+             ELSE 0.0 END, 6) AS std
 FROM agg ORDER BY key
 """
 
@@ -2534,12 +2557,16 @@ def streaming_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation the oracle runs; the production path is the
     foreachBatch parquet sink (start_eval_monitor_foreach_batch,
     pinned in tests/test_streaming_ops.py)."""
+    from shifu_spark.functions.nonvalue import is_value
     from shifu_spark.streaming.eval import auc_confusion_per_window, streaming_score_counts
 
     s = _events_stream(spark, sf_dir)
+    # unrankable scores are not eval points (the batch eval convention):
+    # a bare floor would silently score NaN as 0 and +Inf as Long.MAX —
+    # the is_value guard NULLs them and streaming_score_counts drops NULLs
     counts = streaming_score_counts(
         s,
-        score=F.floor("value").cast("long"),
+        score=F.when(is_value(F.col("value")), F.floor("value")).cast("long"),
         pos=F.col("event_type").isin("purchase", "signup"),
         ts_col="ts",
         window="1 day",
@@ -2553,11 +2580,15 @@ def streaming_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_eval_metrics"] = """
 WITH pts AS (
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points; NULL-ts
+  -- events cannot be event-time windowed (the stream drops them)
   SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
          floor(value)::BIGINT AS score,
          sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 0 ELSE 1 END) AS neg
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events
+  WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
 ),
 ranked AS (
   SELECT window_start, score, pos, neg,
@@ -2672,6 +2703,8 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is kept): events stream x customer dim on user_id, then
     windowed per-(day, mktsegment) counts + exact decimal value sums.
     availableNow replay makes it equal the batch join the oracle runs."""
+    from shifu_spark.functions.nonvalue import is_value as _nv_is_value_dim
+
     s = _events_stream(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
@@ -2682,7 +2715,15 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "segment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4).alias("sum_value"),
+            # non-finite values are MISSING: null before the DECIMAL cast
+            F.round(
+                F.sum(
+                    F.when(_nv_is_value_dim(F.col("value")), F.col("value")).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
     )
@@ -2693,10 +2734,14 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["streaming_dim_enrichment"] = """
+-- NULL-ts events cannot be event-time windowed; non-finite values are
+-- MISSING and skip the sum (the CASE mirrors the Spark-side is_value)
 SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
        c_mktsegment AS segment, count(*) AS n,
-       round(sum(cast(value AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_value
+       round(sum(cast(CASE WHEN value IS NOT NULL AND isfinite(value)
+                           THEN value END AS DECIMAL(38,10)))::DOUBLE, 4) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.ts IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -2781,13 +2826,17 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_heavy_hitters"] = """
 WITH counts AS (
+  -- NULL-ts events cannot be event-time windowed (the stream drops
+  -- them); NULL keys group like any other (both engines) — NULLS FIRST
+  -- pins the tiebreak to Spark's ascending NULL order
   SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
          user_id AS key, count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 ranked AS (
   SELECT window_start, key, cnt,
-         row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, key ASC) AS rank
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY cnt DESC, key ASC NULLS FIRST) AS rank
   FROM counts
 )
 SELECT window_start, rank::INT AS rank, key, cnt::BIGINT AS cnt
@@ -4525,7 +4574,9 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate by event type. The training-data-pipeline op for
     metadata-bearing event/row payloads."""
     ev = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    # get_json_object NULLs malformed payloads; try_cast NULLs a
+    # non-numeric k — one bad row must not kill the rollup under ANSI
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -4540,11 +4591,19 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["events_props_json"] = """
+-- json_valid guard: Spark's get_json_object returns NULL on malformed
+-- payloads while DuckDB's json_extract_string is a hard parse error —
+-- one bad row must not kill the rollup (try_cast for non-numeric k)
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events)
 SELECT event_type, count(*) AS n,
-       sum(cast(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
-       min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type ORDER BY event_type
+       sum(k)::BIGINT AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -7992,7 +8051,7 @@ def _cms_oracle() -> str:
         for i in range(CMS_DEPTH)
     )
     return f"""
-WITH e AS (SELECT user_id FROM events),
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 cms AS (
   SELECT row_i, bucket, count(*)::BIGINT AS cnt FROM (
     {build})
@@ -8024,7 +8083,11 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the identical sketch relationally."""
     from shifu_spark.operators.sketch import cms_build_df, cms_estimate_df
 
-    ev = _events(spark, sf_dir).select("user_id")
+    # NULL user up front: an unattributable event is not a heavy-hitter
+    # candidate — and a NULL key surviving into the exact top-10 would
+    # consume a slot and then vanish in the estimate join (NULL never
+    # equi-joins), silently returning 9 rows
+    ev = _events(spark, sf_dir).select("user_id").where(F.col("user_id").isNotNull())
     cms = cms_build_df(ev, "user_id")
     exact = (
         ev.groupBy("user_id")
@@ -8291,7 +8354,7 @@ def _hll_union_oracle() -> str:
         return (
             f"SELECT reg, max(rho) AS max_rho FROM ("
             f"SELECT {hll_register_sql('user_id')} AS reg, {hll_rho_sql('user_id')} AS rho "
-            f"FROM events WHERE event_type = '{src}') GROUP BY reg"
+            f"FROM events WHERE event_type = '{src}' AND user_id IS NOT NULL) GROUP BY reg"
         )
 
     return f"""
@@ -8580,8 +8643,9 @@ def tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH w AS (
   SELECT user_id, event_id,
-         round(CAST(avg(CAST(value AS DECIMAL(38,10))) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+         round(CAST(avg(CAST(CASE WHEN value IS NOT NULL AND isfinite(value)
+                                  THEN value END AS DECIMAL(38,10))) OVER (
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS mov_avg
   FROM events)
 SELECT user_id, event_id, mov_avg FROM w ORDER BY user_id, event_id
@@ -8597,18 +8661,24 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     order."""
     from pyspark.sql import Window
 
+    from shifu_spark.functions.nonvalue import is_value
+
     ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-3, Window.currentRow)
     )
+    # non-finite values are MISSING: null them before the DECIMAL cast
+    # (avg skips NULLs identically on both engines; DuckDB's NaN->
+    # DECIMAL cast is a hard error, Spark's is engine-defined)
+    v = F.when(is_value(F.col("value")), F.col("value"))
     return (
         ev.select(
             "user_id",
             "event_id",
             F.round(
-                F.avg(F.col("value").cast("decimal(38,10)")).over(w).cast("double"), 6
+                F.avg(v.cast("decimal(38,10)")).over(w).cast("double"), 6
             ).alias("mov_avg"),
         )
         .orderBy("user_id", "event_id")
@@ -10358,7 +10428,8 @@ iv AS (SELECT hr, hr - 1800000000 AS lo, hr + 5400000000 AS hi FROM top)
 SELECT make_timestamp(iv.hr) AS window_start,
        count(*)::BIGINT AS n_events,
        count(DISTINCT p.user_id)::BIGINT AS n_users,
-       round(sum(CAST(p.value AS DECIMAL(38,10)))::DOUBLE, 4) AS total_value
+       round(sum(CAST(CASE WHEN p.value IS NOT NULL AND isfinite(p.value)
+                           THEN p.value END AS DECIMAL(38,10)))::DOUBLE, 4) AS total_value
 FROM iv JOIN pts p ON p.pt >= iv.lo AND p.pt < iv.hi
 GROUP BY iv.hr
 ORDER BY window_start
@@ -10379,6 +10450,7 @@ def busy_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count DESC, hour ASC tiebreak, top-20); the value sum goes
     through DECIMAL(38,10).  Timestamps are compared in exact unix
     micros (post-1970 data: `div` == floor)."""
+    from shifu_spark.functions.nonvalue import is_value as _nv_is_value
     from shifu_spark.operators.join import range_bucket_join
 
     HOUR = 3_600_000_000
@@ -10400,8 +10472,15 @@ def busy_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
+            # non-finite values are MISSING (nulled before the DECIMAL
+            # cast; the oracle's CASE mirrors it)
             F.round(
-                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+                F.sum(
+                    F.when(_nv_is_value(F.col("value")), F.col("value")).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                4,
             ).alias("total_value"),
         )
         .select(

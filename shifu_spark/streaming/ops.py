@@ -134,7 +134,10 @@ def _cents_fn(key, pdfs, state):
         n, s, ss = 0, 0, 0
     for pdf in pdfs:
         x = pdf["value"].to_numpy(dtype=float)
-        x = x[~np.isnan(x)]  # NULLs: skip like SQL aggregates (NaN->int64 is UB)
+        # NULL/NaN/±Inf are MISSING (the engine-wide nonvalue class):
+        # skip like SQL aggregates — a bare ~isnan let ±Inf through to
+        # astype(int64), whose result is undefined (observed INT64_MIN)
+        x = x[np.isfinite(x)]
         # half-AWAY-from-zero to match SQL round(); np.rint rounds half
         # to even (0.125 -> 12 vs SQL's 13)
         c = (np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)).astype(np.int64)
@@ -312,9 +315,19 @@ def streaming_asof_attribution(src: DataFrame) -> DataFrame:
         import pandas as pd
 
         last_ts, last_id = state.get if state.exists else (None, None)
-        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        rows = pd.concat(list(pdfs))
         out = {"purchase_id": [], "ts_us": [], "click_id": [], "click_ts_us": []}
-        for _, r in rows.iterrows():
+        # a NULL-ts purchase cannot be event-time ordered: it emits with
+        # NO attributable click — exactly the ASOF LEFT oracle, where the
+        # NULL comparison matches nothing (NULL-ts clicks are filtered
+        # upstream; int(NaN) here was a job-killing crash)
+        null_ts = rows["ts_us"].isna()
+        for _, r in rows[null_ts & (rows["event_type"] == "purchase")].iterrows():
+            out["purchase_id"].append(int(r["event_id"]))
+            out["ts_us"].append(None)
+            out["click_id"].append(None)
+            out["click_ts_us"].append(None)
+        for _, r in rows[~null_ts].sort_values(["ts_us", "event_id"]).iterrows():
             if r["event_type"] == "click":
                 last_ts, last_id = int(r["ts_us"]), int(r["event_id"])
             elif r["event_type"] == "purchase":
@@ -324,17 +337,28 @@ def streaming_asof_attribution(src: DataFrame) -> DataFrame:
                 out["click_ts_us"].append(last_ts)
         if last_id is not None:
             state.update((last_ts, last_id))
+        # NULL-user purchases form the NULL group; their clicks were
+        # filtered upstream (NULL joins nothing), so they emit unmatched
+        user_val = None if pd.isna(key[0]) else int(key[0])
         yield pd.DataFrame(
             {
-                "user_id": int(key[0]),
+                "user_id": pd.Series([user_val] * len(out["purchase_id"]), dtype="Int64"),
                 "purchase_id": pd.Series(out["purchase_id"], dtype="int64"),
-                "ts_us": pd.Series(out["ts_us"], dtype="int64"),
+                "ts_us": pd.Series(out["ts_us"], dtype="Int64"),
                 "click_id": pd.Series(out["click_id"], dtype="Int64"),
                 "click_ts_us": pd.Series(out["click_ts_us"], dtype="Int64"),
             }
         )
 
-    flt = src.filter(F.col("event_type").isin("click", "purchase"))
+    # clicks with no user or no event time can never attach to a
+    # purchase (the oracle's NULL equality / NULL ts-compare semantics)
+    flt = src.filter(
+        F.col("event_type").isin("click", "purchase")
+        & ~(
+            (F.col("event_type") == "click")
+            & (F.col("user_id").isNull() | F.col("ts_us").isNull())
+        )
+    )
     return flt.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=ASOF_SCHEMA,

@@ -1379,3 +1379,116 @@ class TestDirtyCorpus:
         base, con = dirty_corpus
         problems = compare(QUERIES[name](spark, base), con, ORACLES[name], name)
         assert problems == [], problems
+
+
+class TestDirtyEvents:
+    """r10 bug-class audit #3: DIRTY EVENTS — NULL ts / user / type /
+    value, NaN and ±Inf values, empty types, malformed JSON props,
+    duplicate (user, ts) pairs, epoch timestamps, an all-invalid-value
+    user. One adversarial `events` table driven through every
+    events-reading registry query (16 batch + 8 streaming twins)
+    against its PRODUCTION oracle.
+
+    The class's live finds (all fixed, each pinned by this suite):
+      * fuzzy_vocab_pairs REMAINDER_BY_ZERO (batch, covered above);
+      * streaming_running_stats: ±Inf passed the NaN-only kernel mask
+        into astype(int64) (undefined, observed INT64_MIN), and a
+        single-valued or all-invalid key DIVIDE_BY_ZERO'd the finalize;
+      * streaming_asof_attribution: a NULL-user group crashed int(NaN)
+        in the stateful kernel; a NULL-ts purchase would have taken the
+        latest click instead of none;
+      * streaming_eval_metrics: floor() silently scored NaN as 0 and
+        +Inf as Long.MAX — unrankable scores now excluded (batch rule);
+      * psi_events_by_day: a NaN max poisoned every bin edge;
+      * countmin_heavy_hitters: a NULL key could consume an exact-top-10
+        slot then vanish in the estimate join (9-row result);
+      * sketch builders (cms/bloom/hll) counted md5(NULL) insertions;
+      * oracle-side: NaN->DECIMAL/INT128 hard errors vs Spark's silent
+        NULL casts, strict JSON parse vs get_json_object's NULL,
+        NULLS-LAST window default vs Spark's NULLS FIRST, expected=0.25
+        applied to the PSI missing bin, NULL-ts rows windowing to a
+        phantom NULL day.
+    """
+
+    import pytest as _pt
+
+    BATCH_NAMES = [
+        "psi_events_by_day", "date_to_unix", "events_sessionize",
+        "invalid_tag_filter", "events_props_json", "asof_attribution_join",
+        "countmin_heavy_hitters", "bloom_membership_report",
+        "streaming_countmin", "hll_union_report", "session_window_batch",
+        "events_moving_avg", "cohort_retention", "event_funnel_analysis",
+        "busy_window_range_join", "events_anomaly_zscore",
+    ]
+    STREAM_NAMES = [
+        "streaming_drift_psi", "streaming_sessionize",
+        "streaming_running_stats", "streaming_eval_metrics",
+        "streaming_dim_enrichment", "streaming_attribution_join",
+        "streaming_heavy_hitters", "streaming_asof_attribution",
+    ]
+
+    @_pt.fixture(scope="class")
+    def dirty_events(self, spark, tmp_path_factory):
+        import datetime as dtm
+        import glob
+        import os
+        import shutil
+
+        import duckdb
+
+        D = dtm.datetime
+        rows = [
+            (0, D(2024, 1, 1, 0, 10), 13, "error", 185.22, '{"k": 87}'),
+            (1, D(2024, 1, 1, 0, 16), 12, "signup", 106.03, '{"k": 0}'),
+            (2, D(2024, 1, 1, 1, 0), 12, "click", 50.0, '{"k": 1}'),
+            (3, D(2024, 1, 1, 1, 5), 12, "purchase", 20.0, '{"k": 2}'),
+            (4, None, 12, "click", 10.0, '{"k": 3}'),              # NULL ts
+            (5, D(2024, 1, 1, 2, 0), None, "click", 5.0, '{"k": 4}'),   # NULL user
+            (6, D(2024, 1, 1, 2, 1), 14, None, 7.0, '{"k": 5}'),   # NULL type
+            (7, D(2024, 1, 1, 2, 2), 14, "", 8.0, '{"k": 6}'),     # empty type
+            (8, D(2024, 1, 1, 2, 3), 14, "click", None, '{"k": 7}'),    # NULL value
+            (9, D(2024, 1, 1, 2, 4), 14, "purchase", float("nan"), '{"k": 8}'),
+            (10, D(2024, 1, 1, 2, 5), 15, "click", float("inf"), '{"k": 9}'),
+            (11, D(2024, 1, 1, 2, 5), 15, "click", -1.0, None),    # NULL props, dup (user,ts)
+            (12, D(2024, 1, 1, 2, 6), 15, "purchase", 3.0, "not json"),
+            (13, D(1970, 1, 1, 0, 0), 16, "click", 1.0, '{"k": 10}'),   # epoch
+            (14, D(2024, 1, 1, 2, 7), 15, "purchase", 4.0, '{"k": 11}'),
+            (15, D(2024, 1, 1, 2, 8), 17, "click", float("nan"), '{"k": 12}'),  # all-invalid user
+        ]
+        base = str(tmp_path_factory.mktemp("dirty_events"))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        # the streaming readers glob for a FILE named events.parquet
+        # (the driver testdata shape) — move the single part file up
+        tmp = f"{base}/_ev_dir"
+        ev.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{base}/events.parquet")
+        shutil.rmtree(tmp)
+        sf_src = "/root/testdata/sf0.001"
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            os.symlink(f"{sf_src}/{t}.parquet", f"{base}/{t}.parquet")
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet')"
+            )
+        return base, con
+
+    @_pt.mark.parametrize("name", BATCH_NAMES + STREAM_NAMES)
+    def test_query_oracle_parity_on_dirty_events(self, spark, dirty_events, name):
+        from shifu_spark.queries import ORACLES, QUERIES
+        from tests.oracle import compare
+
+        base, con = dirty_events
+        problems = compare(QUERIES[name](spark, base), con, ORACLES[name], name)
+        assert problems == [], problems
