@@ -32,6 +32,41 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def valid_vector_expr(col: Column | str, dim: int) -> Column:
+    """Ingest validation for an embedding column: non-NULL, exactly
+    ``dim`` components, every component a finite non-NULL float.
+
+    ONE malformed row otherwise kills a corpus-scale ANN job (the r10
+    dirty-embeddings audit crashed ALL 14 embedding queries): a NULL or
+    ragged vector breaks the Arrow block kernels (inhomogeneous numpy
+    shape), a wrong-dim vector is an INVALID_ARRAY_INDEX under ANSI in
+    the expression paths, and NaN/Inf components poison norms past the
+    result-level cosine guards.  Apply at scan — the filter is a narrow
+    predicate the parquet reader evaluates per row — and mirror in the
+    oracle with :func:`valid_vector_sql` so both engines score the same
+    vector population."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull()
+        & (F.size(c) == dim)
+        & F.forall(
+            c,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) != F.lit(float("inf"))),
+        )
+    )
+
+
+def valid_vector_sql(col_sql: str, dim: int) -> str:
+    """DuckDB mirror of :func:`valid_vector_expr` (same population)."""
+    return (
+        f"({col_sql} IS NOT NULL AND len({col_sql}) = {dim} "
+        f"AND len(list_filter({col_sql}, "
+        f"x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)"
+    )
+
+
 def safe_cosine(dot: Column, qnorm: Column, nnorm: Column) -> Column:
     """cosine = dot/(|q|·|n|), NULL when either norm is zero.
 
@@ -490,7 +525,10 @@ def embedding_neardup_lsh_pairs(
     )
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
-    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # safe_cosine, not bare division: a valid-but-ZERO vector has norm 0
+    # and the 0/0 is a job-killing DIVIDE_BY_ZERO under ANSI; NULL never
+    # passes the >= threshold (zero vectors are nobody's near-dup)
+    cos = safe_cosine(dot_expr(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         candidates.join(da, "id_a")
         .join(db, "id_b")
@@ -610,7 +648,12 @@ def ivf_assign_cells(
         F.col(vec_col).alias("vec"),
         norm_expr(F.col(vec_col)).alias("vnorm"),
     ).crossJoin(F.broadcast(cents)).withColumn(
-        "ccos", dot_expr(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
+        # safe_cosine: a zero vector's 0/0 was an ANSI DIVIDE_BY_ZERO; its
+        # all-NULL cosines sort last and the cid tiebreak assigns it the
+        # lowest cell id on both engines
+        "ccos", safe_cosine(
+            dot_expr(F.col("vec"), F.col("cvec")), F.col("vnorm"), F.col("cnorm")
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     return (
@@ -980,7 +1023,11 @@ def probed_cells(
     ranked = []
     for r in cents_rows:
         cv = [float(x) for x in r["cvec"]]
-        ranked.append((-(_dot1(query, cv) / (qnorm * _dot1(cv, cv) ** 0.5)), r["cid"]))
+        den = qnorm * _dot1(cv, cv) ** 0.5
+        # a zero centroid/query has undefined cosine: rank it last (the
+        # distributed twin's NULL sorts last too), tie-broken by cid —
+        # a bare division is a driver-killing ZeroDivisionError
+        ranked.append((-(_dot1(query, cv) / den) if den > 0 else float("inf"), r["cid"]))
     ranked.sort()
     return [cid for _, cid in ranked[:probes]]
 
@@ -1169,8 +1216,12 @@ def semantic_dedup_df(
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            dot_expr(F.col("a_vec"), F.col("b_vec"))
-            / (F.col("a_norm") * F.col("b_norm"))
+            # safe_cosine: zero-norm 0/0 crashed under ANSI; NULL fails >=
+            safe_cosine(
+                dot_expr(F.col("a_vec"), F.col("b_vec")),
+                F.col("a_norm"),
+                F.col("b_norm"),
+            )
             >= F.lit(float(threshold))
         )
         .select(F.col("b_id").alias("vec_id"))

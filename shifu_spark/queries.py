@@ -37,6 +37,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: every embedding in the synthetic corpus (and every query below) is
+#: this dimensionality; the ingest validator pins it
+EMB_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan with INGEST VALIDATION: malformed vectors (NULL,
+    wrong dimensionality, NaN/Inf/NULL components) are excluded at the
+    scan. One bad row otherwise kills a corpus-scale ANN job — the r10
+    dirty-embeddings audit crashed all 14 embedding queries on a single
+    ragged/NaN vector. The oracle side applies the same predicate via
+    the `_guard_embedding_oracles` post-pass, so both engines score the
+    identical vector population."""
+    from shifu_spark.operators.similarity import valid_vector_expr
+
+    return _t(spark, sf_dir, "embeddings").where(
+        valid_vector_expr("embedding", EMB_DIM)
+    )
+
+
 def _materialize_release(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
     """Materialize ``out`` on the executors (localCheckpoint, eager) so the
     upstream ``caches`` can be unpersisted, WITHOUT collecting to the
@@ -899,7 +919,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from shifu_spark.operators.similarity import brute_force_topk_block
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return brute_force_topk_block(emb, F.col("vec_id") < 10, k=5)
 
 
@@ -927,7 +947,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (semantic dedup) at cosine ≥ 0.3."""
     from shifu_spark.operators.similarity import embedding_neardup_pairs_block
 
-    return embedding_neardup_pairs_block(_t(spark, sf_dir, "embeddings"), threshold=0.3).orderBy("id_a", "id_b")
+    return embedding_neardup_pairs_block(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
 
 ORACLES["embedding_neardup_pairs"] = """
@@ -954,7 +974,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.similarity import embedding_neardup_lsh_pairs
 
     return embedding_neardup_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"), _LSH_PLANES, bands=2, threshold=0.3
+        _emb(spark, sf_dir), _LSH_PLANES, bands=2, threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
@@ -1018,7 +1038,7 @@ _LSH_PERTURB_SPARK = (
 
 
 def _lsh_scale_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     pert = emb.select(
@@ -4001,7 +4021,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join; candidate set ~N/16 per query."""
     from shifu_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return lsh_topk(emb, F.col("vec_id") < 10, _LSH_PLANES, k=3)
 
 
@@ -4296,7 +4316,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids keep the oracle deterministic."""
     from shifu_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ivf_topk(emb, F.col("vec_id").between(10, 19), F.col("vec_id") < 8, k=3)
 
 
@@ -4308,7 +4328,7 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle deterministic."""
     from shifu_spark.operators.similarity import ivf_topk_multiprobe
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ivf_topk_multiprobe(
         emb, F.col("vec_id").between(10, 19), F.col("vec_id") < 8, k=3, probes=2
     )
@@ -4401,7 +4421,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     from shifu_spark.operators.similarity import pq_codebooks_pinned, pq_encode_df
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return pq_encode_df(emb, pq_codebooks_pinned()).orderBy("vec_id")
 
 
@@ -4427,7 +4447,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_query_pinned,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return pq_adc_topk_df(emb, pq_query_pinned(), pq_codebooks_pinned(), k=30)
 
 
@@ -4470,7 +4490,7 @@ def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     result compact."""
     from shifu_spark.operators.similarity import kmeans_step
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
@@ -5960,7 +5980,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_query_pinned,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ivf_pq_topk_df(
         emb, pq_query_pinned(), pq_codebooks_pinned(), F.col("vec_id") < 8,
         k=20, probes=2,
@@ -6066,7 +6086,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed_cells,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = pq_query_pinned()
     sample = [
         [float(x) for x in r["embedding"]]
@@ -7570,7 +7590,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k scales with N so the quadratic only ever sees one cell."""
     from shifu_spark.operators.similarity import semantic_dedup_df
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     caches: list[DataFrame] = []
     out = semantic_dedup_df(
         emb, F.col("vec_id") < 8, threshold=0.35, cache_out=caches
@@ -9947,7 +9967,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force per width, left_semi hit count, exact integer ratio)."""
     from shifu_spark.operators.similarity import matryoshka_recall_df
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return matryoshka_recall_df(emb, F.col("vec_id") < 10, _MRL_DIMS, k=10)
 
 
@@ -10825,7 +10845,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows int64 — production would center in DECIMAL)."""
     from shifu_spark.operators.pca import pca_top_component_df
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return pca_top_component_df(emb, "embedding", 64, iters=8)
 
 
@@ -11490,3 +11510,38 @@ def wdl_train_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") == 1.0,
     ).collect()[0]["auc"]
     return _fit_invariant_rows(spark, model.train_losses, auc, 0.9)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-oracle ingest guard (runs once at import, after every oracle
+# above is registered): rewrite each embedding oracle's table reference
+# to the SAME validated population `_emb` scans — NULL / wrong-dim /
+# non-finite vectors excluded. The predicate is part of the declared
+# ingest contract, applied identically on both engines (the r10
+# dirty-embeddings audit: one malformed row crashed all 14 queries).
+# ---------------------------------------------------------------------------
+
+_EMBEDDING_ORACLE_NAMES = [
+    "embedding_topk", "embedding_neardup_pairs", "embedding_lsh_topk",
+    "embedding_ivf_topk", "embedding_ivf_multiprobe", "pq_encode",
+    "pq_adc_topk", "kmeans_step_centroids", "embedding_ivfpq_topk",
+    "ann_recall_report", "semantic_dedup", "matryoshka_recall",
+    "pca_power_iteration", "embedding_neardup_lsh_scale",
+]
+
+
+def _guard_embedding_oracles() -> None:
+    import re as _re
+
+    from shifu_spark.operators.similarity import valid_vector_sql
+
+    sub = f"(SELECT * FROM embeddings WHERE {valid_vector_sql('embedding', EMB_DIM)})"
+    pat = _re.compile(r"\b(FROM|JOIN)\s+embeddings\b")
+    for name in _EMBEDDING_ORACLE_NAMES:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        ORACLES[name] = pat.sub(lambda m: f"{m.group(1)} {sub}", sql)
+
+
+_guard_embedding_oracles()

@@ -1492,3 +1492,90 @@ class TestDirtyEvents:
         base, con = dirty_events
         problems = compare(QUERIES[name](spark, base), con, ORACLES[name], name)
         assert problems == [], problems
+
+
+class TestDirtyEmbeddings:
+    """r10 bug-class audit #4: DIRTY EMBEDDINGS — NULL vectors, ragged
+    dimensionality (32/128 vs the corpus's 64), NaN/±Inf components,
+    the all-zero vector, tiny-norm vectors, NULL labels. One adversarial
+    `embeddings` table driven through all 14 embedding registry queries
+    against their PRODUCTION oracles.
+
+    Before the fix, EVERY query in the family crashed on a single
+    malformed row (ragged numpy shapes in the Arrow kernels,
+    INVALID_ARRAY_INDEX under ANSI, NaN-poisoned norms, 0/0
+    DIVIDE_BY_ZERO in the IVF/LSH cosine paths, a driver-side
+    ZeroDivisionError in the multiprobe cell ranker). Fixes:
+    similarity.valid_vector_expr/_sql ingest validation applied at the
+    scan on BOTH engines (queries._emb + the oracle post-pass), and
+    safe_cosine replacing the three remaining bare cosine divisions —
+    the valid-but-ZERO vector is in-population and must rank/filter
+    identically (NULL cosine: nobody's neighbor, lowest-cell tiebreak).
+    """
+
+    import pytest as _pt
+
+    NAMES = [
+        "embedding_topk", "embedding_neardup_pairs", "embedding_lsh_topk",
+        "embedding_ivf_topk", "embedding_ivf_multiprobe", "pq_encode",
+        "pq_adc_topk", "kmeans_step_centroids", "embedding_ivfpq_topk",
+        "ann_recall_report", "semantic_dedup", "matryoshka_recall",
+        "pca_power_iteration", "embedding_neardup_lsh_scale",
+    ]
+
+    @_pt.fixture(scope="class")
+    def dirty_embeddings(self, spark, tmp_path_factory):
+        import glob
+        import os
+        import random
+        import shutil
+
+        import duckdb
+
+        def vec(seed, dim=64):
+            rnd = random.Random(seed)
+            return [rnd.uniform(-1, 1) for _ in range(dim)]
+
+        rows = [(i, vec(i), i % 10) for i in range(40)]  # enough for IVF/kmeans
+        rows += [
+            (100, None, 3),                                # NULL embedding
+            (101, vec(101)[:63] + [float("nan")], 4),      # NaN component
+            (102, vec(102)[:63] + [float("inf")], 5),      # +Inf component
+            (103, [0.0] * 64, 6),                          # zero vector (VALID)
+            (104, vec(104)[:32], 7),                       # ragged: short
+            (105, vec(105) + vec(1051), 8),                # ragged: long
+            (106, [], 9),                                  # empty array
+            (107, vec(107), None),                         # NULL label
+            (108, [1e-30] * 64, 0),                        # tiny norm (VALID)
+        ]
+        base = str(tmp_path_factory.mktemp("dirty_emb"))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        tmp = f"{base}/_e"
+        emb.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{base}/embeddings.parquet")
+        shutil.rmtree(tmp)
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents",
+        ]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{base}/{t}.parquet")
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet')"
+            )
+        return base, con
+
+    @_pt.mark.parametrize("name", NAMES)
+    def test_query_oracle_parity_on_dirty_embeddings(self, spark, dirty_embeddings, name):
+        from shifu_spark.queries import ORACLES, QUERIES
+        from tests.oracle import compare
+
+        base, con = dirty_embeddings
+        problems = compare(QUERIES[name](spark, base), con, ORACLES[name], name)
+        assert problems == [], problems
