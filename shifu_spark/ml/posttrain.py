@@ -144,9 +144,20 @@ def reason_codes_linear(
     CalculateReasonCodeUDF semantics for the linear case — entirely
     JVM-side: array of (abs contrib desc, name) structs, sorted, sliced.
     """
+    from shifu_spark.functions.nonvalue import is_value
+
+    # a MISSING (NULL/NaN/±Inf) feature contributes NOTHING — it can
+    # never be a reason. Unguarded, a NULL contribution's sort position
+    # flips between engines (Spark structs sort NULL fields first,
+    # DuckDB last) and an Inf value would always rank itself first.
     entries = [
         F.struct(
-            F.abs(F.col(c).cast("double") * float(w)).alias("a"),
+            F.when(
+                is_value(F.col(c).cast("double")),
+                F.abs(F.col(c).cast("double") * float(w)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("a"),
             F.lit(c).alias("name"),
         )
         for c, w in zip(feature_cols, weights)

@@ -126,7 +126,11 @@ def ksiv_df(counts: DataFrame, pos_col: str = "bin_count_pos", neg_col: str = "b
     rows total — trivially small after the count agg at any scale).
     """
     wcol = Window.partitionBy("column_name")
-    wcum = wcol.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS LAST pins the MISSING bin to the end of the cumulative
+    # walk on both engines (the reference appends the missing slot
+    # after the real bins; Spark's asc default is NULLS FIRST while
+    # DuckDB's is NULLS LAST — a silent KS/IV split on dirty data)
+    wcum = wcol.orderBy(F.asc_nulls_last("bin")).rowsBetween(Window.unboundedPreceding, 0)
     pos = F.col(pos_col).cast("double")
     neg = F.col(neg_col).cast("double")
     t = (
@@ -180,9 +184,9 @@ per_bin AS (
          ln((CASE WHEN t.sum_n = 0 THEN NULL ELSE c.bin_count_neg / t.sum_n END + 1e-10)
             / (CASE WHEN t.sum_p = 0 THEN NULL ELSE c.bin_count_pos / t.sum_p END + 1e-10)) AS woe_bin,
          sum(CASE WHEN t.sum_p = 0 THEN NULL ELSE c.bin_count_pos / t.sum_p END)
-             OVER (PARTITION BY c.column_name ORDER BY c.bin) AS cum_p,
+             OVER (PARTITION BY c.column_name ORDER BY c.bin NULLS LAST) AS cum_p,
          sum(CASE WHEN t.sum_n = 0 THEN NULL ELSE c.bin_count_neg / t.sum_n END)
-             OVER (PARTITION BY c.column_name ORDER BY c.bin) AS cum_n,
+             OVER (PARTITION BY c.column_name ORDER BY c.bin NULLS LAST) AS cum_n,
          t.sum_p, t.sum_n
   FROM counts c JOIN tot t USING (column_name)
 )

@@ -72,15 +72,28 @@ def zorder_keys(df: DataFrame, cols: list[str], bits: int = 10) -> DataFrame:
     quantized ranks ``zr_<col>``. One broadcast 1-row min/max agg + one
     narrow projection; zero data-scale shuffles — the caller then
     ``repartitionByRange('zkey')``/sorts to realize the layout."""
+    from shifu_spark.functions.nonvalue import is_value
+
+    # non-finite values are MISSING: excluded from the min/max bounds (a
+    # NaN max poisons every rank) and ranked NULL — the NULL zkey is the
+    # missing rows' own layout group, identically on both engines (a real
+    # rewrite routes that group to a dedicated file)
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        v = F.when(is_value(F.col(c).cast("double")), F.col(c))
+        aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
     mm = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(mm))
     rank_names = []
     for c in cols:
         rn = f"zr_{c}"
-        out = out.withColumn(rn, quantize_expr(c, f"mn_{c}", f"mx_{c}", bits))
+        out = out.withColumn(
+            rn,
+            F.when(
+                is_value(F.col(c).cast("double")),
+                quantize_expr(c, f"mn_{c}", f"mx_{c}", bits),
+            ),
+        )
         rank_names.append(rn)
     out = out.withColumn("zkey", F.expr(morton_interleave_sql(rank_names, bits)))
     return out.drop(*[f"mn_{c}" for c in cols], *[f"mx_{c}" for c in cols])
@@ -125,14 +138,25 @@ def hilbert_keys(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     """
     if len(cols) != 2:
         raise ValueError("hilbert_keys clusters exactly two columns (2-D curve)")
+    from shifu_spark.functions.nonvalue import is_value
+
+    # same missing contract as zorder_keys: non-finite values stay out
+    # of the min/max bounds and rank NULL (the NULL hkey layout group)
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        v = F.when(is_value(F.col(c).cast("double")), F.col(c))
+        aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
     out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     rank_names = []
     for c in cols:
         rn = f"hr_{c}"
-        out = out.withColumn(rn, quantize_expr(c, f"mn_{c}", f"mx_{c}", bits))
+        out = out.withColumn(
+            rn,
+            F.when(
+                is_value(F.col(c).cast("double")),
+                quantize_expr(c, f"mn_{c}", f"mx_{c}", bits),
+            ),
+        )
         rank_names.append(rn)
     out = (
         out.withColumn("_hx", F.col(rank_names[0]))

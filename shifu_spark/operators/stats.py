@@ -358,8 +358,16 @@ def _x4(col: str):
     interpolation weight is a dyadic quarter and both operands are
     integers ≪ 2^53, so ANY algebraically-equivalent formula (Spark
     ``percentile``, DuckDB ``quantile_cont``, numpy type-7) computes the
-    bit-identical double."""
-    return (F.round(F.col(col) * 1e6, 0) * 4).cast("double")
+    bit-identical double.
+
+    Non-finite values are MISSING (the engine-wide nonvalue class):
+    nulled here so percentile/count skip them — a NaN otherwise sorts
+    largest into the quantile walk and shifts every interpolated cut,
+    engine-dependently (r10 dirty-corpus audit)."""
+    from shifu_spark.functions.nonvalue import is_value
+
+    c = F.col(col)
+    return F.when(is_value(c), (F.round(c * 1e6, 0) * 4).cast("double"))
 
 
 def robust_quartiles(df: DataFrame, columns: list[str]) -> dict[str, list[float]]:
@@ -450,7 +458,10 @@ def robust_stats_oracle_sql(table: str, columns: list[str]) -> str:
     row (the same two-pass structure the Spark side runs)."""
     ctes, parts = [], []
     for c in columns:
-        ctes.append(f"x_{c} AS (SELECT round({c} * 1e6) * 4 AS x4 FROM {table})")
+        ctes.append(
+            f"x_{c} AS (SELECT round({c} * 1e6) * 4 AS x4 FROM {table} "
+            f"WHERE {c} IS NOT NULL AND isfinite({c}))"
+        )
         ctes.append(
             f"q_{c} AS (SELECT quantile_cont(x4, 0.25) AS q1,"
             f" quantile_cont(x4, 0.5) AS q2, quantile_cont(x4, 0.75) AS q3,"

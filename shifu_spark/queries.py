@@ -195,18 +195,26 @@ def ksiv_equal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from shifu_spark.operators.ksiv import ksiv_df
 
+    from shifu_spark.functions.nonvalue import is_value
+
     li = _t(spark, sf_dir, "lineitem")
     k = _KSIV_BINS
 
+    # non-finite values are MISSING: excluded from the min/max edges (a
+    # single NaN/Inf otherwise poisons every bin boundary) and routed to
+    # the NULL bin, which both engines keep as its own group
     mm = li.agg(
-        *[F.min(c).alias(f"{c}__mn") for c in _KSIV_COLS],
-        *[F.max(c).alias(f"{c}__mx") for c in _KSIV_COLS],
+        *[F.min(F.when(is_value(F.col(c)), F.col(c))).alias(f"{c}__mn") for c in _KSIV_COLS],
+        *[F.max(F.when(is_value(F.col(c)), F.col(c))).alias(f"{c}__mx") for c in _KSIV_COLS],
     )
     with_mm = li.crossJoin(F.broadcast(mm))
     structs = []
     for c in _KSIV_COLS:
         mn, mx = F.col(f"{c}__mn"), F.col(f"{c}__mx")
-        b = F.least(F.floor((F.col(c) - mn) / ((mx - mn) / k)), F.lit(k - 1))
+        b = F.when(
+            is_value(F.col(c)),
+            F.least(F.floor((F.col(c) - mn) / ((mx - mn) / k)), F.lit(k - 1)),
+        )
         structs.append(F.struct(F.lit(c).alias("column_name"), b.alias("bin")))
     is_pos = (F.col("l_returnflag") == "R").alias("_pos")
     melted = with_mm.select(F.explode(F.array(*structs)).alias("cb"), is_pos)
@@ -228,10 +236,14 @@ def _ksiv_oracle() -> str:
         per_col.append(
             f"""
 SELECT '{c}' AS column_name,
-       least(floor(({c} - mn) / ((mx - mn) / {k})), {k - 1}) AS bin,
+       CASE WHEN {c} IS NOT NULL AND isfinite({c})
+            THEN least(floor(({c} - mn) / ((mx - mn) / {k})), {k - 1}) END AS bin,
        sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bin_count_pos,
-       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS bin_count_neg
-FROM lineitem CROSS JOIN (SELECT min({c}) AS mn, max({c}) AS mx FROM lineitem)
+       -- NULL tag counts in NEITHER class (the Spark side's ~_pos is
+       -- three-valued; the reference filters invalid tags the same way)
+       sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS bin_count_neg
+FROM lineitem CROSS JOIN (SELECT min({c}) AS mn, max({c}) AS mx
+                          FROM lineitem WHERE {c} IS NOT NULL AND isfinite({c}))
 GROUP BY 1, 2"""
         )
     counts_sql = "\nUNION ALL\n".join(per_col)
@@ -473,7 +485,8 @@ WITH pts AS (
   SELECT l_extendedprice AS score,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
-  FROM lineitem GROUP BY 1
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT score,
@@ -506,7 +519,8 @@ ORACLES["roc_auc"] = """
 WITH pts AS (
   SELECT l_extendedprice AS score, count(*) AS n,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS npos
-  FROM lineitem GROUP BY 1
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 ranked AS (
   SELECT n, npos,
@@ -1267,10 +1281,20 @@ def ksiv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     k = 10
-    mm = li.agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+    from shifu_spark.functions.nonvalue import is_value
+
+    ep = F.col("l_extendedprice")
+    # non-finite score values: out of the edges, into the NULL bin
+    mm = li.agg(
+        F.min(F.when(is_value(ep), ep)).alias("mn"),
+        F.max(F.when(is_value(ep), ep)).alias("mx"),
+    )
     binned = li.crossJoin(F.broadcast(mm)).withColumn(
         "bin",
-        F.least(F.floor((F.col("l_extendedprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)),
+        F.when(
+            is_value(ep),
+            F.least(F.floor((ep - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)),
+        ),
     )
     w = F.col("l_quantity").cast("decimal(38,10)")
     counts = (
@@ -1289,10 +1313,12 @@ def _ksiv_weighted_oracle() -> str:
 
     counts_sql = """
 SELECT 'l_extendedprice' AS column_name,
-       least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS bin,
+       CASE WHEN l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
+            THEN least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) END AS bin,
        sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity AS DECIMAL(38,10)) ELSE cast(0 AS DECIMAL(38,10)) END)::DOUBLE AS bin_count_pos,
        sum(CASE WHEN l_returnflag = 'R' THEN cast(0 AS DECIMAL(38,10)) ELSE cast(l_quantity AS DECIMAL(38,10)) END)::DOUBLE AS bin_count_neg
-FROM lineitem CROSS JOIN (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+FROM lineitem CROSS JOIN (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                          FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice))
 GROUP BY 2"""
     return ksiv_oracle_sql(counts_sql)
 
@@ -1460,11 +1486,21 @@ def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posttrain bin average score (PostTrain.pig:44-45,
     CalculateBinAvgScoreUDF): score = l_extendedprice, bins = equal-
     interval on l_quantity."""
+    from shifu_spark.functions.nonvalue import is_value
+
     li = _t(spark, sf_dir, "lineitem")
     k = 10
-    mm = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+    q = F.col("l_quantity")
+    mm = li.agg(
+        F.min(F.when(is_value(q), q)).alias("mn"),
+        F.max(F.when(is_value(q), q)).alias("mx"),
+    )
     binned = li.crossJoin(F.broadcast(mm)).withColumn(
-        "bin", F.least(F.floor((F.col("l_quantity") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
+        "bin",
+        F.when(
+            is_value(q),
+            F.least(F.floor((q - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)),
+        ),
     )
     return (
         binned.groupBy("bin")
@@ -1479,10 +1515,12 @@ def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bin_avg_score"] = """
-SELECT least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9)::BIGINT AS bin,
+SELECT (CASE WHEN l_quantity IS NOT NULL AND isfinite(l_quantity)
+             THEN least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) END)::BIGINT AS bin,
        count(*)::BIGINT AS n,
        round(sum(cast(l_extendedprice AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_score
-FROM lineitem CROSS JOIN (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
+FROM lineitem CROSS JOIN (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+                          FROM lineitem WHERE l_quantity IS NOT NULL AND isfinite(l_quantity))
 GROUP BY 1 ORDER BY 1
 """
 
@@ -1503,7 +1541,8 @@ WITH pts AS (
   SELECT l_extendedprice AS score,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
-  FROM lineitem GROUP BY 1
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT score,
@@ -1543,7 +1582,8 @@ WITH pts AS (
   SELECT l_extendedprice AS score,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
-  FROM lineitem GROUP BY 1
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT score,
@@ -1606,7 +1646,9 @@ def concat_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["concat_fields"] = """
-SELECT c_custkey, c_name || '|' || c_mktsegment || '|' || c_nationkey::VARCHAR AS log_line
+-- concat_ws, not ||: the Spark side (ConcatLogUDF rebuild) SKIPS null
+-- fields in the log line; bare || would null the whole line instead
+SELECT c_custkey, concat_ws('|', c_name, c_mktsegment, c_nationkey::VARCHAR) AS log_line
 FROM customer ORDER BY c_custkey
 """
 
@@ -1951,9 +1993,10 @@ def weighted_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["weighted_pr_auc"] = """
 WITH pts AS (
   SELECT l_extendedprice AS score,
-         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
-         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
-  FROM lineitem GROUP BY 1
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT sum(wpos) OVER (ORDER BY score DESC) AS wtp,
@@ -1992,9 +2035,10 @@ def weighted_gain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["weighted_gain_buckets"] = """
 WITH pts AS (
   SELECT l_extendedprice AS score,
-         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
-         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
-  FROM lineitem GROUP BY 1
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT score,
@@ -2163,8 +2207,10 @@ def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_dataset(o, f"{base}/data", fmt="csv", delimiter="|", compression="gzip")
         write_header_sidecar(o, f"{base}/data", delimiter="|")  # -> {base}/data.pig_header
         back = read_dataset(spark, f"{base}/data", header_path=f"{base}/data.pig_header")
-        # csv sink wrote an inline header row too — drop it by field-name match
-        back = back.filter(F.col("o_orderkey") != "o_orderkey")
+        # csv sink wrote an inline header row too — drop it by field-name
+        # match, NULL-SAFELY: a bare != is three-valued and silently eats
+        # every NULL-key data row along with the header
+        back = back.filter(~F.col("o_orderkey").eqNullSafe("o_orderkey"))
         out = (
             back.groupBy("o_orderpriority")
             .agg(
@@ -2184,9 +2230,12 @@ def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["text_roundtrip_stats"] = """
-SELECT o_orderpriority, count(*) AS n,
+-- nullif: the PigStorage-style text format writes NULL and '' both as
+-- an empty field (the documented lossy equivalence), so the round-trip
+-- reads either back as NULL — the oracle models the same merge
+SELECT nullif(o_orderpriority, '') AS o_orderpriority, count(*) AS n,
        round(sum(cast(o_totalprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_price
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
@@ -2906,7 +2955,8 @@ def hybrid_column_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["hybrid_column_woe"] = """
 WITH t AS (
   SELECT l_orderkey, l_linenumber,
-         (CASE WHEN l_quantity = 1 THEN 3
+         (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) THEN 5  -- missing slot (hybrid layout [numeric][cate][missing])
+               WHEN l_quantity = 1 THEN 3
                WHEN l_quantity = 2 THEN 4
                WHEN l_quantity >= 40 THEN 2
                WHEN l_quantity >= 20 THEN 1
@@ -2945,7 +2995,8 @@ WITH pts AS (
          count(*) AS n,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
-  FROM lineitem GROUP BY 1
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_discount IS NOT NULL AND isfinite(l_discount) GROUP BY 1
 ),
 ranked AS (
   SELECT n, pos,
@@ -2999,9 +3050,10 @@ def reason_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["reason_codes"] = f"""
 WITH contrib AS (
   SELECT l_orderkey, l_linenumber,
-         [{{'a': abs(l_quantity * 0.08), 'name': 'l_quantity'}},
-          {{'a': abs(l_discount * -12.0), 'name': 'l_discount'}},
-          {{'a': abs(l_tax * 5.0), 'name': 'l_tax'}}] AS entries
+         -- missing (NULL/NaN/Inf) features contribute 0 — never a reason
+         [{{'a': CASE WHEN l_quantity IS NOT NULL AND isfinite(l_quantity) THEN abs(l_quantity * 0.08) ELSE 0.0 END, 'name': 'l_quantity'}},
+          {{'a': CASE WHEN l_discount IS NOT NULL AND isfinite(l_discount) THEN abs(l_discount * -12.0) ELSE 0.0 END, 'name': 'l_discount'}},
+          {{'a': CASE WHEN l_tax IS NOT NULL AND isfinite(l_tax) THEN abs(l_tax * 5.0) ELSE 0.0 END, 'name': 'l_tax'}}] AS entries
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
@@ -3021,10 +3073,21 @@ def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.ml.posttrain import tree_path_encode
     from shifu_spark.ml.train import TrainParams, assemble_features, train_models
 
+    from shifu_spark.functions.nonvalue import is_value
+
     li = _t(spark, sf_dir, "lineitem")
+    # mean-impute non-finite features BEFORE the trees, exactly as the
+    # production pipeline's normalize step does (Normalizer missing ->
+    # mean): MLlib vectors hard-reject NaN/Inf, so one dirty row would
+    # otherwise kill the whole fit
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    means = li.agg(
+        F.avg(F.when(is_value(q), q)).alias("mq"),
+        F.avg(F.when(is_value(d), d)).alias("md"),
+    ).collect()[0]
     df = li.select(
-        F.col("l_quantity").alias("f1"),
-        F.col("l_discount").alias("f2"),
+        F.when(is_value(q), q).otherwise(F.lit(float(means["mq"]))).alias("f1"),
+        F.when(is_value(d), d).otherwise(F.lit(float(means["md"]))).alias("f2"),
         # planted learnable label: a no-signal label leaves the forest
         # unsplit and the whole table in one leaf — vacuous sentinel
         F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0).alias("label"),
@@ -3647,10 +3710,10 @@ ORACLES["weight_hybrid_normalize"] = f"""
 WITH mm AS ({_MM_SQL}),
 cate AS (
   SELECT l_returnflag,
-         round(ln((sum(cast(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END AS DECIMAL(38,10)))::DOUBLE
-                   / (sum(sum(cast(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END AS DECIMAL(38,10)))::DOUBLE) OVER ()) + 1e-10)
-                  / (sum(cast(CASE WHEN l_linestatus = 'F' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0.0 END AS DECIMAL(38,10)))::DOUBLE
-                     / (sum(sum(cast(CASE WHEN l_linestatus = 'F' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0.0 END AS DECIMAL(38,10)))::DOUBLE) OVER ()) + 1e-10)), 6) AS wwoe_l_returnflag
+         round(ln((sum(cast(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END AS DECIMAL(38,10)))::DOUBLE
+                   / (sum(sum(cast(CASE WHEN l_linestatus = 'F' THEN 0.0 ELSE (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END AS DECIMAL(38,10)))::DOUBLE) OVER ()) + 1e-10)
+                  / (sum(cast(CASE WHEN l_linestatus = 'F' THEN (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0.0 END AS DECIMAL(38,10)))::DOUBLE
+                     / (sum(sum(cast(CASE WHEN l_linestatus = 'F' THEN (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0.0 END AS DECIMAL(38,10)))::DOUBLE) OVER ()) + 1e-10)), 6) AS wwoe_l_returnflag
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_orderkey, l.l_linenumber, {_ZQ_SQL} AS z_l_quantity, c.wwoe_l_returnflag
@@ -3897,7 +3960,8 @@ WITH pts AS (
   SELECT l_extendedprice AS score,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
-  FROM lineitem GROUP BY 1
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT sum(pos) OVER (ORDER BY score DESC) AS tp,
@@ -4078,9 +4142,10 @@ WITH pts AS (
   SELECT l_extendedprice AS score,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg,
-         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
-         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
-  FROM lineitem GROUP BY 1
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 )
 SELECT score,
        (sum(pos) OVER (ORDER BY score DESC))::BIGINT AS tp,
@@ -4287,14 +4352,17 @@ def dynamic_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dynamic_binning"] = """
-WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+WITH li AS (  -- non-finite values are MISSING: never inside value bins
+  SELECT * FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
+mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM li),
 small AS (
   SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) AS small_bin,
          mn + least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) * ((mx - mn) / 100) AS lo,
          count(*) AS cnt,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
-  FROM lineitem CROSS JOIN mm GROUP BY 1, 2
+  FROM li CROSS JOIN mm GROUP BY 1, 2
 ),
 cum AS (
   SELECT *, coalesce(sum(cnt) OVER (ORDER BY small_bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
@@ -4644,9 +4712,10 @@ def weighted_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["weighted_roc_auc"] = """
 WITH pts AS (
   SELECT l_extendedprice AS score,
-         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
-         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
-  FROM lineitem GROUP BY 1
+         sum(CASE WHEN l_returnflag = 'R' THEN (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) ELSE 0 END) AS wpos,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) OR l_quantity < 0 THEN 1.0 ELSE l_quantity END) END) AS wneg
+  -- unrankable (NULL/NaN/±Inf) scores are not eval points
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice) GROUP BY 1
 ),
 cum AS (
   SELECT sum(wpos) OVER (ORDER BY score DESC) AS wtp,
@@ -5716,12 +5785,16 @@ def _zorder_oracle() -> str:
     lv = (1 << _Z_BITS) - 1
     inter = morton_interleave_duckdb(["zr_q", "zr_p"], _Z_BITS)
     return f"""
-WITH mm AS (SELECT min(l_quantity) AS mnq, max(l_quantity) AS mxq,
-                   min(l_extendedprice) AS mnp, max(l_extendedprice) AS mxp
+WITH mm AS (SELECT min(l_quantity) FILTER (WHERE isfinite(l_quantity)) AS mnq,
+                   max(l_quantity) FILTER (WHERE isfinite(l_quantity)) AS mxq,
+                   min(l_extendedprice) FILTER (WHERE isfinite(l_extendedprice)) AS mnp,
+                   max(l_extendedprice) FILTER (WHERE isfinite(l_extendedprice)) AS mxp
             FROM lineitem),
-r AS (
-  SELECT least(greatest(floor((l_quantity - mnq) / (mxq - mnq) * {lv} + 0.5), 0), {lv})::BIGINT AS zr_q,
-         least(greatest(floor((l_extendedprice - mnp) / (mxp - mnp) * {lv} + 0.5), 0), {lv})::BIGINT AS zr_p
+r AS (  -- missing values rank NULL: the NULL zkey is their own layout group
+  SELECT CASE WHEN l_quantity IS NOT NULL AND isfinite(l_quantity)
+              THEN least(greatest(floor((l_quantity - mnq) / (mxq - mnq) * {lv} + 0.5), 0), {lv})::BIGINT END AS zr_q,
+         CASE WHEN l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
+              THEN least(greatest(floor((l_extendedprice - mnp) / (mxp - mnp) * {lv} + 0.5), 0), {lv})::BIGINT END AS zr_p
   FROM lineitem, mm),
 k AS (SELECT zr_q, zr_p, {inter} AS zkey FROM r)
 SELECT (zkey >> {_Z_BUCKET_SHIFT})::BIGINT AS zbucket,
@@ -7706,14 +7779,19 @@ def _hilbert_oracle() -> str:
     lv = (1 << _H_BITS) - 1
     return f"""
 WITH RECURSIVE
-mm AS (SELECT min(l_quantity) AS mnq, max(l_quantity) AS mxq,
-              min(l_extendedprice) AS mnp, max(l_extendedprice) AS mxp
+mm AS (SELECT min(l_quantity) FILTER (WHERE isfinite(l_quantity)) AS mnq,
+              max(l_quantity) FILTER (WHERE isfinite(l_quantity)) AS mxq,
+              min(l_extendedprice) FILTER (WHERE isfinite(l_extendedprice)) AS mnp,
+              max(l_extendedprice) FILTER (WHERE isfinite(l_extendedprice)) AS mxp
        FROM lineitem),
-r AS (
-  SELECT least(greatest(floor((l_quantity - mnq) / (mxq - mnq) * {lv} + 0.5), 0), {lv})::BIGINT AS hx,
-         least(greatest(floor((l_extendedprice - mnp) / (mxp - mnp) * {lv} + 0.5), 0), {lv})::BIGINT AS hy
+r AS (  -- missing values rank NULL: the NULL hkey is their own layout group
+  SELECT CASE WHEN l_quantity IS NOT NULL AND isfinite(l_quantity)
+              THEN least(greatest(floor((l_quantity - mnq) / (mxq - mnq) * {lv} + 0.5), 0), {lv})::BIGINT END AS hx,
+         CASE WHEN l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
+              THEN least(greatest(floor((l_extendedprice - mnp) / (mxp - mnp) * {lv} + 0.5), 0), {lv})::BIGINT END AS hy
   FROM lineitem, mm),
-cells AS (SELECT DISTINCT hx AS x0, hy AS y0 FROM r),
+cells AS (SELECT DISTINCT hx AS x0, hy AS y0 FROM r
+          WHERE hx IS NOT NULL AND hy IS NOT NULL),  -- the NULL cell skips the curve walk
 rec AS (
   SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d, {_H_BITS - 1} AS lvl FROM cells
   UNION ALL
@@ -7729,7 +7807,9 @@ rec AS (
     FROM rec WHERE lvl >= 0)
 ),
 hk AS (SELECT x0, y0, d AS hkey FROM rec WHERE lvl = -1),
-j AS (SELECT r.hx, r.hy, hk.hkey FROM r JOIN hk ON r.hx = hk.x0 AND r.hy = hk.y0)
+-- LEFT: missing-rank rows keep a NULL hkey (their own layout group);
+-- an inner join would silently drop them while Spark groups them
+j AS (SELECT r.hx, r.hy, hk.hkey FROM r LEFT JOIN hk ON r.hx = hk.x0 AND r.hy = hk.y0)
 SELECT (hkey >> {_H_BUCKET_SHIFT})::BIGINT AS hbucket,
   count(*)::BIGINT AS n,
   min(hx)::BIGINT AS min_q, max(hx)::BIGINT AS max_q,
@@ -11545,3 +11625,60 @@ def _guard_embedding_oracles() -> None:
 
 
 _guard_embedding_oracles()
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL-cast semantics alignment (runs once at import, after every
+# oracle above): Spark's double->DECIMAL cast yields NULL for NaN/±Inf
+# (even under ANSI — verified empirically, the cast is try-semantics
+# for decimal targets), so every DECIMAL(38,10)-summed Spark query
+# silently SKIPS non-finite inputs. DuckDB's CAST is strict and one
+# NaN row kills the whole oracle ("can't be cast ... INT128") — and
+# this DuckDB version's try_cast STILL errors on NaN->DECIMAL, so the
+# version-pinned spelling is an explicit isfinite CASE (NULL for
+# NULL/NaN/±Inf, exactly Spark's silent-NULL decimal cast). A balanced-
+# paren scanner, not a regex — cast arguments nest arbitrarily.
+# ---------------------------------------------------------------------------
+
+
+def _finite_decimal_cast_oracles() -> None:
+    def rewrite(sql: str) -> str:
+        out = []
+        i = 0
+        low = sql.lower()
+        while True:
+            j = low.find("cast(", i)
+            if j < 0:
+                out.append(sql[i:])
+                return "".join(out)
+            if low[max(0, j - 4):j] == "try_":  # already try_cast
+                out.append(sql[i:j + 5])
+                i = j + 5
+                continue
+            depth, k = 1, j + 5
+            while k < len(sql) and depth:
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                k += 1
+            inner = sql[j + 5:k - 1]
+            out.append(sql[i:j])
+            if inner.upper().rstrip().endswith("AS DECIMAL(38,10)"):
+                # split "expr AS DECIMAL(38,10)" at the LAST AS
+                cut = inner.upper().rindex(" AS DECIMAL(38,10)")
+                expr = rewrite(inner[:cut])
+                out.append(
+                    "cast(CASE WHEN isfinite(CAST((" + expr + ") AS DOUBLE)) "
+                    "THEN (" + expr + ") END AS DECIMAL(38,10))"
+                )
+            else:
+                out.append(sql[j:j + 5] + rewrite(inner) + ")")
+            i = k
+
+    for name, sql in list(ORACLES.items()):
+        if "cast" in sql.lower():
+            ORACLES[name] = rewrite(sql)
+
+
+_finite_decimal_cast_oracles()

@@ -95,7 +95,15 @@ def read_dataset(
     df = (
         lines.select(parts.alias("_parts"))
         .filter(F.size("_parts") == n)  # malformed-row drop
-        .select(*[F.col("_parts").getItem(i).alias(columns[i]) for i in range(n)])
+        # empty field -> NULL: PigStorage writes both NULL and '' as an
+        # empty field and reads the empty field back as null — the
+        # documented lossy '' ≡ NULL equivalence of the text format
+        .select(
+            *[
+                F.nullif(F.col("_parts").getItem(i), F.lit("")).alias(columns[i])
+                for i in range(n)
+            ]
+        )
     )
     return df
 
@@ -132,7 +140,16 @@ def write_dataset(
             writer = writer.option("compression", compression)
         writer.json(path)
     elif fmt == "csv":
-        writer = writer.option("sep", delimiter).option("header", "true")
+        # emptyValue "": Spark's csv default writes an EMPTY STRING as
+        # the literal two characters "" (quoted empty), which round-trips
+        # back as the junk token '""'. PigStorage writes both NULL and ''
+        # as an empty field — the documented lossy '' ≡ NULL equivalence
+        # of the reference text format (both read back as NULL).
+        writer = (
+            writer.option("sep", delimiter)
+            .option("header", "true")
+            .option("emptyValue", "")
+        )
         if compression:
             writer = writer.option("codec", compression)
         writer.csv(path)
