@@ -327,7 +327,16 @@ def small_bin_counts(
     df = df.filter(is_value(v))
     mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
     k = num_small_bins
-    b = F.least(F.floor((v - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1))
+    # try_divide + coalesce 0: an all-equal column has width 0 and the
+    # bare division is an ANSI DIVIDE_BY_ZERO job kill (double included);
+    # the degenerate distribution is one small bin at lo = mn
+    b = F.least(  # coalesce INSIDE least: least IGNORES NULLs (width 0 => bin 0)
+        F.coalesce(
+            F.floor(F.try_divide(v - F.col("mn"), (F.col("mx") - F.col("mn")) / k)),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(k - 1).cast("long"),
+    )
     binned = df.crossJoin(F.broadcast(mm)).select(
         b.alias("small_bin"),
         (F.col("mn") + b * ((F.col("mx") - F.col("mn")) / k)).alias("lo"),

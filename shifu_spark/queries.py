@@ -211,9 +211,15 @@ def ksiv_equal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = []
     for c in _KSIV_COLS:
         mn, mx = F.col(f"{c}__mn"), F.col(f"{c}__mx")
+        # try_divide + coalesce 0: an all-equal column (width 0) is a
+        # single bin, not an ANSI DIVIDE_BY_ZERO job kill
+        # coalesce INSIDE least (least ignores NULLs): width 0 => bin 0
         b = F.when(
             is_value(F.col(c)),
-            F.least(F.floor((F.col(c) - mn) / ((mx - mn) / k)), F.lit(k - 1)),
+            F.least(
+                F.coalesce(F.floor(F.try_divide(F.col(c) - mn, (mx - mn) / k)), F.lit(0).cast("long")),
+                F.lit(k - 1).cast("long"),
+            ),
         )
         structs.append(F.struct(F.lit(c).alias("column_name"), b.alias("bin")))
     is_pos = (F.col("l_returnflag") == "R").alias("_pos")
@@ -236,8 +242,9 @@ def _ksiv_oracle() -> str:
         per_col.append(
             f"""
 SELECT '{c}' AS column_name,
-       CASE WHEN {c} IS NOT NULL AND isfinite({c})
-            THEN least(floor(({c} - mn) / ((mx - mn) / {k})), {k - 1}) END AS bin,
+       CASE WHEN {c} IS NULL OR NOT isfinite({c}) THEN NULL
+            WHEN mx = mn THEN 0
+            ELSE least(floor(({c} - mn) / ((mx - mn) / {k})), {k - 1}) END AS bin,
        sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bin_count_pos,
        -- NULL tag counts in NEITHER class (the Spark side's ~_pos is
        -- three-valued; the reference filters invalid tags the same way)
@@ -389,9 +396,21 @@ def psi_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).where(is_value(F.col("value")))
     k = 10
     mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    # try_divide + coalesce 0: an all-equal value column has width 0 and
+    # a bare division is a job-killing ANSI DIVIDE_BY_ZERO (double too);
+    # the degenerate single-bin distribution is bin 0 on both engines
     binned = ev.crossJoin(F.broadcast(mm)).select(
         F.date_format("ts", "yyyy-MM-dd").alias("unit"),
-        F.least(F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)).alias("bin"),
+        # coalesce INSIDE least: Spark's least IGNORES NULLs, so
+        # least(floor(NULL), k-1) is k-1, not NULL — the degenerate
+        # single bin must be 0, not the top bin
+        F.least(
+            F.coalesce(
+                F.floor(F.try_divide(F.col("value") - F.col("mn"), (F.col("mx") - F.col("mn")) / k)),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(k - 1).cast("long"),
+        ).alias("bin"),
     )
     actual = binned.groupBy("unit", "bin").agg(F.count(F.lit(1)).alias("cnt"))
     expected = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ecnt"))
@@ -417,9 +436,10 @@ def psi_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["psi_events_by_day"] = """
 WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL AND isfinite(value)),
 mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
-binned AS (
+binned AS (  -- width 0 (all-equal column) => single bin 0
   SELECT strftime(ts, '%Y-%m-%d') AS unit,
-         least(floor((value - mn) / ((mx - mn) / 10)), 9) AS bin
+         CASE WHEN mx = mn THEN 0
+              ELSE least(floor((value - mn) / ((mx - mn) / 10)), 9) END AS bin
   FROM ev CROSS JOIN mm
 ),
 actual AS (SELECT unit, bin, count(*)::DOUBLE AS cnt FROM binned GROUP BY unit, bin),
@@ -1293,7 +1313,13 @@ def ksiv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.when(
             is_value(ep),
-            F.least(F.floor((ep - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)),
+            F.least(  # width 0 => bin 0; coalesce INSIDE (least ignores NULLs)
+                F.coalesce(
+                    F.floor(F.try_divide(ep - F.col("mn"), (F.col("mx") - F.col("mn")) / k)),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(k - 1).cast("long"),
+            ),
         ),
     )
     w = F.col("l_quantity").cast("decimal(38,10)")
@@ -1313,8 +1339,9 @@ def _ksiv_weighted_oracle() -> str:
 
     counts_sql = """
 SELECT 'l_extendedprice' AS column_name,
-       CASE WHEN l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
-            THEN least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) END AS bin,
+       CASE WHEN l_extendedprice IS NULL OR NOT isfinite(l_extendedprice) THEN NULL
+            WHEN mx = mn THEN 0
+            ELSE least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) END AS bin,
        sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity AS DECIMAL(38,10)) ELSE cast(0 AS DECIMAL(38,10)) END)::DOUBLE AS bin_count_pos,
        sum(CASE WHEN l_returnflag = 'R' THEN cast(0 AS DECIMAL(38,10)) ELSE cast(l_quantity AS DECIMAL(38,10)) END)::DOUBLE AS bin_count_neg
 FROM lineitem CROSS JOIN (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
@@ -1499,7 +1526,13 @@ def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.when(
             is_value(q),
-            F.least(F.floor((q - F.col("mn")) / ((F.col("mx") - F.col("mn")) / k)), F.lit(k - 1)),
+            F.least(  # width 0 => bin 0; coalesce INSIDE (least ignores NULLs)
+                F.coalesce(
+                    F.floor(F.try_divide(q - F.col("mn"), (F.col("mx") - F.col("mn")) / k)),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(k - 1).cast("long"),
+            ),
         ),
     )
     return (
@@ -1515,8 +1548,9 @@ def bin_avg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bin_avg_score"] = """
-SELECT (CASE WHEN l_quantity IS NOT NULL AND isfinite(l_quantity)
-             THEN least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) END)::BIGINT AS bin,
+SELECT (CASE WHEN l_quantity IS NULL OR NOT isfinite(l_quantity) THEN NULL
+             WHEN mx = mn THEN 0
+             ELSE least(floor((l_quantity - mn) / ((mx - mn) / 10)), 9) END)::BIGINT AS bin,
        count(*)::BIGINT AS n,
        round(sum(cast(l_extendedprice AS DECIMAL(38,10)))::DOUBLE / count(*), 6) AS avg_score
 FROM lineitem CROSS JOIN (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
@@ -4356,9 +4390,11 @@ WITH li AS (  -- non-finite values are MISSING: never inside value bins
   SELECT * FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
 mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM li),
-small AS (
-  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) AS small_bin,
-         mn + least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) * ((mx - mn) / 100) AS lo,
+small AS (  -- width 0 (all-equal column) => single small bin 0 at lo=mn
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) END AS small_bin,
+         mn + (CASE WHEN mx = mn THEN 0
+               ELSE least(floor((l_extendedprice - mn) / ((mx - mn) / 100)), 99) END) * ((mx - mn) / 100) AS lo,
          count(*) AS cnt,
          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg

@@ -1722,3 +1722,76 @@ class TestDirtyTpch:
             except Exception as e:  # noqa: BLE001 — collect, report all
                 failures.append((name, str(e).splitlines()[0][:200]))
         assert failures == [], failures
+
+
+class TestConstantColumns:
+    """r10 bug-class audit #6: ALL-EQUAL COLUMNS — (mx - mn) = 0 turns
+    every inline equal-interval bin width to zero, and Spark 4's ANSI
+    mode raises DIVIDE_BY_ZERO for DOUBLE division too, so one constant
+    column killed psi_events_by_day, ksiv_equal_interval, ksiv_weighted,
+    bin_avg_score and dynamic_binning outright. Convention: width 0 =>
+    the whole population is bin 0 on both engines. The fix's own trap is
+    pinned here too: Spark's least() IGNORES NULLs, so the coalesce must
+    sit INSIDE the least or the degenerate bin silently becomes the TOP
+    bin instead of 0 (caught by bin_avg_score on this very fixture).
+    """
+
+    import pytest as _pt
+
+    NAMES = [
+        "psi_events_by_day", "ksiv_equal_interval", "ksiv_weighted",
+        "bin_avg_score", "dynamic_binning", "zorder_skipping_stats",
+        "hilbert_skipping_stats", "column_stats", "zscore_normalize",
+        "correlation_matrix", "robust_column_stats", "events_anomaly_zscore",
+        "streaming_drift_psi", "events_moving_avg", "ksiv_equal_positive",
+        "native_ntile_binning", "hybrid_column_woe",
+    ]
+
+    @_pt.fixture(scope="class")
+    def const_tables(self, spark, tmp_path_factory):
+        import glob
+        import os
+        import shutil
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        base = str(tmp_path_factory.mktemp("const_tables"))
+
+        def write_single(df, name):
+            tmp = f"{base}/_t"
+            df.coalesce(1).write.parquet(tmp)
+            shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{base}/{name}.parquet")
+            shutil.rmtree(tmp)
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_single(
+            li.select(
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                F.lit(7.0).alias("l_quantity"), F.lit(100.0).alias("l_extendedprice"),
+                F.lit(0.05).alias("l_discount"), F.lit(0.02).alias("l_tax"),
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            ),
+            "lineitem",
+        )
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        write_single(ev.withColumn("value", F.lit(42.0)), "events")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{base}/{t}.parquet")
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet')"
+            )
+        return base, con
+
+    @_pt.mark.parametrize("name", NAMES)
+    def test_query_oracle_parity_on_constant_columns(self, spark, const_tables, name):
+        from shifu_spark.queries import ORACLES, QUERIES
+        from tests.oracle import compare
+
+        base, con = const_tables
+        problems = compare(QUERIES[name](spark, base), con, ORACLES[name], name)
+        assert problems == [], problems
