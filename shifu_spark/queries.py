@@ -2553,7 +2553,15 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    sig = with_minhash_signature(stream).select("doc_id", "signature")
+    # NULL signature = NULL text (with_minhash_signature's no-shingles
+    # contract): absent from the dedup groups, like every other
+    # shingle-derived relation — a NULL groupBy key would otherwise
+    # collect all NULL docs into a phantom dedup cluster
+    sig = (
+        with_minhash_signature(stream)
+        .where(F.col("signature").isNotNull())
+        .select("doc_id", "signature")
+    )
     agg = sig.groupBy("signature").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
     )

@@ -262,16 +262,23 @@ def streaming_sequence_packing(src: DataFrame, budget: int = 512) -> DataFrame:
         total = state.get[0] if state.exists else 0
         frames = [p[["doc_id", "n_tokens"]] for p in pdfs]
         rows = pd.concat(frames).sort_values("doc_id")
-        n_tok = rows["n_tokens"].astype("int64")
+        # NULL n_tokens (an un-tokenizable NULL-text doc): consumes 0
+        # tokens at the running offset and emits NULL n_tokens/n_seqs —
+        # the batch twin's driver-proven contract; a bare astype(int64)
+        # was a job-killing crash on the NaN
+        n_raw = rows["n_tokens"]
+        miss = n_raw.isna()
+        n_tok = n_raw.fillna(0).astype("int64")
         tok_offset = n_tok.cumsum() - n_tok + total
         first_seq = tok_offset // budget
-        n_seqs = (tok_offset + n_tok - 1) // budget - first_seq + 1
+        n_seqs = ((tok_offset + n_tok - 1) // budget - first_seq + 1).astype("Int64")
+        n_seqs[miss] = pd.NA
         state.update((int(total + int(n_tok.sum())),))
         yield pd.DataFrame(
             {
                 "doc_id": rows["doc_id"],
                 "shard": int(key[0]),
-                "n_tokens": rows["n_tokens"],
+                "n_tokens": n_raw.astype("Int64"),
                 "tok_offset": tok_offset,
                 "first_seq": first_seq,
                 "n_seqs": n_seqs,

@@ -1349,10 +1349,18 @@ class TestDirtyCorpus:
         "dedup_groups_distributed", "hll_by_source",
         "bpe_fertility_by_source", "bigram_logprob_quality",
         "fuzzy_vocab_pairs", "compaction_bin_packing",
+        # streaming twins over the same corpus (need the file-shaped
+        # documents.parquet the stream readers glob for)
+        "streaming_minhash_dedup", "streaming_source_mixture",
+        "streaming_decontamination", "streaming_sequence_packing",
     ]
 
     @_pt.fixture(scope="class")
     def dirty_corpus(self, spark, tmp_path_factory):
+        import glob
+        import os
+        import shutil
+
         import duckdb
 
         base = str(tmp_path_factory.mktemp("dirty_corpus"))
@@ -1363,11 +1371,19 @@ class TestDirtyCorpus:
             ],
             "doc_id long, text string, lang string, source string, n_chars long",
         )
-        docs.coalesce(1).write.parquet(f"{base}/documents.parquet")
+        # single FILE named documents.parquet (the driver testdata shape:
+        # the streaming twins glob for it at file level)
+        tmp = f"{base}/_d"
+        docs.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{base}/documents.parquet")
+        shutil.rmtree(tmp)
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{base}/{t}.parquet")
         con = duckdb.connect()
         con.sql(
             "CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{base}/documents.parquet/*.parquet')"
+            f"read_parquet('{base}/documents.parquet')"
         )
         return base, con
 
