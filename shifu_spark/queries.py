@@ -57,6 +57,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with the PRIMARY-KEY ingest contract: doc_id is
+    the corpus key, and a NULL-id row is relationally unaddressable —
+    two id-less docs cannot be told apart by any id-keyed join, window
+    or dedup group, so no oracle (or downstream consumer) can re-key
+    them. Excluded at the scan on both engines (the documents analogue
+    of _emb's vector validation; `_guard_documents_oracles` mirrors)."""
+    return _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+
+
 def _materialize_release(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
     """Materialize ``out`` on the executors (localCheckpoint, eager) so the
     upstream ``caches`` can be unpersisted, WITHOUT collecting to the
@@ -727,7 +737,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5 digest; canonical = min doc_id per group."""
     from shifu_spark.operators.dedup import exact_dedup_df
 
-    return exact_dedup_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return exact_dedup_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 ORACLES["exact_dedup"] = """
@@ -743,7 +753,7 @@ def shingleset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates exact-text dedup misses."""
     from shifu_spark.operators.dedup import shingleset_dedup_df
 
-    return shingleset_dedup_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return shingleset_dedup_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 ORACLES["shingleset_dedup"] = """
@@ -769,7 +779,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     caches: list[DataFrame] = []
     out = ngram_jaccard_pairs_df(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, cache_out=caches
+        _docs(spark, sf_dir), n=3, threshold=0.5, cache_out=caches
     ).orderBy("doc_a", "doc_b")
     return _materialize_release(out, caches)
 
@@ -802,7 +812,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     caches: list[DataFrame] = []
     out = minhash_lsh_pairs_df(
-        _t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4, threshold=0.5,
+        _docs(spark, sf_dir), n=3, num_hashes=8, bands=4, threshold=0.5,
         cache_out=caches,
     ).orderBy("doc_a", "doc_b")
     return _materialize_release(out, caches)
@@ -854,7 +864,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from shifu_spark.operators.dedup import simhash_candidate_pairs_df, simhash_df
 
-    sim = simhash_df(_t(spark, sf_dir, "documents"))
+    sim = simhash_df(_docs(spark, sf_dir))
     return simhash_candidate_pairs_df(sim, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
@@ -867,7 +877,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token counts, vocabulary diversity, quality score, lang-id."""
     from shifu_spark.operators.text import text_stats_df
 
-    return text_stats_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return text_stats_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 ORACLES["text_stats"] = """
@@ -904,7 +914,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content digest + 5-token-prefix blocking digest per doc."""
     from shifu_spark.operators.text import fingerprint_df
 
-    return fingerprint_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return fingerprint_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 ORACLES["doc_fingerprint"] = """
@@ -919,7 +929,7 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source — whitespace + BPE-ish pieces."""
     from shifu_spark.operators.text import bpe_piece_count_expr, token_count_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select("source", token_count_expr("text").alias("nt"), bpe_piece_count_expr("text").alias("np"))
         .groupBy("source")
@@ -2552,6 +2562,8 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        # the _docs PRIMARY-KEY ingest contract, stream side
+        .where(F.col("doc_id").isNotNull())
     )
     # NULL signature = NULL text (with_minhash_signature's no-shingles
     # contract): absent from the dedup groups, like every other
@@ -2734,7 +2746,7 @@ def chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication lives."""
     from shifu_spark.operators.dedup import chunk_dup_fraction_df
 
-    return chunk_dup_fraction_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return chunk_dup_fraction_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 ORACLES["chunk_dup_fraction"] = """
@@ -2770,7 +2782,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order can't diverge."""
     from shifu_spark.operators.text import unigram_logprob_exprs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     mean_lp, oov_rate = unigram_logprob_exprs("text")
     return docs.select(
         "doc_id",
@@ -4795,7 +4807,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the group structure is identical."""
     from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     caches: list[DataFrame] = []
     pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
         "doc_a", "doc_b"
@@ -4983,7 +4995,7 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond Shifu — BASELINE.json training-data ops)."""
     from shifu_spark.operators.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_audio_features(_synth_wav_payloads(docs)).orderBy("doc_id")
 
 
@@ -5030,7 +5042,7 @@ def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes from the byte arithmetic (decode proven, not faked)."""
     from shifu_spark.operators.multimodal import extract_ppm_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_ppm_features(_synth_ppm_payloads(docs)).orderBy("doc_id")
 
 
@@ -5081,7 +5093,7 @@ def image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     it out of the strict-stub set."""
     from shifu_spark.operators.multimodal import extract_png_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_png_features(_synth_png_payloads(docs)).orderBy("doc_id")
 
 
@@ -5150,7 +5162,7 @@ def image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all)."""
     from shifu_spark.operators.multimodal import extract_jpeg_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_jpeg_features(_synth_jpeg_payloads(docs)).orderBy("doc_id")
 
 
@@ -5212,7 +5224,7 @@ def video_y4m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpeg/h264 stub; y4m is the uncompressed interchange container)."""
     from shifu_spark.operators.multimodal import extract_video_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_video_features(_synth_y4m_payloads(docs), sample_every=2).orderBy("doc_id")
 
 
@@ -5290,7 +5302,7 @@ def audio_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference multimodal lane; reference has no media path)."""
     from shifu_spark.operators.multimodal import extract_compressed_audio_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_compressed_audio_features(_synth_mulaw_payloads(docs)).orderBy("doc_id")
 
 
@@ -5386,7 +5398,7 @@ def audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Second compressed audio codec (4:1)."""
     from shifu_spark.operators.multimodal import extract_compressed_audio_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_compressed_audio_features(_synth_adpcm_payloads(docs)).orderBy("doc_id")
 
 
@@ -5443,7 +5455,7 @@ def audio_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond-reference — the reference has no media path."""
     from shifu_spark.operators.multimodal import extract_flac_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_flac_features(_synth_flac_payloads(docs)).orderBy("doc_id")
 
 
@@ -5511,7 +5523,7 @@ def video_mjpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end; inter-frame codecs (h264) remain the honest stub."""
     from shifu_spark.operators.multimodal import extract_mjpeg_video_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_mjpeg_video_features(
         _synth_mjpeg_avi_payloads(docs), sample_every=2
     ).orderBy("doc_id")
@@ -5588,7 +5600,7 @@ def _bm25_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
     """Lazy BM25 plan + the caches it persists — split out so the plan
     shape stays inspectable (tests/test_plans.py) after the registry
     query started finalizing eagerly."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     tf_cols = [
         F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf_{i}")
@@ -5653,7 +5665,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.shingles_df (same tokenizer the dedup family proves)."""
     from shifu_spark.operators.dedup import shingles_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = shingles_df(docs, n=5)
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
@@ -5783,7 +5795,7 @@ def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_clf_score_expr,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # ONE projection over ONE corpus scan: every signal is an in-row
     # Column expression over the shared toks/grams arrays (the earlier
     # join-of-derived-frames form read the corpus five times and would
@@ -5900,7 +5912,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte on both engines."""
     from shifu_spark.operators.text import pii_redact_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     aug = docs.select("doc_id", F.expr(_PII_AUG_SPARK).alias("text"))
     return pii_redact_df(aug).orderBy("doc_id")
 
@@ -5933,7 +5945,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep flag is decided on the unrounded fraction on both engines."""
     from shifu_spark.operators.text import repetition_signals_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return repetition_signals_df(docs).orderBy("doc_id")
 
 
@@ -5977,7 +5989,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an unnest+groupBy). Signals + conjunctive keep flag per doc."""
     from shifu_spark.operators.text import gopher_quality_df
 
-    return gopher_quality_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return gopher_quality_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 @query(
@@ -6007,7 +6019,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is the identical double on both engines."""
     from shifu_spark.operators.text import quality_classifier_df
 
-    return quality_classifier_df(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return quality_classifier_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 _PACK_BUDGET, _PACK_SHARDS = 512, 16
@@ -6062,7 +6074,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SHARD COUNT with the corpus (shard ~ output file) so each
     window partition stays bounded — 16 here at test scale. No other
     shuffle: one scan + one window exchange on shard."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
     t = _packing_inputs(docs)
@@ -6414,7 +6426,7 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     are what make ablations comparable. One narrow scan + one
     per-source agg; no shuffle of kept rows needed to decide
     membership."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return _mixture_rollup(_mixture_flags(docs)).orderBy("source")
 
 
@@ -6467,6 +6479,8 @@ def streaming_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        # the _docs PRIMARY-KEY ingest contract, stream side
+        .where(F.col("doc_id").isNotNull())
     )
     agg = _mixture_rollup(_mixture_flags(stream))
     sink = _run_stream_to_sink(spark, agg, "smix", output_mode="complete")
@@ -6498,6 +6512,8 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        # the _docs PRIMARY-KEY ingest contract, stream side
+        .where(F.col("doc_id").isNotNull())
     )
     tsh = shingles_df(stream.filter(F.col("doc_id") % 50 != 0), n=5)
     agg = (
@@ -6539,6 +6555,8 @@ def streaming_sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        # the _docs PRIMARY-KEY ingest contract, stream side
+        .where(F.col("doc_id").isNotNull())
     )
     packed = streaming_sequence_packing(_packing_inputs(stream), budget=_PACK_BUDGET)
     sink = _run_stream_to_files(spark, packed, "spack")
@@ -6635,7 +6653,7 @@ def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     schema = ("doc_id long, n_records int, uri string, host string, "
               "response_bytes long, meta_lang string")
     return _synth_warc_payloads(docs).mapInPandas(run, schema).orderBy("doc_id")
@@ -6656,7 +6674,7 @@ def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
     from shifu_spark.operators.text import quality_classifier_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     caches: list[DataFrame] = []
     pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
         "doc_a", "doc_b"
@@ -6783,7 +6801,7 @@ def video_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal_streaming.py::TestGifCodec)."""
     from shifu_spark.operators.multimodal import extract_gif_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_gif_features(_synth_gif_payloads(docs), sample_every=2).orderBy("doc_id")
 
 
@@ -6852,7 +6870,7 @@ def wds_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["cls"].append(parts["cls"].decode())
             yield pd.DataFrame(out)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     schema = "doc_id long, sample_key string, n_parts int, txt_bytes long, cls string"
     return (
         _synth_wds_payloads(docs)
@@ -7037,7 +7055,7 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_clf_score_expr,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     base = docs.select("doc_id", "source", "text")
 
     # the three per-doc text signals fold into ONE projection over one
@@ -7246,7 +7264,7 @@ def corpus_curation_funnel_staged(
         repetition_signals_df,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
     out: dict[str, DataFrame] = {"0_total": docs.select("doc_id")}
 
     s1 = docs.filter(F.col("doc_id") % 50 != 0)
@@ -7388,7 +7406,7 @@ def lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     English-only)."""
     from shifu_spark.operators.text import lang_mixture_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     aug = docs.select(
         "doc_id", F.concat(F.col("text"), F.expr(_LM_CASE_SQL)).alias("text")
     )
@@ -7537,7 +7555,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a given max_len costs). Exact integer CASE bucketing (no
     transcendental log2 — engine-portable); one narrow scan + one
     catalog-sized groupBy."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     n = F.size(F.split(F.col("text"), " "))
     bucket = (
         F.when(n < 16, 0).when(n < 32, 1).when(n < 64, 2).when(n < 128, 3)
@@ -7643,7 +7661,7 @@ def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from shifu_spark.operators.text import quality_clf_score_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     d = docs.select("source", F.split(F.col("text"), " ").alias("toks"))
     per = d.select("source", F.round(quality_clf_score_expr(), 6).alias("s6"))
     agg = per.groupBy("source").agg(
@@ -7775,7 +7793,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     at equal rank, EOW handling — are cross-checked end to end."""
     from shifu_spark.operators.bpe import bpe_encode_df, bpe_pinned_merges
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     enc = bpe_encode_df(docs, bpe_pinned_merges())
     return enc.select(
         "doc_id",
@@ -8177,7 +8195,7 @@ def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 chunk digest proves every chunk's text byte-for-byte."""
     from shifu_spark.operators.text import chunk_spans_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return chunk_spans_df(
         docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
     ).orderBy("doc_id", "chunk_id")
@@ -8470,7 +8488,7 @@ def dedup_groups_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the two regimes are output-identical by contract)."""
     from shifu_spark.operators.dedup import dedup_groups_df, minhash_lsh_pairs_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     caches: list[DataFrame] = []
     pairs = minhash_lsh_pairs_df(docs, 3, threshold=0.5, cache_out=caches).select(
         "doc_a", "doc_b"
@@ -8682,7 +8700,7 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_rho_sql,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # NULL text inserts nothing into the sketch (count_distinct ignores
     # NULL on both engines; an md5(NULL) register row would inflate
     # n_registers_hit and skew the estimate one-sidedly)
@@ -8859,7 +8877,7 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is a single deterministic division."""
     from shifu_spark.operators.bpe import bpe_encode_df, bpe_pinned_merges
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     enc = bpe_encode_df(docs, bpe_pinned_merges()).join(
         docs.select("doc_id", "source"), "doc_id"
     )
@@ -8982,7 +9000,7 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform over an index sequence — no explode, no shuffle."""
     from shifu_spark.operators.text import bigram_logprob_exprs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     mean_lp, backoff_rate = bigram_logprob_exprs("text")
     return docs.select(
         "doc_id",
@@ -10290,7 +10308,7 @@ def fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-blocked is exactly the recall contract under test."""
     from shifu_spark.operators.dedup import edit_distance_pairs_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     first = F.split(F.col("text"), " ").getItem(0)
     # try_mod: a zero-length first token (empty/whitespace-only doc)
     # cannot host a deletion typo — NULL position, NULL typo, filtered
@@ -10887,7 +10905,7 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gain-chart bucket windows).  Pure integer arithmetic end to
     end; `//` on non-negative prefix sums equals `div`."""
     TARGET = 131_072
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     files = (
         docs.groupBy("source", F.expr("doc_id div 50").alias("file_id"))
         .agg(F.sum("n_chars").alias("bytes"))
@@ -11669,6 +11687,42 @@ def _guard_embedding_oracles() -> None:
 
 
 _guard_embedding_oracles()
+
+
+def _guard_documents_oracles() -> None:
+    """Mirror the `_docs` PRIMARY-KEY ingest contract in every oracle:
+    rewrite each `FROM/JOIN documents` to the NULL-id-excluded
+    population. A NULL doc_id is relationally unaddressable (no
+    id-keyed join/window/group can re-key two id-less rows), so both
+    engines score the same corpus."""
+    import re as _re
+
+    sub = "(SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+    pat = _re.compile(r"\b(FROM|JOIN)\s+documents\b")
+    for name, sql in list(ORACLES.items()):
+        if "documents" in sql:
+            ORACLES[name] = pat.sub(lambda m: f"{m.group(1)} {sub}", sql)
+
+
+_guard_documents_oracles()
+
+
+def _guard_documents_oracles() -> None:
+    """Mirror the `_docs` PRIMARY-KEY ingest contract in every oracle:
+    rewrite each `FROM/JOIN documents` to the NULL-id-excluded
+    population. A NULL doc_id is relationally unaddressable (no
+    id-keyed join/window/group can re-key two id-less rows), so both
+    engines score the same corpus."""
+    import re as _re
+
+    sub = "(SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+    pat = _re.compile(r"\b(FROM|JOIN)\s+documents\b")
+    for name, sql in list(ORACLES.items()):
+        if "documents" in sql:
+            ORACLES[name] = pat.sub(lambda m: f"{m.group(1)} {sub}", sql)
+
+
+_guard_documents_oracles()
 
 
 # ---------------------------------------------------------------------------

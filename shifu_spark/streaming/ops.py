@@ -274,10 +274,14 @@ def streaming_sequence_packing(src: DataFrame, budget: int = 512) -> DataFrame:
         n_seqs = ((tok_offset + n_tok - 1) // budget - first_seq + 1).astype("Int64")
         n_seqs[miss] = pd.NA
         state.update((int(total + int(n_tok.sum())),))
+        # a NULL doc_id hashes to the NULL shard — its own packing group
+        # with its own running offset (the batch twin's driver-proven
+        # contract); int(key[0]) on that group key was a NaN crash
+        shard_val = None if pd.isna(key[0]) else int(key[0])
         yield pd.DataFrame(
             {
-                "doc_id": rows["doc_id"],
-                "shard": int(key[0]),
+                "doc_id": rows["doc_id"].astype("Int64"),
+                "shard": pd.Series([shard_val] * len(rows), dtype="Int32"),
                 "n_tokens": n_raw.astype("Int64"),
                 "tok_offset": tok_offset,
                 "first_seq": first_seq,

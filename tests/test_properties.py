@@ -1330,6 +1330,7 @@ class TestDirtyCorpus:
         (10, "a\x01b c\x01d", "en", "src0"),        # control char = shingle join sep
         (11, "tab\there\nnewline", "en", "src1"),   # non-space whitespace
         (12, ("dup " * 50).strip(), "en", "src0"),  # heavy repetition
+        (None, "null id doc the a of", "en", "src0"),  # NULL PRIMARY KEY (excluded by _docs)
     ]
 
     # every documents-only registry query that actually reads the text
