@@ -105,6 +105,8 @@ HEADLINE_STAGES = {
     # complete the multimodal family in the bench (wav/ppm were driver-
     # proven in r03 but never benched)
     "audio_wav_features": "multimodal",
+    "audio_corrupt_skip": "multimodal",
+    "warc_corrupt_recovery": "multimodal",
     "image_ppm_features": "multimodal",
     "chunk_dup_fraction": "dedup",
     "unigram_logprob_quality": "text",

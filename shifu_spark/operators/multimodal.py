@@ -119,37 +119,102 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(dim)]
 
 
+#: Decode-bomb guards (the public PIL ``Image.MAX_IMAGE_PIXELS``
+#: pattern): a corrupt or hostile header can declare dimensions whose
+#: decode output dwarfs the payload (PNG's DEFLATE inflates ~1000x, GIF
+#: LZW is O(codes^2), a 10-byte FLAC CONSTANT subframe expands to 65535
+#: samples, JPEG allocates full planes from the SOF dims) — and numpy
+#: zero-pages lazily, so the failure is the Linux OOM KILLER, not a
+#: catchable MemoryError: ``on_error='skip'`` cannot quarantine a dead
+#: executor. The caps are checked at header-parse / accumulation time,
+#: so a bomb costs a cheap ValueError instead. Module-level and
+#: mutable: raise them deliberately for a corpus that really carries
+#: >134MP stills or >2^26-sample clips per row.
+MAX_DECODE_PIXELS = 1 << 27
+MAX_DECODE_SAMPLES = 1 << 26
+
+_ON_ERROR_VALUES = ("raise", "skip")
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in _ON_ERROR_VALUES:
+        raise ValueError(f"on_error must be one of {_ON_ERROR_VALUES}, got {on_error!r}")
+
+
+def _media_row_loop(schema, id_col: str, payload_col: str, on_error: str, feature_fn):
+    """Build the mapInPandas ``run`` shared by every media extractor:
+    ``feature_fn(doc_id, payload) -> dict`` per row, with the
+    corrupt-payload policy applied.
+
+    ``on_error='raise'`` (default everywhere) keeps the historical
+    contract: the first undecodable payload fails the stage.
+    ``on_error='skip'`` quarantines the ROW — at 100 TB a corrupt blob
+    is a certainty, and one bad member must not kill an hours-deep job.
+    The skip path deliberately catches ``Exception``: a from-scratch
+    parser fed arbitrary bytes can fail anywhere (ValueError, KeyError,
+    struct/zlib/wave errors, numpy shape errors, TypeError on a NULL
+    payload); the policy quarantines the row, it does not classify the
+    failure. Callers wanting a corrupt-count can anti-join inputs
+    against outputs on ``doc_id``."""
+    names = schema.fieldNames()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in names}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    row = feature_fn(doc_id, payload)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for k in names:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return run
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     decode: str = "deterministic_fake",
     feature_dim: int = 8,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     ``decode='strict'`` raises NotImplementedError (no codec libs in this
     container); ``'deterministic_fake'`` exercises the identical plan
-    with a content-addressed stand-in feature.
+    with a content-addressed stand-in feature. The strict stub raises
+    per BATCH, outside the ``on_error`` row policy — a missing codec is
+    a configuration error, not data corruption, and must never be
+    silently skipped into an empty result.
     """
     if decode not in ("deterministic_fake", "strict"):
         raise ValueError(decode)
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = _media_row_loop(
+            IMAGE_FEATURES_SCHEMA, id_col, payload_col, on_error, feats
+        )
         for pdf in batches:
             if decode == "strict":
                 raise NotImplementedError(
                     "generic image decode (beyond the real PNG/PPM/JPEG codecs in this module) requires PIL — not in this container"
                 )
-            feats = [_fake_decode_features(b, feature_dim) for b in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "sha256": [hashlib.sha256(b).hexdigest() for b in pdf[payload_col]],
-                    "n_bytes": [len(b) for b in pdf[payload_col]],
-                    "feature": feats,
-                }
-            )
+            yield from inner(iter([pdf]))
+
+    def feats(doc_id, payload):
+        b = bytes(payload)
+        return {
+            "doc_id": doc_id,
+            "sha256": hashlib.sha256(b).hexdigest(),
+            "n_bytes": len(b),
+            "feature": _fake_decode_features(b, feature_dim),
+        }
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
@@ -224,7 +289,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def extract_audio_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL audio decode + feature extraction.
 
@@ -232,32 +298,32 @@ def extract_audio_features(
     sum-of-squares) so they fold deterministically regardless of
     partitioning; rms is rounded to 6 decimals from the exact int sum.
     """
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                flat, rate, nch = decode_wav(bytes(payload))
-                # decode_wav returns the channel-INTERLEAVED flat array:
-                # frame-count features must divide by nch (a stereo clip
-                # previously reported 2x its duration) and zero
-                # crossings run over channel 0 (interleaved sign flips
-                # cross channel boundaries) — the same channel-0
-                # convention as the FLAC extractor
-                x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
-                n = len(x)
-                sumsq = int((x * x).sum())
-                out["doc_id"].append(doc_id)
-                out["codec"].append("wav")
-                out["sample_rate"].append(rate)
-                out["n_channels"].append(nch)
-                out["n_samples"].append(n)
-                out["duration_ms"].append(n * 1000 // rate)
-                out["peak"].append(int(np.abs(x).max()) if n else 0)
-                out["rms"].append(round(float(np.sqrt(sumsq / n)), 6) if n else 0.0)
-                out["zero_crossings"].append(int(np.count_nonzero(x[:-1] * x[1:] < 0)))
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        flat, rate, nch = decode_wav(bytes(payload))
+        # decode_wav returns the channel-INTERLEAVED flat array:
+        # frame-count features must divide by nch (a stereo clip
+        # previously reported 2x its duration) and zero
+        # crossings run over channel 0 (interleaved sign flips
+        # cross channel boundaries) — the same channel-0
+        # convention as the FLAC extractor
+        x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
+        n = len(x)
+        sumsq = int((x * x).sum())
+        return {
+            "doc_id": doc_id,
+            "codec": "wav",
+            "sample_rate": rate,
+            "n_channels": nch,
+            "n_samples": n,
+            "duration_ms": n * 1000 // rate,
+            "peak": int(np.abs(x).max()) if n else 0,
+            "rms": round(float(np.sqrt(sumsq / n)), 6) if n else 0.0,
+            "zero_crossings": int(np.count_nonzero(x[:-1] * x[1:] < 0)),
+        }
 
+    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
@@ -298,34 +364,41 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def extract_ppm_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    downsample_k: int | None = None,
+    downsample_k: int | None = None, on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL image decode (P6 PPM) + per-channel stats.
 
     ``downsample_k`` applies the :func:`box_downsample` resize kernel
     after decode, so the stats describe the resized image — the
     decode→resize→featurize chain of an image-preprocessing pipeline."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_ppm(bytes(payload))
-                if downsample_k:
-                    img = box_downsample(img, downsample_k)
-                img = img.astype(np.int64)
-                h, w, _ = img.shape
-                npx = h * w
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(npx)
-                out["byte_sum"].append(int(img.sum()))
-                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
-                    out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        img = decode_ppm(bytes(payload))
+        if downsample_k:
+            img = box_downsample(img, downsample_k)
+        return _rgb_stats_row(doc_id, img.astype(np.int64), alpha=False)
 
+    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
+def _rgb_stats_row(doc_id, img: np.ndarray, alpha: bool) -> dict:
+    """The shared (width, height, n_pixels, byte_sum, mean_r/g/b) row of
+    the still-image extractors; ``alpha=True`` sums only the first 3
+    channels into byte_sum (the PNG RGBA contract)."""
+    h, w, _ = img.shape
+    npx = h * w
+    row = {
+        "doc_id": doc_id,
+        "width": w,
+        "height": h,
+        "n_pixels": npx,
+        "byte_sum": int(img[:, :, :3].sum()) if alpha else int(img.sum()),
+    }
+    for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        row[name] = round(int(img[:, :, ch].sum()) / npx, 6)
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -430,10 +503,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError("only 8-bit truecolor non-interlaced PNG supported")
     c = 3 if colortype == 2 else 4
     bpp = c
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"PNG {w}x{h} exceeds MAX_DECODE_PIXELS")
     stride = w * c + 1
-    if len(raw) != h * stride:
+    # bounded inflate: never produce more than the IHDR-implied bytes
+    # (+1 to detect overrun), whatever the IDAT stream claims
+    d = zlib.decompressobj()
+    raw_b = d.decompress(bytes(idat), h * stride + 1)
+    if len(raw_b) != h * stride or d.unconsumed_tail or not d.eof:
         raise ValueError("scanline data size mismatch")
+    raw = np.frombuffer(raw_b, dtype=np.uint8)
     rows = raw.reshape(h, stride)
     out = np.zeros((h, w * c), dtype=np.int64)
     zero = np.zeros(w * c, dtype=np.int64)
@@ -477,28 +556,19 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def extract_png_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL PNG decode + per-channel stats (same feature
     contract as :func:`extract_ppm_features`; alpha ignored for the
     channel means so RGB and RGBA payloads report comparably)."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_png(bytes(payload)).astype(np.int64)
-                h, w, _ = img.shape
-                npx = h * w
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(npx)
-                out["byte_sum"].append(int(img[:, :, :3].sum()))
-                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
-                    out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        img = decode_png(bytes(payload)).astype(np.int64)
+        return _rgb_stats_row(doc_id, img, alpha=True)
 
+    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
 
 
@@ -590,6 +660,7 @@ def extract_video_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     sample_every: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL video decode (y4m) + frame-sampled stats.
 
@@ -597,26 +668,31 @@ def extract_video_features(
     video pipeline — at scale the sampled frames would fan out to the
     image featurizers); byte_sum/mean_y are computed over the SAMPLED
     frames' Y plane with exact integer sums."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in VIDEO_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames, _fps = decode_y4m(bytes(payload))
-                sampled = frames[::sample_every].astype(np.int64)
-                npx = sampled.shape[0] * sampled.shape[1] * sampled.shape[2]
-                ysum = int(sampled[:, :, :, 0].sum())
-                out["doc_id"].append(doc_id)
-                out["codec"].append("y4m")
-                out["width"].append(frames.shape[2])
-                out["height"].append(frames.shape[1])
-                out["n_frames"].append(frames.shape[0])
-                out["n_sampled"].append(sampled.shape[0])
-                out["byte_sum"].append(int(sampled.sum()))
-                out["mean_y"].append(round(ysum / npx, 6) if npx else 0.0)
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        frames, _fps = decode_y4m(bytes(payload))
+        return _frame_stats_row(doc_id, "y4m", frames, sample_every)
 
+    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+def _frame_stats_row(doc_id, codec: str, frames: np.ndarray, sample_every: int) -> dict:
+    """The shared frame-sampled stat row of the video extractors:
+    byte_sum over ALL sampled channels, mean_y over sampled channel 0."""
+    sampled = frames[::sample_every].astype(np.int64)
+    npx = sampled.shape[0] * sampled.shape[1] * sampled.shape[2]
+    return {
+        "doc_id": doc_id,
+        "codec": codec,
+        "width": frames.shape[2],
+        "height": frames.shape[1],
+        "n_frames": frames.shape[0],
+        "n_sampled": sampled.shape[0],
+        "byte_sum": int(sampled.sum()),
+        "mean_y": round(int(sampled[:, :, :, 0].sum()) / npx, 6) if npx else 0.0,
+    }
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000, payload_col: str = "payload") -> DataFrame:
@@ -1039,6 +1115,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if hw is None or entropy_start is None:
         raise ValueError("missing SOF0/SOS")
     h, w = hw
+    if h * w > MAX_DECODE_PIXELS:
+        raise ValueError(f"JPEG {w}x{h} exceeds MAX_DECODE_PIXELS")
 
     # entropy data runs to the next real marker (FF followed by non-00);
     # unstuff FF00 -> FF as we copy
@@ -1127,27 +1205,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def extract_jpeg_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL JPEG decode + per-channel stats (same feature
     contract as :func:`extract_ppm_features` / :func:`extract_png_features`)."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in PPM_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_jpeg(bytes(payload)).astype(np.int64)
-                hh, ww, _ = img.shape
-                npx = hh * ww
-                out["doc_id"].append(doc_id)
-                out["width"].append(ww)
-                out["height"].append(hh)
-                out["n_pixels"].append(npx)
-                out["byte_sum"].append(int(img.sum()))
-                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
-                    out[name].append(round(int(img[:, :, ch].sum()) / npx, 6))
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        img = decode_jpeg(bytes(payload)).astype(np.int64)
+        return _rgb_stats_row(doc_id, img, alpha=False)
 
+    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
 
 
@@ -1442,7 +1511,8 @@ def decode_wav_compressed(payload: bytes) -> tuple[np.ndarray, int, int, str]:
 
 
 def extract_compressed_audio_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL compressed-audio decode (mu-law / IMA ADPCM /
     PCM16 by format tag) + the same exact-integer feature family as
@@ -1453,29 +1523,35 @@ def extract_compressed_audio_features(
     sqrt of (exact int sum / exact count), bit-identical on both
     engines — a round(·, 6) here would CREATE 9-sig-digit formatting
     boundaries at the ~3e4 magnitudes these codecs produce."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                flat, rate, nch, codec = decode_wav_compressed(bytes(payload))
-                # channel-0 over the interleaved flat array (see
-                # extract_audio_features)
-                x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
-                n = len(x)
-                sumsq = int((x * x).sum())
-                out["doc_id"].append(doc_id)
-                out["codec"].append(codec)
-                out["sample_rate"].append(rate)
-                out["n_channels"].append(nch)
-                out["n_samples"].append(n)
-                out["duration_ms"].append(n * 1000 // rate)
-                out["peak"].append(int(np.abs(x).max()) if n else 0)
-                out["rms"].append(float(np.sqrt(sumsq / n)) if n else 0.0)
-                out["zero_crossings"].append(int(np.count_nonzero(x[:-1] * x[1:] < 0)))
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        flat, rate, nch, codec = decode_wav_compressed(bytes(payload))
+        # channel-0 over the interleaved flat array (see
+        # extract_audio_features)
+        x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
+        return _audio_stats_row(doc_id, codec, x, rate, nch)
 
+    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def _audio_stats_row(doc_id, codec: str, x: np.ndarray, rate: int, nch: int) -> dict:
+    """The shared channel-0 exact-integer stat row of the compressed
+    audio / FLAC extractors (rms UNROUNDED, see caller docstrings)."""
+    n = len(x)
+    sumsq = int((x * x).sum())
+    return {
+        "doc_id": doc_id,
+        "codec": codec,
+        "sample_rate": rate,
+        "n_channels": nch,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "peak": int(np.abs(x).max()) if n else 0,
+        "rms": float(np.sqrt(sumsq / n)) if n else 0.0,
+        "zero_crossings": int(np.count_nonzero(x[:-1] * x[1:] < 0)),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1610,29 +1686,19 @@ def extract_mjpeg_video_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     sample_every: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL compressed-video decode (AVI container walk +
     per-frame baseline-JPEG Huffman/IDCT) with the same frame-sampled
     stat family as :func:`extract_video_features`; mean_y here is the
     mean of decoded channel 0 over the sampled frames."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in VIDEO_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames, _fps = decode_avi_mjpeg(bytes(payload))
-                sampled = frames[::sample_every].astype(np.int64)
-                npx = sampled.shape[0] * sampled.shape[1] * sampled.shape[2]
-                out["doc_id"].append(doc_id)
-                out["codec"].append("mjpeg")
-                out["width"].append(frames.shape[2])
-                out["height"].append(frames.shape[1])
-                out["n_frames"].append(frames.shape[0])
-                out["n_sampled"].append(sampled.shape[0])
-                out["byte_sum"].append(int(sampled.sum()))
-                out["mean_y"].append(round(int(sampled[:, :, :, 0].sum()) / npx, 6) if npx else 0.0)
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        frames, _fps = decode_avi_mjpeg(bytes(payload))
+        return _frame_stats_row(doc_id, "mjpeg", frames, sample_every)
 
+    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
 
 
@@ -1808,10 +1874,13 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     if not packed & 0x80:
         raise NotImplementedError("GIF without global color table unsupported")
     k = 2 << (packed & 7)
+    if wdt * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"GIF {wdt}x{h} exceeds MAX_DECODE_PIXELS")
     i = 13
     palette = np.frombuffer(payload, np.uint8, k * 3, i).reshape(k, 3).copy()
     i += k * 3
     frames = []
+    total_px = 0
     while i < len(payload):
         b = payload[i]
         if b == 0x3B:  # trailer
@@ -1843,6 +1912,9 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         if fpacked & 0x40:
             raise NotImplementedError("interlaced GIF unsupported")
         mcs = payload[i + 10]
+        total_px += fw * fh
+        if total_px > MAX_DECODE_PIXELS:
+            raise ValueError("GIF animation exceeds MAX_DECODE_PIXELS total")
         i += 11
         start = i
         while payload[i]:
@@ -1858,29 +1930,19 @@ def extract_gif_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     sample_every: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL GIF decode (LZW + palette) with the same
     frame-sampled stat family as the other video codecs; pixels are
     palette-mapped to RGB before the stats."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in VIDEO_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames, palette = decode_gif(bytes(payload))
-                rgb = palette[frames]  # (n, h, w, 3) uint8
-                sampled = rgb[::sample_every].astype(np.int64)
-                npx = sampled.shape[0] * sampled.shape[1] * sampled.shape[2]
-                out["doc_id"].append(doc_id)
-                out["codec"].append("gif")
-                out["width"].append(frames.shape[2])
-                out["height"].append(frames.shape[1])
-                out["n_frames"].append(frames.shape[0])
-                out["n_sampled"].append(sampled.shape[0])
-                out["byte_sum"].append(int(sampled.sum()))
-                out["mean_y"].append(round(int(sampled[:, :, :, 0].sum()) / npx, 6) if npx else 0.0)
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        frames, palette = decode_gif(bytes(payload))
+        rgb = palette[frames]  # (n, h, w, 3) uint8
+        return _frame_stats_row(doc_id, "gif", rgb, sample_every)
 
+    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
 
 
@@ -2413,6 +2475,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
     md5_expect = streaminfo[18:34]
 
     chans: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    decoded = 0
     while pos < len(payload):
         frame_start = pos
         br = _FlacBitReader(payload, pos)
@@ -2450,6 +2513,11 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
         hdr_end = br.bytepos()
         if _flac_crc8(payload[frame_start:hdr_end]) != payload[hdr_end]:
             raise ValueError("FLAC frame header CRC-8 mismatch")
+        # decode-bomb guard: a ~10-byte CONSTANT-subframe frame expands
+        # to 65535 samples, so declared blocksizes must stay capped
+        decoded += bs
+        if decoded > MAX_DECODE_SAMPLES:
+            raise ValueError("FLAC stream exceeds MAX_DECODE_SAMPLES")
         br.bitpos = (hdr_end + 1) * 8
         if ch_code >= 0b1000:
             # left/side, right/side, mid/side: the side channel carries
@@ -2502,30 +2570,18 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def extract_flac_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched REAL FLAC decode + the exact-integer feature family
     of :func:`extract_compressed_audio_features` (rms deliberately
     UNROUNDED — one correctly-rounded IEEE sqrt, bit-identical on both
     engines). Stats are over channel 0."""
+    _check_on_error(on_error)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                xs, rate, nch = decode_flac(bytes(payload))
-                x = xs[:, 0]
-                n = len(x)
-                sumsq = int((x * x).sum())
-                out["doc_id"].append(doc_id)
-                out["codec"].append("flac")
-                out["sample_rate"].append(rate)
-                out["n_channels"].append(nch)
-                out["n_samples"].append(n)
-                out["duration_ms"].append(n * 1000 // rate)
-                out["peak"].append(int(np.abs(x).max()) if n else 0)
-                out["rms"].append(float(np.sqrt(sumsq / n)) if n else 0.0)
-                out["zero_crossings"].append(int(np.count_nonzero(x[:-1] * x[1:] < 0)))
-            yield pd.DataFrame(out)
+    def feats(doc_id, payload):
+        xs, rate, nch = decode_flac(bytes(payload))
+        return _audio_stats_row(doc_id, "flac", xs[:, 0], rate, nch)
 
+    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

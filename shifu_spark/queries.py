@@ -4999,6 +4999,52 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(_synth_wav_payloads(docs)).orderBy("doc_id")
 
 
+@query(
+    "audio_corrupt_skip",
+    """
+WITH d AS (SELECT doc_id, 160 + doc_id % 97 AS n FROM documents
+           WHERE doc_id % 7 NOT IN (0, 3, 5)),
+idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+s AS (SELECT doc_id, i, ((doc_id*31 + i*17) % 2003) - 1001 AS v FROM idx),
+sl AS (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+SELECT doc_id,
+  'wav' AS codec,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(max(abs(v)) AS INT) AS peak,
+  sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)) AS rms,
+  CAST(count(*) FILTER (WHERE pv * v < 0) AS BIGINT) AS zero_crossings
+FROM sl GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def audio_corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload QUARANTINE, driver-proven: the wav synth stream
+    with three deterministic damage classes injected as pure column ops
+    — doc_id%7==0 truncated mid-header, %7==3 magic smashed, %7==5 NULL
+    payload — then decoded with ``on_error='skip'``. The oracle is the
+    clean wav oracle over the UNDAMAGED population only, so the hash
+    proves BOTH sides of the policy: every corrupt row quarantined,
+    every healthy row's features bit-identical to the clean path. At
+    100 TB a corrupt blob is a certainty; this is the one-bad-member-
+    must-not-kill-the-job contract (dirty-binaries audit, round 10).
+
+    rms stays round-6 like audio_wav_features (same extractor)."""
+    from shifu_spark.operators.multimodal import extract_audio_features
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    damaged = _synth_wav_payloads(docs).withColumn(
+        "payload",
+        F.when(m == 0, F.expr("substring(payload, 1, 11)"))
+        .when(m == 3, F.concat(F.lit(b"XXXX"), F.expr("substring(payload, 5, 2147483647)")))
+        .when(m == 5, F.lit(None).cast("binary"))
+        .otherwise(F.col("payload")),
+    )
+    return extract_audio_features(damaged, on_error="skip").orderBy("doc_id")
+
+
 def _synth_ppm_payloads(docs: DataFrame) -> DataFrame:
     """payload(doc d) = P6 PPM, w=8+d%9, h=6+d%7,
     byte[j] = (d*13 + j*7) % 256 for j in row-major RGB order."""
@@ -6657,6 +6703,97 @@ def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ("doc_id long, n_records int, uri string, host string, "
               "response_bytes long, meta_lang string")
     return _synth_warc_payloads(docs).mapInPandas(run, schema).orderBy("doc_id")
+
+
+@query(
+    "warc_corrupt_recovery",
+    """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 2 END AS INT) AS n_records,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT) AS has_response,
+  CAST(CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END AS INT) AS has_meta,
+  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS BIGINT) END AS response_bytes,
+  CASE WHEN doc_id % 5 = 2 THEN NULL ELSE lang END AS meta_lang
+FROM documents ORDER BY doc_id
+""",
+)
+def warc_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC member-level corruption RECOVERY, driver-proven: per-doc
+    two-member archives with deterministic damage — doc_id%5==0 gets
+    its response member replaced by a junk gzip member (magic intact,
+    invalid deflate), %5==2 gets its metadata member truncated mid-
+    stream — parsed with ``parse_warc(on_error='skip')``, which drops
+    the corrupt member and RESYNCS at the next gzip magic. The oracle
+    predicts exactly which record survives each damage class, so the
+    hash proves the resync lands on the right member boundary and the
+    healthy record's fields are intact (dirty-binaries audit, round
+    10). This is the Common Crawl operational contract: one flipped
+    bit costs one record, never the shard."""
+    import gzip as _gzip
+
+    from shifu_spark.sources.warc import parse_warc, write_warc_record
+
+    _JUNK_MEMBER = b"\x1f\x8b\x08\x00" + b"\x00" * 16  # magic ok, deflate invalid
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                uri = f"http://{source}.example/doc/{int(d)}"
+                m_resp = _gzip.compress(
+                    write_warc_record("response", uri, str(text).encode(), None), mtime=0
+                )
+                m_meta = _gzip.compress(
+                    write_warc_record("metadata", uri, f"lang: {lang}\r\n".encode(), None),
+                    mtime=0,
+                )
+                if int(d) % 5 == 0:
+                    payloads.append(_JUNK_MEMBER + m_meta)
+                elif int(d) % 5 == 2:
+                    payloads.append(m_resp + m_meta[: len(m_meta) // 2])
+                else:
+                    payloads.append(m_resp + m_meta)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ("doc_id", "n_records", "has_response", "has_meta",
+                "response_bytes", "meta_lang")
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                recs = parse_warc(bytes(payload), on_error="skip")
+                resp = next(
+                    (r for r in recs if r["headers"]["WARC-Type"] == "response"), None
+                )
+                meta = next(
+                    (r for r in recs if r["headers"]["WARC-Type"] == "metadata"), None
+                )
+                out["doc_id"].append(d)
+                out["n_records"].append(len(recs))
+                out["has_response"].append(int(resp is not None))
+                out["has_meta"].append(int(meta is not None))
+                out["response_bytes"].append(len(resp["body"]) if resp else None)
+                out["meta_lang"].append(
+                    meta["body"].decode().partition(":")[2].strip() if meta else None
+                )
+            yield pd.DataFrame(out)
+
+    docs = _docs(spark, sf_dir)
+    schema = ("doc_id long, n_records int, has_response int, has_meta int, "
+              "response_bytes long, meta_lang string")
+    return (
+        _spread_doc_ids_cols(docs, ["doc_id", "text", "lang", "source"])
+        .mapInPandas(gen, "doc_id long, payload binary")
+        .mapInPandas(run, schema)
+        .orderBy("doc_id")
+    )
 
 
 @query("dedup_rep_by_quality", None)
@@ -11687,24 +11824,6 @@ def _guard_embedding_oracles() -> None:
 
 
 _guard_embedding_oracles()
-
-
-def _guard_documents_oracles() -> None:
-    """Mirror the `_docs` PRIMARY-KEY ingest contract in every oracle:
-    rewrite each `FROM/JOIN documents` to the NULL-id-excluded
-    population. A NULL doc_id is relationally unaddressable (no
-    id-keyed join/window/group can re-key two id-less rows), so both
-    engines score the same corpus."""
-    import re as _re
-
-    sub = "(SELECT * FROM documents WHERE doc_id IS NOT NULL)"
-    pat = _re.compile(r"\b(FROM|JOIN)\s+documents\b")
-    for name, sql in list(ORACLES.items()):
-        if "documents" in sql:
-            ORACLES[name] = pat.sub(lambda m: f"{m.group(1)} {sub}", sql)
-
-
-_guard_documents_oracles()
 
 
 def _guard_documents_oracles() -> None:

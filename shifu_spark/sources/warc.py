@@ -55,56 +55,93 @@ def encode_warc(
     return bytes(out)
 
 
-def _parse_records(raw: bytes) -> list[dict]:
-    """Parse concatenated uncompressed records via Content-Length."""
+def _parse_records(raw: bytes, prefix_recovery: bool = False) -> list[dict]:
+    """Parse concatenated uncompressed records via Content-Length.
+
+    ``prefix_recovery=True`` returns the records parsed BEFORE the first
+    framing error instead of raising — the plain (non-gzip) layout has
+    no member magic to resync on, so prefix recovery is all a corrupt
+    uncompressed WARC supports."""
     out = []
     i = 0
     while i < len(raw):
-        he = raw.find(_CRLF + _CRLF, i)
-        if he < 0:
-            raise ValueError("truncated WARC header block")
-        lines = raw[i:he].split(_CRLF)
-        if lines[0] != b"WARC/1.0":
-            raise ValueError(f"unsupported WARC version line {lines[0]!r}")
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(b":")
-            headers[k.decode().strip()] = v.decode().strip()
-        if "Content-Length" not in headers:
-            raise ValueError("record missing Content-Length")
-        n = int(headers["Content-Length"])
-        body = raw[he + 4 : he + 4 + n]
-        if len(body) != n:
-            raise ValueError("truncated WARC body")
+        try:
+            he = raw.find(_CRLF + _CRLF, i)
+            if he < 0:
+                raise ValueError("truncated WARC header block")
+            lines = raw[i:he].split(_CRLF)
+            if lines[0] != b"WARC/1.0":
+                raise ValueError(f"unsupported WARC version line {lines[0]!r}")
+            headers: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(b":")
+                headers[k.decode().strip()] = v.decode().strip()
+            if "Content-Length" not in headers:
+                raise ValueError("record missing Content-Length")
+            n = int(headers["Content-Length"])
+            if n < 0:
+                raise ValueError(f"negative Content-Length {n}")
+            body = raw[he + 4 : he + 4 + n]
+            if len(body) != n:
+                raise ValueError("truncated WARC body")
+            j = he + 4 + n
+            if raw[j : j + 4] != _CRLF + _CRLF:
+                raise ValueError("missing record separator")
+        except (ValueError, UnicodeDecodeError):
+            if prefix_recovery:
+                return out
+            raise
         out.append({"headers": headers, "body": body})
-        i = he + 4 + n
-        if raw[i : i + 4] != _CRLF + _CRLF:
-            raise ValueError("missing record separator")
-        i += 4
+        i = j + 4
     return out
 
 
-def parse_warc(payload: bytes) -> list[dict]:
+_GZIP_MAGIC3 = b"\x1f\x8b\x08"  # magic + deflate method byte
+
+
+def parse_warc(payload: bytes, on_error: str = "raise") -> list[dict]:
     """REAL WARC decode. Gzip files are walked MEMBER BY MEMBER (each
     inflated with its own decompressobj; ``unused_data`` marks the next
     member's offset) — one record per member, as crawl archives store
     them; plain files are split by Content-Length. Returns
-    [{"headers": {...}, "body": bytes}, ...]."""
+    [{"headers": {...}, "body": bytes}, ...].
+
+    ``on_error='raise'`` (default): the first corrupt member fails the
+    parse (contract: ValueError). ``on_error='skip'``: a corrupt gzip
+    member is DROPPED and the walk RESYNCS at the next gzip magic
+    (``1f 8b 08``) after the failed member's start — the recovery real
+    crawl-archive readers use, possible exactly because the
+    per-record-gzip layout keeps every healthy record independently
+    inflatable. A resync candidate that is itself garbage just fails
+    and re-resyncs, so the walk strictly advances and terminates. At
+    100 TB one flipped bit in one member must cost one record, not the
+    shard. Plain (uncompressed) files have no magic to resync on, so
+    'skip' degrades to prefix recovery (records before the corruption).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     if payload[:2] == b"\x1f\x8b":
         records = []
         rest = payload
         while rest:
             d = zlib.decompressobj(wbits=31)
             try:
-                raw = d.decompress(rest)
-            except zlib.error as e:  # corruption contract is ValueError
-                raise ValueError(f"corrupt gzip member: {e}") from e
-            if not d.eof:
-                raise ValueError("truncated gzip member")
-            member = _parse_records(raw)
-            if len(member) != 1:
-                raise ValueError(f"expected 1 record per gzip member, got {len(member)}")
+                try:
+                    raw = d.decompress(rest)
+                except zlib.error as e:  # corruption contract is ValueError
+                    raise ValueError(f"corrupt gzip member: {e}") from e
+                if not d.eof:
+                    raise ValueError("truncated gzip member")
+                member = _parse_records(raw)
+                if len(member) != 1:
+                    raise ValueError(f"expected 1 record per gzip member, got {len(member)}")
+            except ValueError:
+                if on_error != "skip":
+                    raise
+                nxt = rest.find(_GZIP_MAGIC3, 1)
+                rest = rest[nxt:] if nxt > 0 else b""
+                continue
             records.extend(member)
             rest = d.unused_data
         return records
-    return _parse_records(payload)
+    return _parse_records(payload, prefix_recovery=(on_error == "skip"))

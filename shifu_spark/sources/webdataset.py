@@ -38,23 +38,49 @@ def encode_wds_shard(samples: list[tuple[str, list[tuple[str, bytes]]]]) -> byte
     return buf.getvalue()
 
 
-def parse_wds_shard(payload: bytes) -> list[tuple[str, dict[str, bytes]]]:
+def parse_wds_shard(
+    payload: bytes, on_error: str = "raise"
+) -> list[tuple[str, dict[str, bytes]]]:
     """Read a shard back into [(key, {ext: payload})] in first-appearance
-    order, enforcing the contiguity contract."""
+    order, enforcing the contiguity contract.
+
+    ``on_error='raise'`` (default): any malformed member or torn tar
+    framing fails the parse. ``on_error='skip'``: a CONTRACT-violating
+    member (no extension, non-contiguous stray of an earlier key) is
+    dropped and the walk continues; torn tar FRAMING (truncated shard,
+    corrupt header block) ends the walk with the complete samples read
+    so far — tar has no member magic to resync on, so prefix recovery
+    is the honest contract, and it matches how a sequential shard
+    reader consumes webdataset tars at 100 TB (everything before the
+    tear streams fine)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     out: list[tuple[str, dict[str, bytes]]] = []
     seen: set[str] = set()
-    with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
-        for m in tf:
-            if not m.isfile():
-                continue
-            key, dot, ext = m.name.partition(".")
-            if not dot:
-                raise ValueError(f"member without extension: {m.name!r}")
-            if out and out[-1][0] == key:
-                out[-1][1][ext] = tf.extractfile(m).read()
-                continue
-            if key in seen:
-                raise ValueError(f"non-contiguous sample {key!r} (shard not streamable)")
-            seen.add(key)
-            out.append((key, {ext: tf.extractfile(m).read()}))
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                key, dot, ext = m.name.partition(".")
+                if not dot:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"member without extension: {m.name!r}")
+                if out and out[-1][0] == key:
+                    out[-1][1][ext] = tf.extractfile(m).read()
+                    continue
+                if key in seen:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"non-contiguous sample {key!r} (shard not streamable)")
+                seen.add(key)
+                out.append((key, {ext: tf.extractfile(m).read()}))
+    except Exception:
+        if on_error != "skip":
+            raise
+        # torn framing: the sample the tear landed in may be partial —
+        # drop it, keep the complete prefix
+        if out:
+            out.pop()
     return out

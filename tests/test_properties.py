@@ -1812,3 +1812,312 @@ class TestConstantColumns:
         base, con = const_tables
         problems = compare(QUERIES[name](spark, base), con, ORACLES[name], name)
         assert problems == [], problems
+
+
+class TestDirtyBinaries:
+    """r10 bug-class audit #7: DIRTY BINARY PAYLOADS — corrupt media
+    blobs, torn archives, NULL payloads. Before this round every media
+    extractor decoded per-row with NO catch: at 100 TB one flipped bit
+    in one blob killed the whole mapInPandas stage hours into a job.
+    The ``on_error='skip'`` quarantine policy (multimodal._media_row_loop,
+    warc.parse_warc resync, webdataset.parse_wds_shard prefix recovery)
+    closes the class; driver proofs: audio_corrupt_skip,
+    warc_corrupt_recovery."""
+
+    import pytest as _pt
+
+    @staticmethod
+    def _codec_table():
+        from shifu_spark.operators import multimodal as mm
+
+        img = ((np.arange(6 * 8 * 3) * 7) % 256).astype(np.uint8).reshape(6, 8, 3)
+        frames = ((np.arange(2 * 4 * 4 * 3) * 5) % 256).astype(np.uint8).reshape(2, 4, 4, 3)
+        gif_frames = ((np.arange(2 * 4 * 4)) % 16).astype(np.uint8).reshape(2, 4, 4)
+        palette = ((np.arange(16 * 3) * 3) % 256).astype(np.uint8).reshape(16, 3)
+        samples = ((np.arange(200) * 37) % 2003 - 1001).astype(np.int16)
+        jf = [mm.encode_jpeg(img), mm.encode_jpeg(img // 2 + 1)]
+        return {
+            "wav": (mm.encode_wav_pcm16(samples), mm.extract_audio_features),
+            "ppm": (mm.encode_ppm(img), mm.extract_ppm_features),
+            "png": (mm.encode_png(img), mm.extract_png_features),
+            "jpeg": (mm.encode_jpeg(img), mm.extract_jpeg_features),
+            "y4m": (mm.encode_y4m(frames), mm.extract_video_features),
+            "mjpeg": (mm.encode_avi_mjpeg(jf, 8, 6), mm.extract_mjpeg_video_features),
+            "gif": (mm.encode_gif(gif_frames, palette, min_code_size=4), mm.extract_gif_features),
+            "mulaw": (mm.encode_wav_mulaw(samples), mm.extract_compressed_audio_features),
+            "adpcm": (mm.encode_wav_ima_adpcm(samples), mm.extract_compressed_audio_features),
+            "flac": (mm.encode_flac(samples), mm.extract_flac_features),
+        }
+
+    @_pt.mark.parametrize("codec", [
+        "wav", "ppm", "png", "jpeg", "y4m", "mjpeg", "gif",
+        "mulaw", "adpcm", "flac",
+    ])
+    def test_skip_quarantines_exactly_the_corrupt_rows(self, spark, codec):
+        """Per codec: header-truncated, magic-flipped and NULL payloads
+        are quarantined under on_error='skip'; the pristine rows'
+        features are bit-identical to the clean (default) path; the
+        default path still raises on the first corrupt row."""
+        payload, extract = self._codec_table()[codec]
+        flipped = bytes([payload[0] ^ 0xFF]) + payload[1:]
+        rows = [
+            (1, payload),
+            (2, payload[:8]),   # torn shorter than any container header
+            (3, flipped),       # smashed magic
+            (4, None),          # NULL payload
+            (5, payload),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = sorted(
+            extract(df, on_error="skip").collect(), key=lambda r: r.doc_id
+        )
+        assert [r.doc_id for r in got] == [1, 5]
+        clean = sorted(
+            extract(
+                spark.createDataFrame([rows[0], rows[4]], "doc_id long, payload binary")
+            ).collect(),
+            key=lambda r: r.doc_id,
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in clean]
+        with self._pt.raises(Exception):
+            extract(df).collect()
+
+    def test_on_error_validated_eagerly(self):
+        from shifu_spark.operators.multimodal import extract_audio_features
+
+        with self._pt.raises(ValueError, match="on_error"):
+            extract_audio_features(None, on_error="ignore")
+
+    def test_strict_stub_not_skippable(self, spark):
+        """A missing codec is a CONFIGURATION error, not data corruption:
+        decode='strict' must raise even under on_error='skip' (silently
+        skipping every row would fake an empty-but-successful decode)."""
+        from shifu_spark.operators.multimodal import extract_image_features
+
+        df = spark.createDataFrame([(1, b"payload")], "doc_id long, payload binary")
+        with self._pt.raises(Exception, match="NotImplementedError|PIL"):
+            extract_image_features(df, decode="strict", on_error="skip").collect()
+
+    def test_seeded_mutation_fuzz_never_kills_the_stage(self, spark):
+        """60 seeded random mutations (truncations + byte flips) of wav
+        and png payloads in ONE batch with interleaved pristine controls:
+        the skip stage completes, survivors are a subset of the input
+        ids, every control id survives with clean-path features, and any
+        surviving mutant decoded to SOMETHING (schema-valid row)."""
+        import random
+
+        from shifu_spark.operators import multimodal as mm
+
+        rng = random.Random(0xD1E7)
+        tbl = self._codec_table()
+        rows, control_ids = [], set()
+        i = 0
+        for codec in ("wav", "png"):
+            payload, _ = tbl[codec]
+            for _ in range(30):
+                i += 1
+                b = bytearray(payload)
+                if rng.random() < 0.5:
+                    b = b[: rng.randrange(len(b))]
+                for _ in range(rng.randrange(1, 4)):
+                    if b:
+                        p = rng.randrange(len(b))
+                        b[p] ^= 1 << rng.randrange(8)
+                rows.append((i, bytes(b)))
+            i += 1
+            control_ids.add(i)
+            rows.append((i, payload))
+        for codec in ("wav", "png"):
+            payload, extract = tbl[codec]
+            df = spark.createDataFrame(rows, "doc_id long, payload binary")
+            got = {r.doc_id: r for r in extract(df, on_error="skip").collect()}
+            assert set(got) <= {r[0] for r in rows}
+            # the OTHER codec's control is a corrupt payload for this
+            # extractor; only this codec's own control must survive
+            own_control = max(
+                cid for cid in control_ids
+                if rows[cid - 1][1] == payload
+            )
+            assert own_control in got
+            clean = extract(
+                spark.createDataFrame(
+                    [(own_control, payload)], "doc_id long, payload binary"
+                )
+            ).collect()[0]
+            assert got[own_control].asDict() == clean.asDict()
+
+    # -- WARC member resync ------------------------------------------------
+
+    @staticmethod
+    def _warc_members():
+        import gzip
+
+        from shifu_spark.sources.warc import write_warc_record
+
+        g1 = gzip.compress(
+            write_warc_record("response", "http://h/1", b"hello body", None), mtime=0
+        )
+        g2 = gzip.compress(
+            write_warc_record("metadata", "http://h/1", b"lang: en\r\n", None), mtime=0
+        )
+        junk = b"\x1f\x8b\x08\x00" + b"\x00" * 16
+        return g1, g2, junk
+
+    def test_warc_skip_resyncs_at_next_member(self):
+        from shifu_spark.sources.warc import parse_warc
+
+        g1, g2, junk = self._warc_members()
+        types = lambda rs: [r["headers"]["WARC-Type"] for r in rs]  # noqa: E731
+        assert types(parse_warc(g1 + g2, on_error="skip")) == ["response", "metadata"]
+        assert types(parse_warc(junk + g2, on_error="skip")) == ["metadata"]
+        assert types(parse_warc(g1 + g2[: len(g2) // 2], on_error="skip")) == ["response"]
+        assert types(parse_warc(junk + g1 + junk + g2, on_error="skip")) == [
+            "response", "metadata",
+        ]
+        assert parse_warc(junk + junk, on_error="skip") == []
+        # the recovered record's payload is INTACT, not just typed right
+        rec = parse_warc(junk + g2, on_error="skip")[0]
+        assert rec["body"] == b"lang: en\r\n"
+
+    def test_warc_raise_contract_unchanged(self):
+        from shifu_spark.sources.warc import parse_warc
+
+        g1, g2, junk = self._warc_members()
+        for bad in (junk + g2, g1 + g2[: len(g2) // 2]):
+            with self._pt.raises(ValueError):
+                parse_warc(bad)
+        with self._pt.raises(ValueError, match="on_error"):
+            parse_warc(g1, on_error="ignore")
+
+    def test_warc_plain_prefix_recovery(self):
+        from shifu_spark.sources.warc import parse_warc, write_warc_record
+
+        r1 = write_warc_record("response", "http://h/1", b"ok", None)
+        r2 = write_warc_record("metadata", "http://h/1", b"m", None)
+        torn = r1 + r2[: len(r2) - 3]
+        assert [r["body"] for r in parse_warc(torn, on_error="skip")] == [b"ok"]
+        with self._pt.raises(ValueError):
+            parse_warc(torn)
+
+    # -- WebDataset shard recovery ----------------------------------------
+
+    def test_wds_skip_drops_contract_violations(self):
+        import io
+        import tarfile
+
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        shard = encode_wds_shard(
+            [("a", [("txt", b"x"), ("json", b"{}")]), ("b", [("txt", b"y")])]
+        )
+        # hand-build a shard with a no-extension member and a stray
+        # non-contiguous member of an earlier key
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in [
+                ("a.txt", b"x"), ("noext", b"?"), ("b.txt", b"y"), ("a.json", b"stray"),
+            ]:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        dirty = buf.getvalue()
+        assert parse_wds_shard(dirty, on_error="skip") == [
+            ("a", {"txt": b"x"}), ("b", {"txt": b"y"}),
+        ]
+        with self._pt.raises(ValueError):
+            parse_wds_shard(dirty)
+        # torn framing: complete prefix survives, partial sample dropped
+        out = parse_wds_shard(shard, on_error="skip")
+        assert out == [("a", {"txt": b"x", "json": b"{}"}), ("b", {"txt": b"y"})]
+        torn = parse_wds_shard(shard[:700], on_error="skip")
+        assert torn == out[: len(torn)]
+        with self._pt.raises(ValueError, match="on_error"):
+            parse_wds_shard(shard, on_error="ignore")
+
+    # -- decode bombs --------------------------------------------------------
+
+    def test_decode_bombs_rejected_cheaply(self, monkeypatch):
+        """A hostile header claiming huge output must die in a cheap
+        ValueError at parse time (quarantinable under on_error='skip'),
+        never in a giant allocation: numpy zero-pages lazily, so the
+        alternative is the Linux OOM killer — which no except clause
+        catches (MAX_DECODE_PIXELS / MAX_DECODE_SAMPLES guards)."""
+        import zlib
+
+        from shifu_spark.operators import multimodal as mm
+
+        big = (60000).to_bytes(4, "big")
+        ihdr = big + big + bytes([8, 2, 0, 0, 0])
+        png_bomb = (
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"x"))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        with self._pt.raises(ValueError, match="MAX_DECODE_PIXELS"):
+            mm.decode_png(png_bomb)
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        j = bytearray(mm.encode_jpeg(img))
+        k = j.index(b"\xff\xc0")
+        # SOF0 layout: marker(2) len(2) precision(1) height(2) width(2)
+        j[k + 5 : k + 9] = (60000).to_bytes(2, "big") * 2
+        with self._pt.raises(ValueError, match="MAX_DECODE_PIXELS"):
+            mm.decode_jpeg(bytes(j))
+
+        frames = np.zeros((1, 4, 4), np.uint8)
+        palette = np.zeros((16, 3), np.uint8)
+        g = bytearray(mm.encode_gif(frames, palette, min_code_size=4))
+        g[6:10] = (60000).to_bytes(2, "little") * 2
+        with self._pt.raises(ValueError, match="MAX_DECODE_PIXELS"):
+            mm.decode_gif(bytes(g))
+
+        samples = np.arange(200, dtype=np.int16)
+        flac = mm.encode_flac(samples)
+        assert mm.decode_flac(flac)[0].shape[0] == 200  # healthy under cap
+        monkeypatch.setattr(mm, "MAX_DECODE_SAMPLES", 100)
+        with self._pt.raises(ValueError, match="MAX_DECODE_SAMPLES"):
+            mm.decode_flac(flac)
+
+    def test_bomb_row_is_quarantined_not_fatal(self, spark):
+        """End-to-end: a bomb payload rides the skip path like any other
+        corrupt row — the stage completes and the healthy rows survive."""
+        import zlib
+
+        from shifu_spark.operators import multimodal as mm
+
+        img = ((np.arange(6 * 8 * 3) * 7) % 256).astype(np.uint8).reshape(6, 8, 3)
+        good = mm.encode_png(img)
+        big = (60000).to_bytes(4, "big")
+        ihdr = big + big + bytes([8, 2, 0, 0, 0])
+        bomb = (
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"x"))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        df = spark.createDataFrame(
+            [(1, good), (2, bomb), (3, good)], "doc_id long, payload binary"
+        )
+        got = mm.extract_png_features(df, on_error="skip").collect()
+        assert sorted(r.doc_id for r in got) == [1, 3]
+
+    def test_png_overlong_idat_bounded(self):
+        """An IDAT stream longer than the IHDR-implied scanlines is
+        rejected by the bounded inflate (never fully materialized)."""
+        import zlib
+
+        from shifu_spark.operators import multimodal as mm
+
+        img = np.zeros((2, 2, 3), np.uint8)
+        good = mm.encode_png(img)
+        # rebuild with the correct scanline bytes plus a huge tail
+        raw = b"\x00" * (2 * (2 * 3 + 1))
+        evil = (
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", good[16:29])
+            + mm._png_chunk(b"IDAT", zlib.compress(raw + b"\x00" * 10_000_000))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        with self._pt.raises(ValueError, match="scanline data size mismatch"):
+            mm.decode_png(evil)
