@@ -882,3 +882,45 @@ class TestExternalStreamTolerance:
         palette = np.zeros((2, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="min_code_size"):
             encode_gif(frames, palette, min_code_size=1)
+
+
+class TestStreamingCorruptQuarantine:
+    """The dirty-binaries skip policy must hold under Structured
+    Streaming too: the extractors are plain DataFrame transforms, so a
+    corrupt payload in a micro-batch quarantines the ROW — one bad blob
+    must not kill a long-running ingest stream."""
+
+    def test_corrupt_payload_does_not_kill_the_stream(self, spark, tmp_path):
+        import numpy as np
+        from shifu_spark.operators.multimodal import (
+            encode_wav_pcm16,
+            extract_audio_features,
+        )
+
+        wav = encode_wav_pcm16(((np.arange(300) * 13) % 997 - 498).astype(np.int16))
+        rows = [
+            (1, wav),
+            (2, wav[:11]),            # torn mid-header
+            (3, b"XXXX" + wav[4:]),   # smashed magic
+            (4, None),                # NULL payload
+            (5, wav),
+        ]
+        src = str(tmp_path / "media_src")
+        spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+
+        stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+        q = (
+            extract_audio_features(stream, on_error="skip")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("media_corrupt_quarantine_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = spark.sql(
+            "SELECT doc_id, n_samples FROM media_corrupt_quarantine_test ORDER BY doc_id"
+        ).collect()
+        assert [r["doc_id"] for r in got] == [1, 5]
+        assert all(r["n_samples"] == 300 for r in got)
