@@ -72,9 +72,16 @@ def scd2_intervals(
     = still current), plus an is_current flag.  One lead() window per
     key; ties on ts are ordered by the attribute columns so the history
     is deterministic under same-instant changes.
+
+    A NULL-ts change sorts FIRST (pinned explicitly — Spark's asc
+    default, but DuckDB/ANSI default NULLS LAST, so a mirrored oracle
+    must spell ``NULLS FIRST`` if NULL timestamps can reach the window;
+    the registry query can't produce one in a multi-row partition).
     """
     attrs = attr_cols or [c for c in changes.columns if c not in (key, ts_col)]
-    w = Window.partitionBy(key).orderBy(F.col(ts_col), *[F.col(a) for a in attrs])
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc_nulls_first(), *[F.col(a) for a in attrs]
+    )
     return changes.select(
         F.col(key),
         *[F.col(a) for a in attrs],

@@ -53,10 +53,18 @@ def asof_join(
     ``tie_cols`` (default: first payload column) makes the carried row
     deterministic when several right rows share one timestamp — the
     greatest (ts, tie) wins, matching ``max_by`` semantics.
+
+    A NULL-ts right row can never satisfy ``right_ts <= left_ts``
+    (three-valued UNKNOWN) and is excluded up front — before this
+    guard it sorted FIRST in the window (Spark NULLS-FIRST asc) and
+    was carried as a phantom match for left rows with no real
+    predecessor, diverging from a native ASOF join's predicate
+    semantics. A NULL-ts LEFT row matches nothing and keeps NULL
+    payload (it sorts before every surviving right row).
     """
     ties = tie_cols or right_payload[:1]
     payload = F.struct(*[F.col(c) for c in right_payload])
-    r = right.select(
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),

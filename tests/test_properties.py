@@ -1471,6 +1471,13 @@ class TestDirtyEvents:
             (13, D(1970, 1, 1, 0, 0), 16, "click", 1.0, '{"k": 10}'),   # epoch
             (14, D(2024, 1, 1, 2, 7), 15, "purchase", 4.0, '{"k": 11}'),
             (15, D(2024, 1, 1, 2, 8), 17, "click", float("nan"), '{"k": 12}'),  # all-invalid user
+            # user 18: a purchase whose ONLY candidate click is NULL-ts —
+            # the phantom-asof-match case (a NULL-ts right row sorted
+            # NULLS-FIRST into the carry window and "matched" where the
+            # right_ts <= left_ts predicate says UNKNOWN; asof_join now
+            # excludes NULL-ts right rows up front)
+            (16, None, 18, "click", 2.0, '{"k": 13}'),
+            (17, D(2024, 1, 1, 3, 0), 18, "purchase", 6.0, '{"k": 14}'),
         ]
         base = str(tmp_path_factory.mktemp("dirty_events"))
         ev = spark.createDataFrame(
