@@ -46,6 +46,13 @@ def _norm_cell(v):
         return ("int", v)
     if isinstance(v, Decimal):
         return ("decimal", str(v))
+    if isinstance(v, (list, tuple)):
+        # recurse so array cells get the same typed/9-sig-digit treatment
+        # as scalars — raw list equality would let an int-vs-double
+        # element class mismatch pass (0 == 0.0) and fp noise fail
+        return ("list", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _norm_cell(x)) for k, x in v.items())))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v

@@ -2128,3 +2128,75 @@ class TestDirtyBinaries:
         )
         with self._pt.raises(ValueError, match="scanline data size mismatch"):
             mm.decode_png(evil)
+
+
+class TestBinLookupTriDifferential:
+    """The bin lookup is the engine's most load-bearing primitive (WOE,
+    ONEHOT, HYBRID, *_INDEX, discrete zscore, streaming drift all sit on
+    it). Tri-differential: Spark bin_index_expr vs DuckDB bin_index_sql
+    vs an independent pure-python restatement of BinUtils.java:53-104
+    (#edges <= x - 1, clamped at 0; non-values to the missing slot) over
+    seeded adversarial boundary sets — duplicate edges, +-0.0 edges,
+    subnormals, 2^53-adjacent magnitudes, a -inf first edge — probed AT
+    every edge, one ulp either side, midpoints, and the non-value class."""
+
+    import pytest as _pt
+
+    BOUNDARY_SETS = [
+        [0.0],
+        [-1.5, 0.0, 1.5],
+        [0.0, 0.0, 1.0],                      # duplicate low edges
+        [-2.0, -1.0, -1.0, -1.0, 3.0],        # triple duplicate
+        [-0.0, 0.0],                          # signed-zero pair (equal)
+        [5e-324, 1e-308, 1.0],                # subnormal / min-normal
+        [float("-inf"), 0.25, 0.5, 1.0],      # streaming-drift shape
+        [-9007199254740993.0, 0.0, 9007199254740993.0],  # beyond 2^53
+        [1.0, 1.0000000000000002, 2.0],       # adjacent representables
+    ]
+
+    @staticmethod
+    def _probes(bs):
+        import math
+
+        out = set()
+        for b in bs:
+            if math.isfinite(b):
+                out.update([b, math.nextafter(b, -math.inf), math.nextafter(b, math.inf)])
+        fin = [b for b in bs if math.isfinite(b)]
+        for a, b in zip(fin, fin[1:]):
+            out.add((a + b) / 2.0)
+        out.update([-0.0, 0.0, -1e300, 1e300])
+        return sorted(out)
+
+    @staticmethod
+    def _ref(x, bs, missing):
+        import math
+
+        if x is None or math.isnan(x) or math.isinf(x):
+            return missing
+        return max(sum(1 for b in bs if x >= b) - 1, 0)
+
+    def test_spark_duckdb_python_agree(self, spark):
+        import duckdb
+
+        from shifu_spark.operators.binning import bin_index_expr, bin_index_sql
+
+        con = duckdb.connect()
+        for bs in self.BOUNDARY_SETS:
+            missing = len(bs)
+            probes = self._probes(bs) + [None, float("nan"), float("inf"), float("-inf")]
+            rows = [(i, x) for i, x in enumerate(probes)]
+            df = spark.createDataFrame(rows, "i long, x double")
+            got_spark = {
+                r["i"]: r["b"]
+                for r in df.select("i", bin_index_expr("x", bs).alias("b")).collect()
+            }
+            con.execute("CREATE OR REPLACE TABLE probes(i BIGINT, x DOUBLE)")
+            con.executemany("INSERT INTO probes VALUES (?, ?)", rows)
+            got_duck = dict(
+                con.sql(f"SELECT i, {bin_index_sql('x', bs)} FROM probes").fetchall()
+            )
+            for i, x in rows:
+                want = self._ref(x, bs, missing)
+                assert got_spark[i] == want, (bs, x, got_spark[i], want, "spark")
+                assert got_duck[i] == want, (bs, x, got_duck[i], want, "duckdb")

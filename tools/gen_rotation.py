@@ -2,11 +2,11 @@
 """Compute the next round's gate-window rotation from the driver's
 CORRECTNESS_r*.json artifacts (freshness standard, restated per VERDICT
 r8 item 2: every registry query's latest GREEN driver row must be at
-most FIVE rounds old — all 209 registry names, 199 oracle-backed plus
-10 rows-only, rotate through the same 50-slot window, so
-ceil(209/50) = 5 rounds is the arithmetic floor for a full re-proof
-cycle; new queries must enter the 50-slot window or they are never
-driver-proven).
+most FIVE rounds old — all registry names (211 as of r10: 201
+oracle-backed plus 10 rows-only; the tool reads the live registry)
+rotate through the same 50-slot window, so ceil(211/50) = 5 rounds is
+the arithmetic floor for a full re-proof cycle; new queries must enter
+the 50-slot window or they are never driver-proven).
 
 Usage: python tools/gen_rotation.py [--new name1,name2,...]
 
