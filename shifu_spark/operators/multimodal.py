@@ -1149,6 +1149,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         comps[ci]["ac"] = htabs[(1, act_id)]
         order.append(ci)
 
+    # decode-bomb guard, necessary-condition form: every 8x8 block costs
+    # at least 2 entropy bits (one DC + one AC/EOB Huffman symbol, each
+    # >= 1 bit), so a big-SOF/tiny-payload bomb dies HERE instead of
+    # growing the block lists until the bit reader exhausts (the
+    # MAX_DECODE_PIXELS cap above bounds the worst case; this bounds
+    # the common crafted case by the actual payload)
+    total_blocks = mcu_rows * mcu_cols * sum(c["h"] * c["v"] for c in comps)
+    if total_blocks * 2 > len(raw) * 8:
+        raise ValueError(
+            f"JPEG entropy stream too short for declared dimensions "
+            f"({total_blocks} blocks, {len(raw)} bytes)"
+        )
     per_comp_blocks: list[list[np.ndarray]] = [[] for _ in comps]
     reader = _BitReader(bytes(raw))
     pred = [0] * len(comps)

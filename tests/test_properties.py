@@ -2071,6 +2071,11 @@ class TestDirtyBinaries:
         j[k + 5 : k + 9] = (60000).to_bytes(2, "big") * 2
         with self._pt.raises(ValueError, match="MAX_DECODE_PIXELS"):
             mm.decode_jpeg(bytes(j))
+        # under the pixel cap but far beyond the payload's entropy bits:
+        # the >=2-bits-per-block necessary condition rejects it up front
+        j[k + 5 : k + 9] = (9000).to_bytes(2, "big") * 2
+        with self._pt.raises(ValueError, match="entropy stream too short"):
+            mm.decode_jpeg(bytes(j))
 
         frames = np.zeros((1, 4, 4), np.uint8)
         palette = np.zeros((16, 3), np.uint8)
