@@ -2205,3 +2205,61 @@ class TestBinLookupTriDifferential:
                 want = self._ref(x, bs, missing)
                 assert got_spark[i] == want, (bs, x, got_spark[i], want, "spark")
                 assert got_duck[i] == want, (bs, x, got_duck[i], want, "duckdb")
+
+
+class TestWarcResyncProperty:
+    """Property fuzz of the parse_warc(on_error='skip') recovery
+    contract over randomized archives and corruption: damaging ONE gzip
+    member loses AT MOST that member's record — never a neighbor, never
+    a fabricated record — and every survivor's body is byte-intact.
+
+    Bodies are compressible ASCII on purpose: DEFLATE then never emits
+    STORED blocks, so a valid gzip member can't ride verbatim inside
+    another member's compressed bytes and fool the magic-scan resync (a
+    limitation intrinsic to magic-scan recovery, shared by real
+    crawl-archive readers; the corruption queries' synth has the same
+    property)."""
+
+    @given(
+        st.integers(1, 6),
+        st.integers(0, 10**6),
+        st.sampled_from(["flip", "trunc", "junk"]),
+        st.integers(0, 10**6),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_one_damaged_member_costs_at_most_one_record(self, n, which, kind, pos):
+        import gzip
+
+        from shifu_spark.sources.warc import parse_warc, write_warc_record
+
+        bodies = [f"body-{i}-".encode() + b"a" * (7 + i * 13 % 50) for i in range(n)]
+        members = [
+            gzip.compress(
+                write_warc_record("response", f"http://h/{i}", b, None), mtime=0
+            )
+            for i, b in enumerate(bodies)
+        ]
+        bad = which % n
+        m = members[bad]
+        if kind == "flip":
+            # flip past the 10-byte header: mtime/XFL/OS are not
+            # CRC-protected, so a header flip can leave a VALID member
+            p = 10 + pos % (len(m) - 10)
+            m = m[:p] + bytes([m[p] ^ 0xFF]) + m[p + 1 :]
+        elif kind == "trunc":
+            m = m[: len(m) - 1 - pos % (len(m) // 2)]
+        else:
+            m = b"\x1f\x8b\x08\x00" + b"\x00" * 16
+        damaged = members[:bad] + [m] + members[bad + 1 :]
+        got = parse_warc(b"".join(damaged), on_error="skip")
+        got_bodies = [r["body"] for r in got]
+        expected_surviving = [b for i, b in enumerate(bodies) if i != bad]
+        # no fabricated records, no duplicate pickup
+        assert all(b in bodies for b in got_bodies)
+        assert len(got_bodies) == len(set(got_bodies))
+        # no collateral loss: every undamaged member's record survives intact
+        for b in expected_surviving:
+            assert b in got_bodies
+        # order of survivors preserved
+        surv_in_order = [b for b in bodies if b in got_bodies]
+        assert got_bodies == surv_in_order
