@@ -338,6 +338,56 @@ class TestStreamingSequencePacking:
         assert got == want
 
 
+    def test_state_restores_across_full_restart(self, spark, tmp_path):
+        """State-store RECOVERY, not just intra-run carry: the query is
+        run to completion on file 1 and STOPPED, file 2 arrives while
+        nothing is running, and a NEW query starts from the same
+        checkpoint — the second run must resume per-shard token offsets
+        from the recovered state store (a fresh-state restart would
+        restart every shard at offset 0 and break the batch equality)."""
+        from shifu_spark.queries import QUERIES, _packing_inputs, _PACK_BUDGET
+        from shifu_spark.streaming.ops import streaming_sequence_packing
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        docs.filter(F.col("doc_id") < 25).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(docs.schema).parquet(src)
+            )
+            q = (
+                streaming_sequence_packing(_packing_inputs(stream), budget=_PACK_BUDGET)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        run_once()  # processes file 1, checkpoints state, terminates
+        import time
+
+        time.sleep(1.1)  # file-source ordering is by modification time
+        docs.filter(F.col("doc_id") >= 25).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # NEW query instance: must recover state, process file 2
+
+        got = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"], r["first_seq"], r["n_seqs"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"], r["first_seq"], r["n_seqs"])
+            for r in QUERIES["sequence_packing"](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want
+
+
 class TestStreamingAsof:
     def test_asof_state_carries_across_micro_batches(self, spark, tmp_path):
         """Two event-time-ordered micro-batches: every purchase must get
