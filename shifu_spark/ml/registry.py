@@ -109,10 +109,12 @@ def export_pmml(path: str, out_dir: str | None = None, spark: SparkSession | Non
 
     Exports the inline-serialized members — SGD/LR weights as
     RegressionModel, NN bags as NeuralNetwork (PMML-expressible
-    activations only; PTANH/SWISH/LEAKY_RELU members are skipped with
-    their index reported via ValueError from ml/pmml) — and, when a
-    ``spark`` session is provided, saved MLlib tree ensembles as
-    TreeModel/MiningModel documents. Returns the written file paths.
+    activations only; a PTANH/SWISH/LEAKY_RELU member is SKIPPED with a
+    warning naming its index, and every remaining member still exports
+    — one inexpressible bag member must not abort the whole model set's
+    export) — and, when a ``spark`` session is provided, saved MLlib
+    tree ensembles as TreeModel/MiningModel documents. Returns the
+    written file paths.
     """
     from shifu_spark.ml.pmml import lr_to_pmml, nn_to_pmml
 
@@ -143,11 +145,17 @@ def export_pmml(path: str, out_dir: str | None = None, spark: SparkSession | Non
             fh.write(xml)
         written.append(p)
     for i, d in enumerate(manifest.get("nn_models") or []):
-        xml = nn_to_pmml(
-            feats, [int(x) for x in d["layers"]],
-            [float(x) for x in d["weights"]], list(d["activations"]),
-            model_name=f"nn_{i}",
-        )
+        try:
+            xml = nn_to_pmml(
+                feats, [int(x) for x in d["layers"]],
+                [float(x) for x in d["weights"]], list(d["activations"]),
+                model_name=f"nn_{i}",
+            )
+        except ValueError as e:
+            import warnings
+
+            warnings.warn(f"nn_{i} not PMML-expressible, skipped: {e}", stacklevel=2)
+            continue
         p = os.path.join(out_dir, f"nn_{i}.pmml")
         with open(p, "w") as fh:
             fh.write(xml)

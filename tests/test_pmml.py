@@ -108,6 +108,35 @@ class TestRegistryExport:
         assert lr_score == want
         assert 0.0 < score_pmml(open(written[1]).read(), {"f1": 1.0, "f2": 1.0}) < 1.0
 
+    def test_inexpressible_member_skipped_not_fatal(self, tmp_path):
+        """A PTANH bag member has no PMML activation: it must be skipped
+        with a warning while every OTHER member still exports — one
+        inexpressible member must not abort the model set's export."""
+        import warnings
+
+        from shifu_spark.ml.nn import NNResult
+        from shifu_spark.ml.registry import export_pmml, save_model_set
+
+        path = str(tmp_path / "mset")
+        ok = NNResult(
+            weights=[0.1] * ((2 + 1) * 2 + (2 + 1) * 1),
+            layers=[2, 2, 1],
+            activations=["TANH", "SIGMOID"],
+        )
+        bad = NNResult(
+            weights=[0.1] * ((2 + 1) * 2 + (2 + 1) * 1),
+            layers=[2, 2, 1],
+            activations=["PTANH", "SIGMOID"],
+        )
+        save_model_set(
+            path, [], feature_cols=["f1", "f2"], nn_results=[bad, ok],
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            written = export_pmml(path)
+        assert [p.split("/")[-1] for p in written] == ["nn_1.pmml"]
+        assert any("nn_0" in str(w.message) for w in caught)
+
 
 class TestTreePmml:
     @staticmethod
