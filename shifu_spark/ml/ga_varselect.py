@@ -55,6 +55,17 @@ def gram_matrix(df: DataFrame, feature_cols: list[str], label_col: str) -> tuple
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf[label_col].to_numpy(dtype=np.float64)
             z = np.column_stack([x, np.ones(len(y)), y])
+            if not np.isfinite(z).all():
+                # one NULL/NaN/Inf row would poison the WHOLE Gram and
+                # every candidate's fitness would rank on NaN — a silent
+                # wrong answer, not a crash. This operator deliberately
+                # consumes NORMALIZED data (the z-score step mean-imputes
+                # non-values upstream); fail loudly per SCALE.md
+                # principle 6 instead of skewing the selection.
+                raise ValueError(
+                    "non-finite feature/label value reached the Gram pass — "
+                    "normalize/mean-impute upstream of ga_varselect"
+                )
             acc += z.T @ z
             n += len(y)
         yield pd.DataFrame({"gram": [acc.ravel().tolist()], "n": [n]})

@@ -96,3 +96,20 @@ class TestGAVarselect:
         # non-increasing — the old disjunction was satisfied by ANY run
         # whose final error merely beat the initial one
         assert all(a >= b for a, b in zip(res.history, res.history[1:])), res.history
+
+
+class TestGramDirtyGuard:
+    def test_nonfinite_input_raises_loudly(self, spark):
+        """One NaN row must fail the Gram pass with a clear error — the
+        alternative is every candidate's fitness silently ranking on
+        NaN (SCALE.md principle 6: dirty rows may not SKEW a job)."""
+        import pytest
+
+        from shifu_spark.ml.ga_varselect import gram_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 1.0), (float("nan"), 0.5, 0.0), (0.5, 1.0, 1.0)],
+            "f1 double, f2 double, label double",
+        )
+        with pytest.raises(Exception, match="non-finite|normalize"):
+            gram_matrix(df, ["f1", "f2"], "label")
