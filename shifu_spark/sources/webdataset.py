@@ -48,15 +48,32 @@ def parse_wds_shard(
     framing fails the parse. ``on_error='skip'``: a CONTRACT-violating
     member (no extension, non-contiguous stray of an earlier key) is
     dropped and the walk continues; torn tar FRAMING (truncated shard,
-    corrupt header block) ends the walk with the complete samples read
-    so far — tar has no member magic to resync on, so prefix recovery
-    is the honest contract, and it matches how a sequential shard
-    reader consumes webdataset tars at 100 TB (everything before the
-    tear streams fine)."""
+    corrupt header block) ends the walk with the SEALED prefix — tar
+    has no member magic to resync on, so prefix recovery is the honest
+    contract, and it matches how a sequential shard reader consumes
+    webdataset tars at 100 TB (everything before the tear streams fine).
+
+    Sealing: a sample is *sealed* once a well-formed member header with
+    a DIFFERENT key has been parsed after it (its contiguous run is
+    provably over), or when the archive ends cleanly.  On a mid-walk
+    tear only unsealed samples are dropped — a tear in sample k+1's
+    first member no longer costs the fully-read sample k (it used to:
+    the old recovery popped the last sample unconditionally).  Two
+    asymmetries are intrinsic to tar framing and documented rather than
+    papered over: (a) the final pre-tear sample is dropped even when
+    its already-read parts were intact, because tar carries no
+    end-of-sample marker and the tear may have eaten its continuation;
+    (b) damage that MIMICS a clean end of archive (a zeroed header
+    block, a truncation landing exactly on a member boundary — stdlib
+    tarfile silently treats both as EOF) seals the walk, so the last
+    returned sample can be a parts-subset of the original.  Survivors
+    are always a byte-intact, order-preserving prefix with no
+    fabrication (property-fuzzed in tests/test_properties.py)."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     out: list[tuple[str, dict[str, bytes]]] = []
     seen: set[str] = set()
+    sealed = 0  # leading samples whose contiguous run is provably over
     try:
         with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
             for m in tf:
@@ -70,17 +87,22 @@ def parse_wds_shard(
                 if out and out[-1][0] == key:
                     out[-1][1][ext] = tf.extractfile(m).read()
                     continue
+                # a well-formed member header with a NEW key: whatever
+                # sample precedes it can receive no further contiguous
+                # members — it is sealed and survives any later tear
+                sealed = len(out)
                 if key in seen:
                     if on_error == "skip":
                         continue
                     raise ValueError(f"non-contiguous sample {key!r} (shard not streamable)")
                 seen.add(key)
-                out.append((key, {ext: tf.extractfile(m).read()}))
+                out.append((key, {}))
+                out[-1][1][ext] = tf.extractfile(m).read()
+        sealed = len(out)  # clean end of archive seals the final sample
     except Exception:
         if on_error != "skip":
             raise
-        # torn framing: the sample the tear landed in may be partial —
-        # drop it, keep the complete prefix
-        if out:
-            out.pop()
+        # torn framing: keep the sealed prefix; only samples whose
+        # contiguous run the tear could still have been feeding are lost
+        del out[sealed:]
     return out

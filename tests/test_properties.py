@@ -2263,3 +2263,103 @@ class TestWarcResyncProperty:
         # order of survivors preserved
         surv_in_order = [b for b in bodies if b in got_bodies]
         assert got_bodies == surv_in_order
+
+
+class TestWdsResyncProperty:
+    """Property fuzz of the parse_wds_shard(on_error='skip') recovery
+    contract over randomized tar framing and single-point damage:
+    damaging ONE member loses at most the unsealed suffix — never a
+    fabricated sample, never a reordered one — and every survivor's
+    parts are byte-intact.
+
+    Tar has no member magic to resync on (unlike WARC's gzip members),
+    so the contract is PREFIX recovery with sealing: a sample whose
+    contiguous run is provably over (a different-key member header was
+    parsed entirely before the damage point) MUST survive.  Two
+    asymmetries are intrinsic to tar framing and asserted as such:
+    the final pre-tear sample may be dropped even when its read parts
+    were intact (no end-of-sample marker), and damage that mimics a
+    clean end of archive (zeroed header block, boundary truncation —
+    stdlib tarfile treats both as EOF) can leave the LAST survivor a
+    parts-subset of the original; all earlier survivors are complete."""
+
+    @staticmethod
+    def _build(n, nparts, sizes):
+        samples = []
+        s = 0
+        for i in range(n):
+            parts = []
+            for j in range(nparts[i]):
+                parts.append((f"e{j}", f"s{i}p{j}-".encode() + b"x" * sizes[s % len(sizes)]))
+                s += 1
+            samples.append((f"k{i:03d}", parts))
+        return samples
+
+    @given(
+        st.integers(1, 6),
+        st.lists(st.integers(1, 3), min_size=6, max_size=6),
+        # sizes straddle the 512-byte tar block: 0, sub-block, multi-block
+        st.lists(st.integers(0, 1200), min_size=6, max_size=18),
+        st.integers(0, 10**6),
+        st.sampled_from(["trunc", "hdrflip", "zeroblock"]),
+        st.integers(0, 10**6),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_single_point_damage_keeps_sealed_prefix(
+        self, n, nparts, sizes, which, kind, pos
+    ):
+        import io
+        import tarfile
+
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        samples = self._build(n, nparts, sizes)
+        shard = encode_wds_shard(samples)
+        with tarfile.open(fileobj=io.BytesIO(shard)) as tf:
+            members = [(m.name, m.offset) for m in tf]
+        # first member offset of each sample (member names are key.ext)
+        first_off = {}
+        for name, off in members:
+            key = name.partition(".")[0]
+            first_off.setdefault(key, off)
+
+        if kind == "trunc":
+            damage_at = 1 + pos % (len(shard) - 1)
+            damaged = shard[:damage_at]
+        elif kind == "hdrflip":
+            # any single-byte flip inside a header block breaks its
+            # checksum (which covers the whole block)
+            off = members[which % len(members)][1]
+            damage_at = off + pos % 512
+            damaged = (
+                shard[:damage_at]
+                + bytes([shard[damage_at] ^ 0xFF])
+                + shard[damage_at + 1 :]
+            )
+        else:  # zeroblock — forges tar's end-of-archive marker
+            off = members[which % len(members)][1]
+            damage_at = off
+            damaged = shard[:off] + b"\0" * 512 + shard[off + 512 :]
+
+        got = parse_wds_shard(damaged, on_error="skip")
+        orig = {k: dict(parts) for k, parts in samples}
+        keys = [k for k, _ in samples]
+
+        # survivors are an exact prefix of the original sample order
+        got_keys = [k for k, _ in got]
+        assert got_keys == keys[: len(got_keys)]
+        # no fabrication, byte-intact parts; all but the last complete
+        for idx, (k, parts) in enumerate(got):
+            assert set(parts) <= set(orig[k]), (k, sorted(parts))
+            for ext, payload in parts.items():
+                assert payload == orig[k][ext], (k, ext)
+            if idx < len(got) - 1:
+                assert parts == orig[k], (k, "non-final survivor incomplete")
+        # sealing lower bound: every sample whose successor's first
+        # member HEADER lies entirely before the damage point survives
+        guaranteed = sum(
+            1
+            for i in range(n - 1)
+            if first_off[keys[i + 1]] + 512 <= damage_at
+        )
+        assert len(got) >= guaranteed, (len(got), guaranteed, kind, damage_at)
