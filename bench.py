@@ -284,19 +284,22 @@ PROBE_ROWS = 4_000_000_000
 PROBE_REF_S = 0.72
 
 
-def calibration_probe(spark, n_runs: int = 3) -> float:
+def calibration_probe(spark, n_runs: int = 3, warm: bool = True) -> float:
     """Seconds for the fixed probe job (min of ``n_runs``, after one
     discarded warm run — the first execution carries the probe plan's
-    own codegen compile, ~2x the steady-state cost)."""
+    own codegen compile, ~2x the steady-state cost).  Mid-suite samples
+    pass ``warm=False``: the plan is already compiled by the pre-suite
+    probe, so the warm run would be pure overhead."""
     runs: list[float] = []
-    for i in range(n_runs + 1):
+    total = n_runs + 1 if warm else n_runs
+    for i in range(total):
         t0 = time.perf_counter()
         # bit_xor, not sum: a sum of 4e9 xxhash64 longs overflows under
         # ANSI mode; xor is overflow-free and just as unprunable
         spark.range(0, PROBE_ROWS, 1, 32).selectExpr(
             "bit_xor(xxhash64(id)) AS s"
         ).collect()
-        if i > 0:  # drop the codegen-compile run
+        if not warm or i > 0:  # drop the codegen-compile run
             runs.append(time.perf_counter() - t0)
     return round(min(runs), 3)
 
@@ -333,9 +336,16 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
+    # VERDICT r10 item 5: pre/post probes alone can't localize box-health
+    # swings DURING the run (r10 saw pre 0.91 vs post 0.61 — ~50% intra-
+    # run drift), so sample the probe mid-suite too (~every quarter of
+    # the query list) and normalize each query by its NEAREST bracketing
+    # probe pair. probe_samples records (queries completed, probe_s).
     probe_pre = calibration_probe(spark)
+    probe_samples: list[dict[str, float]] = [{"after": 0, "s": probe_pre}]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    positions: dict[str, int] = {}  # 1-based suite position per query
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # loud on drift: a renamed registry query silently dropped from the
     # run would read as a phantom performance improvement, and a typo'd
@@ -348,8 +358,10 @@ def main() -> None:
     unmapped = [n for n in QUERIES if n not in HEADLINE_STAGES]
     if not only and unmapped:
         raise ValueError(f"registry queries missing a bench stage mapping: {unmapped}")
-    for name in headline:
+    mid_every = max(1, -(-len(headline) // 4))  # ceil: ~3 mid-suite probes
+    for qi, name in enumerate(headline, 1):
         fn = QUERIES[name]
+        positions[name] = qi
         # min of THREE full executions (VERDICT r3 "What's wrong #4":
         # n=2 let a one-off GC/scheduler stall hit both runs and read as
         # a phantom 2x regression). The min is the engine's actual cost
@@ -368,16 +380,36 @@ def main() -> None:
         best = min(runs)
         timings[name] = round(best, 3)
         spreads[name] = round((max(runs) - best) / best, 3) if best > 0 else 0.0
+        if qi % mid_every == 0 and qi < len(headline):
+            probe_samples.append(
+                {"after": qi, "s": calibration_probe(spark, warm=False)}
+            )
 
-    probe_post = calibration_probe(spark)
-    # normalize by the mean of the bracketing probes: queries ran between
-    # them, so box slowness during the suite is bounded by the pair.
+    probe_post = calibration_probe(spark, warm=False)
+    probe_samples.append({"after": len(headline), "s": probe_post})
+    # suite-level factor: mean over ALL probe samples (pre + mid + post;
+    # same quantity the r10 pre/post mean estimated, now better sampled).
     # factor < 1 = box slower than the pinned reference -> normalized
     # totals shrink accordingly; drift adjudication reads these first.
-    probe_factor = round(PROBE_REF_S / ((probe_pre + probe_post) / 2.0), 4)
+    probe_mean = sum(p["s"] for p in probe_samples) / len(probe_samples)
+    probe_factor = round(PROBE_REF_S / probe_mean, 4)
+
+    def nearest_factor(qpos: int) -> float:
+        """Per-query factor from the probe pair bracketing its position."""
+        left = max(
+            (p for p in probe_samples if p["after"] < qpos),
+            key=lambda p: p["after"],
+        )["s"]
+        right = min(
+            (p for p in probe_samples if p["after"] >= qpos),
+            key=lambda p: p["after"],
+        )["s"]
+        return PROBE_REF_S / ((left + right) / 2.0)
+
     probe_fields = {
         "probe_s_pre": probe_pre,
         "probe_s_post": probe_post,
+        "probe_samples": probe_samples,
         "probe_ref_s": PROBE_REF_S,
         "probe_factor": probe_factor,
     }
@@ -388,9 +420,16 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     stages: dict[str, float] = {}
+    normalized_stages: dict[str, float] = {}
     for name, sec in timings.items():
         stage = HEADLINE_STAGES.get(name, "query")
         stages[stage] = round(stages.get(stage, 0.0) + sec, 3)
+        # per-stage normalization by each query's NEAREST probe pair —
+        # robust to intra-run box swings the suite-level factor smears
+        normalized_stages[stage] = round(
+            normalized_stages.get(stage, 0.0) + sec * nearest_factor(positions[name]),
+            3,
+        )
     print(
         json.dumps(
             {
@@ -425,6 +464,7 @@ def main() -> None:
                 # against probe_factor before suspecting the code
                 **probe_fields,
                 "normalized_value": round(sum(timings.values()) * probe_factor, 3),
+                "normalized_stages": normalized_stages,
                 "normalized_baseline_comparable_value": round(
                     sum(s for n, s in timings.items() if n in R01_HEADLINE)
                     * probe_factor, 3
@@ -455,6 +495,7 @@ def main() -> None:
                 "stages": stages,
                 **probe_fields,
                 "normalized_value": round(sum(timings.values()) * probe_factor, 3),
+                "normalized_stages": normalized_stages,
                 "sf": sf_val,
             }
         )
