@@ -12,8 +12,11 @@ dependency, same artifact contract: a standalone XML any PMML 4.2
 consumer (jpmml-evaluator, openscoring, …) can score.
 
 Scope: RegressionModel (LR / linear), NeuralNetwork (the MLP trained by
-ml/nn.py). Tree ensembles export through the MLlib-native registry
-(ml/registry.py) — PMML TreeModel is a documented follow-up.
+ml/nn.py), and TreeModel/MiningModel for tree ensembles
+(trees_to_pmml / mllib_tree_model_to_pmml below; RF/GBT bag members
+flow through registry.export_pmml with re-score parity asserted vs
+both score_pmml and the MLlib transform — tests/test_pmml.py,
+matching ExportModelProcessor.java:109-190's export surface).
 
 Determinism: weights are rendered with repr() (shortest round-trip
 float), so export -> parse -> score reproduces training-time scores

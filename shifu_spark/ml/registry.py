@@ -102,19 +102,27 @@ def load_model_set(spark: SparkSession, path: str) -> dict:
     return manifest
 
 
-def export_pmml(path: str, out_dir: str | None = None, spark: SparkSession | None = None) -> list[str]:
+def export_pmml(
+    path: str, out_dir: str | None = None, spark: SparkSession | None = None
+) -> tuple[list[str], list[str]]:
     """`shifu export -t pmml` over a saved model set: one .pmml per
     bagging member (ExportModelProcessor.java:158-173 writes
     pmmls/<name><i>.pmml the same way).
 
     Exports the inline-serialized members — SGD/LR weights as
-    RegressionModel, NN bags as NeuralNetwork (PMML-expressible
-    activations only; a PTANH/SWISH/LEAKY_RELU member is SKIPPED with a
-    warning naming its index, and every remaining member still exports
-    — one inexpressible bag member must not abort the whole model set's
-    export) — and, when a ``spark`` session is provided, saved MLlib
-    tree ensembles as TreeModel/MiningModel documents. Returns the
-    written file paths.
+    RegressionModel, NN bags as NeuralNetwork, and, when a ``spark``
+    session is provided, saved MLlib tree ensembles as
+    TreeModel/MiningModel documents.
+
+    Returns ``(written, skipped)``: the written file paths, and the
+    member names that could NOT be exported (a PTANH/SWISH/LEAKY_RELU
+    NN member has no PMML activation — the reference aborts there,
+    PMMLEncogNeuralNetworkModel.java:116; here one inexpressible bag
+    member must not abort the whole model set's export, but a headless
+    batch job must still be able to DETECT the partial export
+    programmatically, so the skips come back alongside the paths and
+    are also warned with the member name).  ``skipped == []`` means the
+    set exported completely.
     """
     from shifu_spark.ml.pmml import lr_to_pmml, nn_to_pmml
 
@@ -124,6 +132,7 @@ def export_pmml(path: str, out_dir: str | None = None, spark: SparkSession | Non
     os.makedirs(out_dir, exist_ok=True)
     feats = manifest.get("feature_cols") or []
     written: list[str] = []
+    skipped: list[str] = []
     if spark is not None and manifest.get("models"):
         from shifu_spark.ml.pmml import mllib_tree_model_to_pmml
 
@@ -155,9 +164,10 @@ def export_pmml(path: str, out_dir: str | None = None, spark: SparkSession | Non
             import warnings
 
             warnings.warn(f"nn_{i} not PMML-expressible, skipped: {e}", stacklevel=2)
+            skipped.append(f"nn_{i}")
             continue
         p = os.path.join(out_dir, f"nn_{i}.pmml")
         with open(p, "w") as fh:
             fh.write(xml)
         written.append(p)
-    return written
+    return written, skipped

@@ -101,7 +101,8 @@ class TestRegistryExport:
             path, [], feature_cols=["f1", "f2"],
             sgd_weights=[0.5, -0.5, 0.25], nn_results=[res],
         )
-        written = export_pmml(path)
+        written, skipped = export_pmml(path)
+        assert skipped == []
         assert [p.split("/")[-1] for p in written] == ["sgd_lr.pmml", "nn_0.pmml"]
         lr_score = score_pmml(open(written[0]).read(), {"f1": 1.0, "f2": 1.0})
         want = 1.0 / (1.0 + math.exp(-(0.5 - 0.5 + 0.25)))
@@ -133,7 +134,9 @@ class TestRegistryExport:
         )
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
-            written = export_pmml(path)
+            written, skipped = export_pmml(path)
+        # the partial export is programmatically detectable, not just warned
+        assert skipped == ["nn_0"]
         assert [p.split("/")[-1] for p in written] == ["nn_1.pmml"]
         assert any("nn_0" in str(w.message) for w in caught)
 
@@ -206,7 +209,8 @@ class TestTreePmml:
         model = RandomForestRegressor(numTrees=2, maxDepth=3, seed=3).fit(data)
         path = str(tmp_path / "mset")
         save_model_set(path, [model], feature_cols=["f1", "f2", "f3"])
-        written = export_pmml(path, spark=spark)
+        written, skipped = export_pmml(path, spark=spark)
+        assert skipped == []
         assert len(written) == 1 and written[0].endswith("tree_0.pmml")
         r = data.select("f1", "f2", "f3").limit(1).collect()[0]
         p = model.transform(data).select("prediction").limit(1).collect()[0]
