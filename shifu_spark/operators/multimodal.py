@@ -141,7 +141,10 @@ def _check_on_error(on_error: str) -> None:
         raise ValueError(f"on_error must be one of {_ON_ERROR_VALUES}, got {on_error!r}")
 
 
-def _media_row_loop(schema, id_col: str, payload_col: str, on_error: str, feature_fn):
+def _media_row_loop(
+    schema, id_col: str, payload_col: str, on_error: str, feature_fn,
+    skip_counter=None,
+):
     """Build the mapInPandas ``run`` shared by every media extractor:
     ``feature_fn(doc_id, payload) -> dict`` per row, with the
     corrupt-payload policy applied.
@@ -154,22 +157,35 @@ def _media_row_loop(schema, id_col: str, payload_col: str, on_error: str, featur
     parser fed arbitrary bytes can fail anywhere (ValueError, KeyError,
     struct/zlib/wave errors, numpy shape errors, TypeError on a NULL
     payload); the policy quarantines the row, it does not classify the
-    failure. Callers wanting a corrupt-count can anti-join inputs
-    against outputs on ``doc_id``."""
+    failure.
+
+    Quarantine observability: pass ``skip_counter`` (any object with
+    ``.add(n)`` — a ``spark.sparkContext.accumulator(0)`` is the
+    intended one) and every skipped row increments it, so a job can
+    monitor its corruption RATE and alert when a healthy corpus
+    suddenly starts shedding rows (an extractor regression looks
+    exactly like corruption to a silent skip).  Accumulator caveat
+    applies: task retries/speculation can over-count — treat it as a
+    monitoring signal; the EXACT quarantined set is the inputs-minus-
+    outputs anti-join on ``doc_id``."""
     names = schema.fieldNames()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in names}
+            n_skipped = 0
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     row = feature_fn(doc_id, payload)
                 except Exception:
                     if on_error == "skip":
+                        n_skipped += 1
                         continue
                     raise
                 for k in names:
                     out[k].append(row[k])
+            if n_skipped and skip_counter is not None:
+                skip_counter.add(n_skipped)
             yield pd.DataFrame(out)
 
     return run
@@ -182,6 +198,7 @@ def extract_image_features(
     decode: str = "deterministic_fake",
     feature_dim: int = 8,
     on_error: str = "raise",
+    skip_counter=None,
 ) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
@@ -198,7 +215,8 @@ def extract_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         inner = _media_row_loop(
-            IMAGE_FEATURES_SCHEMA, id_col, payload_col, on_error, feats
+            IMAGE_FEATURES_SCHEMA, id_col, payload_col, on_error, feats,
+            skip_counter,
         )
         for pdf in batches:
             if decode == "strict":
@@ -290,7 +308,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 def extract_audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    on_error: str = "raise",
+    on_error: str = "raise", skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL audio decode + feature extraction.
 
@@ -323,7 +341,7 @@ def extract_audio_features(
             "zero_crossings": int(np.count_nonzero(x[:-1] * x[1:] < 0)),
         }
 
-    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
@@ -364,7 +382,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def extract_ppm_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    downsample_k: int | None = None, on_error: str = "raise",
+    downsample_k: int | None = None, on_error: str = "raise", skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL image decode (P6 PPM) + per-channel stats.
 
@@ -379,7 +397,7 @@ def extract_ppm_features(
             img = box_downsample(img, downsample_k)
         return _rgb_stats_row(doc_id, img.astype(np.int64), alpha=False)
 
-    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
 
 
@@ -557,7 +575,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def extract_png_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    on_error: str = "raise",
+    on_error: str = "raise", skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL PNG decode + per-channel stats (same feature
     contract as :func:`extract_ppm_features`; alpha ignored for the
@@ -568,7 +586,7 @@ def extract_png_features(
         img = decode_png(bytes(payload)).astype(np.int64)
         return _rgb_stats_row(doc_id, img, alpha=True)
 
-    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
 
 
@@ -661,6 +679,7 @@ def extract_video_features(
     id_col: str = "doc_id",
     sample_every: int = 2,
     on_error: str = "raise",
+    skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL video decode (y4m) + frame-sampled stats.
 
@@ -674,7 +693,7 @@ def extract_video_features(
         frames, _fps = decode_y4m(bytes(payload))
         return _frame_stats_row(doc_id, "y4m", frames, sample_every)
 
-    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
 
 
@@ -1218,7 +1237,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def extract_jpeg_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    on_error: str = "raise",
+    on_error: str = "raise", skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL JPEG decode + per-channel stats (same feature
     contract as :func:`extract_ppm_features` / :func:`extract_png_features`)."""
@@ -1228,7 +1247,7 @@ def extract_jpeg_features(
         img = decode_jpeg(bytes(payload)).astype(np.int64)
         return _rgb_stats_row(doc_id, img, alpha=False)
 
-    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(PPM_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, PPM_FEATURES_SCHEMA)
 
 
@@ -1524,7 +1543,7 @@ def decode_wav_compressed(payload: bytes) -> tuple[np.ndarray, int, int, str]:
 
 def extract_compressed_audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    on_error: str = "raise",
+    on_error: str = "raise", skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL compressed-audio decode (mu-law / IMA ADPCM /
     PCM16 by format tag) + the same exact-integer feature family as
@@ -1544,7 +1563,7 @@ def extract_compressed_audio_features(
         x = flat.reshape(-1, nch)[:, 0] if nch > 1 else flat
         return _audio_stats_row(doc_id, codec, x, rate, nch)
 
-    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
@@ -1699,6 +1718,7 @@ def extract_mjpeg_video_features(
     id_col: str = "doc_id",
     sample_every: int = 2,
     on_error: str = "raise",
+    skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL compressed-video decode (AVI container walk +
     per-frame baseline-JPEG Huffman/IDCT) with the same frame-sampled
@@ -1710,7 +1730,7 @@ def extract_mjpeg_video_features(
         frames, _fps = decode_avi_mjpeg(bytes(payload))
         return _frame_stats_row(doc_id, "mjpeg", frames, sample_every)
 
-    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
 
 
@@ -1943,6 +1963,7 @@ def extract_gif_features(
     id_col: str = "doc_id",
     sample_every: int = 2,
     on_error: str = "raise",
+    skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL GIF decode (LZW + palette) with the same
     frame-sampled stat family as the other video codecs; pixels are
@@ -1954,7 +1975,7 @@ def extract_gif_features(
         rgb = palette[frames]  # (n, h, w, 3) uint8
         return _frame_stats_row(doc_id, "gif", rgb, sample_every)
 
-    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(VIDEO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
 
 
@@ -2583,7 +2604,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 def extract_flac_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    on_error: str = "raise",
+    on_error: str = "raise", skip_counter=None,
 ) -> DataFrame:
     """Arrow-batched REAL FLAC decode + the exact-integer feature family
     of :func:`extract_compressed_audio_features` (rms deliberately
@@ -2595,5 +2616,5 @@ def extract_flac_features(
         xs, rate, nch = decode_flac(bytes(payload))
         return _audio_stats_row(doc_id, "flac", xs[:, 0], rate, nch)
 
-    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats)
+    run = _media_row_loop(AUDIO_FEATURES_SCHEMA, id_col, payload_col, on_error, feats, skip_counter)
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -1889,6 +1889,32 @@ class TestDirtyBinaries:
         with self._pt.raises(Exception):
             extract(df).collect()
 
+    def test_skip_counter_observes_quarantine_rate(self, spark):
+        """ADVICE r10: the skip path must be OBSERVABLE — a job that
+        monitors its corruption rate can tell expected corpus dirt from
+        an extractor regression that starts shedding healthy rows. The
+        accumulator counts exactly the quarantined rows and stays at
+        zero over a clean corpus."""
+        payload, extract = self._codec_table()["wav"]
+        rows = [
+            (1, payload),
+            (2, payload[:8]),
+            (3, bytes([payload[0] ^ 0xFF]) + payload[1:]),
+            (4, None),
+            (5, payload),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        acc = spark.sparkContext.accumulator(0)
+        got = extract(df, on_error="skip", skip_counter=acc).collect()
+        assert len(got) == 2
+        assert acc.value == 3
+        clean_acc = spark.sparkContext.accumulator(0)
+        clean = spark.createDataFrame(
+            [rows[0], rows[4]], "doc_id long, payload binary"
+        )
+        assert len(extract(clean, on_error="skip", skip_counter=clean_acc).collect()) == 2
+        assert clean_acc.value == 0
+
     def test_on_error_validated_eagerly(self):
         from shifu_spark.operators.multimodal import extract_audio_features
 
