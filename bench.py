@@ -304,6 +304,23 @@ def calibration_probe(spark, n_runs: int = 3, warm: bool = True) -> float:
     return round(min(runs), 3)
 
 
+def nearest_probe_factor(probe_samples: list[dict], qpos: int) -> float:
+    """Per-query normalization factor from the probe pair bracketing the
+    query's 1-based suite position: samples are {"after": <queries
+    completed when taken>, "s": <probe seconds>}; the query at position
+    ``qpos`` ran after the sample with the largest ``after < qpos`` and
+    before the one with the smallest ``after >= qpos``."""
+    left = max(
+        (p for p in probe_samples if p["after"] < qpos),
+        key=lambda p: p["after"],
+    )["s"]
+    right = min(
+        (p for p in probe_samples if p["after"] >= qpos),
+        key=lambda p: p["after"],
+    )["s"]
+    return PROBE_REF_S / ((left + right) / 2.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # optional comma-separated subset (e.g. the sf1 scale-proof families)
@@ -395,16 +412,7 @@ def main() -> None:
     probe_factor = round(PROBE_REF_S / probe_mean, 4)
 
     def nearest_factor(qpos: int) -> float:
-        """Per-query factor from the probe pair bracketing its position."""
-        left = max(
-            (p for p in probe_samples if p["after"] < qpos),
-            key=lambda p: p["after"],
-        )["s"]
-        right = min(
-            (p for p in probe_samples if p["after"] >= qpos),
-            key=lambda p: p["after"],
-        )["s"]
-        return PROBE_REF_S / ((left + right) / 2.0)
+        return nearest_probe_factor(probe_samples, qpos)
 
     probe_fields = {
         "probe_s_pre": probe_pre,

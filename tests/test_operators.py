@@ -1085,6 +1085,27 @@ class TestPQArrowDifferential:
             assert a == b, f"k={k}: arrow/expression code divergence"
 
 
+def test_bench_nearest_probe_factor():
+    """bench.py's per-stage normalization picks the probe pair that
+    BRACKETS each query's suite position (VERDICT r10 item 5: one
+    suite-level factor smears intra-run box swings). Pin the bracketing
+    arithmetic: position 1 uses (pre, mid1), a position ON a sample
+    boundary uses that sample as its right probe, the last position
+    uses (mid_last, post)."""
+    import bench
+
+    samples = [
+        {"after": 0, "s": 0.6},
+        {"after": 2, "s": 0.8},
+        {"after": 4, "s": 1.0},
+    ]
+    ref = bench.PROBE_REF_S
+    assert bench.nearest_probe_factor(samples, 1) == ref / 0.7
+    assert bench.nearest_probe_factor(samples, 2) == ref / 0.7  # boundary
+    assert bench.nearest_probe_factor(samples, 3) == ref / 0.9
+    assert bench.nearest_probe_factor(samples, 4) == ref / 0.9
+
+
 def test_notes_totals_not_stale():
     """NOTES.md's registry-totals line is machine-owned (VERDICT r4
     wrong #4: hand-typed totals kept drifting) — regenerate with
