@@ -195,6 +195,79 @@ class TestRunningStats:
             assert math.isclose(s["mean"], b["mean"], rel_tol=1e-9)
             assert math.isclose(s["std"], b["std"], rel_tol=1e-9)
 
+    def test_dirty_values_in_flight_across_restart(self, spark, tmp_path):
+        """Dirty-input x restart for the RUNNING-STATS state kernel
+        (third stateful family after packing and dedup): the stream is
+        stopped right after a batch whose LAST rows are NaN / ±Inf /
+        NULL values and a NULL key, then a NEW query recovers the
+        per-key (n, sum_c, sumsq_c) state and keeps counting. The
+        recovered exact-integer state must equal the single-pass batch
+        sums over the union's FINITE values — a non-finite value that
+        leaked into a checkpointed sum would corrupt every post-restart
+        emission for that key, and a key whose pre-restart values were
+        ALL non-finite must resume from a clean zero state."""
+        import time
+
+        from shifu_spark.streaming.ops import streaming_running_stats_exact_cents
+
+        schema = "key string, value double"
+        nan, inf = float("nan"), float("inf")
+        file1 = [
+            ("k1", 1.25), ("k1", 2.50), ("k2", 10.00),
+            # dirty stop boundary: the last checkpointed updates
+            ("k1", nan), ("k2", inf), ("k3", -inf), ("k3", nan),
+            (None, 5.00), ("k2", None),
+        ]
+        file2 = [
+            ("k1", 4.00), ("k2", -3.75),
+            ("k3", 7.00),          # k3's FIRST finite value, post-restart
+            ("k1", inf), (None, nan), (None, 2.00),
+        ]
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_running_stats_exact_cents(stream, "key")
+                # update-mode emissions need foreachBatch for a
+                # checkpoint-recoverable file sink (the memory sink only
+                # recovers in complete mode)
+                .writeStream.foreachBatch(
+                    lambda df, _bid: df.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        run_once()
+        time.sleep(1.1)  # file-source ordering is by modification time
+        spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # NEW query: recovered sums must be finite-only
+
+        final = {}
+        for r in spark.read.parquet(out).collect():
+            if r["key"] not in final or r["n"] > final[r["key"]]["n"]:
+                final[r["key"]] = r
+        got = {k: (v["n"], v["sum_c"], v["sumsq_c"]) for k, v in final.items()
+               if v["n"] > 0}
+        want = {}
+        for k, v in file1 + file2:
+            if v is None or math.isnan(v) or math.isinf(v):
+                continue
+            c = round(v * 100)
+            n, s, ss = want.get(k, (0, 0, 0))
+            want[k] = (n + 1, s + c, ss + c * c)
+        assert got == want
+        # the all-non-finite-before-restart key recovered cleanly
+        assert got["k3"] == (1, 700, 490000)
+
 
 class TestDriftForeachBatchSink:
     def test_foreach_batch_psi_parquet_sink(self, spark, tmp_path):
