@@ -2290,6 +2290,59 @@ class TestWarcResyncProperty:
         surv_in_order = [b for b in bodies if b in got_bodies]
         assert got_bodies == surv_in_order
 
+    @given(
+        st.integers(2, 7),
+        st.integers(0, 10**6),
+        st.integers(0, 10**6),
+        st.sampled_from(["flip", "junk"]),
+        st.sampled_from(["flip", "junk"]),
+        st.integers(0, 10**6),
+        st.integers(0, 10**6),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_two_damaged_members_cost_at_most_those_records(
+        self, n, which1, which2, kind1, kind2, pos1, pos2
+    ):
+        """Multi-point extension: LOCALIZED damage to TWO distinct
+        members (byte flips / whole-member junk — truncation is
+        excluded here because it removes everything after the cut, the
+        single-point prefix case above) loses at most those two
+        records; every other record survives byte-intact in order, with
+        no fabrication — the magic-scan resync must recover between and
+        after BOTH damage sites, including when they are adjacent."""
+        import gzip
+
+        from shifu_spark.sources.warc import parse_warc, write_warc_record
+
+        bodies = [f"body-{i}-".encode() + b"a" * (7 + i * 13 % 50) for i in range(n)]
+        members = [
+            gzip.compress(
+                write_warc_record("response", f"http://h/{i}", b, None), mtime=0
+            )
+            for i, b in enumerate(bodies)
+        ]
+        bad1 = which1 % n
+        bad2 = (bad1 + 1 + which2 % (n - 1)) % n  # distinct, may be adjacent
+        for bad, kind, pos in ((bad1, kind1, pos1), (bad2, kind2, pos2)):
+            m = members[bad]
+            if kind == "flip":
+                p = 10 + pos % (len(m) - 10)
+                m = m[:p] + bytes([m[p] ^ 0xFF]) + m[p + 1 :]
+            else:
+                m = b"\x1f\x8b\x08\x00" + b"\x00" * 16
+            members[bad] = m
+        got = parse_warc(b"".join(members), on_error="skip")
+        got_bodies = [r["body"] for r in got]
+        expected_surviving = [
+            b for i, b in enumerate(bodies) if i not in (bad1, bad2)
+        ]
+        assert all(b in bodies for b in got_bodies)
+        assert len(got_bodies) == len(set(got_bodies))
+        for b in expected_surviving:
+            assert b in got_bodies
+        surv_in_order = [b for b in bodies if b in got_bodies]
+        assert got_bodies == surv_in_order
+
 
 class TestWdsResyncProperty:
     """Property fuzz of the parse_wds_shard(on_error='skip') recovery
