@@ -420,6 +420,11 @@ def main() -> None:
         "probe_samples": probe_samples,
         "probe_ref_s": PROBE_REF_S,
         "probe_factor": probe_factor,
+        # box-stall tally: queries where one run took >2x the min
+        # (r11 adjudication found 8-16s stalls inside ~2s queries on a
+        # probe-fast box — a high count says the box, not the code,
+        # and warns that even min-of-n may have eaten a stall)
+        "stalled_queries": sum(1 for v in spreads.values() if v > 1.0),
     }
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
