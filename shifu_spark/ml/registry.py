@@ -115,14 +115,17 @@ def export_pmml(
     TreeModel/MiningModel documents.
 
     Returns ``(written, skipped)``: the written file paths, and the
-    member names that could NOT be exported (a PTANH/SWISH/LEAKY_RELU
-    NN member has no PMML activation — the reference aborts there,
-    PMMLEncogNeuralNetworkModel.java:116; here one inexpressible bag
-    member must not abort the whole model set's export, but a headless
-    batch job must still be able to DETECT the partial export
-    programmatically, so the skips come back alongside the paths and
-    are also warned with the member name).  ``skipped == []`` means the
-    set exported completely.
+    name of every bag member that produced NO .pmml — an NN member with
+    a PMML-inexpressible activation (PTANH/SWISH/LEAKY_RELU; the
+    reference aborts there, PMMLEncogNeuralNetworkModel.java:116), an
+    MLlib member that cannot be loaded because no ``spark`` session was
+    passed, or a non-tree MLlib member (its PMML, if any, comes from
+    the manifest's ``sgd_weights`` vector, not from the member object).
+    One inexpressible member must not abort the whole model set's
+    export, but a headless batch job must still be able to DETECT a
+    partial export programmatically, so the skips come back alongside
+    the paths (NN skips are additionally warned).  ``skipped == []``
+    means every manifest member is covered by a written document.
     """
     from shifu_spark.ml.pmml import lr_to_pmml, nn_to_pmml
 
@@ -133,14 +136,26 @@ def export_pmml(
     feats = manifest.get("feature_cols") or []
     written: list[str] = []
     skipped: list[str] = []
-    if spark is not None and manifest.get("models"):
+    if manifest.get("models") and spark is None:
+        # MLlib members need a session to load — without one they are
+        # NOT silently omitted (that read as a complete export before
+        # the r11 review pass); the caller sees exactly what's missing
+        skipped.extend(
+            f"model_{i}:{e['cls']} (requires spark session)"
+            for i, e in enumerate(manifest["models"])
+        )
+    elif manifest.get("models"):
         from shifu_spark.ml.pmml import mllib_tree_model_to_pmml
 
         loaded = load_model_set(spark, path)
         for i, m in enumerate(loaded["models"]):
             cls = type(m).__name__
             if not cls.startswith(("RandomForest", "GBT", "DecisionTree")):
-                continue  # LR etc. export via sgd path; others registry-native
+                # LR-family members export (if at all) from sgd_weights,
+                # not from the member object — still a member with no
+                # document of its own, so it is reported, not dropped
+                skipped.append(f"model_{i}:{cls}")
+                continue
             p = os.path.join(out_dir, f"tree_{i}.pmml")
             with open(p, "w") as fh:
                 fh.write(mllib_tree_model_to_pmml(m, feats, model_name=f"tree_{i}"))

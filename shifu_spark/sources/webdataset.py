@@ -87,14 +87,19 @@ def parse_wds_shard(
                 if out and out[-1][0] == key:
                     out[-1][1][ext] = tf.extractfile(m).read()
                     continue
-                # a well-formed member header with a NEW key: whatever
-                # sample precedes it can receive no further contiguous
-                # members — it is sealed and survives any later tear
-                sealed = len(out)
                 if key in seen:
                     if on_error == "skip":
+                        # a SKIPPED stray must NOT seal: the preceding
+                        # sample resumes through the continuation branch
+                        # above (out[-1] is still it), so its run is not
+                        # provably over and a later tear must drop it
                         continue
                     raise ValueError(f"non-contiguous sample {key!r} (shard not streamable)")
+                # a member header that STARTS a new sample: whatever
+                # sample precedes it can receive no further contiguous
+                # members (its key reappearing later would be a stray) —
+                # it is sealed and survives any later tear
+                sealed = len(out)
                 seen.add(key)
                 out.append((key, {}))
                 out[-1][1][ext] = tf.extractfile(m).read()

@@ -212,6 +212,12 @@ class TestTreePmml:
         written, skipped = export_pmml(path, spark=spark)
         assert skipped == []
         assert len(written) == 1 and written[0].endswith("tree_0.pmml")
+        # a sessionless export cannot load the MLlib member: it must be
+        # REPORTED missing, not silently omitted (r11 review finding —
+        # ([], []) used to read as a complete export)
+        w2, s2 = export_pmml(path)
+        assert w2 == []
+        assert s2 == ["model_0:RandomForestRegressionModel (requires spark session)"]
         r = data.select("f1", "f2", "f3").limit(1).collect()[0]
         p = model.transform(data).select("prediction").limit(1).collect()[0]
         got = score_pmml(open(written[0]).read(), dict(zip(["f1", "f2", "f3"], r)))

@@ -2374,6 +2374,39 @@ class TestWdsResyncProperty:
             samples.append((f"k{i:03d}", parts))
         return samples
 
+    def test_skipped_stray_does_not_seal_the_resumed_sample(self):
+        """Review-pass regression: member order x.a, y.a, x.b (stray of
+        the earlier key x — skipped), y.b (y RESUMES through the
+        continuation branch), then torn framing. y's run was therefore
+        never provably over, so the tear must drop y entirely — a seal
+        taken at the stray's header would instead keep a y missing the
+        parts the tear ate. x stays sealed (y.a started a new sample)."""
+        import io
+        import tarfile
+
+        from shifu_spark.sources.webdataset import parse_wds_shard
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for name, payload in [
+                ("x.a", b"XA"), ("y.a", b"YA"), ("x.b", b"stray"), ("y.b", b"YB"),
+            ]:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+        shard = buf.getvalue()
+        with tarfile.open(fileobj=io.BytesIO(shard)) as tf:
+            last = [m for m in tf][-1]
+        torn = shard[: last.offset_data + 1]  # tear inside y.b's payload
+        got = parse_wds_shard(torn, on_error="skip")
+        assert got == [("x", {"a": b"XA"})]
+        # sanity: undamaged shard in skip mode keeps y complete
+        assert parse_wds_shard(shard, on_error="skip") == [
+            ("x", {"a": b"XA"}),
+            ("y", {"a": b"YA", "b": b"YB"}),
+        ]
+
     @given(
         st.integers(1, 6),
         st.lists(st.integers(1, 3), min_size=6, max_size=6),
