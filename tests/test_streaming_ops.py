@@ -693,6 +693,90 @@ class TestStreamingAsof:
         }
         assert got == want
 
+    def test_dirty_events_in_flight_across_restart(self, spark, tmp_path):
+        """Dirty-input x restart for the AS-OF attribution state (fourth
+        stateful family): the stream stops right after a batch whose
+        LAST rows are a NULL-ts purchase, a NULL-ts click and a
+        NULL-user click/purchase; a NEW query recovers the per-user
+        (last_click_ts, id) pair and a post-restart purchase must
+        attribute the PRE-restart click from recovered state — while a
+        user whose every pre-restart click was dirty stays unmatched.
+        Equal to the batch as-of join over the union."""
+        import time
+
+        from shifu_spark.operators.join import asof_join
+        from shifu_spark.streaming.ops import streaming_asof_attribution
+
+        schema = "user_id long, event_id long, event_type string, ts_us long"
+        file1 = [
+            (1, 100, "click", 1000),
+            (1, 101, "purchase", 1500),
+            # dirty stop boundary: the last checkpointed rows
+            (1, 102, "purchase", None),   # NULL-ts purchase -> unmatched
+            (2, 103, "click", None),      # NULL-ts click -> filtered
+            (None, 104, "click", 1200),   # NULL-user click -> filtered
+            (None, 105, "purchase", 1300),  # NULL-user purchase -> unmatched
+        ]
+        file2 = [
+            (1, 110, "purchase", 2000),   # needs the RECOVERED click 100
+            (2, 111, "purchase", 2500),   # only dirty clicks before -> unmatched
+            (1, 112, "click", 2100),
+            (1, 113, "purchase", 2200),   # in-batch click 112
+            (2, 114, "purchase", None),   # NULL-ts again, post-restart
+        ]
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = (
+                streaming_asof_attribution(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        run_once()
+        time.sleep(1.1)  # file-source ordering is by modification time
+        spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        got = {
+            r["purchase_id"]: (r["click_id"], r["click_ts_us"])
+            for r in spark.read.parquet(out).collect()
+        }
+        union = spark.createDataFrame(file1 + file2, schema)
+        purchases = union.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts_us"
+        )
+        clicks = union.filter(
+            "event_type = 'click' AND user_id IS NOT NULL AND ts_us IS NOT NULL"
+        ).select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_ts_us"),
+        )
+        want = {
+            r["purchase_id"]: (r["asof_click_id"], r["asof_click_ts_us"])
+            for r in asof_join(
+                purchases, clicks, ["user_id"], "ts_us", "click_ts_us",
+                ["click_id", "click_ts_us"], tie_cols=["click_id"],
+            ).collect()
+        }
+        assert got == want
+        # the post-restart attribution crossed the dirty boundary
+        assert got[110] == (100, 1000)
+        assert got[111] == (None, None)
+
 
 class TestGoldTableUpsert:
     def test_two_batch_merge_equals_batch_aggregate(self, spark, tmp_path):
