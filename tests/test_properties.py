@@ -2374,6 +2374,24 @@ class TestWdsResyncProperty:
             samples.append((f"k{i:03d}", parts))
         return samples
 
+    @given(
+        st.integers(1, 6),
+        st.lists(st.integers(1, 3), min_size=6, max_size=6),
+        st.lists(st.integers(0, 1200), min_size=6, max_size=18),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_clean_roundtrip_both_modes(self, n, nparts, sizes):
+        """Undamaged shards round-trip exactly in BOTH error modes over
+        the same randomized framing the damage property uses — pins that
+        the seal-aware recovery rewrite cannot alter the clean path."""
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        samples = self._build(n, nparts, sizes)
+        shard = encode_wds_shard(samples)
+        want = [(k, dict(parts)) for k, parts in samples]
+        assert parse_wds_shard(shard) == want
+        assert parse_wds_shard(shard, on_error="skip") == want
+
     def test_skipped_stray_does_not_seal_the_resumed_sample(self):
         """Review-pass regression: member order x.a, y.a, x.b (stray of
         the earlier key x — skipped), y.b (y RESUMES through the
