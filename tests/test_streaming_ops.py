@@ -825,6 +825,78 @@ class TestGoldTableUpsert:
         # both batches really contributed (some key spans the split)
         assert any(n > 1 for n, _, _ in got.values())
 
+    def test_dirty_rows_in_flight_across_restart(self, spark, tmp_path):
+        """Dirty-input x restart for the gold-table MERGE (fifth stateful
+        family — here the 'state' is the gold table itself): stop after
+        a batch whose LAST merged rows are NaN / +-Inf / NULL values and
+        a NULL key, restart onto a second dirty file, and assert the
+        final gold table is byte-equal to an UNINTERRUPTED run of the
+        same pipeline over the union — the merge policy for non-finite
+        values must be restart-invariant (a NaN that reached the table
+        differently across the boundary would poison every later merge
+        of its key)."""
+        import math as _math
+        import time
+
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        schema = "user_id long, value double"
+        nan, inf = float("nan"), float("inf")
+        file1 = [
+            (1, 10.5), (2, 20.0),
+            # dirty stop boundary
+            (1, nan), (2, inf), (3, -inf), (3, None), (None, 5.0),
+        ]
+        file2 = [
+            (1, 1.5), (2, -2.0), (3, 7.0), (None, nan), (4, -inf),
+        ]
+
+        def norm(rows):
+            def v(x):
+                if isinstance(x, float) and _math.isnan(x):
+                    return "NaN"
+                return x
+            return {r["key"]: (r["n"], v(r["s"]), v(r["mx"])) for r in rows}
+
+        # restarted lane: file 1, stop, file 2, recover
+        src_a = str(tmp_path / "in_a")
+        gold_a = str(tmp_path / "gold_a")
+        ckpt_a = str(tmp_path / "ckpt_a")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src_a)
+
+        def run_a():
+            stream = spark.readStream.schema(
+                spark.read.parquet(src_a).schema
+            ).parquet(src_a)
+            q = start_gold_table_foreach_batch(stream, "user_id", "value", gold_a, ckpt_a)
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        run_a()
+        time.sleep(1.1)  # file-source ordering is by modification time
+        spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src_a)
+        run_a()
+
+        # uninterrupted lane: identical input, one run
+        src_b = str(tmp_path / "in_b")
+        gold_b = str(tmp_path / "gold_b")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src_b)
+        spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src_b)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_b).schema
+        ).parquet(src_b)
+        q = start_gold_table_foreach_batch(
+            stream, "user_id", "value", gold_b, str(tmp_path / "ckpt_b")
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+        got = norm(spark.read.parquet(gold_a).collect())
+        want = norm(spark.read.parquet(gold_b).collect())
+        assert got == want
+        # the dirty-boundary keys really crossed the restart
+        assert got[1][0] == want[1][0] and got[1][0] >= 2
+
     def test_replay_across_restart_is_idempotent(self, spark, tmp_path):
         """The at-least-once window the marker exists for: a crash AFTER
         the gold-table swap but BEFORE the checkpoint commit re-delivers
