@@ -331,6 +331,77 @@ class TestDriftForeachBatchSink:
         want = psi_of_batch(counts, expected).collect()[0]["psi"]
         assert abs(rows[datetime(2026, 1, 1, 0, 0)] - want) < 1e-9
 
+    def test_dirty_window_finalizes_once_across_restart(self, spark, tmp_path):
+        """Dirty-input x restart for WATERMARK/WINDOW state (sixth
+        family, a different Spark state path from the five kernel/merge
+        pins): run 1 ingests the hour-0 window whose LAST rows are
+        NaN / +-Inf / NULL values and a NULL timestamp, then stops with
+        the window still OPEN (watermark not yet past its end). Run 2
+        recovers the window counts + watermark from the checkpoint and
+        ingests the watermark-moving file; the hour-0 PSI row must
+        finalize exactly ONCE and equal the batch replica over ALL
+        hour-0 rows — the dirty boundary rows' bin policy must survive
+        the checkpoint round-trip."""
+        import time
+        from datetime import datetime
+
+        from shifu_spark.streaming.drift import (
+            psi_of_batch,
+            start_drift_monitor_foreach_batch,
+        )
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        nan, inf = float("nan"), float("inf")
+        mk = lambda h, m, v: (datetime(2026, 1, 1, h, m), v)
+        early = [mk(0, i % 60, 1.0 + 3 * (i % 4)) for i in range(40)] + [
+            # dirty stop boundary: checkpointed window counts include these
+            mk(0, 55, nan), mk(0, 56, inf), mk(0, 57, -inf), mk(0, 58, None),
+            (None, 3.0),  # NULL ts: windowless, must not wedge recovery
+        ]
+        late = [mk(6, i % 60, 2.0) for i in range(10)]  # watermark mover
+        schema = "ts timestamp, v double"
+        boundaries = [0.0, 2.0, 5.0]
+        expected = {0: 0.5, 1: 0.3, 2: 0.2}
+        spark.createDataFrame(early, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_drift_monitor_foreach_batch(
+                stream, "v", boundaries, expected, out, ckpt,
+                window="1 hour", watermark="2 hours",
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+            assert q.exception() is None
+
+        run_once()  # hour-0 (incl. dirty rows) counted, window OPEN, stop
+        time.sleep(1.1)
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # recover window+watermark state; hour-0 finalizes
+
+        got = spark.read.parquet(out).collect()
+        rows = [(r["window_start"], r["psi"]) for r in got]
+        assert len(rows) == 1, rows  # finalized exactly once
+        assert rows[0][0] == datetime(2026, 1, 1, 0, 0)
+
+        from shifu_spark.operators.binning import bin_index_expr
+
+        bdf = spark.createDataFrame(
+            [r for r in early if r[0] is not None], schema
+        ).select(
+            F.lit(datetime(2026, 1, 1, 0, 0)).alias("window_start"), F.col("v")
+        )
+        counts = (
+            bdf.withColumn("bin", bin_index_expr("v", boundaries))
+            .groupBy("window_start", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        want = psi_of_batch(counts, expected).collect()[0]["psi"]
+        assert abs(rows[0][1] - want) < 1e-9
+
 
 class TestStreamingEval:
     def test_windowed_auc_confusion_matches_batch(self, spark, events_src):
