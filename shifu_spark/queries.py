@@ -11176,8 +11176,11 @@ def ns_purify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{base}/data", header_path=f"{base}/data.pig_header",
             strip_namespace=False,
         )
-        # csv sink wrote an inline header row too — drop it by field match
-        back = back.filter(F.col("`cust::c_custkey`") != "cust::c_custkey")
+        # csv sink wrote an inline header row too — drop it by field-name
+        # match, NULL-SAFELY: a bare != is three-valued and silently eats
+        # every NULL-key data row along with the header (same bug-class the
+        # r10 campaign fixed in text_roundtrip_stats above)
+        back = back.filter(~F.col("`cust::c_custkey`").eqNullSafe("cust::c_custkey"))
         kept = purify(
             back, "c_acctbal > 1000.0 && cust::c_mktsegment == 'BUILDING' || c_acctbal < 0.0"
         )

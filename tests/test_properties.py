@@ -1712,6 +1712,11 @@ class TestDirtyTpch:
         cu = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
         cu_dirty = spark.createDataFrame([
             (None, "Customer#NULLKEY", 2, 100.0, "BUILDING"),
+            # NULL key + a value tuple that PASSES ns_purify_filter's
+            # predicate (acctbal > 1000 && BUILDING) — makes a bare !=
+            # header-drop observable: three-valued != eats this row,
+            # ~eqNullSafe keeps it flowing (r11 verdict's latent defect)
+            (None, "Customer#NULLKEY-PASS", 4, 2000.0, "BUILDING"),
             (90001, None, None, NAN, None),
             (90002, "", 3, None, ""),
         ], cu.schema)
