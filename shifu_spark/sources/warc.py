@@ -55,13 +55,17 @@ def encode_warc(
     return bytes(out)
 
 
-def _parse_records(raw: bytes, prefix_recovery: bool = False) -> list[dict]:
+def _parse_records(
+    raw: bytes, prefix_recovery: bool = False, skip_counter=None
+) -> list[dict]:
     """Parse concatenated uncompressed records via Content-Length.
 
     ``prefix_recovery=True`` returns the records parsed BEFORE the first
     framing error instead of raising — the plain (non-gzip) layout has
     no member magic to resync on, so prefix recovery is all a corrupt
-    uncompressed WARC supports."""
+    uncompressed WARC supports. A recovery that actually tore (returned
+    early) adds 1 to ``skip_counter`` — the torn REMAINDER is of unknown
+    record count, so the unit is one tear event, not a record count."""
     out = []
     i = 0
     while i < len(raw):
@@ -89,6 +93,8 @@ def _parse_records(raw: bytes, prefix_recovery: bool = False) -> list[dict]:
                 raise ValueError("missing record separator")
         except (ValueError, UnicodeDecodeError):
             if prefix_recovery:
+                if skip_counter is not None:
+                    skip_counter.add(1)
                 return out
             raise
         out.append({"headers": headers, "body": body})
@@ -99,7 +105,9 @@ def _parse_records(raw: bytes, prefix_recovery: bool = False) -> list[dict]:
 _GZIP_MAGIC3 = b"\x1f\x8b\x08"  # magic + deflate method byte
 
 
-def parse_warc(payload: bytes, on_error: str = "raise") -> list[dict]:
+def parse_warc(
+    payload: bytes, on_error: str = "raise", skip_counter=None
+) -> list[dict]:
     """REAL WARC decode. Gzip files are walked MEMBER BY MEMBER (each
     inflated with its own decompressobj; ``unused_data`` marks the next
     member's offset) — one record per member, as crawl archives store
@@ -117,12 +125,28 @@ def parse_warc(payload: bytes, on_error: str = "raise") -> list[dict]:
     100 TB one flipped bit in one member must cost one record, not the
     shard. Plain (uncompressed) files have no magic to resync on, so
     'skip' degrades to prefix recovery (records before the corruption).
+
+    Quarantine observability (same contract as the media extractors,
+    operators/multimodal.py): pass ``skip_counter`` (any object with
+    ``.add(n)`` — a ``spark.sparkContext.accumulator(0)`` when called
+    from inside a mapInPandas ingest closure) and every quarantine EVENT
+    increments it: one per contiguous corrupt gzip REGION dropped (a
+    resync chain through garbage that repeatedly fails counts once —
+    one damage site must read as one event, not as however many spurious
+    magic bytes the garbage happens to contain), one per plain-file tear
+    (the torn remainder's record count is unknowable). A parser
+    regression looks exactly like corruption to a silent skip; a job
+    monitoring its corruption rate can tell them apart. Accumulator
+    caveat applies: task retries/speculation can over-count — treat it
+    as a monitoring signal; the exact quarantined set is inputs minus
+    outputs.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     if payload[:2] == b"\x1f\x8b":
         records = []
         rest = payload
+        in_bad_region = False
         while rest:
             d = zlib.decompressobj(wbits=31)
             try:
@@ -138,10 +162,19 @@ def parse_warc(payload: bytes, on_error: str = "raise") -> list[dict]:
             except ValueError:
                 if on_error != "skip":
                     raise
+                if not in_bad_region:
+                    if skip_counter is not None:
+                        skip_counter.add(1)
+                    in_bad_region = True
                 nxt = rest.find(_GZIP_MAGIC3, 1)
                 rest = rest[nxt:] if nxt > 0 else b""
                 continue
+            in_bad_region = False
             records.extend(member)
             rest = d.unused_data
         return records
-    return _parse_records(payload, prefix_recovery=(on_error == "skip"))
+    return _parse_records(
+        payload,
+        prefix_recovery=(on_error == "skip"),
+        skip_counter=skip_counter,
+    )

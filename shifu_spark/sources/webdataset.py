@@ -39,7 +39,10 @@ def encode_wds_shard(samples: list[tuple[str, list[tuple[str, bytes]]]]) -> byte
 
 
 def parse_wds_shard(
-    payload: bytes, on_error: str = "raise"
+    payload: bytes,
+    on_error: str = "raise",
+    skip_counter=None,
+    expected_exts=None,
 ) -> list[tuple[str, dict[str, bytes]]]:
     """Read a shard back into [(key, {ext: payload})] in first-appearance
     order, enforcing the contiguity contract.
@@ -68,9 +71,35 @@ def parse_wds_shard(
     tarfile silently treats both as EOF) seals the walk, so the last
     returned sample can be a parts-subset of the original.  Survivors
     are always a byte-intact, order-preserving prefix with no
-    fabrication (property-fuzzed in tests/test_properties.py)."""
+    fabrication (property-fuzzed in tests/test_properties.py).
+
+    ``expected_exts`` closes asymmetry (b) for callers that require
+    COMPLETE samples: pass the set of extensions every sample must
+    carry (e.g. ``{"jpg", "txt"}``) and any returned sample missing one
+    is dropped under ``on_error='skip'`` / raises under ``'raise'`` —
+    so a forged-EOF parts-subset can never be consumed as a whole
+    sample. Applied uniformly (not just to the final sample): an
+    incomplete sample mid-shard is the same contract violation.
+    Samples may carry EXTRA extensions; only the named ones are
+    mandatory. Leave it ``None`` for corpora with legitimately ragged
+    parts.
+
+    Quarantine observability (same contract as parse_warc and the media
+    extractors): ``skip_counter`` (any ``.add(n)`` object — a Spark
+    accumulator from inside a mapInPandas ingest closure) counts every
+    quarantine EVENT: +1 per dropped contract-violating member
+    (extensionless, non-contiguous stray), +1 per unsealed sample a
+    tear drops, +1 per sample failing the ``expected_exts`` check. A
+    forged clean EOF whose parts-subset passes ``expected_exts`` (or
+    when the check is off) is intrinsically unobservable — tar carries
+    no sample count to reconcile against. Accumulator caveat: task
+    retries/speculation can over-count; monitoring signal, not an exact
+    ledger."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    required = frozenset(expected_exts) if expected_exts is not None else None
+    if required is not None and not required:
+        raise ValueError("expected_exts must be None or a non-empty set of extensions")
     out: list[tuple[str, dict[str, bytes]]] = []
     seen: set[str] = set()
     sealed = 0  # leading samples whose contiguous run is provably over
@@ -82,6 +111,8 @@ def parse_wds_shard(
                 key, dot, ext = m.name.partition(".")
                 if not dot:
                     if on_error == "skip":
+                        if skip_counter is not None:
+                            skip_counter.add(1)
                         continue
                     raise ValueError(f"member without extension: {m.name!r}")
                 if out and out[-1][0] == key:
@@ -93,6 +124,8 @@ def parse_wds_shard(
                         # sample resumes through the continuation branch
                         # above (out[-1] is still it), so its run is not
                         # provably over and a later tear must drop it
+                        if skip_counter is not None:
+                            skip_counter.add(1)
                         continue
                     raise ValueError(f"non-contiguous sample {key!r} (shard not streamable)")
                 # a member header that STARTS a new sample: whatever
@@ -109,5 +142,21 @@ def parse_wds_shard(
             raise
         # torn framing: keep the sealed prefix; only samples whose
         # contiguous run the tear could still have been feeding are lost
+        if skip_counter is not None and len(out) > sealed:
+            skip_counter.add(len(out) - sealed)
         del out[sealed:]
+    if required is not None:
+        complete = []
+        for key, parts in out:
+            missing = required - parts.keys()
+            if not missing:
+                complete.append((key, parts))
+            elif on_error == "skip":
+                if skip_counter is not None:
+                    skip_counter.add(1)
+            else:
+                raise ValueError(
+                    f"sample {key!r} missing required parts {sorted(missing)}"
+                )
+        out = complete
     return out

@@ -2072,6 +2072,184 @@ class TestDirtyBinaries:
         with self._pt.raises(ValueError, match="on_error"):
             parse_wds_shard(shard, on_error="ignore")
 
+    # -- source-level skip_counter (VERDICT r11 item 4) --------------------
+
+    class _Counter:
+        """Any object with .add(n) satisfies the skip_counter contract;
+        the Spark-accumulator path is pinned separately below."""
+
+        def __init__(self):
+            self.value = 0
+
+        def add(self, n):
+            self.value += n
+
+    def test_warc_skip_counter_counts_damage_regions(self):
+        """VERDICT r11 item 4: parse_warc's quarantine must be
+        OBSERVABLE — same monitoring-rate argument as the media
+        extractors (a parser regression looks exactly like corruption
+        to a silent skip). Unit = damage EVENTS: one per contiguous
+        corrupt gzip region (however many failed resync attempts the
+        garbage causes), one per plain-file tear."""
+        from shifu_spark.sources.warc import parse_warc, write_warc_record
+
+        g1, g2, junk = self._warc_members()
+        # two separated corrupt regions = 2 events, even though the
+        # double-junk region fails resync twice inside one region
+        c = self._Counter()
+        got = parse_warc(
+            junk + g1 + junk + junk + g2, on_error="skip", skip_counter=c
+        )
+        assert (c.value, len(got)) == (2, 2)
+        # clean archive: counter stays at zero
+        c = self._Counter()
+        assert len(parse_warc(g1 + g2, on_error="skip", skip_counter=c)) == 2
+        assert c.value == 0
+        # truncated final member: one event
+        c = self._Counter()
+        parse_warc(g1 + g2[: len(g2) // 2], on_error="skip", skip_counter=c)
+        assert c.value == 1
+        # plain (uncompressed) tear: ONE event — the torn remainder's
+        # record count is unknowable, so the unit is the tear itself
+        r1 = write_warc_record("response", "http://h/1", b"ok", None)
+        r2 = write_warc_record("metadata", "http://h/1", b"m", None)
+        c = self._Counter()
+        assert len(parse_warc(r1 + r2[:-3], on_error="skip", skip_counter=c)) == 1
+        assert c.value == 1
+
+    def test_warc_skip_counter_spark_accumulator(self, spark):
+        """The intended production plumbing: a Spark accumulator
+        threaded through a mapInPandas ingest closure (shard-per-row
+        scan), aggregating the corruption rate across the whole stage —
+        the parse_warc twin of tests above pinning multimodal's
+        extractor accumulator."""
+        import pandas as pd
+
+        from shifu_spark.sources.warc import parse_warc
+
+        g1, g2, junk = self._warc_members()
+        rows = [(1, junk + g2), (2, g1 + g2), (3, junk + junk)]
+        df = spark.createDataFrame(rows, "sid long, payload binary")
+        acc = spark.sparkContext.accumulator(0)
+
+        def run(batches):
+            for pdf in batches:
+                n = [
+                    len(parse_warc(bytes(p), on_error="skip", skip_counter=acc))
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame({"sid": pdf["sid"], "n_records": n})
+
+        out = df.mapInPandas(run, "sid long, n_records long").collect()
+        assert {r.sid: r.n_records for r in out} == {1: 1, 2: 2, 3: 0}
+        assert acc.value == 2  # one region in shard 1, one in shard 3
+
+    def test_wds_skip_counter_counts_quarantine_events(self):
+        """parse_wds_shard twin: +1 per dropped contract-violating
+        member (extensionless, stray), +1 per unsealed sample a torn
+        frame drops; zero over a clean shard."""
+        import io
+        import tarfile
+
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        shard = encode_wds_shard(
+            [("a", [("txt", b"x"), ("json", b"{}")]), ("b", [("txt", b"y")])]
+        )
+        c = self._Counter()
+        assert len(parse_wds_shard(shard, on_error="skip", skip_counter=c)) == 2
+        assert c.value == 0
+        # noext member + stray member of an earlier key = 2 events
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in [
+                ("a.txt", b"x"), ("noext", b"?"), ("b.txt", b"y"), ("a.json", b"stray"),
+            ]:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        c = self._Counter()
+        parse_wds_shard(buf.getvalue(), on_error="skip", skip_counter=c)
+        assert c.value == 2
+        # mid-walk tear at byte 700 (inside a.txt's data block): the
+        # one unsealed sample parsed so far ('a') is dropped = 1 event
+        c = self._Counter()
+        assert parse_wds_shard(shard[:700], on_error="skip", skip_counter=c) == []
+        assert c.value == 1
+
+    def test_wds_expected_exts_closes_forged_eof_subset(self, spark):
+        """ADVICE r11: damage that MIMICS a clean end of archive (here a
+        truncation landing exactly on the member-block boundary at 1024,
+        between a.txt's data and a.json's header) seals the walk, so the
+        last sample silently returns as a PARTS-SUBSET — unobservable
+        even with skip_counter (tar carries no sample count to reconcile
+        against). expected_exts is the opt-in completeness contract that
+        closes it: the incomplete sample is dropped AND counted under
+        skip, raises under raise-mode, uniformly for mid-shard
+        incompleteness too."""
+        import pandas as pd
+
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        shard = encode_wds_shard(
+            [("a", [("txt", b"x"), ("json", b"{}")]), ("b", [("txt", b"y")])]
+        )
+        forged = shard[:1024]
+        # the documented hole: without the check the subset sails through
+        c = self._Counter()
+        assert parse_wds_shard(forged, on_error="skip", skip_counter=c) == [
+            ("a", {"txt": b"x"})
+        ]
+        assert c.value == 0
+        # with it: dropped and counted
+        c = self._Counter()
+        assert (
+            parse_wds_shard(
+                forged, on_error="skip", skip_counter=c, expected_exts={"txt", "json"}
+            )
+            == []
+        )
+        assert c.value == 1
+        with self._pt.raises(ValueError, match="missing required parts"):
+            parse_wds_shard(forged, expected_exts={"txt", "json"})
+        # mid-shard incompleteness is the same violation: sample b has
+        # no json even in the intact shard
+        with self._pt.raises(ValueError, match="'b' missing required parts"):
+            parse_wds_shard(shard, expected_exts={"txt", "json"})
+        c = self._Counter()
+        assert parse_wds_shard(
+            shard, on_error="skip", skip_counter=c, expected_exts={"txt", "json"}
+        ) == [("a", {"txt": b"x", "json": b"{}"})]
+        assert c.value == 1
+        # extra extensions are fine; empty requirement set is loud
+        assert parse_wds_shard(shard, expected_exts={"txt"}) == parse_wds_shard(shard)
+        with self._pt.raises(ValueError, match="non-empty"):
+            parse_wds_shard(shard, expected_exts=set())
+        # accumulator plumbing through a mapInPandas stage, as WARC above
+        acc = spark.sparkContext.accumulator(0)
+        df = spark.createDataFrame(
+            [(1, forged), (2, shard)], "sid long, payload binary"
+        )
+
+        def run(batches):
+            for pdf in batches:
+                n = [
+                    len(
+                        parse_wds_shard(
+                            bytes(p),
+                            on_error="skip",
+                            skip_counter=acc,
+                            expected_exts={"txt", "json"},
+                        )
+                    )
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame({"sid": pdf["sid"], "n_samples": n})
+
+        out = df.mapInPandas(run, "sid long, n_samples long").collect()
+        assert {r.sid: r.n_samples for r in out} == {1: 0, 2: 1}
+        assert acc.value == 2  # forged subset 'a' + intact-but-json-less 'b'
+
     # -- decode bombs --------------------------------------------------------
 
     def test_decode_bombs_rejected_cheaply(self, monkeypatch):
