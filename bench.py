@@ -321,6 +321,30 @@ def nearest_probe_factor(probe_samples: list[dict], qpos: int) -> float:
     return PROBE_REF_S / ((left + right) / 2.0)
 
 
+#: Stall re-measure trigger (VERDICT r11 item 8): r11's adjudication saw
+#: sporadic multi-second scheduler/IO stalls land inside 0.1-0.5s
+#: queries (8x spreads on a probe-flat box).
+STALL_RATIO = 4.0
+
+
+def apply_stall_remeasure(runs: list[float], rerun) -> tuple[list[float], float | None]:
+    """If the slowest of ``runs`` exceeds ``STALL_RATIO`` x the fastest,
+    take ONE extra measurement via ``rerun()`` and DISCARD the single
+    worst run. The reported timing stays the min over full executions
+    (now min-of-n+1); the committed spread no longer carries the one-off
+    stall — while a genuinely bimodal query stalls again in the extra
+    run and stays visible. The discarded seconds are returned (and
+    recorded in the artifact's ``stall_remeasured`` map) so nothing is
+    silently dropped. Returns ``(final runs, discarded or None)``."""
+    best = min(runs)
+    if len(runs) < 2 or best <= 0 or max(runs) <= STALL_RATIO * best:
+        return runs, None
+    extended = runs + [rerun()]
+    worst = max(extended)
+    extended.remove(worst)
+    return extended, worst
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # optional comma-separated subset (e.g. the sf1 scale-proof families)
@@ -362,6 +386,7 @@ def main() -> None:
     probe_samples: list[dict[str, float]] = [{"after": 0, "s": probe_pre}]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    stall_remeasured: dict[str, float] = {}  # name -> discarded worst run (s)
     positions: dict[str, int] = {}  # 1-based suite position per query
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # loud on drift: a renamed registry query silently dropped from the
@@ -385,15 +410,19 @@ def main() -> None:
         # (cache cleared between runs, every run executes the full
         # plan); the per-query spread (max-min)/min is emitted so the
         # judge can see which numbers are jitter-dominated.
-        runs: list[float] = []
-        for _attempt in range(n_runs):
+        def one_run(fn=fn) -> float:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             # operators may persist() intermediates; drop them so queries
             # don't contend for executor memory with each other's caches
             spark.catalog.clearCache()
-            runs.append(dt)
+            return dt
+
+        runs = [one_run() for _attempt in range(n_runs)]
+        runs, discarded = apply_stall_remeasure(runs, one_run)
+        if discarded is not None:
+            stall_remeasured[name] = round(discarded, 3)
         best = min(runs)
         timings[name] = round(best, 3)
         spreads[name] = round((max(runs) - best) / best, 3) if best > 0 else 0.0
@@ -410,6 +439,12 @@ def main() -> None:
     # totals shrink accordingly; drift adjudication reads these first.
     probe_mean = sum(p["s"] for p in probe_samples) / len(probe_samples)
     probe_factor = round(PROBE_REF_S / probe_mean, 4)
+    # ADVICE r11: probe_factor switched definition in r11 (pre/post pair
+    # -> mean over pre+mid+post), so r<=10 BENCH artifacts' normalized
+    # fields are not methodologically identical to r11+ ones. Carry the
+    # legacy pair factor alongside so cross-round drift adjudication can
+    # compare like with like, and name the method in the artifact itself.
+    probe_factor_prepost = round(PROBE_REF_S / ((probe_pre + probe_post) / 2.0), 4)
 
     def nearest_factor(qpos: int) -> float:
         return nearest_probe_factor(probe_samples, qpos)
@@ -420,6 +455,20 @@ def main() -> None:
         "probe_samples": probe_samples,
         "probe_ref_s": PROBE_REF_S,
         "probe_factor": probe_factor,
+        "probe_factor_method": (
+            "mean over pre+mid+post probe samples (since r11); "
+            "probe_factor_prepost is the r<=10 pre/post-pair definition "
+            "for cross-round comparison"
+        ),
+        "probe_factor_prepost": probe_factor_prepost,
+        # stall re-measure rule (VERDICT r11 item 8): a query whose
+        # slowest run exceeded STALL_RATIO x its fastest got ONE extra
+        # run; timing is min over all full executions and the single
+        # worst (discarded) run is recorded here, so one-off box stalls
+        # stop polluting committed spreads while bimodal queries stay
+        # visible (they stall again in the extra run)
+        "stall_remeasured": stall_remeasured,
+        "stall_ratio": STALL_RATIO,
         # box-stall tally: queries where one run took >2x the min
         # (r11 adjudication found 8-16s stalls inside ~2s queries on a
         # probe-fast box — a high count says the box, not the code,

@@ -139,9 +139,16 @@ def export_pmml(
     if manifest.get("models") and spark is None:
         # MLlib members need a session to load — without one they are
         # NOT silently omitted (that read as a complete export before
-        # the r11 review pass); the caller sees exactly what's missing
+        # the r11 review pass); the caller sees exactly what's missing.
+        # The 'requires spark session' suffix marks ONLY skips a session
+        # would actually clear (tree members): a non-tree member (e.g.
+        # LogisticRegressionModel) is skipped as 'model_i:cls' either
+        # way, and a caller retrying with a session must not be told
+        # otherwise (ADVICE r11)
         skipped.extend(
             f"model_{i}:{e['cls']} (requires spark session)"
+            if e["cls"].startswith(("RandomForest", "GBT", "DecisionTree"))
+            else f"model_{i}:{e['cls']}"
             for i, e in enumerate(manifest["models"])
         )
     elif manifest.get("models"):

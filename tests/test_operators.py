@@ -1106,6 +1106,39 @@ def test_bench_nearest_probe_factor():
     assert bench.nearest_probe_factor(samples, 4) == ref / 0.9
 
 
+def test_bench_stall_remeasure_rule():
+    """VERDICT r11 item 8: a query whose slowest run exceeds STALL_RATIO
+    x its fastest gets ONE extra run; the single worst run is discarded
+    (returned, recorded in the artifact — never silently dropped) so a
+    one-off box stall stops polluting the committed spread, while a
+    bimodal query that stalls again in the extra run stays visible."""
+    import bench
+
+    # quiet runs: untouched, no rerun taken
+    calls = []
+    runs, discarded = bench.apply_stall_remeasure(
+        [0.5, 0.55, 0.6], lambda: calls.append(1) or 0.5
+    )
+    assert (runs, discarded, calls) == ([0.5, 0.55, 0.6], None, [])
+    # one-off stall: extra run is clean, the stall itself is discarded
+    runs, discarded = bench.apply_stall_remeasure([0.5, 8.2, 0.55], lambda: 0.52)
+    assert discarded == 8.2
+    assert runs == [0.5, 0.55, 0.52]
+    assert (max(runs) - min(runs)) / min(runs) < 1.0  # spread de-polluted
+    # bimodal: the extra run stalls too -> one stall remains visible
+    runs, discarded = bench.apply_stall_remeasure([0.5, 8.2, 0.55], lambda: 7.9)
+    assert discarded == 8.2
+    assert runs == [0.5, 0.55, 7.9]
+    # exactly at the ratio boundary: not a stall (strict >)
+    runs, discarded = bench.apply_stall_remeasure(
+        [1.0, bench.STALL_RATIO * 1.0], lambda: 1.0
+    )
+    assert discarded is None
+    # degenerate inputs never rerun
+    assert bench.apply_stall_remeasure([0.0, 5.0], lambda: 1 / 0) == ([0.0, 5.0], None)
+    assert bench.apply_stall_remeasure([3.0], lambda: 1 / 0) == ([3.0], None)
+
+
 def test_notes_totals_not_stale():
     """NOTES.md's registry-totals line is machine-owned (VERDICT r4
     wrong #4: hand-typed totals kept drifting) — regenerate with

@@ -222,3 +222,31 @@ class TestTreePmml:
         p = model.transform(data).select("prediction").limit(1).collect()[0]
         got = score_pmml(open(written[0]).read(), dict(zip(["f1", "f2", "f3"], r)))
         assert got == pytest.approx(p["prediction"], rel=1e-9)
+
+    def test_sessionless_skip_labels_only_session_fixable(self, spark, tmp_path):
+        """ADVICE r11: the '(requires spark session)' suffix must mark
+        ONLY skips a session would actually clear. A non-tree MLlib
+        member (LinearRegressionModel here) is skipped as plain
+        'model_i:cls' with or without a session — a caller retrying
+        with a session must not be told the retry will clear it."""
+        import os
+
+        from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+
+        from shifu_spark.ml.registry import export_pmml, save_model_set
+
+        data = self._toy(spark)
+        rf = RandomForestRegressor(numTrees=1, maxDepth=2, seed=1).fit(data)
+        lin = LinearRegression(maxIter=2).fit(data)
+        path = str(tmp_path / "mixed_set")
+        save_model_set(path, [rf, lin], feature_cols=["f1", "f2", "f3"])
+        w, s = export_pmml(path)
+        assert w == []
+        assert s == [
+            "model_0:RandomForestRegressionModel (requires spark session)",
+            "model_1:LinearRegressionModel",
+        ]
+        # retrying with a session clears exactly the suffixed skip
+        w2, s2 = export_pmml(path, spark=spark)
+        assert [os.path.basename(p) for p in w2] == ["tree_0.pmml"]
+        assert s2 == ["model_1:LinearRegressionModel"]
