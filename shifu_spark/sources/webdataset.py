@@ -97,6 +97,13 @@ def parse_wds_shard(
     ledger."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    if isinstance(expected_exts, (str, bytes)):
+        # frozenset("txt") == {'t','x'} — a bare string would silently
+        # turn into per-CHARACTER requirements; demand a collection
+        raise ValueError(
+            "expected_exts must be a collection of extension strings, "
+            f"not a bare string: {expected_exts!r}"
+        )
     required = frozenset(expected_exts) if expected_exts is not None else None
     if required is not None and not required:
         raise ValueError("expected_exts must be None or a non-empty set of extensions")

@@ -2225,6 +2225,9 @@ class TestDirtyBinaries:
         assert parse_wds_shard(shard, expected_exts={"txt"}) == parse_wds_shard(shard)
         with self._pt.raises(ValueError, match="non-empty"):
             parse_wds_shard(shard, expected_exts=set())
+        # a bare string would silently become per-CHARACTER requirements
+        with self._pt.raises(ValueError, match="bare string"):
+            parse_wds_shard(shard, expected_exts="txt")
         # accumulator plumbing through a mapInPandas stage, as WARC above
         acc = spark.sparkContext.accumulator(0)
         df = spark.createDataFrame(
