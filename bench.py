@@ -11,6 +11,7 @@ compares wall-clock against BASELINE; warm-up would flatter us).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -417,6 +418,17 @@ def main() -> None:
             # operators may persist() intermediates; drop them so queries
             # don't contend for executor memory with each other's caches
             spark.catalog.clearCache()
+            # ... and localCheckpoint blocks (the _materialize_release
+            # finalize) are NOT covered by clearCache: they release only
+            # when the Python DataFrame is GC'd and the ContextCleaner
+            # drops the JVM reference. Left to chance, ~100 queries of
+            # checkpoint blocks pile up in executor storage and the next
+            # big shuffle pays an eviction storm — r12 saw a consistent
+            # 13-42s first-run spike on semantic_dedup mid-suite that
+            # vanishes in isolation. Collect promptly so each query is
+            # measured against a clean block manager, not its
+            # predecessors' leftovers.
+            gc.collect()
             return dt
 
         runs = [one_run() for _attempt in range(n_runs)]
