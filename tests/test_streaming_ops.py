@@ -131,6 +131,101 @@ class TestStreamingDedup:
         assert got == want
         assert (0, 2) in got  # the cross-restart duplicate was recovered
 
+    def test_minhash_dedup_dirty_restart_with_rescale(self, spark, tmp_path):
+        """Dirty-input x restart x RESCALE for the DEDUP stream (extends
+        the running-stats rescale pin to a second state kernel — the one
+        that matters most at 100 TB, where a dedup stream outlives many
+        cluster resizes). Checkpoint born at shuffle.partitions=5 with
+        NULL-text/NULL-id dirty rows as the stop boundary; resumed under
+        a session now set to 13 onto a file whose first doc DUPLICATES a
+        pre-resize doc. The signature's group state lives in whichever
+        of the birth-5 state partitions hash(signature) chose — a naive
+        re-hash over 13 would route the duplicate's update to a
+        different partition and count it 1, forking the state. Asserts
+        the birth-N state layout is pinned (no dirs 5..12 appear) and
+        the recovered aggregate equals the batch run over the union."""
+        import time
+
+        from shifu_spark.operators.dedup import with_minhash_signature
+
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        dup_text = "the fast key order sort table scan merge part window"
+        file1 = [
+            (0, dup_text, "en", "src0", 52),
+            (1, "value data row batch stream spark plan", "en", "src1", 38),
+            (5, "", "en", "src0", 0),
+            (6, None, None, "src1", None),
+            (None, "null id doc in flight", "en", "src0", 21),
+        ]
+        file2 = [
+            (10, dup_text, "en", "src1", 52),   # cross-resize duplicate of doc 0
+            (11, None, "en", "src0", None),
+            (12, "fresh doc after the resize boundary", "en", "src1", 36),
+        ]
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .parquet(src)
+                .where(F.col("doc_id").isNotNull())
+            )
+            sig = (
+                with_minhash_signature(stream)
+                .where(F.col("signature").isNotNull())
+                .select("doc_id", "signature")
+            )
+            agg = sig.groupBy("signature").agg(
+                F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("mh_rescale_t")
+                .option("checkpointLocation", ckpt)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            run_once()  # checkpoint born at N=5 state partitions
+            state0 = os.path.join(ckpt, "state", "0")
+            born = {d for d in os.listdir(state0) if d.isdigit()}
+            assert born == {"0", "1", "2", "3", "4"}
+            time.sleep(1.1)  # file-source ordering is by modification time
+            spark.createDataFrame(file2, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            run_once()  # the resize: dup's count needs the pinned state
+            assert {d for d in os.listdir(state0) if d.isdigit()} == born
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+        got = {
+            (r["rep_id"], r["n_docs"])
+            for r in spark.sql("SELECT rep_id, n_docs FROM mh_rescale_t").collect()
+        }
+        batch = spark.createDataFrame(
+            [r for r in file1 + file2], schema
+        ).where(F.col("doc_id").isNotNull())
+        want = {
+            (r["rep_id"], r["n_docs"])
+            for r in with_minhash_signature(batch)
+            .where(F.col("signature").isNotNull())
+            .groupBy("signature")
+            .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        }
+        assert got == want
+        assert (0, 2) in got  # the cross-resize duplicate was recovered
+
 
 class TestStreamingSessionize:
     def test_sessions_match_batch_session_window(self, spark, events_src):
@@ -472,6 +567,88 @@ class TestDriftForeachBatchSink:
         got = spark.read.parquet(out).collect()
         rows = [(r["window_start"], r["psi"]) for r in got]
         assert len(rows) == 1, rows  # finalized exactly once
+        assert rows[0][0] == datetime(2026, 1, 1, 0, 0)
+
+        from shifu_spark.operators.binning import bin_index_expr
+
+        bdf = spark.createDataFrame(
+            [r for r in early if r[0] is not None], schema
+        ).select(
+            F.lit(datetime(2026, 1, 1, 0, 0)).alias("window_start"), F.col("v")
+        )
+        counts = (
+            bdf.withColumn("bin", bin_index_expr("v", boundaries))
+            .groupBy("window_start", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        want = psi_of_batch(counts, expected).collect()[0]["psi"]
+        assert abs(rows[0][1] - want) < 1e-9
+
+    def test_dirty_window_rescale_finalizes_once(self, spark, tmp_path):
+        """Dirty-input x restart x RESCALE for WATERMARK/WINDOW state —
+        a different Spark state path from the key-hash kernels (state is
+        keyed by (window,bin) and retired by the watermark, so a
+        re-partitioned resume could both fork counts AND re-finalize the
+        window). Checkpoint born at shuffle.partitions=5 with the hour-0
+        window OPEN and NaN/+-Inf/NULL rows as the last thing
+        checkpointed; resumed under 13 with the watermark-moving file.
+        Asserts the birth-N state layout is pinned, the hour-0 PSI row
+        finalizes exactly ONCE, and its value equals the batch replica
+        over ALL hour-0 rows including the dirty boundary."""
+        import time
+        from datetime import datetime
+
+        from shifu_spark.streaming.drift import (
+            psi_of_batch,
+            start_drift_monitor_foreach_batch,
+        )
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        nan, inf = float("nan"), float("inf")
+        mk = lambda h, m, v: (datetime(2026, 1, 1, h, m), v)
+        early = [mk(0, i % 60, 1.0 + 3 * (i % 4)) for i in range(40)] + [
+            mk(0, 55, nan), mk(0, 56, inf), mk(0, 57, -inf), mk(0, 58, None),
+            (None, 3.0),
+        ]
+        late = [mk(6, i % 60, 2.0) for i in range(10)]  # watermark mover
+        schema = "ts timestamp, v double"
+        boundaries = [0.0, 2.0, 5.0]
+        expected = {0: 0.5, 1: 0.3, 2: 0.2}
+        spark.createDataFrame(early, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_drift_monitor_foreach_batch(
+                stream, "v", boundaries, expected, out, ckpt,
+                window="1 hour", watermark="2 hours",
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+            assert q.exception() is None
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            run_once()  # hour-0 counted (incl. dirty rows), window OPEN
+            state0 = os.path.join(ckpt, "state", "0")
+            born = {d for d in os.listdir(state0) if d.isdigit()}
+            assert born == {"0", "1", "2", "3", "4"}
+            time.sleep(1.1)
+            spark.createDataFrame(late, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            run_once()  # the resize: hour-0 must finalize from pinned state
+            assert {d for d in os.listdir(state0) if d.isdigit()} == born
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+        got = spark.read.parquet(out).collect()
+        rows = [(r["window_start"], r["psi"]) for r in got]
+        assert len(rows) == 1, rows  # finalized exactly once, post-resize
         assert rows[0][0] == datetime(2026, 1, 1, 0, 0)
 
         from shifu_spark.operators.binning import bin_index_expr
