@@ -966,6 +966,100 @@ class TestStreamingSequencePacking:
         assert got == want
         assert None not in got  # the NULL-id in-flight doc was excluded
 
+    def test_dirty_restart_with_rescale_packing(self, spark, tmp_path):
+        """Dirty-input x restart x RESCALE for the sequence-packing
+        state (applyInPandasWithState keyed by shard): the per-shard
+        running token offset lives in whichever birth-N state partition
+        hash(shard) chose; a resume re-hashed over M != N would start a
+        shard's post-resize docs at offset 0 and silently overlap its
+        pre-resize sequences. Checkpoint born at shuffle.partitions=5
+        with NULL-text/empty/whitespace docs as the stop boundary;
+        resumed under 13; asserts the birth-N layout is pinned and the
+        recovered offsets equal the uninterrupted batch packing over
+        the union."""
+        import glob
+        import shutil
+        import time
+
+        from shifu_spark.queries import QUERIES, _packing_inputs, _PACK_BUDGET
+        from shifu_spark.streaming.ops import streaming_sequence_packing
+
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        file1 = [
+            (0, "the fast key order sort table scan merge", "en", "src0", 41),
+            (1, "value data row batch stream spark", "en", "src1", 33),
+            (2, ("dup " * 30).strip(), "en", "src0", 119),
+            (6, None, None, "src0", None),
+            (7, "", "en", "src1", 0),
+            (8, "   ", "en", "src0", 3),
+            (None, "null id doc in flight", "en", "src0", 21),
+        ]
+        file2 = [
+            (10, "after resize normal doc", "en", "src1", 23),
+            (11, None, "en", "src0", None),
+            (12, "", "es", "src1", 0),
+            (13, "!!! ??? ...", "en", "src0", 11),
+            (14, "café über 中文 \U0001f600", "de", "src1", 14),
+        ]
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src)
+                .where(F.col("doc_id").isNotNull())
+            )
+            q = (
+                streaming_sequence_packing(_packing_inputs(stream), budget=_PACK_BUDGET)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            run_once()  # checkpoint born at N=5 state partitions
+            state0 = os.path.join(ckpt, "state", "0")
+            born = {d for d in os.listdir(state0) if d.isdigit()}
+            assert born == {"0", "1", "2", "3", "4"}
+            time.sleep(1.1)  # file-source ordering is by modification time
+            spark.createDataFrame(file2, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            run_once()  # the resize: offsets must continue, not restart
+            assert {d for d in os.listdir(state0) if d.isdigit()} == born
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+        base = str(tmp_path / "batchref")
+        union = spark.createDataFrame(file1 + file2, schema)
+        tmpdir = f"{base}/_d"
+        union.coalesce(1).write.parquet(tmpdir)
+        shutil.move(
+            glob.glob(f"{tmpdir}/part-*.parquet")[0], f"{base}/documents.parquet"
+        )
+        got = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"], r["first_seq"], r["n_seqs"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["tok_offset"], r["first_seq"], r["n_seqs"])
+            for r in QUERIES["sequence_packing"](spark, base).collect()
+        }
+        assert got == want
+        assert None not in got
+
 
 class TestStreamingAsof:
     def test_asof_state_carries_across_micro_batches(self, spark, tmp_path):
@@ -1112,6 +1206,105 @@ class TestStreamingAsof:
         assert got[110] == (100, 1000)
         assert got[111] == (None, None)
 
+    def test_dirty_restart_with_rescale_asof(self, spark, tmp_path):
+        """Dirty-input x restart x RESCALE for the as-of attribution
+        state — the ARBITRARY-PYTHON-STATE path (applyInPandasWithState
+        keyed by user_id), a third Spark state mechanism after the SQL
+        agg kernels and the window/watermark store. The per-user
+        (last_click_ts, id) pair lives in whichever of the birth-N
+        state partitions hash(user_id) chose; a resume that re-hashed
+        over M != N would look up the post-resize purchase's user in a
+        partition that never saw the pre-resize click and silently
+        attribute nothing. Checkpoint born at shuffle.partitions=5 with
+        NULL-ts/NULL-user rows as the stop boundary; resumed under 13;
+        asserts the birth-N layout is pinned and the cross-resize
+        purchase attributes the PRE-resize click."""
+        import time
+
+        from shifu_spark.operators.join import asof_join
+        from shifu_spark.streaming.ops import streaming_asof_attribution
+
+        schema = "user_id long, event_id long, event_type string, ts_us long"
+        file1 = [
+            (1, 100, "click", 1000),
+            (1, 101, "purchase", 1500),
+            (1, 102, "purchase", None),
+            (2, 103, "click", None),
+            (None, 104, "click", 1200),
+            (None, 105, "purchase", 1300),
+        ]
+        file2 = [
+            (1, 110, "purchase", 2000),   # needs the click RECOVERED across the resize
+            (2, 111, "purchase", 2500),   # only dirty clicks before -> unmatched
+            (1, 112, "click", 2100),
+            (1, 113, "purchase", 2200),
+            (2, 114, "purchase", None),
+        ]
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = (
+                streaming_asof_attribution(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            run_once()  # checkpoint born at N=5 state partitions
+            state0 = os.path.join(ckpt, "state", "0")
+            born = {d for d in os.listdir(state0) if d.isdigit()}
+            assert born == {"0", "1", "2", "3", "4"}
+            time.sleep(1.1)  # file-source ordering is by modification time
+            spark.createDataFrame(file2, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            run_once()  # the resize
+            assert {d for d in os.listdir(state0) if d.isdigit()} == born
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+        got = {
+            r["purchase_id"]: (r["click_id"], r["click_ts_us"])
+            for r in spark.read.parquet(out).collect()
+        }
+        union = spark.createDataFrame(file1 + file2, schema)
+        purchases = union.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts_us"
+        )
+        clicks = union.filter(
+            "event_type = 'click' AND user_id IS NOT NULL AND ts_us IS NOT NULL"
+        ).select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_ts_us"),
+        )
+        want = {
+            r["purchase_id"]: (r["asof_click_id"], r["asof_click_ts_us"])
+            for r in asof_join(
+                purchases, clicks, ["user_id"], "ts_us", "click_ts_us",
+                ["click_id", "click_ts_us"], tie_cols=["click_id"],
+            ).collect()
+        }
+        assert got == want
+        # the attribution crossed BOTH the dirty boundary and the resize
+        assert got[110] == (100, 1000)
+        assert got[111] == (None, None)
+
 
 class TestGoldTableUpsert:
     def test_two_batch_merge_equals_batch_aggregate(self, spark, tmp_path):
@@ -1230,6 +1423,88 @@ class TestGoldTableUpsert:
         want = norm(spark.read.parquet(gold_b).collect())
         assert got == want
         # the dirty-boundary keys really crossed the restart
+        assert got[1][0] == want[1][0] and got[1][0] >= 2
+
+    def test_dirty_restart_with_rescale_gold_table(self, spark, tmp_path):
+        """Dirty-input x restart x RESCALE for the gold-table merge —
+        completing the rescale matrix over all six dirty-restart
+        families. This family is DELIBERATELY different: foreachBatch
+        keeps no state store (asserted — the checkpoint has no state/
+        dir), because the 'state' is the gold table itself, which is
+        partition-count-independent by construction. A resize therefore
+        only re-shuffles the per-batch aggregate + merge, and the pin
+        is pure result equality: born at shuffle.partitions=5, stopped
+        on the NaN/Inf/NULL boundary, resumed under 13, the final gold
+        table must equal an uninterrupted single-parallelism run over
+        the union — including the NaN-merge policy crossing the
+        resize."""
+        import math as _math
+        import time
+
+        from shifu_spark.streaming.ops import start_gold_table_foreach_batch
+
+        schema = "user_id long, value double"
+        nan, inf = float("nan"), float("inf")
+        file1 = [
+            (1, 10.5), (2, 20.0),
+            (1, nan), (2, inf), (3, -inf), (3, None), (None, 5.0),
+        ]
+        file2 = [
+            (1, 1.5), (2, -2.0), (3, 7.0), (None, nan), (4, -inf),
+        ]
+
+        def norm(rows):
+            def v(x):
+                if isinstance(x, float) and _math.isnan(x):
+                    return "NaN"
+                return x
+            return {r["key"]: (r["n"], v(r["s"]), v(r["mx"])) for r in rows}
+
+        src_a = str(tmp_path / "in_a")
+        gold_a = str(tmp_path / "gold_a")
+        ckpt_a = str(tmp_path / "ckpt_a")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src_a)
+
+        def run_a():
+            stream = spark.readStream.schema(
+                spark.read.parquet(src_a).schema
+            ).parquet(src_a)
+            q = start_gold_table_foreach_batch(stream, "user_id", "value", gold_a, ckpt_a)
+            q.awaitTermination(180)
+            assert q.exception() is None
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            run_a()
+            # no state store: the gold table IS the state
+            assert not os.path.isdir(os.path.join(ckpt_a, "state"))
+            time.sleep(1.1)  # file-source ordering is by modification time
+            spark.createDataFrame(file2, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_a)
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            run_a()  # the resize: merge result must be partition-invariant
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+        # uninterrupted lane: identical input, one run, one parallelism
+        src_b = str(tmp_path / "in_b")
+        gold_b = str(tmp_path / "gold_b")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(src_b)
+        spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src_b)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_b).schema
+        ).parquet(src_b)
+        q = start_gold_table_foreach_batch(
+            stream, "user_id", "value", gold_b, str(tmp_path / "ckpt_b")
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+        got = norm(spark.read.parquet(gold_a).collect())
+        want = norm(spark.read.parquet(gold_b).collect())
+        assert got == want
         assert got[1][0] == want[1][0] and got[1][0] >= 2
 
     def test_replay_across_restart_is_idempotent(self, spark, tmp_path):
