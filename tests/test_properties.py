@@ -1722,8 +1722,46 @@ class TestDirtyTpch:
         ], cu.schema)
         write_single(cu.unionAll(cu_dirty), "customer")
 
-        for t in ["region", "nation", "supplier", "part", "events",
-                  "documents", "embeddings"]:
+        # r12 extension: the DIMENSION side of every join was still
+        # clean — a NULL/orphan key in nation/region/supplier/part
+        # exercises the other half of each equi-join (and the graph
+        # queries built on part x supplier). NULL dimension keys must
+        # never match (standard three-valued =), orphan foreign keys
+        # must fall out of inner joins identically on both engines.
+        na = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        na_dirty = spark.createDataFrame([
+            (None, "NULLKEY NATION", 1),
+            (77, None, None),        # NULL name + NULL regionkey
+            (78, "", 99),            # empty name + ORPHAN regionkey
+        ], na.schema)
+        write_single(na.unionAll(na_dirty), "nation")
+
+        rg = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        rg_dirty = spark.createDataFrame([
+            (None, "NULLKEY REGION"),
+            (9, None),
+        ], rg.schema)
+        write_single(rg.unionAll(rg_dirty), "region")
+
+        su = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+        su_dirty = spark.createDataFrame([
+            (None, "Supplier#NULLKEY", 1, 100.0),
+            (90001, None, None, NAN),
+            (90002, "", 99, None),   # ORPHAN nationkey, NULL acctbal
+            (90003, "Supplier#INF", 2, INF),
+        ], su.schema)
+        write_single(su.unionAll(su_dirty), "supplier")
+
+        pa = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        pa_dirty = spark.createDataFrame([
+            (None, "NULLKEY PART", "Brand#00", "STANDARD NULLKEY", 5, 100.0),
+            (90001, None, None, None, None, NAN),
+            (90002, "", "", "", 0, None),
+            (90003, "inf part", "Brand#99", "ODD TYPE", -1, INF),
+        ], pa.schema)
+        write_single(pa.unionAll(pa_dirty), "part")
+
+        for t in ["events", "documents", "embeddings"]:
             os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{base}/{t}.parquet")
         con = duckdb.connect()
         for t in ["region", "nation", "customer", "supplier", "part", "orders",
