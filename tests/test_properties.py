@@ -2717,3 +2717,74 @@ class TestWdsResyncProperty:
             if first_off[keys[i + 1]] + 512 <= damage_at
         )
         assert len(got) >= guaranteed, (len(got), guaranteed, kind, damage_at)
+
+    @given(
+        st.integers(1, 6),
+        st.integers(1, 3),
+        st.lists(st.integers(0, 1200), min_size=6, max_size=18),
+        st.integers(0, 10**6),
+        st.sampled_from(["trunc", "hdrflip", "zeroblock"]),
+        st.integers(0, 10**6),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_expected_exts_survivors_always_complete(
+        self, n, k, sizes, which, kind, pos
+    ):
+        """Fuzz twin of the targeted forged-EOF test (ADVICE r11 #3):
+        with a UNIFORM parts contract (every sample carries exts
+        e0..e{k-1}) and ``expected_exts`` naming it, NO single-point
+        damage of any kind may yield an incomplete survivor — every
+        returned sample is byte-identical to its original, survivors
+        stay an order-preserving prefix, the checked parse equals the
+        unchecked parse minus its incomplete samples, and every drop
+        the completeness check performs lands in ``skip_counter``."""
+        import io
+        import tarfile
+
+        from shifu_spark.sources.webdataset import encode_wds_shard, parse_wds_shard
+
+        samples = self._build(n, [k] * 6, sizes)
+        shard = encode_wds_shard(samples)
+        with tarfile.open(fileobj=io.BytesIO(shard)) as tf:
+            members = [(m.name, m.offset) for m in tf]
+
+        if kind == "trunc":
+            damage_at = 1 + pos % (len(shard) - 1)
+            damaged = shard[:damage_at]
+        elif kind == "hdrflip":
+            off = members[which % len(members)][1]
+            damage_at = off + pos % 512
+            damaged = (
+                shard[:damage_at]
+                + bytes([shard[damage_at] ^ 0xFF])
+                + shard[damage_at + 1 :]
+            )
+        else:  # zeroblock — forges tar's end-of-archive marker
+            off = members[which % len(members)][1]
+            damaged = shard[:off] + b"\0" * 512 + shard[off + 512 :]
+
+        class Counter:
+            n = 0
+
+            def add(self, v):
+                self.n += v
+
+        required = {f"e{j}" for j in range(k)}
+        ctr = Counter()
+        got = parse_wds_shard(
+            damaged, on_error="skip", expected_exts=required, skip_counter=ctr
+        )
+        orig = {key: dict(parts) for key, parts in samples}
+        keys = [key for key, _ in samples]
+        got_keys = [key for key, _ in got]
+        assert got_keys == keys[: len(got_keys)]
+        for key, parts in got:
+            assert parts == orig[key], (key, sorted(parts))
+        unchecked = parse_wds_shard(damaged, on_error="skip")
+        want_checked = [
+            (key, p) for key, p in unchecked if set(p) == set(orig[key])
+        ]
+        assert got == want_checked
+        # every incomplete sample the check dropped was counted (the
+        # counter also carries tear/stray events, hence >=)
+        assert ctr.n >= len(unchecked) - len(got)
