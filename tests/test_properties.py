@@ -2501,7 +2501,15 @@ class TestWarcResyncProperty:
         else:
             m = b"\x1f\x8b\x08\x00" + b"\x00" * 16
         damaged = members[:bad] + [m] + members[bad + 1 :]
-        got = parse_warc(b"".join(damaged), on_error="skip")
+
+        class Counter:
+            n = 0
+
+            def add(self, v):
+                self.n += v
+
+        ctr = Counter()
+        got = parse_warc(b"".join(damaged), on_error="skip", skip_counter=ctr)
         got_bodies = [r["body"] for r in got]
         expected_surviving = [b for i, b in enumerate(bodies) if i != bad]
         # no fabricated records, no duplicate pickup
@@ -2513,6 +2521,12 @@ class TestWarcResyncProperty:
         # order of survivors preserved
         surv_in_order = [b for b in bodies if b in got_bodies]
         assert got_bodies == surv_in_order
+        # counter accounting: ONE damage site is ONE contiguous corrupt
+        # region, so exactly one quarantine event iff the damaged
+        # member's record was lost — zero when the flip left a valid
+        # member (mtime/XFL/OS bytes are not CRC-protected)
+        lost = bodies[bad] not in got_bodies
+        assert ctr.n == (1 if lost else 0), (ctr.n, lost, kind)
 
     @given(
         st.integers(2, 7),
