@@ -1478,6 +1478,11 @@ class TestDirtyEvents:
             # excludes NULL-ts right rows up front)
             (16, None, 18, "click", 2.0, '{"k": 13}'),
             (17, D(2024, 1, 1, 3, 0), 18, "purchase", 6.0, '{"k": 14}'),
+            # users 90001/90002 exist ONLY as DIRTY customer rows below
+            # (NULL / empty mktsegment) — the dim-enrichment join's
+            # NULL-segment and empty-segment groups become observable
+            (18, D(2024, 1, 1, 3, 5), 90001, "click", 9.0, '{"k": 15}'),
+            (19, D(2024, 1, 1, 3, 6), 90002, "purchase", 2.5, '{"k": 16}'),
         ]
         base = str(tmp_path_factory.mktemp("dirty_events"))
         ev = spark.createDataFrame(
@@ -1492,9 +1497,22 @@ class TestDirtyEvents:
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         shutil.move(part, f"{base}/events.parquet")
         shutil.rmtree(tmp)
+        # r12 extension: the dim-enrichment join read a CLEAN customer —
+        # dirty its dimension half too (NULL key never matches; NULL /
+        # empty mktsegment become observable groups via events 18/19)
+        cu = spark.read.parquet(f"/root/testdata/sf0.001/customer.parquet")
+        cu_dirty = spark.createDataFrame([
+            (None, "Customer#NULLKEY", 2, 100.0, "BUILDING"),
+            (90001, None, None, float("nan"), None),
+            (90002, "", 3, None, ""),
+        ], cu.schema)
+        tmp = f"{base}/_cu"
+        cu.unionAll(cu_dirty).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{base}/customer.parquet")
+        shutil.rmtree(tmp)
         sf_src = "/root/testdata/sf0.001"
         for t in [
-            "region", "nation", "customer", "supplier", "part",
+            "region", "nation", "supplier", "part",
             "orders", "lineitem", "documents", "embeddings",
         ]:
             os.symlink(f"{sf_src}/{t}.parquet", f"{base}/{t}.parquet")
