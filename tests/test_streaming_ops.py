@@ -363,7 +363,10 @@ class TestRunningStats:
         # the all-non-finite-before-restart key recovered cleanly
         assert got["k3"] == (1, 700, 490000)
 
-    def test_dirty_restart_with_rescaled_shuffle_partitions(self, spark, tmp_path):
+    @pytest.mark.parametrize("born_n,resumed_n", [(5, 13), (13, 5)])
+    def test_dirty_restart_with_rescaled_shuffle_partitions(
+        self, spark, tmp_path, born_n, resumed_n
+    ):
         """VERDICT r11 item 7 (stretch): dirty-input x restart x RESCALE.
         At 100 TB the restart that matters is a cluster RESIZE — the job
         resumes under a different parallelism. Spark decouples state
@@ -377,7 +380,11 @@ class TestRunningStats:
         DIFFERENT state partition and silently fork its state — n resets,
         sums double-count. Same dirty stop boundary as the test above:
         the NaN/Inf/NULL rows are the last thing checkpointed before the
-        resize."""
+        resize. Parametrized BOTH directions — a scale-OUT resume
+        (5 -> 13) and the scale-IN one (13 -> 5): shrink is the cheaper,
+        more common resize in practice (spot loss, off-peak downscale)
+        and must neither drop state partitions beyond birth-N nor
+        truncate recovered state."""
         import time
 
         from shifu_spark.streaming.ops import streaming_running_stats_exact_cents
@@ -415,21 +422,21 @@ class TestRunningStats:
 
         orig = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "5")
-            run_once()  # checkpoint born at N=5 state partitions
-            # the state store materialized exactly N=5 partition dirs
+            spark.conf.set("spark.sql.shuffle.partitions", str(born_n))
+            run_once()  # checkpoint born at N=born_n state partitions
+            # the state store materialized exactly N partition dirs
             state0 = os.path.join(ckpt, "state", "0")
             born = {d for d in os.listdir(state0) if d.isdigit()}
-            assert born == {"0", "1", "2", "3", "4"}
+            assert born == {str(i) for i in range(born_n)}
             time.sleep(1.1)  # file-source ordering is by modification time
             spark.createDataFrame(file2, schema).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
-            # the resize: resume under a session that now says M=13
-            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            # the resize: resume under a session that now says M != N
+            spark.conf.set("spark.sql.shuffle.partitions", str(resumed_n))
             run_once()
-            # state partition count stayed pinned at birth-N — no forked
-            # state dirs appeared for partitions 5..12
+            # state partition count stayed pinned at birth-N — neither
+            # forked dirs beyond it (scale-out) nor dropped dirs (scale-in)
             assert {d for d in os.listdir(state0) if d.isdigit()} == born
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
