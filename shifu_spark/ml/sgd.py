@@ -236,7 +236,17 @@ def fold_gradient_partials(parts: DataFrame, width: int):
         return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
     zero = (np.zeros(width), 0.0, 0)
-    g, loss, n = parts.rdd.treeAggregate(zero, seq, comb, depth=2)
+    rdd = parts.rdd
+    # depth 2 inserts a whole extra shuffle round purely to bound the
+    # driver-side fan-in; with few partitions that fan-in is already
+    # tiny (<= 64 partial rows of O(weights) each), so the extra stage
+    # is pure per-epoch overhead — measured one full Spark stage per
+    # epoch at sf0.1 (r12, guide §1.2: remove passes before tuning).
+    # On a real cluster (hundreds+ of tasks) depth 2 keeps the fan-in
+    # tree — the threshold adapts to the actual partition count, not a
+    # local[32]-specific constant.
+    depth = 1 if rdd.getNumPartitions() <= 64 else 2
+    g, loss, n = rdd.treeAggregate(zero, seq, comb, depth=depth)
     if n == 0:
         # an empty epoch (Spark-side epoch_sample_rate can legitimately
         # draw zero rows from a small frame) must surface as the TRUE

@@ -55,11 +55,13 @@ def clamp_weight(weight_col: str) -> Column:
 
 
 def _score_bounds(df: DataFrame, score_col: str, n: int | None) -> list[float]:
-    """Range-bucket boundaries from the RAW score column — a single
-    column-pruned scan with no shuffle (cheaper than quantiling the
-    post-groupBy points, which would re-run the aggregation). Collected
-    once and embedded as literals, so every plan branch sees the SAME
-    buckets by construction."""
+    """Range-bucket boundaries from the RAW score column.
+
+    LEGACY path (r12 optimization): the default curve machinery now
+    derives its bounds from the materialized points table inside
+    ``prefix_sums`` (one pass over the raw data instead of two — guide
+    §1.2/§2.3: don't re-scan what a prior pass already aggregated).
+    Kept for callers that pass explicit ``bounds`` (differential tests)."""
     spark = df.sparkSession
     k = n or spark.sparkContext.defaultParallelism
     qs = [i / k for i in range(1, k)]
@@ -134,16 +136,25 @@ def prefix_sums(
     (grand total, constant) and ``__pid`` columns appended.
 
     Plan:
-      * ONE cheap boundary pass (``percentile_approx`` over the key,
-        driver sees ``num_ranges−1`` values) defines range buckets as a
-        DETERMINISTIC FUNCTION OF THE DATA.  This is load-bearing:
-        ``repartitionByRange``'s sampled boundaries differ per plan
-        instantiation, so a totals branch and a main branch that don't
-        share the exchange can disagree about which rows a partition id
-        covers — silently misaligning the offsets (observed as a
-        nondeterministic ROC AUC).  A value-derived bucket id is
-        identical in every branch by construction, whether or not
-        Catalyst reuses the exchange;
+      * with ``bounds=None`` (the default path) the input points are
+        PERSISTED ONCE (cache handed back via ``cache_out`` for the
+        caller's deterministic unpersist) and the boundary quantiles
+        are read from that materialization — the upstream pipeline
+        (raw scan + groupBy) runs exactly once however many plan
+        branches or actions consume the result.  The r11 form took a
+        separate percentile pass over the RAW column and left the
+        points lazy, so the offsets broadcast branch re-derived the
+        whole scan+groupBy: 3 raw passes per curve query (r12
+        optimization, guide §1.2 — remove redundant passes first);
+      * the collected boundaries are embedded as literals, so every
+        plan branch sees the SAME buckets as a DETERMINISTIC FUNCTION
+        OF THE DATA.  This is load-bearing: ``repartitionByRange``'s
+        sampled boundaries differ per plan instantiation, so a totals
+        branch and a main branch that don't share the exchange could
+        disagree about which rows a partition id covers — silently
+        misaligning the offsets (observed as a nondeterministic ROC
+        AUC).  A value-derived bucket id is identical in every branch
+        by construction, whether or not Catalyst reuses the exchange;
       * per-bucket totals (one tiny row per bucket) cumulated under a
         window over ``__pid`` — unpartitioned, but spanning only
         #buckets rows;
@@ -152,14 +163,24 @@ def prefix_sums(
         on the bucket id, spreading buckets across every core).
 
     Output is row-identical to an unpartitioned ``sum() OVER (ORDER BY
-    ...)`` but every task works on ~1/num_ranges of the points. Set
-    ``persist=True`` when the caller runs MULTIPLE actions over the
-    result (each action would otherwise re-execute the plan).
+    ...)`` but every task works on ~1/num_ranges of the points.
+    ``persist=True`` is only meaningful on the legacy explicit-``bounds``
+    path (the default path persists the input points instead).
     """
     spark = df.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
     key = F.desc(order_col) if descending else F.asc(order_col)
     if bounds is None:
+        # one materialization pays for: the boundary collect, the
+        # per-bucket totals branch, and the main cumulative branch.
+        # The cache is handed to the caller via ``cache_out`` for
+        # deterministic release (the repo's unpersist discipline);
+        # a caller that does not accept the cache gets the un-persisted
+        # plan (each branch re-derives — correct, just not single-pass).
+        if cache_out is not None:
+            df = df.persist()
+            cache_out.append(df)
+        persist = False
         qs = [i / n for i in range(1, n)]
         bounds_row = df.agg(F.percentile_approx(order_col, qs, 1000).alias("b")).collect()
         bounds = [b for b in (bounds_row[0]["b"] or []) if b is not None]
@@ -231,6 +252,7 @@ def confusion_points_df(
     label_expr: Column,
     weight_col: str | None = None,
     num_ranges: int | None = None,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-distinct-score cumulative confusion matrix (distributed form).
 
@@ -241,12 +263,14 @@ def confusion_points_df(
     when ``weight_col`` is given (they are constant-1 sums otherwise).
 
     This IS the scalable prefix-sum plan — no unpartitioned window.
+    Pass ``cache_out`` to get the single-materialization plan (the
+    points cache is appended for the caller to release); without it the
+    plan stays fully lazy and each consuming branch re-derives.
     """
     pts = _score_points(df, score_col, label_expr, weight_col)
     cols = ["pos", "neg"] + (["wpos", "wneg"] if weight_col else [])
     cum = prefix_sums(
-        pts, "score", cols, descending=True, num_ranges=num_ranges,
-        bounds=_score_bounds(df, score_col, num_ranges),
+        pts, "score", cols, descending=True, num_ranges=num_ranges, cache_out=cache_out
     )
     return _confusion_select(cum, weighted=weight_col is not None)
 
@@ -257,8 +281,9 @@ def confusion_points_scalable(
     score_col: str,
     label_expr: Column,
     num_ranges: int | None = None,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
-    return confusion_points_df(df, score_col, label_expr, None, num_ranges)
+    return confusion_points_df(df, score_col, label_expr, None, num_ranges, cache_out)
 
 
 def confusion_points_global(
@@ -307,20 +332,28 @@ def roc_auc_df(
         return _weighted_roc_auc(df, score_col, label_expr, weight_col, round_to, num_ranges)
     pts = _score_points(df, score_col, label_expr, None).select("score", "pos", "neg")
     pts = pts.withColumn("n", F.col("pos") + F.col("neg"))
-    cum = prefix_sums(pts, "score", ["n"], descending=False, num_ranges=num_ranges,
-                      bounds=_score_bounds(df, score_col, num_ranges))
-    ranked = cum.withColumn("avg_rank", F.col("cum_n") - (F.col("n") - 1) / 2.0)
-    agg = ranked.agg(
-        F.sum(F.col("avg_rank") * F.col("pos")).alias("rank_sum"),
-        F.sum("pos").alias("np"),
-        F.sum("neg").alias("nn"),
+    caches: list[DataFrame] = []
+    cum = prefix_sums(
+        pts, "score", ["n"], descending=False, num_ranges=num_ranges, cache_out=caches
     )
-    auc = F.try_divide(
-        F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0, F.col("np") * F.col("nn")
-    )
-    if round_to is not None:
-        auc = F.round(auc, round_to)
-    return agg.select(auc.alias("auc"))
+    try:
+        ranked = cum.withColumn("avg_rank", F.col("cum_n") - (F.col("n") - 1) / 2.0)
+        agg = ranked.agg(
+            F.sum(F.col("avg_rank") * F.col("pos")).alias("rank_sum"),
+            F.sum("pos").alias("np"),
+            F.sum("neg").alias("nn"),
+        )
+        auc = F.try_divide(
+            F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0, F.col("np") * F.col("nn")
+        )
+        if round_to is not None:
+            auc = F.round(auc, round_to)
+        # finalize eagerly so the points cache can be released NOW (the
+        # single-row result never re-executes against unpersisted lineage)
+        return _finalize_one_row(agg.select(auc.alias("auc")))
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def _weighted_roc_auc(
@@ -337,21 +370,28 @@ def _weighted_roc_auc(
     Per distinct score (descending): ΔAUC = Δwfp·(wtp_prev + wtp)/2,
     normalized by totals.  Uses the same distributed prefix-sum."""
     pts = _score_points(df, score_col, label_expr, weight_col)
-    cum = prefix_sums(pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
-                      bounds=_score_bounds(df, score_col, num_ranges))
-    # Δwfp for this point is its own wneg; wtp_prev = cum_wpos - wpos
-    t = cum.withColumn(
-        "area", F.col("wneg") * ((F.col("cum_wpos") - F.col("wpos")) + F.col("cum_wpos")) / 2.0
+    caches: list[DataFrame] = []
+    cum = prefix_sums(
+        pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
+        cache_out=caches,
     )
-    agg = t.agg(
-        F.sum("area").alias("area_sum"),
-        F.first("tot_wpos").alias("tp"),
-        F.first("tot_wneg").alias("tn"),
-    )
-    auc = F.try_divide(F.col("area_sum"), F.col("tp") * F.col("tn"))
-    if round_to is not None:
-        auc = F.round(auc, round_to)
-    return agg.select(auc.alias("auc"))
+    try:
+        # Δwfp for this point is its own wneg; wtp_prev = cum_wpos - wpos
+        t = cum.withColumn(
+            "area", F.col("wneg") * ((F.col("cum_wpos") - F.col("wpos")) + F.col("cum_wpos")) / 2.0
+        )
+        agg = t.agg(
+            F.sum("area").alias("area_sum"),
+            F.first("tot_wpos").alias("tp"),
+            F.first("tot_wneg").alias("tn"),
+        )
+        auc = F.try_divide(F.col("area_sum"), F.col("tp") * F.col("tn"))
+        if round_to is not None:
+            auc = F.round(auc, round_to)
+        return _finalize_one_row(agg.select(auc.alias("auc")))
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def pr_auc_trapezoid(
@@ -490,21 +530,24 @@ def _curve_metrics_impl(
     out_aliases: tuple[str, str, str],
 ) -> DataFrame:
     """Shared single-scan curve machinery for the weighted and unweighted
-    forms — ONE place owns the boundary stitch, the pid-local lag, the
-    tie-order pin, and the cache release. The only parameterization:
+    forms — ONE place owns the boundary stitch, the pid-local lag, and
+    the tie-order pin. The only parameterization:
     which tally columns cumulate (pos/neg vs the weighted wpos/wneg) and
     the decimal scale of the trapezoid numerator (integer counts are
     exact at scale 0; weights need fractional digits)."""
     pos, neg = ("wpos", "wneg") if weight_col else ("pos", "neg")
     u2_type = "decimal(38,10)" if weight_col else "decimal(38,0)"
     pts = _score_points(df, score_col, label_expr, weight_col)
-    # persist: this consumer runs two actions (boundary agg + final agg)
+    # prefix_sums persists the points once — that single materialization
+    # serves the boundary collect, the offsets branch, the barea
+    # broadcast branch and the final agg (r12: was persist=True on the
+    # post-pid frame PLUS a separate raw-column bounds pass)
     caches: list[DataFrame] = []
-    cum = prefix_sums(
-        pts, "score", [pos, neg], descending=True, num_ranges=num_ranges, persist=True,
-        bounds=_score_bounds(df, score_col, num_ranges), cache_out=caches,
-    )
     try:
+        cum = prefix_sums(
+            pts, "score", [pos, neg], descending=True, num_ranges=num_ranges,
+            cache_out=caches,
+        )
         cpos, cneg = F.col(f"cum_{pos}"), F.col(f"cum_{neg}")
         t = (
             cum.withColumn("rec", F.try_divide(cpos, F.col(f"tot_{pos}")))
@@ -514,10 +557,9 @@ def _curve_metrics_impl(
         # boundary pairs: (lowest-score row of pid k) -> (highest-score row
         # of pid k+1). Computed IN-PLAN (per-pid first/last agg -> lag over
         # the #pids-row table -> 1-row sum, broadcast back) instead of a
-        # driver collect: the collect was a third action over the cached
-        # points — fusing it into the final action cut pr_auc from 19 to
-        # ~8 Spark jobs at sf0.1. The lag window is catalog-scale
-        # (#buckets rows; # bounded: same class as the offsets window in
+        # driver collect — both this branch and the final agg read the one
+        # checkpointed points table. The lag window is catalog-scale
+        # (#buckets rows; bounded: same class as the offsets window in
         # prefix_sums).
         per_pid = t.groupBy("__pid").agg(
             F.max_by(F.struct("rec", "prec"), "score").alias("first"),
@@ -647,6 +689,7 @@ def weighted_gain_buckets_df(
     num_buckets: int = 10,
     round_to: int | None = 6,
     num_ranges: int | None = None,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Weighted gains table: first score point at or past each weighted
     action-rate 1/N boundary (ConfusionMatrix.java weighted bucket walk).
@@ -655,7 +698,7 @@ def weighted_gain_buckets_df(
     pts = _score_points(df, score_col, label_expr, weight_col)
     cum = prefix_sums(
         pts, "score", ["wpos", "wneg"], descending=True, num_ranges=num_ranges,
-        bounds=_score_bounds(df, score_col, num_ranges),
+        cache_out=cache_out,
     )
     tot_w = F.col("tot_wpos") + F.col("tot_wneg")
     t = (

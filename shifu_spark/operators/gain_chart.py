@@ -28,6 +28,7 @@ def gain_chart_rows_df(
     label_expr: Column,
     num_buckets: int = 10,
     round_to: int | None = 6,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Gain-chart operating points: gain_buckets_df plus cumulative lift.
 
@@ -38,7 +39,7 @@ def gain_chart_rows_df(
     """
     from shifu_spark.operators.eval_metrics import confusion_points_df, gain_buckets_df
 
-    pts = confusion_points_df(df, score_col, label_expr)
+    pts = confusion_points_df(df, score_col, label_expr, cache_out=cache_out)
     out = gain_buckets_df(pts, num_buckets, round_to=None)
     lift = F.try_divide(F.col("recall"), F.col("action_rate"))
     out = out.withColumn("lift", lift)

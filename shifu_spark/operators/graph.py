@@ -46,8 +46,10 @@ def pagerank_df(
     all_nodes = e.select(F.col("src")).distinct().persist()
     n = all_nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # persist lazily: the first superstep's contribution join materializes
+    # the cache as part of its own job — an upfront count() here was one
+    # whole extra job for data the next job reads anyway (r12, guide §1.2)
     ed = e.join(deg, "src").persist()
-    ed.count()
 
     base = float(1.0 - damping) / n
     # all_nodes is the full node universe (all sources — complete under
@@ -141,7 +143,13 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
     state.  All outputs are exact integers; the coefficient is a single
     double division (cross-engine deterministic).
     """
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # e is typically a non-trivial pipeline (the registered query derives
+    # it from a per-order self-join + distinct); before r12 it was
+    # re-executed by FOUR consumers (degree pass, orientation join, edge
+    # count, wedge census ran deg twice more) — persist it once and fold
+    # the edge/wedge census onto deg so every downstream pass reads the
+    # cache (guide §1.2: remove redundant passes first)
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -179,9 +187,15 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
         )
         tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
         summary = (
-            e.agg(F.count(F.lit(1)).alias("n_edges"))
-            .crossJoin(deg.agg(
+            # n_edges from deg, not a separate pass over e: every edge
+            # contributes exactly 2 to Σdeg, so Σdeg div 2 is the exact
+            # integer edge count — one agg over the node-sized degree
+            # table replaces another full derivation of e (r12)
+            deg.agg(
                 F.count(F.lit(1)).alias("n_nodes"),
+                F.coalesce(
+                    F.expr("sum(deg) div 2"), F.lit(0)
+                ).alias("n_edges"),
                 # coalesce: an edgeless graph has 0 wedges, not NULL.
                 # deg*(deg-1) is always even, so integer `div 2` is exact
                 # at any degree — Column `/` is DOUBLE division and would
@@ -190,7 +204,7 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
                     F.sum(F.expr("deg * (deg - 1) div 2")),
                     F.lit(0),
                 ).alias("n_wedges"),
-            ))
+            )
             .crossJoin(tri)
             .select(
                 "n_nodes",
@@ -208,4 +222,5 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
         out = summary.localCheckpoint(eager=True)
     finally:
         oriented.unpersist()
+        e.unpersist()
     return out

@@ -501,13 +501,20 @@ def confusion_matrix_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.eval_metrics import confusion_points_df
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
-    return pts.select(
+    # cache_out: single materialization of the score points serves the
+    # bounds collect and both prefix branches (r12, guide §1.2); the
+    # checkpointed result releases the cache deterministically
+    caches: list[DataFrame] = []
+    pts = confusion_points_df(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", cache_out=caches
+    )
+    out = pts.select(
         "score", "tp", "fp", "fn", "tn",
         F.round("precision", 6).alias("precision"),
         F.round("recall", 6).alias("recall"),
         F.round("fpr", 6).alias("fpr"),
     )
+    return _materialize_release(out, caches)
 
 
 ORACLES["confusion_matrix_points"] = """
@@ -1576,8 +1583,11 @@ def gain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.eval_metrics import confusion_points_df, gain_buckets_df
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
-    return gain_buckets_df(pts, 10)
+    caches: list[DataFrame] = []
+    pts = confusion_points_df(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", cache_out=caches
+    )
+    return _materialize_release(gain_buckets_df(pts, 10), caches)
 
 
 ORACLES["gain_buckets"] = """
@@ -1618,7 +1628,11 @@ def gain_chart_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.gain_chart import gain_chart_rows_df
 
     li = _t(spark, sf_dir, "lineitem")
-    return gain_chart_rows_df(li, "l_extendedprice", F.col("l_returnflag") == "R", 10)
+    caches: list[DataFrame] = []
+    out = gain_chart_rows_df(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", 10, cache_out=caches
+    )
+    return _materialize_release(out, caches)
 
 
 ORACLES["gain_chart_export"] = """
@@ -2071,9 +2085,12 @@ def weighted_gain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.eval_metrics import weighted_gain_buckets_df
 
     li = _t(spark, sf_dir, "lineitem")
-    return weighted_gain_buckets_df(
-        li, "l_extendedprice", F.col("l_returnflag") == "R", "l_quantity", 10
+    caches: list[DataFrame] = []
+    out = weighted_gain_buckets_df(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", "l_quantity", 10,
+        cache_out=caches,
     )
+    return _materialize_release(out, caches)
 
 
 ORACLES["weighted_gain_buckets"] = """
@@ -4183,12 +4200,17 @@ def weighted_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.eval_metrics import confusion_points_df
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R", weight_col="l_quantity")
-    return pts.select(
+    caches: list[DataFrame] = []
+    pts = confusion_points_df(
+        li, "l_extendedprice", F.col("l_returnflag") == "R",
+        weight_col="l_quantity", cache_out=caches,
+    )
+    out = pts.select(
         "score", "tp", "fp",
         F.round("wtp", 4).alias("wtp"),
         F.round("wfp", 4).alias("wfp"),
     )
+    return _materialize_release(out, caches)
 
 
 ORACLES["weighted_confusion"] = """
@@ -4699,13 +4721,17 @@ def confusion_matrix_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shifu_spark.operators.eval_metrics import confusion_points_scalable
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = confusion_points_scalable(li, "l_extendedprice", F.col("l_returnflag") == "R")
-    return pts.select(
+    caches: list[DataFrame] = []
+    pts = confusion_points_scalable(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", cache_out=caches
+    )
+    out = pts.select(
         "score", "tp", "fp", "fn", "tn",
         F.round("precision", 6).alias("precision"),
         F.round("recall", 6).alias("recall"),
         F.round("fpr", 6).alias("fpr"),
     )
+    return _materialize_release(out, caches)
 
 
 ORACLES["confusion_matrix_scalable"] = ORACLES["confusion_matrix_points"]

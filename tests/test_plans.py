@@ -837,17 +837,9 @@ class TestExpensiveQueryScanHygiene:
     # lineitem is 11 wide, orders 9, documents 5, embeddings 3 — every
     # bound below proves column pruning reached the scan.
     SCAN_EXPECTATIONS = {
-        "confusion_matrix_scalable": (2, ["l_extendedprice"]),
-        "gain_chart_export": (2, ["l_extendedprice"]),
         "dedup_rep_by_quality": (2, ["doc_id"]),
         "robust_column_stats": (1, []),
         "salted_skew_join_revenue": (4, ["l_orderkey", "o_orderkey"]),
-        "gain_buckets": (2, ["l_extendedprice"]),
-        "weighted_confusion": (3, ["l_extendedprice"]),
-        "confusion_matrix_points": (2, ["l_extendedprice"]),
-        "weighted_gain_buckets": (3, ["l_extendedprice"]),
-        "roc_auc": (2, ["l_extendedprice"]),
-        "weighted_roc_auc": (3, ["l_extendedprice"]),
         "video_mjpeg_features": (1, []),
         "tree_path_encoding_pinned": (4, []),
         "gbt_forward_pinned": (4, []),
@@ -862,6 +854,13 @@ class TestExpensiveQueryScanHygiene:
         "nn_train", "dedup_groups", "pr_auc", "weighted_pr_auc",
         "matryoshka_recall", "minhash_lsh_pairs", "ngram_jaccard_pairs",
         "ann_recall_report", "eval_meta_score",
+        # r12 eval optimization: the curve queries finalize eagerly over
+        # one materialized points pass, so their registry plans are
+        # scan-free; the pruning/pushdown proof moved to the operator
+        # level (test_curve_machinery_lazy_plan_prunes_and_pushes)
+        "confusion_matrix_points", "confusion_matrix_scalable",
+        "weighted_confusion", "roc_auc", "weighted_roc_auc",
+        "gain_buckets", "weighted_gain_buckets", "gain_chart_export",
     ]
 
     @staticmethod
@@ -901,6 +900,22 @@ class TestExpensiveQueryScanHygiene:
             "eagerly-finalized queries now expose parquet scans — add "
             f"SCAN_EXPECTATIONS entries with pruning bounds: {leaked}"
         )
+
+    def test_curve_machinery_lazy_plan_prunes_and_pushes(self, spark):
+        """The registry curve queries finalize eagerly since r12 (one
+        materialized points pass feeds every branch), so their plans are
+        scan-free; this pins the SAME pruning/pushdown proof on the lazy
+        operator plan they execute internally: only the score (+weight)
+        columns read, score filter pushed to the parquet scan."""
+        from shifu_spark.operators.eval_metrics import confusion_points_df
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        lazy = confusion_points_df(li, "l_extendedprice", F.col("l_returnflag") == "R")
+        self._assert_scan_hygiene(lazy, 2, ["l_extendedprice"], "curve_unweighted")
+        lazyw = confusion_points_df(
+            li, "l_extendedprice", F.col("l_returnflag") == "R", weight_col="l_quantity"
+        )
+        self._assert_scan_hygiene(lazyw, 3, ["l_extendedprice"], "curve_weighted")
 
     def test_lint_rejects_an_unpruned_scan(self, spark):
         """Sanity: the checker itself must FAIL on a deliberately
