@@ -186,14 +186,32 @@ def grid_search(
     train, valid = assembled.randomSplit([train_fraction, 1 - train_fraction], seed=base.seed)
     train = train.persist()
     valid = valid.persist()
-    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
-    results = []
+    # materialize both caches BEFORE the overlapped fits below: a cold
+    # cache read by concurrent jobs is recomputed by each until one
+    # finishes (wasted passes, not a correctness issue — the seeded
+    # split is per-partition deterministic)
+    train.count()
+    valid.count()
+
+    def _one_point(point: dict) -> dict:
+        params = replace(base, **{k: v for k, v in point.items() if hasattr(base, k)})
+        params.extra = {**base.extra, **{k: v for k, v in point.items() if not hasattr(base, k)}}
+        model = _estimator(params, n_features).fit(train)
+        ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+        return {"params": point, "auc": ev.evaluate(model.transform(valid))}
+
     try:
-        for point in flatten_grid(grid):
-            params = replace(base, **{k: v for k, v in point.items() if hasattr(base, k)})
-            params.extra = {**base.extra, **{k: v for k, v in point.items() if not hasattr(base, k)}}
-            model = _estimator(params, n_features).fit(train)
-            results.append({"params": point, "auc": ev.evaluate(model.transform(valid))})
+        # grid points are independent fits over the same cached split —
+        # overlap a few so the next point's tasks back-fill executors
+        # idled by the current point's stage tails (guide §2.6).  2-3 in
+        # flight is the guide's sweet spot; results keep grid order
+        # (pool.map) and each fit is seed-deterministic, so the output
+        # is identical to the sequential loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        points = flatten_grid(grid)
+        with ThreadPoolExecutor(max_workers=min(3, max(1, len(points)))) as pool:
+            results = list(pool.map(_one_point, points))
     finally:
         train.unpersist()
         valid.unpersist()
@@ -212,14 +230,29 @@ def kfold_cv(assembled: DataFrame, params: TrainParams, n_features: int, k: int 
     folded = assembled.withColumn(
         "__fold", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")) + params.seed, F.lit(k))
     ).persist()
-    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
-    aucs = []
+    # materialize the fold assignment ONCE before the overlapped fits:
+    # concurrent cold-cache readers would each recompute it (wasted
+    # passes; values identical either way — the id is a pure function
+    # of the fixed physical layout)
+    folded.count()
+
+    def _one_fold(fold: int) -> float:
+        train = folded.filter(F.col("__fold") != fold)
+        valid = folded.filter(F.col("__fold") == fold)
+        model = _estimator(params, n_features).fit(train)
+        ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+        return ev.evaluate(model.transform(valid))
+
     try:
-        for fold in range(k):
-            train = folded.filter(F.col("__fold") != fold)
-            valid = folded.filter(F.col("__fold") == fold)
-            model = _estimator(params, n_features).fit(train)
-            aucs.append(ev.evaluate(model.transform(valid)))
+        # folds are independent fits over the one cached assignment —
+        # overlap a few so fold j+1's tasks back-fill executors idled
+        # by fold j's stage tails (guide §2.6).  pool.map keeps fold
+        # order and each fit is deterministic on its fold's rows, so
+        # the per-fold AUC list is identical to the sequential loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, max(1, k))) as pool:
+            aucs = list(pool.map(_one_fold, range(k)))
     finally:
         folded.unpersist()
     return aucs

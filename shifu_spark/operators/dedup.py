@@ -228,22 +228,59 @@ def minhash_lsh_pairs_df(
     candidates are then verified with the exact Jaccard so output ⊆
     :func:`ngram_jaccard_pairs_df` output (LSH may only lose pairs,
     never invent them).
+
+    Plan (r12 optimization, guide §1.2/§2.4): the shingle set, the K
+    min-hashes and the band keys are all computed IN-ROW — the same
+    array-expression form as :func:`with_minhash_signature` (hash/gram
+    equality pinned by tests/test_dedup_signature.py) — so NOTHING
+    shuffles before the banded self-join.  The r11 form exploded
+    shingles to rows and ran TWO shingle-scale groupBy(doc_id) shuffles
+    (the K-min aggregation + the verify-side collect_list): at corpus
+    scale that was two full shuffles of every shingle occurrence whose
+    output was per-doc anyway.  Shuffle volume is now exactly the
+    docs×bands band keys plus the candidate pairs — the module
+    docstring's scale contract, with zero shingle-row shuffles.
     """
     r = num_hashes // bands
     # spread docs across the session's parallelism first: single-file
-    # test inputs otherwise leave the md5-heavy shingle/signature chain
-    # on one core (measured ~1.5x end-to-end at sf0.1)
+    # test inputs otherwise leave the md5-heavy signature chain on one
+    # core (measured ~1.5x end-to-end at sf0.1)
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    # shingles feed three consumers (signatures + both verify sides) —
-    # cache once or the whole explode+distinct chain runs 3x
-    sh_cached = shingles_df(docs, n).persist()
+    # per-doc distinct shingle ARRAY, built exactly like shingles_df
+    # (same tokenization, same sub-n-token truncation, same NULL-text
+    # exclusion) but kept in-row instead of exploded
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id"), F.split(F.col("text"), " ").alias("toks")
+    )
+    elems = ", ".join(f"try_element_at(toks, i + {j})" for j in range(n))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {elems})))"
+    )
+    # K min-hashes as array_min over the in-row shingle set — value-
+    # identical to _minhash_wide's min() over exploded rows (same salted
+    # md5, same lexicographic min, concat('k','|',s) ≡ concat_ws for the
+    # non-NULL shingles this array holds)
+    mins = [
+        F.array_min(
+            F.expr(f"transform(sh_set, s -> md5(concat('{k}', '|', s)))")
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    wide = (
+        toks.select("doc_id", grams.alias("sh_set"))
+        .select("doc_id", "sh_set", *mins)
+        .persist()
+    )
     if cache_out is not None:
-        cache_out.append(sh_cached)
-    wide = _minhash_wide(sh_cached, num_hashes)
+        cache_out.append(wide)
+    # materialize the per-doc frame ONCE before the self-join fans out —
+    # a lazy cache fills mid-job and both join sides recompute the chain
+    wide.count()
     # band key = md5 of that band's r minhashes joined in k order —
-    # computed straight off the wide row (no second agg)
+    # a cheap projection off the cached wide row
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -253,12 +290,7 @@ def minhash_lsh_pairs_df(
     ]
     band_keys = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    ).persist()
-    if cache_out is not None:
-        cache_out.append(band_keys)
-    # materialize shingles + band keys ONCE before the self-join fans out —
-    # a lazy cache fills mid-job and both join sides recompute the chain
-    band_keys.count()
+    )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     candidates = (
@@ -277,10 +309,10 @@ def minhash_lsh_pairs_df(
     # shingles (AQE plan-flapped 5-25s run-to-run at sf0.1). Arrays make
     # the verify two candidate-keyed joins + an in-row array_intersect;
     # doc shingle sets are bounded by doc length, so the payload is safe
-    # at scale.
-    doc_sets = sh_cached.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
-    da = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    db = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    # at scale.  The sets come straight off the cached wide frame — the
+    # r11 collect_list re-aggregation was a third shingle-scale shuffle.
+    da = wide.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    db = wide.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     j = inter / (F.size("set_a") + F.size("set_b") - inter)
     return (
@@ -297,24 +329,37 @@ def simhash_df(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col
     Token hash = first 8 hex chars of md5 → 32-bit int (F.conv stays
     JVM-side). Returns (doc_id, simhash) — pair search via hamming
     distance over bit chunks (see :func:`simhash_candidate_pairs_df`).
+
+    Plan (r12 optimization, guide §1.2/§2.4): fully IN-ROW — the token
+    hashes and all per-bit votes are array expressions over the row, so
+    the operator shuffles NOTHING.  The r11 form exploded tokens and ran
+    two token-scale shuffles (groupBy(doc, token) count + the per-doc
+    vote agg); the count step was mathematically redundant anyway —
+    Σ_{distinct tokens} w·(±1) ≡ Σ_{occurrences} (±1), an exact integer
+    identity, so each occurrence can just vote directly.  Docs that
+    contribute no tokens (NULL text, or only empty tokens) stay ABSENT
+    from the output, exactly as explode left them absent.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
-    ).filter(F.col("token") != "")
-    counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
-    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-    withbits = counted.withColumn("h", h)
-    # per-bit weighted vote, then majority sign
-    bit_cols = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    votes = withbits.groupBy("doc_id").agg(*bit_cols)
+    toks_f = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    d = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), toks_f.alias("__toks")
+    ).where(F.size("__toks") > 0)
+    hs = d.withColumn(
+        "__hs",
+        F.expr(
+            "transform(__toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+        ),
+    )
+    # per-bit occurrence vote (+1/−1), majority sign — exact integer
+    # sums, order-independent, value-identical to the grouped form
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return votes.select("doc_id", sim.alias("simhash"))
+        vote = F.expr(
+            f"aggregate(__hs, 0L, (acc, h) -> acc + "
+            f"(case when shiftright(h, {j}) & 1 = 1 then 1 else -1 end))"
+        )
+        sim = sim + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return hs.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int = 4, bits: int = 32) -> DataFrame:
@@ -362,6 +407,17 @@ def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+#: Edge-count bound under which the label-propagation rounds broadcast
+#: the node-sized frames (labels / per-node neighbor minima) instead of
+#: shuffle-joining them.  Nodes ≤ 2·edges, a label row is two longs, so
+#: 10M edges bounds the broadcast at a few hundred MB — the guide §3.1
+#: comfort zone.  Above it the rounds fall back to shuffle joins (the
+#: arbitrarily-large-graph regime); the threshold is a module constant,
+#: not a local[32] tunable — it is sized by broadcast memory, which is
+#: cluster-shaped the same way everywhere.
+LABELPROP_BROADCAST_EDGES_MAX = 10_000_000
 
 
 def dedup_groups_df(
@@ -427,7 +483,18 @@ def dedup_groups_df(
         .withColumn("group_id", F.col("doc_id"))
         .persist()
     )
-    labels.count()
+    # r12: no upfront labels.count() — round 1's own job materializes
+    # the cache (the warm-up was one whole extra action; guide §1.2),
+    # and a racing recompute of the distinct only re-reads the already-
+    # materialized edges cache.
+    # Node-sized frames (labels, per-node neighbor minima) broadcast
+    # per round when the graph is small enough: the edge list — the BIG
+    # relation — then never re-shuffles, leaving ONE exchange per round
+    # (the per-node min agg) instead of three (guide §2.4; the same
+    # ranks-broadcast-per-superstep shape as operators/graph.pagerank_df).
+    # Above the bound, shuffle joins — correctness is unchanged either
+    # way, it is purely a join-strategy pin.
+    bcast = n_edges <= LABELPROP_BROADCAST_EDGES_MAX
     pinned = labels  # the df actually holding the cache for this round
     # max_iterations + 1: convergence is only KNOWN via a round that
     # reports changed == 0, so a chain whose last real change lands
@@ -435,10 +502,15 @@ def dedup_groups_df(
     # without it, correct boundary-case results would raise below
     for _ in range(max_iterations + 1):
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+            edges.join(
+                F.broadcast(labels) if bcast else labels,
+                edges["dst"] == labels["doc_id"],
+            )
             .groupBy("src")
             .agg(F.min("group_id").alias("nmin"))
         )
+        if bcast:
+            neighbor_min = F.broadcast(neighbor_min)
         joined = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(

@@ -1254,41 +1254,98 @@ def matryoshka_recall_df(
 
     One row per d: (dims, n_queries, n_hits, recall).  Recall is an
     exact integer ratio (hit count / Q·k) — one double division,
-    cross-engine deterministic.  Scale: each branch is the broadcast-Q
-    brute-force scan; at corpus scale the truncated branch is the
-    cheap pre-filter (d/D of the flops) and the full-width branch is
-    the re-rank, exactly like the ADC→exact ladder."""
-    full = brute_force_topk(embeddings, query_filter, k=k, id_col=id_col, vec_col=vec_col)
-    full = full.select("query_id", "neighbor_id").persist()
+    cross-engine deterministic.
+
+    Plan (r12 optimization, guide §1.2): ONE broadcast-Q brute-force
+    pass scores every requested prefix width PLUS the full-width
+    reference — the r11 form ran a separate corpus scan + top-k window
+    per width (len(dims)+1 scans, len(dims)+1 window shuffles).  The
+    per-pair elementwise product array is computed once; each width's
+    dot is the sequential fold over its PREFIX of that array, which is
+    value-identical to folding the sliced vectors (aggregate ∘ slice ≡
+    aggregate ∘ zip_with of slices — same terms, same order), and the
+    per-side prefix norms are projected once per row before the join.
+    All (width, pair) cosines then rank under one window partitioned by
+    (width, query) — same tie rule, same NULL-cosine exclusion, per
+    width, as the per-width brute_force_topk calls they replace.
+    ``query_filter`` is evaluated on the full-width row (its contract:
+    an id-level predicate selecting the query set)."""
+    dims = list(dims_list)
+    q = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn_full"),
+        *[norm_expr(F.slice(F.col(vec_col), 1, d)).alias(f"qn_{d}") for d in dims],
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm_expr(F.col(vec_col)).alias("nn_full"),
+        *[norm_expr(F.slice(F.col(vec_col), 1, d)).alias(f"nn_{d}") for d in dims],
+    )
+    prod = F.zip_with(
+        F.col("qvec"), F.col("nvec"), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__prod", prod)
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    entries = [
+        F.struct(
+            F.lit(d).alias("d"),
+            safe_cosine(
+                fold(F.slice(F.col("__prod"), 1, d)), F.col(f"qn_{d}"), F.col(f"nn_{d}")
+            ).alias("cosine"),
+        )
+        for d in dims
+    ]
+    # sentinel d = -1: the full-width reference ranking
+    entries.append(
+        F.struct(
+            F.lit(-1).alias("d"),
+            safe_cosine(
+                fold(F.col("__prod")), F.col("qn_full"), F.col("nn_full")
+            ).alias("cosine"),
+        )
+    )
+    ex = (
+        scored.select("query_id", "neighbor_id", F.explode(F.array(*entries)).alias("e"))
+        .select("query_id", "neighbor_id", F.col("e.d").alias("d"), F.col("e.cosine").alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm prefixes are not neighbors
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("d", "query_id", "neighbor_id")
+        .persist()
+    )
     try:
-        nq = full.select("query_id").distinct().count()  # bounded: |query set|
-        reports = []
-        for d in dims_list:
-            trunc = embeddings.select(
-                F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        fullk = ranked.filter(F.col("d") == -1).select("query_id", "neighbor_id")
+        nq = fullk.select("query_id").distinct().count()  # bounded: |query set|
+        hits = (
+            ranked.filter(F.col("d") != -1)
+            .join(fullk, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        # a width whose every cosine was NULL still reports its 0-hit row
+        dims_df = embeddings.sparkSession.createDataFrame([(d,) for d in dims], "d int")
+        out = (
+            dims_df.join(hits, "d", "left")
+            .select(
+                F.col("d").alias("dims"),
+                F.lit(nq).cast("long").alias("n_queries"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
             )
-            tk = brute_force_topk(trunc, query_filter, k=k, id_col=id_col, vec_col=vec_col)
-            hits = tk.select("query_id", "neighbor_id").join(
-                full, ["query_id", "neighbor_id"], "left_semi"
+            .withColumn(
+                "recall",
+                F.round(F.col("n_hits") / (F.col("n_queries") * F.lit(float(k))), 6),
             )
-            reports.append(
-                hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
-                    F.lit(d).alias("dims"),
-                    F.lit(nq).alias("n_queries"),
-                    "n_hits",
-                )
-            )
-        out = reports[0]
-        for r in reports[1:]:
-            out = out.unionAll(r)
-        out = out.select(
-            "dims",
-            F.col("n_queries").cast("long").alias("n_queries"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(
-                F.col("n_hits") / (F.col("n_queries") * F.lit(float(k))), 6
-            ).alias("recall"),
-        ).orderBy("dims")
+            .orderBy("dims")
+        )
         return out.localCheckpoint(eager=True)
     finally:
-        full.unpersist()
+        ranked.unpersist()

@@ -3152,9 +3152,14 @@ def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean): MLlib vectors hard-reject NaN/Inf, so one dirty row would
     # otherwise kill the whole fit
     q, d = F.col("l_quantity"), F.col("l_discount")
+    # n_in rides the means pass: df below is a 1:1 projection of li, so
+    # count(*) here equals the df.count() the coverage sentinel needs —
+    # the r11 form paid a SECOND full impute scan just for that count
+    # (r12, guide §1.2)
     means = li.agg(
         F.avg(F.when(is_value(q), q)).alias("mq"),
         F.avg(F.when(is_value(d), d)).alias("md"),
+        F.count(F.lit(1)).alias("n_in"),
     ).collect()[0]
     df = li.select(
         F.when(is_value(q), q).otherwise(F.lit(float(means["mq"]))).alias("f1"),
@@ -3170,7 +3175,7 @@ def tree_path_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.select(F.col("tree_leaves").getItem(0).alias("leaf0"))
         .groupBy("leaf0").count().orderBy("leaf0").collect()
     )
-    n_in, n_enc = df.count(), sum(r["count"] for r in hist)
+    n_in, n_enc = int(means["n_in"]), sum(r["count"] for r in hist)
     if n_enc != n_in:
         raise ValueError(f"tree-path sentinel: encoded {n_enc} of {n_in} rows")
     if not 2 <= len(hist) <= 8:
