@@ -22,12 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def gram_array_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc DISTINCT word n-gram shingle ARRAY: (doc_id, sh_set) —
+    the in-row form every shingle consumer derives from (r12: factored
+    out so :func:`shingles_df`, :func:`minhash_lsh_pairs_df` and the
+    verify-side counts share ONE definition and cannot drift).
 
     Tokenization = single-space split (portable to the oracle SQL);
     docs shorter than n tokens contribute their full text as one shingle.
-    NULL-text docs contribute NO shingles (and so are absent from every
+    NULL-text docs are EXCLUDED (and so are absent from every
     shingle-derived relation): without the filter, try_element_at over
     the NULL token array yields NULLs that concat_ws silently collapses
     to '' — aliasing every NULL doc to the genuinely-empty doc and
@@ -39,8 +42,8 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
     #  * O(1) element access instead of slice() (which copies per gram);
     #    concat_ws skips the NULLs try_element_at yields past the end, so
     #    sub-n-token docs still produce their truncated text as a shingle;
-    #  * array_distinct per doc BEFORE explode — dedup happens in-row,
-    #    not via a global distinct shuffle of every shingle occurrence.
+    #  * array_distinct per doc IN-ROW — dedup never needs a global
+    #    distinct shuffle of every shingle occurrence.
     toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
     )
@@ -49,7 +52,15 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
         f"array_distinct(transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', {elems})))"
     )
-    return toks.select("doc_id", F.explode(grams).alias("shingle"))
+    return toks.select("doc_id", grams.alias("sh_set"))
+
+
+def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc, EXPLODED: (doc_id, shingle)
+    — :func:`gram_array_df` for the construction/NULL contract."""
+    return gram_array_df(docs, n, id_col, text_col).select(
+        "doc_id", F.explode(F.col("sh_set")).alias("shingle")
+    )
 
 
 def exact_dedup_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = False) -> DataFrame:
@@ -71,9 +82,14 @@ def exact_dedup_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def shingleset_dedup_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """Dedup on the SET of shingles (robust to reordering-free edits):
     fingerprint = md5 of the sorted distinct shingle list."""
-    sh = shingles_df(docs, n)
-    agg = sh.groupBy("doc_id").agg(
-        F.md5(F.array_join(F.array_sort(F.collect_set("shingle")), "\x01")).alias("digest")
+    # r12 (guide §1.2/§2.4): the fingerprint is md5 over the SORTED
+    # distinct gram array — computable straight off gram_array_df's
+    # in-row set, so the explode + collect_set groupBy (a shingle-scale
+    # shuffle) is gone; array_sort of the same distinct elements yields
+    # the identical digest.  Only the digest window shuffles.
+    agg = gram_array_df(docs, n).select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.col("sh_set")), "\x01")).alias("digest"),
     )
     from pyspark.sql import Window
 
@@ -119,6 +135,11 @@ def ngram_jaccard_pairs_df(
     sh = shingles_df(docs, n).persist()  # feeds the join twice + counts
     if cache_out is not None:
         cache_out.append(sh)
+    # counts from the CACHED exploded rows, not gram_array_df: partial
+    # aggregation collapses the groupBy map-side (shuffle is doc-level),
+    # while re-deriving the gram arrays from the raw docs would pay the
+    # whole split/transform chain again per count consumer — measured 3x
+    # end-to-end when tried in r12
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -248,21 +269,11 @@ def minhash_lsh_pairs_df(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    # per-doc distinct shingle ARRAY, built exactly like shingles_df
-    # (same tokenization, same sub-n-token truncation, same NULL-text
-    # exclusion) but kept in-row instead of exploded
-    toks = docs.where(F.col("text").isNotNull()).select(
-        F.col("doc_id"), F.split(F.col("text"), " ").alias("toks")
-    )
-    elems = ", ".join(f"try_element_at(toks, i + {j})" for j in range(n))
-    grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', {elems})))"
-    )
-    # K min-hashes as array_min over the in-row shingle set — value-
-    # identical to _minhash_wide's min() over exploded rows (same salted
-    # md5, same lexicographic min, concat('k','|',s) ≡ concat_ws for the
-    # non-NULL shingles this array holds)
+    # K min-hashes as array_min over the in-row shingle set (the shared
+    # gram_array_df construction) — value-identical to _minhash_wide's
+    # min() over exploded rows (same salted md5, same lexicographic min,
+    # concat('k','|',s) ≡ concat_ws for the non-NULL shingles this array
+    # holds)
     mins = [
         F.array_min(
             F.expr(f"transform(sh_set, s -> md5(concat('{k}', '|', s)))")
@@ -270,7 +281,7 @@ def minhash_lsh_pairs_df(
         for k in range(num_hashes)
     ]
     wide = (
-        toks.select("doc_id", grams.alias("sh_set"))
+        gram_array_df(docs, n)
         .select("doc_id", "sh_set", *mins)
         .persist()
     )

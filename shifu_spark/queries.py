@@ -6856,20 +6856,25 @@ def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = _materialize_release(groups, caches)
     sc = quality_classifier_df(docs).select("doc_id", "clf_score")
     j = groups.join(sc, "doc_id")
+    # r12 (guide §2.4): the group size rides the SAME group_id window
+    # shuffle as the rank — the r11 form derived j TWICE (two docs
+    # scans through the classifier) for a separate groupBy + re-join,
+    # three shuffles and a duplicated scan for a count the rank
+    # partition already sees.  Identical output: count over the
+    # unordered group partition is the full group size (long), exactly
+    # the old agg value.
     w = Window.partitionBy("group_id").orderBy(F.desc("clf_score"), F.asc("doc_id"))
-    reps = (
+    wc = Window.partitionBy("group_id")
+    return (
         j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
         .select(
             "group_id",
+            "n_members",
             F.col("doc_id").alias("rep_id"),
             F.col("clf_score").alias("rep_score"),
         )
-    )
-    sizes = j.groupBy("group_id").agg(F.count("*").alias("n_members"))
-    return (
-        sizes.join(reps, "group_id")
-        .select("group_id", "n_members", "rep_id", "rep_score")
         .orderBy("group_id")
     )
 
