@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     from shifu_spark.queries import QUERIES
     from shifu_spark.session import get_spark
@@ -64,7 +66,11 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         gid = f"profile:{name}"
-        best, jobs = float("inf"), 0
+        # (dt, jobs, build_s) captured PER RUN and reported from the same
+        # (best) run — ADVICE r12: pairing the best wall with the last
+        # run's job count mismatched them (and warm-cache later runs can
+        # issue fewer jobs)
+        best: tuple[float, int, float] | None = None
         plan = None
         for r in range(args.runs):
             sc.setJobGroup(gid + f":{r}", name)
@@ -75,16 +81,17 @@ def main() -> None:
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
             gc.collect()
-            jobs = len(st.getJobIdsForGroup(gid + f":{r}"))
-            if dt < best:
-                best = dt
+            run_jobs = len(st.getJobIdsForGroup(gid + f":{r}"))
+            if best is None or dt < best[0]:
+                best = (dt, run_jobs, t_build)
             if plan is None and args.plans_dir:
                 plan = df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"
                 )
         sc.setJobGroup("profile:idle", "idle")
-        out[name] = {"s": round(best, 3), "jobs": jobs, "build_s": round(t_build, 3)}
-        print(f"{best:8.3f}s  {jobs:4d} jobs  build={t_build:6.3f}s  {name}", flush=True)
+        dt, jobs, t_build = best
+        out[name] = {"s": round(dt, 3), "jobs": jobs, "build_s": round(t_build, 3)}
+        print(f"{dt:8.3f}s  {jobs:4d} jobs  build={t_build:6.3f}s  {name}", flush=True)
         if plan is not None:
             os.makedirs(args.plans_dir, exist_ok=True)
             with open(os.path.join(args.plans_dir, f"{name}{args.suffix}.txt"), "w") as fh:
