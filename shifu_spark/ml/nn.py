@@ -45,6 +45,7 @@ from shifu_spark.ml.sgd import (
     WindowEarlyStop,
     fold_gradient_partials,
     mixed_sample_seed,
+    run_epoch_loop,
 )
 
 # ---------------------------------------------------------------------------
@@ -301,43 +302,40 @@ def train_nn(
     if valid_df is not None:
         valid_df = valid_df.select(*feature_cols, label_col).persist()
     try:
-        for epoch in range(max_epochs):
-            g, train_loss, _n = _epoch(
-                df, feature_cols, label_col, w, layers, acts, dropout_rate, seed, epoch,
-                epoch_sample_rate,
+        vdf = valid_df
+
+        def grad_fn(cur_w, epoch):
+            g, train_loss, n = _epoch(
+                df, feature_cols, label_col, cur_w, layers, acts, dropout_rate,
+                seed, epoch, epoch_sample_rate,
             )
-            if _n == 0:
-                # the Spark-side epoch subsample drew zero rows: skip the
-                # step / loss append / early-stop watch — a sentinel 0.0
-                # loss would read as perfect convergence and falsely
-                # latch WindowEarlyStop / trip ConvergeEarlyStop
-                res.epochs_run += 1
-                continue
-            if frozen:
+            if n and frozen:
+                # zero frozen-layer gradients before the optimizer step
+                # (pure function of g — same result as zeroing inline)
                 off = 0
                 for i, (r, c) in enumerate(_shapes(layers)):
                     if i in frozen:
                         g[off : off + r * c] = 0.0
                     off += r * c
-            w = opt.update(w, g)
-            res.train_losses.append(train_loss)
-            res.epochs_run += 1
-            watch = train_loss
-            if valid_df is not None:
-                # forward-only pass: scalar (loss, n) per task, Catalyst
-                # partial agg — no backward, no O(weights) payload (same
-                # rationale as wdl._valid_loss_udf)
-                row = valid_df.mapInPandas(
-                    _valid_loss_udf(feature_cols, label_col, w, layers, acts),
-                    schema="loss double, n long",
-                ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
-                if (row["n"] or 0) > 0:
-                    valid_loss = row["loss"] / row["n"]
-                    res.valid_losses.append(valid_loss)
-                    watch = valid_loss
-            if early_stop is not None and early_stop.should_stop(watch):
-                res.stopped_early = True
-                break
+            return g, train_loss, n
+
+        def _valid(cur_w):
+            # forward-only pass: scalar (loss, n) per task, Catalyst
+            # partial agg — no backward, no O(weights) payload (same
+            # rationale as wdl._valid_loss_udf)
+            row = vdf.mapInPandas(
+                _valid_loss_udf(feature_cols, label_col, cur_w, layers, acts),
+                schema="loss double, n long",
+            ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
+            n = int(row["n"] or 0)
+            return (row["loss"] / n if n else 0.0), n
+
+        # epoch k's validation job overlaps epoch k+1's gradient job;
+        # bookkeeping identical to the sequential loop (sgd.run_epoch_loop)
+        w = run_epoch_loop(
+            w, opt, max_epochs, grad_fn, res,
+            _valid if valid_df is not None else None, early_stop,
+        )
     finally:
         df.unpersist()
         if valid_df is not None:

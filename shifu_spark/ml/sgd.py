@@ -259,6 +259,103 @@ def fold_gradient_partials(parts: DataFrame, width: int):
     return g / n, loss / n, n
 
 
+def run_epoch_loop(
+    w: np.ndarray,
+    opt: Optimizer,
+    max_epochs: int,
+    grad_fn,
+    record,
+    valid_fn=None,
+    early_stop=None,
+) -> np.ndarray:
+    """Shared trainer epoch driver (LR / NN / Wide&Deep) — overlaps
+    epoch k's validation pass with epoch k+1's gradient pass.
+
+    ``grad_fn(w, epoch) -> (g, mean_loss, n)`` runs one superstep at the
+    given weights; ``valid_fn(w) -> (loss, n)`` is the forward-only
+    validation watch; ``record`` carries the shared bookkeeping fields
+    (train_losses / valid_losses / epochs_run / stopped_early).  Returns
+    the final weight vector.
+
+    Overlap (guide §2.6, VERDICT r12 item 4): epochs are inherently
+    sequential (w_{k+1} needs g_k), but the validation job of epoch k
+    only needs w_{k+1} — which epoch k+1's gradient job also reads and
+    never mutates — so the two are independent Spark jobs and run
+    concurrently from a 1-worker thread pool (inheritable_thread_target
+    keeps job-group tagging deterministic).  The early-stopping read is
+    guarded: epoch k's watch is resolved BEFORE epoch k+1's optimizer
+    step, and a stop decision discards the speculative gradient without
+    touching the record — train_losses / valid_losses / epochs_run /
+    stopped_early and every early-stop state transition are identical
+    to the sequential loop (the only cost of a stop is one wasted
+    speculative pass).  ``valid_fn`` receives the weight vector as an
+    argument at submit time, so the pool thread never races the main
+    thread's weight update.  With no ``valid_fn`` the loop is purely
+    sequential — nothing is submitted and no pool is created.
+    """
+    pool = None
+    pending: tuple[float, object] | None = None  # (train_loss, future)
+
+    def _resolve(p) -> bool:
+        """Harvest the deferred valid result for the last stepped epoch;
+        True = early stop fired (caller discards any speculative g)."""
+        train_loss, fut = p
+        vloss, vn = fut.result()
+        watch = train_loss
+        if vn > 0:
+            record.valid_losses.append(vloss)
+            watch = vloss
+        if early_stop is not None and early_stop.should_stop(watch):
+            record.stopped_early = True
+            return True
+        return False
+
+    try:
+        if valid_fn is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+            from pyspark.sql import SparkSession
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            # session form also inherits session tags (and avoids the
+            # "Tags will not be inherited" warning under pinned threads)
+            sess = SparkSession.getActiveSession()
+            wrapped_valid = (
+                inheritable_thread_target(sess)(valid_fn)
+                if sess is not None
+                else inheritable_thread_target(valid_fn)
+            )
+        for epoch in range(max_epochs):
+            g, train_loss, n = grad_fn(w, epoch)
+            if pending is not None:
+                stopped = _resolve(pending)
+                pending = None
+                if stopped:
+                    return w  # discard the speculative gradient
+            if n == 0:
+                # empty Spark-side epoch subsample: no step, no loss
+                # record, no watch — a sentinel 0.0 loss would read as
+                # perfect convergence and falsely latch the early stop
+                record.epochs_run += 1
+                continue
+            w = opt.update(w, g)
+            record.train_losses.append(train_loss)
+            record.epochs_run += 1
+            if valid_fn is None:
+                if early_stop is not None and early_stop.should_stop(train_loss):
+                    record.stopped_early = True
+                    return w
+            else:
+                pending = (train_loss, pool.submit(wrapped_valid, w))
+        if pending is not None:
+            _resolve(pending)  # final epoch's valid loss + stop flag
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
+    return w
+
+
 def _epoch(df: DataFrame, feature_cols: list[str], label_col: str, w: np.ndarray, reg: float):
     """Run one superstep: returns (summed gradient/n, mean loss, n)."""
     schema = "grad array<double>, loss double, n long"
@@ -319,25 +416,19 @@ def train_lr_sgd(
     if valid_df is not None:
         valid_df = valid_df.select(*feature_cols, label_col).persist()
     try:
-        for _ in range(max_epochs):
-            g, train_loss, _n = _epoch(df, feature_cols, label_col, w, reg)
-            if _n == 0:
-                # empty epoch: no step, no loss record, no watch — a
-                # sentinel 0.0 loss would falsely latch the early-stop
-                res.epochs_run += 1
-                continue
-            w = opt.update(w, g)
-            res.train_losses.append(train_loss)
-            res.epochs_run += 1
-            watch = train_loss
-            if valid_df is not None:
-                valid_loss, vn = _lr_valid_loss(valid_df, feature_cols, label_col, w)
-                if vn > 0:
-                    res.valid_losses.append(valid_loss)
-                    watch = valid_loss
-            if early_stop is not None and early_stop.should_stop(watch):
-                res.stopped_early = True
-                break
+        vdf = valid_df
+
+        def grad_fn(cur_w, _epoch_idx):
+            return _epoch(df, feature_cols, label_col, cur_w, reg)
+
+        valid_fn = (
+            (lambda cur_w: _lr_valid_loss(vdf, feature_cols, label_col, cur_w))
+            if valid_df is not None
+            else None
+        )
+        # epoch k's validation job overlaps epoch k+1's gradient job;
+        # bookkeeping identical to the sequential loop (run_epoch_loop)
+        w = run_epoch_loop(w, opt, max_epochs, grad_fn, res, valid_fn, early_stop)
     finally:
         df.unpersist()
         if valid_df is not None:

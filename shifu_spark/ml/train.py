@@ -206,12 +206,22 @@ def grid_search(
         # idled by the current point's stage tails (guide §2.6).  2-3 in
         # flight is the guide's sweet spot; results keep grid order
         # (pool.map) and each fit is seed-deterministic, so the output
-        # is identical to the sequential loop.
+        # is identical to the sequential loop.  inheritable_thread_target
+        # (ADVICE r12): under pinned-thread mode pool threads get FRESH
+        # JVM thread-local properties, so a caller-set job group /
+        # scheduler pool / cancellation would silently not apply to the
+        # overlapped fits (profilers under-attribute them); the wrapper
+        # copies the calling thread's properties into each worker run.
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
         points = flatten_grid(grid)
+        # session form also inherits session tags (and avoids the
+        # "Tags will not be inherited" warning under pinned threads)
+        wrap = inheritable_thread_target(train.sparkSession)
         with ThreadPoolExecutor(max_workers=min(3, max(1, len(points)))) as pool:
-            results = list(pool.map(_one_point, points))
+            results = list(pool.map(wrap(_one_point), points))
     finally:
         train.unpersist()
         valid.unpersist()
@@ -249,10 +259,19 @@ def kfold_cv(assembled: DataFrame, params: TrainParams, n_features: int, k: int 
         # by fold j's stage tails (guide §2.6).  pool.map keeps fold
         # order and each fit is deterministic on its fold's rows, so
         # the per-fold AUC list is identical to the sequential loop.
+        # inheritable_thread_target: copy the caller's JVM thread-local
+        # properties (job group / scheduler pool) into the pool threads
+        # so tagging and cancellation apply to the overlapped fits
+        # (ADVICE r12 — pinned-thread mode gives fresh properties).
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
+        # session form also inherits session tags (warning-free under
+        # pinned threads)
+        wrap = inheritable_thread_target(folded.sparkSession)
         with ThreadPoolExecutor(max_workers=min(3, max(1, k))) as pool:
-            aucs = list(pool.map(_one_fold, range(k)))
+            aucs = list(pool.map(wrap(_one_fold), range(k)))
     finally:
         folded.unpersist()
     return aucs

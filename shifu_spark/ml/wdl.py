@@ -50,7 +50,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shifu_spark.ml.nn import ACTIVATIONS, _shapes, _sigmoid, _unflatten
-from shifu_spark.ml.sgd import OPTIMIZERS, fold_gradient_partials, mixed_sample_seed
+from shifu_spark.ml.sgd import (
+    OPTIMIZERS,
+    fold_gradient_partials,
+    mixed_sample_seed,
+    run_epoch_loop,
+)
 
 
 @dataclass
@@ -324,35 +329,29 @@ def train_wdl(
             # vector embeds whole embedding tables (sum(card)*embed_dim)
             return fold_gradient_partials(parts, cur_w.size)
 
-        for epoch in range(max_epochs):
-            g, mean_loss, _n = _superstep(df, w, epoch_sample_rate, epoch)
-            if _n == 0:
-                # the epoch's Bernoulli subsample drew zero rows: skip
-                # the step / loss append / early-stop watch — a sentinel
-                # 0.0 loss would read as perfect convergence and falsely
-                # latch WindowEarlyStop / trip ConvergeEarlyStop
-                model.epochs_run += 1
-                continue
-            w = opt.update(w, g)
-            model.train_losses.append(mean_loss)
-            model.epochs_run += 1
-            watch = mean_loss
-            if valid_df is not None:
-                # forward-only pass: scalar (loss, n) per task, Catalyst
-                # partial agg — no backward, no O(weights) payload
-                row = valid_df.mapInPandas(
-                    _valid_loss_udf(
-                        dense_cols, sparse_cols, label_col, w, len(dense_cols),
-                        cardinalities, embed_dim, deep_layers, deep_acts),
-                    schema="loss double, n long",
-                ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
-                if (row["n"] or 0) > 0:
-                    valid_loss = row["loss"] / row["n"]
-                    model.valid_losses.append(valid_loss)
-                    watch = valid_loss
-            if early_stop is not None and early_stop.should_stop(watch):
-                model.stopped_early = True
-                break
+        vdf = valid_df
+
+        def grad_fn(cur_w, epoch):
+            return _superstep(df, cur_w, epoch_sample_rate, epoch)
+
+        def _valid(cur_w):
+            # forward-only pass: scalar (loss, n) per task, Catalyst
+            # partial agg — no backward, no O(weights) payload
+            row = vdf.mapInPandas(
+                _valid_loss_udf(
+                    dense_cols, sparse_cols, label_col, cur_w, len(dense_cols),
+                    cardinalities, embed_dim, deep_layers, deep_acts),
+                schema="loss double, n long",
+            ).agg(F.sum("loss").alias("loss"), F.sum("n").alias("n")).collect()[0]
+            n = int(row["n"] or 0)
+            return (row["loss"] / n if n else 0.0), n
+
+        # epoch k's validation job overlaps epoch k+1's gradient job;
+        # bookkeeping identical to the sequential loop (sgd.run_epoch_loop)
+        w = run_epoch_loop(
+            w, opt, max_epochs, grad_fn, model,
+            _valid if valid_df is not None else None, early_stop,
+        )
     finally:
         df.unpersist()
         if valid_df is not None:
