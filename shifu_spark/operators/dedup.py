@@ -422,13 +422,18 @@ def simhash_candidate_pairs_df(sim: DataFrame, max_hamming: int = 3, chunks: int
 
 #: Edge-count bound under which the label-propagation rounds broadcast
 #: the node-sized frames (labels / per-node neighbor minima) instead of
-#: shuffle-joining them.  Nodes ≤ 2·edges, a label row is two longs, so
-#: 10M edges bounds the broadcast at a few hundred MB — the guide §3.1
-#: comfort zone.  Above it the rounds fall back to shuffle joins (the
-#: arbitrarily-large-graph regime); the threshold is a module constant,
-#: not a local[32] tunable — it is sized by broadcast memory, which is
-#: cluster-shaped the same way everywhere.
-LABELPROP_BROADCAST_EDGES_MAX = 10_000_000
+#: shuffle-joining them.  What is broadcast per round is NODE-sized
+#: (nodes ≤ 2·edges, a label row is two longs), and a BroadcastHashJoin
+#: hashed relation costs several times the raw 16 B/row (ADVICE r12) —
+#: at 2M edges that is ≤4M rows ≈ 64 MB raw ≈ a few hundred MB hashed,
+#: rebuilt on the driver every round: guide §3.1's comfort zone.  The
+#: earlier 10M bound sized the RAW bytes only and could rebuild a
+#: multi-GB relation per round near the bound.  Above it the rounds
+#: fall back to shuffle joins (the arbitrarily-large-graph regime); the
+#: threshold is a module constant, not a local[32] tunable — it is
+#: sized by broadcast memory, which is cluster-shaped the same way
+#: everywhere.
+LABELPROP_BROADCAST_EDGES_MAX = 2_000_000
 
 
 def dedup_groups_df(
