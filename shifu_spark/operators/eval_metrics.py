@@ -174,9 +174,15 @@ def prefix_sums(
         # one materialization pays for: the boundary collect, the
         # per-bucket totals branch, and the main cumulative branch.
         # The cache is handed to the caller via ``cache_out`` for
-        # deterministic release (the repo's unpersist discipline);
-        # a caller that does not accept the cache gets the un-persisted
-        # plan (each branch re-derives — correct, just not single-pass).
+        # deterministic release (the repo's unpersist discipline).
+        # ``cache_out`` is EFFECTIVELY REQUIRED on hot paths (ADVICE
+        # r12): without it the boundary percentile collect below runs
+        # the full points pipeline eagerly AT PLAN-BUILD TIME and every
+        # later action re-derives it per branch — correct, but
+        # multi-pass.  Persisting internally instead would leak the
+        # cache for the session's lifetime (nothing could release it),
+        # which is worse than the extra passes; every in-repo caller
+        # threads ``cache_out`` and releases via _materialize_release.
         if cache_out is not None:
             df = df.persist()
             cache_out.append(df)

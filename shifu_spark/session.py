@@ -36,6 +36,12 @@ def get_spark(app_name: str = "shifu_spark", shuffle_partitions: str | int | Non
         # stay short — 48g heaps showed 5-15s stop-the-world stalls in
         # bench runs with heavy broadcast churn
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # shuffle/cache codec knob for scale A/Bs (guide §2.3): lz4 is
+        # Spark's default; zstd trades CPU for shuffle bytes.  Kept
+        # env-parameterised with the default UNCHANGED so the driver's
+        # bench stays comparable; the sf1 A/B result lives in
+        # OPTIMIZATION_r13.md / BENCH_sf1_scaleproof.json.
+        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
     )
     if not os.environ.get("SPARK_MASTER"):  # pragma: no branch - local default
         builder = builder.master(f"local[{cpus}]")
