@@ -38,7 +38,13 @@ def pagerank_df(
     new_rank = (1-d)/N + d * Σ_in CAST(rank/outdeg AS DECIMAL(38,10))
     — the division and the final multiply-add are single double ops on
     engine-identical inputs; the sum is exact decimal."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # e is typically a non-trivial derivation (the registered query scans
+    # lineitem, distincts the pairs and unions the reverse); without a
+    # persist it is re-derived by all_nodes, by the e side of ed AND by
+    # the deg side (ReuseExchange only collapses the latter two when the
+    # exchanges line up) — the n-count job below materializes the cache
+    # so every consumer pays the scan+distinct once (r13, guide §1.2)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     # one persisted distinct-source frame serves BOTH the N count and the
     # per-superstep node universe (ed = e ⋈ deg preserves exactly e's
     # source set, so recomputing the distinct again would be a second
@@ -61,7 +67,7 @@ def pagerank_df(
     ranks = all_nodes.select(
         F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
@@ -83,10 +89,24 @@ def pagerank_df(
                     ).cast("double")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy for the intermediates, eager only for the LAST step:
+            # each intermediate ranks frame is consumed exactly once (by
+            # the next superstep), so an eager checkpoint per iteration
+            # was one whole driver job per superstep purely to
+            # materialize data the next job would compute in-line anyway;
+            # lazy localCheckpoint still returns a LogicalRDD (the plan
+            # tree stays flat — the reason for checkpointing at all) and
+            # stores the partitions when the final job computes through
+            # them. The last step stays EAGER so the whole chain
+            # materializes while e/ed/all_nodes are still cached — the
+            # unpersists below would otherwise strip the caches from
+            # under the caller's first action (r13 paired A/B: 39 -> 26
+            # jobs, min 12.9 -> 9.3 s at sf0.1, values bit-identical).
+            .localCheckpoint(eager=(i == iters - 1))
         )
     ed.unpersist()
     all_nodes.unpersist()
+    e.unpersist()
     return ranks
 
 

@@ -1657,6 +1657,31 @@ class TestPageRank:
         b = {r["node"]: r["rank"] for r in pagerank_df(edges.repartition(17), iters=3).collect()}
         assert a == b
 
+    def test_result_survives_internal_cache_release(self, spark):
+        """pagerank_df releases its internal persists (e / all_nodes /
+        ed) before returning, and since r13 only the LAST superstep's
+        localCheckpoint is eager (intermediates are lazy, folded into
+        the final materialization job). The returned frame must
+        therefore be fully materialized at return — repeated actions
+        after the unpersists must neither fail nor recompute to
+        different bits, and the caches must actually be gone."""
+        from shifu_spark.operators.graph import pagerank_df
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).distinct()
+        edges = li.unionByName(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pr = pagerank_df(edges, iters=3)
+        first = sorted((r["node"], r["rank"]) for r in pr.collect())
+        # internal persists released at return — nothing leaked for the
+        # session lifetime (the bench clearCache()s, callers cannot).
+        # CacheManager tracks DataFrame persist() entries; the RDDs that
+        # localCheckpoint pins live outside it (released on frame GC)
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        second = sorted((r["node"], r["rank"]) for r in pr.collect())
+        assert first == second and len(first) > 0
+
     def test_zero_in_degree_node_kept(self, spark):
         """A node with out-edges but NO in-edges must stay in the rank
         table at (1-d)/N-plus-nothing and keep feeding its targets —
