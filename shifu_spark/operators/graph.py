@@ -170,11 +170,18 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
     # the edge/wedge census onto deg so every downstream pass reads the
     # cache (guide §1.2: remove redundant passes first)
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
+    # deg is node-sized but consumed THREE times (the da and db sides of
+    # the orientation join and the summary aggregate) — unpersisted, each
+    # consumer re-ran the union-doubled edge scan + groupBy shuffle.
+    # Persisting it trades O(nodes) memory for two full degree passes
+    # (r13 paired A/B: 14.3 -> 11.0 s min, 28 -> 25 jobs at sf0.1,
+    # census bit-identical)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     # orient each edge low→high under the (deg, node) order
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
@@ -242,5 +249,6 @@ def triangle_count_df(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> D
         out = summary.localCheckpoint(eager=True)
     finally:
         oriented.unpersist()
+        deg.unpersist()
         e.unpersist()
     return out
